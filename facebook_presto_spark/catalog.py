@@ -1,0 +1,53 @@
+"""Catalog: schema-on-read registration of parquet tables.
+
+Mirrors the reference's Catalog → Schema → Table model
+(presto-spi/.../connector/ConnectorMetadata.java:56 — listSchemaNames /
+getTableHandle / getColumnHandles) on Spark's catalog: each parquet file
+becomes a temp view; `spark.read.parquet` is the ConnectorPageSource
+(TableScanOperator, presto-main/.../operator/TableScanOperator.java:42) —
+Spark's DataSource V2 gives us split generation, predicate pushdown and
+column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every star-schema table under ``sf_dir`` as a DataFrame.
+
+    Scans stay lazy — Catalyst prunes columns and pushes filters into the
+    parquet reader at plan time, so loading "all tables" costs nothing.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` sees the catalog."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
