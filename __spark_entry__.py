@@ -24,16 +24,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from facebook_presto_spark.plans import tpch
+    from facebook_presto_spark.plans import relational, tpch
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.QUERIES)
+    out.update(relational.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from facebook_presto_spark.plans import tpch
+    from facebook_presto_spark.plans import relational, tpch
 
     out: dict[str, str] = {}
     out.update(tpch.ORACLE)
+    out.update(relational.ORACLE)
     return out
