@@ -25,17 +25,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from facebook_presto_spark.plans import relational, tpch
+    from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(tpch.QUERIES)
-    out.update(relational.QUERIES)
+    for mod in (tpch, relational, dedup, similarity, text, multimodal):
+        out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from facebook_presto_spark.plans import relational, tpch
+    from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
 
     out: dict[str, str] = {}
-    out.update(tpch.ORACLE)
-    out.update(relational.ORACLE)
+    for mod in (tpch, relational, dedup, similarity, text, multimodal):
+        out.update(mod.ORACLE)
     return out

@@ -1,0 +1,352 @@
+"""Deduplication operators over the ``documents`` corpus.
+
+Reference primitives: SetDigest MinHash (presto-main/.../type/setdigest/
+SetDigestFunctions.java — make_set_digest / jaccard_index), ngrams
+(operator/scalar/ArrayNgramsFunction.java), checksum
+(operator/aggregation/ChecksumAggregationFunction.java).  The assembled
+dedup pipelines below are the standard large-corpus constructions
+(Broder MinHash-LSH; Charikar SimHash) expressed as pure DataFrame ops.
+
+Scale design (the point of each construction):
+
+- **exact**: one shuffle on a 128-bit content hash — never on the text
+  itself, so shuffle bytes are O(rows·16B) not O(corpus).
+- **MinHash-LSH**: signature computation is a map-side groupBy over
+  exploded shingles (partial aggregation keeps the shuffle at
+  O(docs·k·32B)); banding turns the O(n²) pair problem into equi-joins on
+  band keys — the only join is on (band_idx, band_key), which AQE handles
+  for skew (a degenerate band key = a pile of near-identical docs).
+- **SimHash**: 64 independent bit-weight sums per doc — a single groupBy,
+  no joins until the (cheap) bucket comparison.
+- **n-gram Jaccard**: exact verification for *candidate pairs only* —
+  at scale you run it after LSH; here it's blocked by ``source`` so the
+  oracle stays O(pairs-within-block).
+- **embedding near-dup**: blocked by ``label`` (at 100 TB: by coarse
+  IVF/LSH bucket) so the pair join is within-partition.
+
+Cross-engine determinism: hashes are md5 hex strings (identical in any
+engine); MinHash takes the *lexicographic* min over md5 strings — no
+integer conversion, no float arithmetic.  Cosine similarity is computed
+on fixed-point integers (round(x·y·1e12)), making sums order-independent
+whole numbers; see plans/tpch.py for the rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from facebook_presto_spark.plans.tpch import _t
+
+K_MINHASH = 8  # signature length
+BAND_ROWS = 2  # minhashes per LSH band → 4 bands
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def _shingles(text: Column) -> Column:
+    """Distinct 3-token shingles (w-shingling, w=3)."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    seq = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(seq)).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on content hash: keep the smallest doc_id per identical
+    (lowercased) text; report group size.  At scale: shuffle on md5 only."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.col("text")))
+    return (
+        docs.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("keep_doc_id", "group_size", "content_hash")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS group_size,
+       md5(lower(text)) AS content_hash
+FROM documents GROUP BY md5(lower(text))
+"""
+
+
+def _signatures(docs: DataFrame) -> DataFrame:
+    """doc_id → h0..h7 lexicographic-min md5 MinHash signature."""
+    exploded = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+        for s in range(K_MINHASH)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
+
+    shingle → k minhashes → band keys → equi-join per band → distinct pairs
+    → signature agreement as the Jaccard estimate.  The band join replaces
+    the all-pairs comparison: only docs sharing a full band collide.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sig = _signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]).alias("key"),
+            )
+            for b in range(K_MINHASH // BAND_ROWS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "key"
+    )
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(K_MINHASH)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(K_MINHASH)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(K_MINHASH)
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(K_MINHASH))).alias("est_jaccard"),
+        )
+    )
+
+
+_SIG_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), shingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks WHERE len(t) >= 3
+), sig AS (
+  SELECT doc_id,
+    min(md5('0|'||sh)) AS h0, min(md5('1|'||sh)) AS h1,
+    min(md5('2|'||sh)) AS h2, min(md5('3|'||sh)) AS h3,
+    min(md5('4|'||sh)) AS h4, min(md5('5|'||sh)) AS h5,
+    min(md5('6|'||sh)) AS h6, min(md5('7|'||sh)) AS h7
+  FROM shingles GROUP BY doc_id
+)
+"""
+
+MINHASH_LSH_SQL = (
+    _SIG_CTE
+    + """
+, bands AS (
+  SELECT doc_id, 0 AS band, h0||h1 AS key FROM sig
+  UNION ALL SELECT doc_id, 1, h2||h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4||h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6||h7 FROM sig
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ((CASE WHEN sa.h0=sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1=sb.h1 THEN 1 ELSE 0 END) +
+        (CASE WHEN sa.h2=sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3=sb.h3 THEN 1 ELSE 0 END) +
+        (CASE WHEN sa.h4=sb.h4 THEN 1 ELSE 0 END) + (CASE WHEN sa.h5=sb.h5 THEN 1 ELSE 0 END) +
+        (CASE WHEN sa.h6=sb.h6 THEN 1 ELSE 0 END) + (CASE WHEN sa.h7=sb.h7 THEN 1 ELSE 0 END)
+       ) / CAST(8 AS DOUBLE) AS est_jaccard
+FROM pairs
+JOIN sig sa ON pairs.doc_a = sa.doc_id
+JOIN sig sb ON pairs.doc_b = sb.doc_id
+"""
+)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for pairs blocked by ``source``.
+
+    |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B| — set sizes are
+    exact integers so the similarity is cross-engine deterministic.  At
+    100 TB the block key is the LSH candidate set, not ``source``.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(_shingles(F.col("text"))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "source", "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (F.col("source") == F.col("source_b")) & (F.col("sh") == F.col("sh_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+NGRAM_JACCARD_SQL = (
+    _SIG_CTE.replace(", sig AS (", ", _unused_sig AS (")  # reuse toks/shingles CTEs
+    + """
+, sh2 AS (
+  SELECT s.doc_id, d.source, s.sh FROM shingles s JOIN documents d USING (doc_id)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh2 a JOIN sh2 b ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+"""
+)
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (Charikar): per-token xxhash64, sum
+    signed bit contributions, sign → fingerprint bits; plus the 16-bit
+    prefix bucket used for near-dup blocking.
+
+    xxhash64 is Spark-specific → rows-only driver check; determinism and
+    similarity behavior are unit-tested (tests/test_pipeline.py).
+    Pure built-ins: explode → bit ops → groupBy; one shuffle on doc_id.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_contribs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_contribs)
+    fingerprint = sum(
+        (F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** b).cast("long"))
+        if b < 63
+        else F.when(F.col(f"b{b}") > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    )
+    return per_doc.select(
+        "doc_id",
+        fingerprint.alias("simhash"),
+        F.shiftrightunsigned(fingerprint, 48).alias("bucket16"),
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, blocked by ``label`` (stand-in for
+    an IVF/LSH coarse bucket at scale).  Fixed-point integer dot products
+    (round(x·y·1e12)) keep sums order-independent and cross-engine exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot_int(a: Column, b: Column) -> Column:
+        prods = F.zip_with(
+            a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(1e12))
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v).cast("long")
+
+    with_norm = emb.select(
+        "vec_id", "label", "embedding", dot_int(F.col("embedding"), F.col("embedding")).alias("norm_int")
+    )
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"), F.col("norm_int").alias("norm_a"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"), F.col("norm_int").alias("norm_b"),
+    )
+    return (
+        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("label_a").alias("label"),
+            (
+                dot_int(F.col("emb_a"), F.col("emb_b"))
+                / (F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.25)
+    )
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+              i -> round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e12))) AS BIGINT) AS norm_int
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> round(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
+         / (sqrt(a.norm_int) * sqrt(b.norm_int)) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> round(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
+         / (sqrt(a.norm_int) * sqrt(b.norm_int)) >= 0.25
+"""
+
+
+QUERIES = {
+    "dedup_exact": exact_dedup,
+    "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_simhash": simhash64,
+    "dedup_embedding_cosine": embedding_neardup_pairs,
+}
+
+ORACLE = {
+    "dedup_exact": EXACT_DEDUP_SQL,
+    "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    # dedup_simhash: xxhash64-based → rows-only check (unit-tested instead)
+    "dedup_embedding_cosine": EMBEDDING_NEARDUP_SQL,
+}

@@ -1,0 +1,179 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths, as a large-scale ANN system would have:
+
+- **brute-force cosine top-k** — the exact baseline: query-set × corpus
+  join, fixed-point integer dot products, per-query top-k via the same
+  row_number()≤k pattern the reference optimizes with
+  TopNRowNumberOperator (operator/TopNRowNumberOperator.java:38).  At
+  scale: broadcast the (small) query set against the partitioned corpus —
+  no corpus shuffle at all; Spark 3.5+ applies the per-group heap
+  (InferWindowGroupLimit) so memory stays O(k) per partition.
+- **LSH-bucketed ANN** — the scale path: sign-random-projection bucket
+  per vector (deterministic hash-derived hyperplanes, no RNG state),
+  candidates restricted to the probe's bucket(s), then exact re-rank.
+  Bucketing is one narrow map; the candidate join is an equi-join on
+  bucket id.  Recall vs brute force is unit-tested
+  (tests/test_pipeline.py); hash specifics are Spark-side → rows-only
+  driver check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from facebook_presto_spark.plans.tpch import _t
+
+N_QUERIES = 10  # vec_id < 10 are the probe set
+TOP_K = 5
+N_PLANES = 8  # LSH: 8 sign bits → 256 buckets
+
+
+def _dot_int(a: Column, b: Column) -> Column:
+    """Order-independent fixed-point dot product (see pipeline/dedup.py)."""
+    prods = F.zip_with(
+        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(1e12))
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v).cast("long")
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each probe vector (vec_id < 10)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        _dot_int(F.col("embedding"), F.col("embedding")).alias("norm_int"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_int").alias("q_norm"),
+    )
+    cands = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_int").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot_int(F.col("q_emb"), F.col("c_emb"))
+                / (F.sqrt(F.col("q_norm")) * F.sqrt(F.col("c_norm")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+              i -> round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e12))) AS BIGINT) AS norm_int
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+              i -> round(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
+           / (sqrt(q.norm_int) * sqrt(c.norm_int)) AS cosine
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT q_id, c_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _lsh_bucket(emb: Column) -> Column:
+    """Sign-random-projection bucket id from ``N_PLANES`` pseudo-random
+    hyperplanes.  Plane p's component j is a deterministic hash-derived
+    value in [-0.5, 0.5) — reproducible across runs/executors with no RNG
+    or driver-side state, which is what makes this usable in a 1000-executor
+    fan-out (broadcast of a plane matrix works too; this avoids even that).
+    """
+    bucket = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        comp = F.transform(
+            F.sequence(F.lit(1), F.size(emb)),
+            lambda j, p=p: (
+                (F.pmod(F.xxhash64(F.concat_ws("_", F.lit(p), j.cast("string"))), 1000) / 1000.0)
+                - 0.5
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(emb, comp, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors: candidates limited to the probe's LSH
+    bucket, exact cosine re-rank inside.  One narrow map to bucket, one
+    equi-join on bucket id — the 100 TB shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "embedding",
+        _dot_int(F.col("embedding"), F.col("embedding")).alias("norm_int"),
+        _lsh_bucket(F.col("embedding")).alias("bucket"),
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_int").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm_int").alias("c_norm"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(cands, (F.col("q_bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                _dot_int(F.col("q_emb"), F.col("c_emb"))
+                / (F.sqrt(F.col("q_norm")) * F.sqrt(F.col("c_norm")))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+QUERIES = {
+    "similarity_cosine_topk": cosine_topk,
+    "similarity_ann_lsh": ann_lsh_topk,
+}
+
+ORACLE = {
+    "similarity_cosine_topk": COSINE_TOPK_SQL,
+    # similarity_ann_lsh: xxhash64-derived hyperplanes → rows-only check;
+    # recall vs the exact baseline is unit-tested.
+}
