@@ -24,20 +24,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from facebook_presto_spark.plans import relational, tpch
+    from facebook_presto_spark.plans import functions_showcase, relational, tpch
     from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tpch, relational, dedup, similarity, text, multimodal):
+    for mod in (tpch, relational, functions_showcase, dedup, similarity, text, multimodal):
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from facebook_presto_spark.plans import relational, tpch
+    from facebook_presto_spark.plans import functions_showcase, relational, tpch
     from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
 
     out: dict[str, str] = {}
-    for mod in (tpch, relational, dedup, similarity, text, multimodal):
+    for mod in (tpch, relational, functions_showcase, dedup, similarity, text, multimodal):
         out.update(mod.ORACLE)
     return out

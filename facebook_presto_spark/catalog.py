@@ -45,6 +45,21 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return out
 
 
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events`` with its nanosecond-precision timestamp column.
+
+    The driver's events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects outright; the legacy flag reads
+    it as nanos-since-epoch BIGINT and we rebuild a (microsecond) timestamp
+    — the same truncation DuckDB applies when reading the file.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register each table as a temp view so ``spark.sql`` sees the catalog."""
     dfs = load_tables(spark, sf_dir)

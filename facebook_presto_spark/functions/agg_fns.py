@@ -1,0 +1,167 @@
+"""Aggregate-function library (SURVEY §2.3 table).
+
+Reference: presto-main/.../operator/aggregation/ — each row of the §2.3
+table maps to a Spark aggregate expression builder here.  Most are direct
+built-ins; the composed ones (checksum, geometric_mean, map_agg,
+histogram, min/max-N, reduce_agg) follow the documented constructions.
+All are Column *aggregate* expressions usable inside groupBy().agg().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from facebook_presto_spark.functions.registry import register
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+register("count")(lambda c=None: F.count(_c(c)) if c is not None else F.count(F.lit(1)))
+register("count_if")(lambda c: F.count_if(_c(c)))
+register("sum")(lambda c: F.sum(_c(c)))
+register("avg")(lambda c: F.avg(_c(c)))
+register("min")(lambda c, n=None: F.min(_c(c)) if n is None else min_n(c, n))
+register("max")(lambda c, n=None: F.max(_c(c)) if n is None else max_n(c, n))
+register("min_by")(lambda v, o, n=None: F.min_by(_c(v), _c(o)) if n is None else min_by_n(v, o, n))
+register("max_by")(lambda v, o, n=None: F.max_by(_c(v), _c(o)) if n is None else max_by_n(v, o, n))
+register("arbitrary")(lambda c: F.any_value(_c(c), ignoreNulls=True))
+register("any_value")(lambda c: F.any_value(_c(c), ignoreNulls=True))
+register("array_agg")(lambda c: F.collect_list(_c(c)))
+register("set_agg")(lambda c: F.collect_set(_c(c)))
+register("set_union")(lambda c: F.array_distinct(F.flatten(F.collect_list(_c(c)))))
+register("bool_and")(lambda c: F.bool_and(_c(c)))
+register("every")(lambda c: F.bool_and(_c(c)))
+register("bool_or")(lambda c: F.bool_or(_c(c)))
+register("bitwise_and_agg")(lambda c: F.bit_and(_c(c)))
+register("bitwise_or_agg")(lambda c: F.bit_or(_c(c)))
+register("variance")(lambda c: F.var_samp(_c(c)))
+register("var_samp")(lambda c: F.var_samp(_c(c)))
+register("var_pop")(lambda c: F.var_pop(_c(c)))
+register("stddev")(lambda c: F.stddev_samp(_c(c)))
+register("stddev_samp")(lambda c: F.stddev_samp(_c(c)))
+register("stddev_pop")(lambda c: F.stddev_pop(_c(c)))
+register("skewness")(lambda c: F.skewness(_c(c)))
+register("kurtosis")(lambda c: F.kurtosis(_c(c)))
+register("corr")(lambda a, b: F.corr(_c(a), _c(b)))
+register("covar_samp")(lambda a, b: F.covar_samp(_c(a), _c(b)))
+register("covar_pop")(lambda a, b: F.covar_pop(_c(a), _c(b)))
+register("regr_slope")(lambda y, x: F.regr_slope(_c(y), _c(x)))
+register("regr_intercept")(lambda y, x: F.regr_intercept(_c(y), _c(x)))
+register("approx_distinct")(lambda c, e=None: F.approx_count_distinct(_c(c), rsd=e) if e else F.approx_count_distinct(_c(c)))
+register("approx_percentile")(
+    lambda c, p, accuracy=10000: F.percentile_approx(_c(c), p, accuracy)
+)
+register("percentile")(lambda c, p: F.percentile(_c(c), p))
+# HLL sketch surface (HyperLogLogFunctions.java / ApproximateSetAggregation):
+register("approx_set")(lambda c: F.hll_sketch_agg(_c(c)))
+register("merge_hll")(lambda c: F.hll_union_agg(_c(c)))
+register("cardinality_hll")(lambda sketch: F.hll_sketch_estimate(_c(sketch)))
+
+
+@register("geometric_mean")
+def geometric_mean(c) -> Column:
+    return F.exp(F.avg(F.log(_c(c))))
+
+
+@register("checksum")
+def checksum(*cols) -> Column:
+    """Order-independent checksum (ChecksumAggregationFunction.java): sum of
+    per-row 64-bit hashes — the reference verifier's comparison primitive.
+    Wrap-around addition semantics via sum over longs."""
+    return F.sum(F.xxhash64(*[_c(c) for c in cols]))
+
+
+def _dedup_entries_to_map(entries: Column) -> Column:
+    """array<struct<key,value>> → map, last value wins on duplicate keys
+    (Spark's map_from_entries raises DUPLICATED_MAP_KEY by default)."""
+    keys = F.array_distinct(F.transform(entries, lambda e: e.getField("key")))
+    vals = F.transform(
+        keys,
+        lambda k: F.element_at(
+            F.filter(entries, lambda e: e.getField("key") == k), -1
+        ).getField("value"),
+    )
+    return F.map_from_arrays(keys, vals)
+
+
+@register("map_agg")
+def map_agg(k, v) -> Column:
+    """map_agg(K,V) (MapAggregationFunction.java:48) — last value wins on
+    duplicate keys, matching the reference's unspecified-but-single-value
+    behavior."""
+    return _dedup_entries_to_map(
+        F.collect_list(F.struct(_c(k).alias("key"), _c(v).alias("value")))
+    )
+
+
+@register("map_union")
+def map_union(m) -> Column:
+    """map_union(map) (MapUnionAggregation.java:46)."""
+    return _dedup_entries_to_map(
+        F.flatten(F.collect_list(F.map_entries(_c(m))))
+    )
+
+
+@register("multimap_agg")
+def multimap_agg(k, v) -> Column:
+    """multimap_agg(K,V) (multimapagg/MultimapAggregationFunction.java:52):
+    map<K, array<V>> via post-aggregation grouping of collected entries."""
+    entries = F.collect_list(F.struct(_c(k).alias("key"), _c(v).alias("value")))
+    keys = F.array_distinct(F.transform(entries, lambda e: e.getField("key")))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda kk: F.transform(
+                F.filter(entries, lambda e: e.getField("key") == kk),
+                lambda e: e.getField("value"),
+            ),
+        ),
+    )
+
+
+@register("histogram")
+def histogram(c) -> Column:
+    """histogram(x) (histogram/Histogram.java:48): map<value,count> composed
+    from collect_list + HOFs (exact; for huge cardinality use groupBy)."""
+    vals = F.collect_list(_c(c))
+    keys = F.array_distinct(vals)
+    return F.map_from_arrays(
+        keys,
+        F.transform(keys, lambda k: F.size(F.filter(vals, lambda v: v == k)).cast("bigint")),
+    )
+
+
+def max_n(c, n: int) -> Column:
+    """max(x, n) (MaxNAggregationFunction, TypedHeap): n largest values."""
+    return F.slice(F.sort_array(F.collect_list(_c(c)), asc=False), 1, n)
+
+
+def min_n(c, n: int) -> Column:
+    return F.slice(F.sort_array(F.collect_list(_c(c)), asc=True), 1, n)
+
+
+def max_by_n(v, o, n: int) -> Column:
+    """max_by(x, y, n) (AbstractMinMaxByNAggregationFunction): x's for the n
+    largest y's — struct-sort construction."""
+    pairs = F.collect_list(F.struct(_c(o).alias("o"), _c(v).alias("v")))
+    return F.slice(
+        F.transform(F.reverse(F.array_sort(pairs)), lambda s: s.getField("v")), 1, n
+    )
+
+
+def min_by_n(v, o, n: int) -> Column:
+    pairs = F.collect_list(F.struct(_c(o).alias("o"), _c(v).alias("v")))
+    return F.slice(F.transform(F.array_sort(pairs), lambda s: s.getField("v")), 1, n)
+
+
+@register("reduce_agg")
+def reduce_agg(c, initial, merge_two) -> Column:
+    """reduce_agg (ReduceAggregationFunction.java): fold all input values
+    with a binary lambda.  Bounded-cardinality construction via
+    collect_list + aggregate (the reference evaluates the lambda per row;
+    for unbounded groups prefer a dedicated built-in aggregate)."""
+    return F.aggregate(F.collect_list(_c(c)), F.lit(initial), merge_two)

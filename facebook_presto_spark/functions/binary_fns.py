@@ -1,0 +1,158 @@
+"""Binary / hash / URL / conditional function library.
+
+Reference: presto-main/.../operator/scalar/VarbinaryFunctions.java (424 LoC),
+HmacFunctions.java, UrlFunctions.java (193 LoC), TryFunction.java,
+TryCastFunction.java, FailureFunction.java, SessionFunctions.java,
+TypeOfFunction.java.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as hmac_mod
+import urllib.parse
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+from facebook_presto_spark.functions.registry import register
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# --- hashes / encodings ----------------------------------------------------
+register("md5")(lambda b: F.md5(_c(b)))
+register("sha1")(lambda b: F.sha1(_c(b)))
+register("sha256")(lambda b: F.sha2(_c(b), 256))
+register("sha512")(lambda b: F.sha2(_c(b), 512))
+register("crc32")(lambda b: F.crc32(_c(b)))
+register("xxhash64")(lambda *cols: F.xxhash64(*[_c(c) for c in cols]))
+register("spooky_hash_v2_64")(lambda b: F.xxhash64(_c(b)))  # 64-bit stand-in
+register("to_hex")(lambda b: F.upper(F.hex(_c(b))))
+register("from_hex")(lambda s: F.unhex(_c(s)))
+register("to_base64")(lambda b: F.base64(_c(b)))
+register("from_base64")(lambda s: F.unbase64(_c(s)))
+register("to_base64url")(
+    lambda b: F.translate(F.base64(_c(b)), "+/", "-_")
+)
+register("from_base64url")(
+    lambda s: F.unbase64(F.translate(_c(s), "-_", "+/"))
+)
+register("to_big_endian_64")(
+    lambda x: F.unhex(F.lpad(F.hex(_c(x)), 16, "0"))
+)
+register("from_big_endian_64")(lambda b: F.conv(F.hex(_c(b)), 16, 10).cast("bigint"))
+
+
+def _hmac(algo: str):
+    def build(key, data) -> Column:
+        @F.pandas_udf(StringType())
+        def _h(k: pd.Series, d: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None
+                    if (kk is None or dd is None)
+                    else hmac_mod.new(
+                        kk.encode() if isinstance(kk, str) else bytes(kk),
+                        dd.encode() if isinstance(dd, str) else bytes(dd),
+                        algo,
+                    ).hexdigest()
+                    for kk, dd in zip(k, d)
+                ]
+            )
+
+        return _h(_c(key), _c(data))
+
+    return build
+
+
+register("hmac_md5", slow_path=True)(_hmac("md5"))
+register("hmac_sha1", slow_path=True)(_hmac("sha1"))
+register("hmac_sha256", slow_path=True)(_hmac("sha256"))
+register("hmac_sha512", slow_path=True)(_hmac("sha512"))
+
+
+# --- URL functions (UrlFunctions.java) -------------------------------------
+register("url_extract_protocol")(lambda u: F.parse_url(_c(u), F.lit("PROTOCOL")))
+register("url_extract_host")(lambda u: F.parse_url(_c(u), F.lit("HOST")))
+register("url_extract_path")(lambda u: F.parse_url(_c(u), F.lit("PATH")))
+register("url_extract_query")(lambda u: F.parse_url(_c(u), F.lit("QUERY")))
+register("url_extract_fragment")(lambda u: F.parse_url(_c(u), F.lit("REF")))
+register("url_extract_parameter")(
+    lambda u, name: F.parse_url(_c(u), F.lit("QUERY"), F.lit(name) if isinstance(name, str) else _c(name))
+)
+@register("url_extract_port")
+def url_extract_port(u) -> Column:
+    port = F.regexp_extract(_c(u), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    return F.nullif(port, F.lit("")).cast("bigint")
+
+
+@register("url_encode", slow_path=True)
+def url_encode(s) -> Column:
+    @F.pandas_udf(StringType())
+    def _enc(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: None if v is None else urllib.parse.quote_plus(v))
+
+    return _enc(_c(s))
+
+
+@register("url_decode", slow_path=True)
+def url_decode(s) -> Column:
+    @F.pandas_udf(StringType())
+    def _dec(col: pd.Series) -> pd.Series:
+        return col.map(lambda v: None if v is None else urllib.parse.unquote_plus(v))
+
+    return _dec(_c(s))
+
+
+# --- conditional / misc ----------------------------------------------------
+register("if")(lambda cond, t, f=None: F.when(_c(cond), t).otherwise(f))
+register("coalesce")(lambda *cols: F.coalesce(*[_c(c) for c in cols]))
+register("nullif")(lambda a, b: F.nullif(_c(a), _c(b)))
+register("try_cast")(lambda c, t: _c(c).try_cast(t))
+register("typeof")(lambda c: F.typeof(_c(c)))
+register("uuid")(lambda: F.uuid())
+register("current_user")(lambda: F.current_user())
+
+
+@register("try")
+def try_(col) -> Column:
+    """try(expr) (TryFunction.java): errors → NULL.  In Spark the safe
+    variants are per-operation (try_cast/try_divide/try_add…); for an
+    already-built column this is a pass-through marker — callers should
+    build with the try_* variants below."""
+    return _c(col)
+
+
+register("try_divide")(lambda a, b: F.try_divide(_c(a), _c(b)))
+register("try_add")(lambda a, b: F.try_add(_c(a), _c(b)))
+register("try_subtract")(lambda a, b: F.try_subtract(_c(a), _c(b)))
+register("try_multiply")(lambda a, b: F.try_multiply(_c(a), _c(b)))
+
+
+@register("fail")
+def fail(message: str) -> Column:
+    """fail(msg) (FailureFunction.java) — raises at evaluation."""
+    return F.raise_error(F.lit(message))
+
+
+@register("parse_presto_data_size")
+def parse_presto_data_size(s) -> Column:
+    """'2.3MB' → bytes (DataSizeFunctions.java)."""
+    s = _c(s)
+    num = F.regexp_extract(s, r"^([0-9.]+)", 1).cast("double")
+    unit = F.regexp_extract(s, r"([a-zA-Z]+)$", 1)
+    mult = (
+        F.when(unit == "B", 1.0)
+        .when(unit == "kB", 1024.0)
+        .when(unit == "MB", 1024.0 ** 2)
+        .when(unit == "GB", 1024.0 ** 3)
+        .when(unit == "TB", 1024.0 ** 4)
+        .when(unit == "PB", 1024.0 ** 5)
+    )
+    return (num * mult).cast("decimal(38,0)")

@@ -1,0 +1,164 @@
+"""Date/time function library.
+
+Reference: presto-main/.../operator/scalar/DateTimeFunctions.java (1361 LoC).
+The reference's unit-string signatures (date_add('day', 3, ts)) differ from
+Spark's per-unit functions — this module is the thin shim layer SURVEY §2.2
+calls for, plus the MySQL-format translator for date_format/date_parse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from facebook_presto_spark.functions.registry import register
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+register("current_date")(lambda: F.current_date())
+register("current_timestamp")(lambda: F.current_timestamp())
+register("now")(lambda: F.current_timestamp())
+register("localtimestamp")(lambda: F.localtimestamp())
+register("from_unixtime")(lambda x: F.timestamp_seconds(_c(x)))
+register("to_unixtime")(lambda ts: F.unix_timestamp(_c(ts)).cast("double"))
+register("to_iso8601")(lambda ts: F.date_format(_c(ts), "yyyy-MM-dd'T'HH:mm:ss.SSS"))
+register("from_iso8601_timestamp")(lambda s: F.to_timestamp(_c(s)))
+register("from_iso8601_date")(lambda s: F.to_date(_c(s)))
+register("last_day_of_month")(lambda ts: F.last_day(_c(ts)))
+
+register("year")(lambda ts: F.year(_c(ts)).cast("bigint"))
+register("quarter")(lambda ts: F.quarter(_c(ts)).cast("bigint"))
+register("month")(lambda ts: F.month(_c(ts)).cast("bigint"))
+register("week")(lambda ts: F.weekofyear(_c(ts)).cast("bigint"))
+register("week_of_year")(lambda ts: F.weekofyear(_c(ts)).cast("bigint"))
+register("day")(lambda ts: F.dayofmonth(_c(ts)).cast("bigint"))
+register("day_of_month")(lambda ts: F.dayofmonth(_c(ts)).cast("bigint"))
+register("hour")(lambda ts: F.hour(_c(ts)).cast("bigint"))
+register("minute")(lambda ts: F.minute(_c(ts)).cast("bigint"))
+register("second")(lambda ts: F.second(_c(ts)).cast("bigint"))
+register("millisecond")(
+    lambda ts: (F.date_part(F.lit("microsecond"), _c(ts)) / 1000).cast("bigint") % 1000
+)
+# reference day_of_week: ISO, Monday=1..Sunday=7 (DateTimeFunctions.java);
+# Spark dayofweek is Sunday=1 → shift.
+register("day_of_week")(lambda ts: ((F.dayofweek(_c(ts)) + 5) % 7 + 1).cast("bigint"))
+register("dow")(lambda ts: ((F.dayofweek(_c(ts)) + 5) % 7 + 1).cast("bigint"))
+register("day_of_year")(lambda ts: F.dayofyear(_c(ts)).cast("bigint"))
+register("doy")(lambda ts: F.dayofyear(_c(ts)).cast("bigint"))
+# ISO week-year.
+register("year_of_week")(lambda ts: F.date_format(_c(ts), "YYYY").cast("bigint"))
+register("yow")(lambda ts: F.date_format(_c(ts), "YYYY").cast("bigint"))
+
+_TRUNC_UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+
+
+@register("date_trunc")
+def date_trunc(unit: str, ts) -> Column:
+    unit = unit.lower()
+    if unit not in _TRUNC_UNITS:
+        raise ValueError(f"date_trunc: unsupported unit {unit!r}")
+    return F.date_trunc(unit, _c(ts))
+
+
+_ADD_UNITS = {
+    "millisecond": "INTERVAL '0.001' SECOND",
+    "second": "INTERVAL 1 SECOND",
+    "minute": "INTERVAL 1 MINUTE",
+    "hour": "INTERVAL 1 HOUR",
+    "day": "INTERVAL 1 DAY",
+    "week": "INTERVAL 7 DAY",
+    "month": "INTERVAL 1 MONTH",
+    "quarter": "INTERVAL 3 MONTH",
+    "year": "INTERVAL 1 YEAR",
+}
+
+
+@register("date_add")
+def date_add(unit: str, n, ts) -> Column:
+    """date_add('unit', n, ts) — the reference's unit-string signature."""
+    unit = unit.lower()
+    if unit not in _ADD_UNITS:
+        raise ValueError(f"date_add: unsupported unit {unit!r}")
+    n = F.lit(n) if isinstance(n, int) else _c(n)
+    return _c(ts) + n * F.expr(_ADD_UNITS[unit])
+
+
+@register("date_diff")
+def date_diff(unit: str, a, b) -> Column:
+    """date_diff('unit', start, end) — whole units from start to end
+    (truncating, like the reference's DateTimeFunctions.diffTimestamp)."""
+    unit = unit.lower()
+    a, b = _c(a), _c(b)
+    us = F.unix_micros(b.cast("timestamp")) - F.unix_micros(a.cast("timestamp"))
+    per = {
+        "millisecond": 1000,
+        "second": 1_000_000,
+        "minute": 60_000_000,
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }
+    if unit in per:
+        return (us / per[unit]).cast("bigint")
+    if unit == "month":
+        return F.floor(F.months_between(b, a)).cast("bigint")
+    if unit == "quarter":
+        return F.floor(F.months_between(b, a) / 3).cast("bigint")
+    if unit == "year":
+        return F.floor(F.months_between(b, a) / 12).cast("bigint")
+    raise ValueError(f"date_diff: unsupported unit {unit!r}")
+
+
+# --- MySQL-format translation (date_format / date_parse) -------------------
+# The reference uses MySQL %-codes (DateTimeFunctions.java DateFormat);
+# Spark uses java.time patterns.  Translation table for the documented
+# subset; unknown codes raise (loud, like the reference's
+# IllegalArgumentException for unsupported specifiers).
+_MYSQL_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%M": "MMMM", "%b": "MMM", "%m": "MM", "%c": "M",
+    "%d": "dd", "%e": "d", "%j": "DDD",
+    "%H": "HH", "%k": "H", "%h": "hh", "%l": "h", "%i": "mm",
+    "%S": "ss", "%s": "ss", "%f": "SSSSSS",
+    "%p": "a", "%r": "hh:mm:ss a", "%T": "HH:mm:ss",
+    "%W": "EEEE", "%a": "EEE", "%v": "ww",
+    "%%": "%",
+}
+
+
+def mysql_format_to_java(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%":
+            code = fmt[i : i + 2]
+            if code not in _MYSQL_TO_JAVA:
+                raise ValueError(f"unsupported MySQL format specifier {code!r}")
+            out.append(_MYSQL_TO_JAVA[code])
+            i += 2
+        elif ch.isalpha():
+            # literal letters must be quoted in java.time patterns
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+@register("date_format")
+def date_format(ts, fmt: str) -> Column:
+    return F.date_format(_c(ts), mysql_format_to_java(fmt))
+
+
+@register("date_parse")
+def date_parse(s, fmt: str) -> Column:
+    return F.to_timestamp(_c(s), mysql_format_to_java(fmt))
+
+
+# format_datetime / parse_datetime use Joda patterns ≈ java.time for the
+# common subset; passed through.
+register("format_datetime")(lambda ts, fmt: F.date_format(_c(ts), fmt))
+register("parse_datetime")(lambda s, fmt: F.to_timestamp(_c(s), fmt))

@@ -1,0 +1,173 @@
+"""Math + bitwise function library.
+
+Reference: presto-main/.../operator/scalar/MathFunctions.java (1289 LoC,
+registered FunctionRegistry.java:480-484), BitwiseFunctions.java (78 LoC).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from facebook_presto_spark.functions.registry import register
+
+
+def _c(x) -> Column:
+    return F.col(x) if isinstance(x, str) else (F.lit(x) if isinstance(x, (int, float)) else x)
+
+
+for _name, _fn in {
+    "abs": F.abs, "ceil": F.ceil, "ceiling": F.ceil, "floor": F.floor,
+    "sqrt": F.sqrt, "cbrt": F.cbrt, "exp": F.exp, "ln": F.log,
+    "log2": F.log2, "log10": F.log10, "sign": F.signum,
+    "degrees": F.degrees, "radians": F.radians,
+    "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
+    "acos": F.acos, "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
+    "tanh": F.tanh,
+}.items():
+    register(_name)(lambda x, _fn=_fn: _fn(_c(x)))
+
+register("round")(lambda x, d=0: F.round(_c(x), d))
+register("atan2")(lambda y, x: F.atan2(_c(y), _c(x)))
+register("power")(lambda x, p: F.pow(_c(x), _c(p)))
+register("pow")(lambda x, p: F.pow(_c(x), _c(p)))
+register("mod")(lambda a, b: _c(a) % _c(b))
+register("pi")(lambda: F.lit(math.pi))
+register("e")(lambda: F.lit(math.e))
+register("random")(lambda: F.rand())
+register("rand")(lambda: F.rand())
+register("infinity")(lambda: F.lit(float("inf")))
+register("nan")(lambda: F.lit(float("nan")))
+register("is_nan")(lambda x: F.isnan(_c(x)))
+register("is_finite")(lambda x: ~(F.isnan(_c(x)) | (F.abs(_c(x)) == F.lit(float("inf")))))
+register("is_infinite")(lambda x: F.abs(_c(x)) == F.lit(float("inf")))
+register("greatest")(lambda *xs: F.greatest(*[_c(x) for x in xs]))
+register("least")(lambda *xs: F.least(*[_c(x) for x in xs]))
+register("width_bucket")(
+    lambda x, lo, hi, n: F.width_bucket(_c(x), _c(lo), _c(hi), _c(n))
+)
+
+
+# log(b, x) — reference signature is log(base, value) (MathFunctions.java).
+@register("log")
+def log(base, x=None) -> Column:
+    if x is None:
+        return F.log(_c(base))
+    return F.log(_c(x)) / F.log(_c(base))
+
+
+# truncate(x[, d]) — toward zero (MathFunctions.java truncate).
+@register("truncate")
+def truncate(x, d: int = 0) -> Column:
+    x = _c(x)
+    scale = F.lit(float(10 ** d))
+    scaled = x * scale
+    return (
+        F.when(x >= 0, F.floor(scaled)).otherwise(F.ceil(scaled)) / scale
+    )
+
+
+# from_base / to_base (MathFunctions.java) — radix conversion via conv().
+register("from_base")(lambda s, radix: F.conv(_c(s), radix, 10).cast("bigint"))
+register("to_base")(lambda x, radix: F.lower(F.conv(_c(x).cast("string"), 10, radix)))
+
+
+# cosine_similarity(map<varchar,double>, map<varchar,double>)
+# (MathFunctions.java cosineSimilarity) — sparse-vector cosine composed from
+# map HOFs; stays in codegen.
+@register("cosine_similarity")
+def cosine_similarity(a, b) -> Column:
+    a, b = _c(a), _c(b)
+
+    def norm(m: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(F.map_values(m), F.lit(0.0), lambda acc, v: acc + v * v)
+        )
+
+    dot = F.aggregate(
+        F.map_entries(a),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + e.getField("value") * F.coalesce(F.element_at(b, e.getField("key")), F.lit(0.0)),
+    )
+    return dot / (norm(a) * norm(b))
+
+
+# normal_cdf / inverse_normal_cdf (MathFunctions.java) — needs erf/erfinv;
+# no JVM surface → Arrow-vectorized numpy fallback.
+@register("normal_cdf", slow_path=True)
+def normal_cdf(mean, sd, v) -> Column:
+    @F.pandas_udf(DoubleType())
+    def _cdf(m: pd.Series, s: pd.Series, x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if xx is None else 0.5 * (1.0 + math.erf((xx - mm) / (ss * math.sqrt(2.0))))
+                for mm, ss, xx in zip(m, s, x)
+            ],
+            dtype="float64",
+        )
+
+    return _cdf(_c(mean).cast("double"), _c(sd).cast("double"), _c(v).cast("double"))
+
+
+@register("inverse_normal_cdf", slow_path=True)
+def inverse_normal_cdf(mean, sd, p) -> Column:
+    # Acklam's rational approximation of probit — |rel err| < 1.2e-9,
+    # matching the reference's airlift implementation to well below any
+    # practical tolerance.
+    A = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+    B = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01)
+    C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
+    D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00)
+
+    def probit(p_):
+        if p_ is None or not (0.0 < p_ < 1.0):
+            return None
+        plow, phigh = 0.02425, 1 - 0.02425
+        if p_ < plow:
+            q = math.sqrt(-2 * math.log(p_))
+            num = ((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q + C[5]
+            den = (((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1
+            return num / den
+        if p_ > phigh:
+            q = math.sqrt(-2 * math.log(1 - p_))
+            num = ((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q + C[5]
+            den = (((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1
+            return -num / den
+        q = p_ - 0.5
+        r = q * q
+        num = (((((A[0] * r + A[1]) * r + A[2]) * r + A[3]) * r + A[4]) * r + A[5]) * q
+        den = ((((B[0] * r + B[1]) * r + B[2]) * r + B[3]) * r + B[4]) * r + 1
+        return num / den
+
+    @F.pandas_udf(DoubleType())
+    def _icdf(m: pd.Series, s: pd.Series, pp: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (z is None or mm is None) else mm + ss * probit(z)
+                for mm, ss, z in zip(m, s, pp)
+            ],
+            dtype="float64",
+        )
+
+    return _icdf(_c(mean).cast("double"), _c(sd).cast("double"), _c(p).cast("double"))
+
+
+# --- bitwise (BitwiseFunctions.java) --------------------------------------
+register("bitwise_and")(lambda a, b: _c(a).bitwiseAND(_c(b)))
+register("bitwise_or")(lambda a, b: _c(a).bitwiseOR(_c(b)))
+register("bitwise_xor")(lambda a, b: _c(a).bitwiseXOR(_c(b)))
+register("bitwise_not")(lambda a: F.bitwise_not(_c(a)))
+register("bit_count")(lambda x, bits=64: F.bit_count(_c(x)))
+register("bitwise_left_shift")(lambda x, n: F.shiftleft(_c(x), n))
+register("bitwise_right_shift")(lambda x, n: F.shiftright(_c(x), n))
+register("bitwise_logical_shift_right")(lambda x, n, bits=64: F.shiftrightunsigned(_c(x), n))

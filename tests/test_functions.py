@@ -1,0 +1,216 @@
+"""Unit tests for the function registry — the functions whose semantics
+DuckDB cannot oracle (engine-specific hashes, MySQL formats, reference
+date_diff semantics, pandas-UDF fallbacks), mirroring the reference's
+AbstractTestFunctions pattern (presto-main/src/test/.../operator/scalar/)."""
+
+import datetime
+import hashlib
+import hmac as hmac_mod
+
+from pyspark.sql import Row, functions as F
+
+from facebook_presto_spark.functions import REGISTRY, SLOW_PATH, call
+
+
+def one(spark, col, **lits):
+    df = spark.createDataFrame([Row(**lits)]) if lits else spark.range(1)
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_registry_size():
+    # the §2.2 inventory: well over 200 names registered
+    assert len(REGISTRY) >= 200
+    # slow path is the documented exception list, not the norm
+    assert len(SLOW_PATH) <= 15
+
+
+def test_from_to_base(spark):
+    assert one(spark, call("from_base", F.lit("ff"), 16)) == 255
+    assert one(spark, call("from_base", F.lit("1010"), 2)) == 10
+    assert one(spark, call("to_base", F.lit(255), 16)) == "ff"
+
+
+def test_split_part_out_of_range(spark):
+    # reference: NULL past the end, 1-based
+    assert one(spark, call("split_part", F.lit("a,b"), ",", 2)) == "b"
+    assert one(spark, call("split_part", F.lit("a,b"), ",", 5)) is None
+
+
+def test_hamming_distance(spark):
+    assert one(spark, call("hamming_distance", F.lit("karolin"), F.lit("kathrin"))) == 3
+
+
+def test_split_to_map(spark):
+    m = one(spark, call("split_to_map", F.lit("a=1,b=2"), ",", "="))
+    assert m == {"a": "1", "b": "2"}
+
+
+def test_word_stem(spark):
+    assert one(spark, call("word_stem", F.lit("running"))) == "runn"
+    assert one(spark, call("word_stem", F.lit("cats"))) == "cat"
+
+
+def test_normalize(spark):
+    # NFC composes e + combining acute into é
+    assert one(spark, call("normalize", F.lit("é"), "NFC")) == "é"
+
+
+def test_hmac(spark):
+    expected = hmac_mod.new(b"key", b"msg", "sha256").hexdigest()
+    assert one(spark, call("hmac_sha256", F.lit("key"), F.lit("msg"))) == expected
+
+
+def test_url_encode_decode(spark):
+    assert one(spark, call("url_encode", F.lit("a b&c"))) == "a+b%26c"
+    assert one(spark, call("url_decode", F.lit("a+b%26c"))) == "a b&c"
+
+
+def test_url_extract_port(spark):
+    assert one(spark, call("url_extract_port", F.lit("http://h.com:8080/x"))) == 8080
+    assert one(spark, call("url_extract_port", F.lit("http://h.com/x"))) is None
+
+
+def test_date_diff_reference_semantics(spark):
+    """Fully-elapsed units (reference DateTimeFunctions.diffTimestamp),
+    NOT DuckDB's boundary counting."""
+    a = F.lit("2020-01-31 00:00:00").cast("timestamp")
+    b = F.lit("2020-02-01 00:00:00").cast("timestamp")
+    assert one(spark, call("date_diff", "month", a, b)) == 0  # DuckDB would say 1
+    assert one(spark, call("date_diff", "day", a, b)) == 1
+    assert one(spark, call("date_diff", "hour", a, b)) == 24
+
+
+def test_date_parse_mysql_format(spark):
+    v = one(spark, call("date_parse", F.lit("2013-05-17 12:35:10"), "%Y-%m-%d %H:%i:%s"))
+    assert v == datetime.datetime(2013, 5, 17, 12, 35, 10)
+
+
+def test_date_add_units(spark):
+    base = F.lit("2020-01-31 00:00:00").cast("timestamp")
+    assert one(spark, call("date_add", "month", 1, base)) == datetime.datetime(2020, 2, 29)
+    assert one(spark, call("date_add", "week", 2, base)) == datetime.datetime(2020, 2, 14)
+
+
+def test_day_of_week_iso(spark):
+    # 2024-01-01 was a Monday → ISO 1
+    assert one(spark, call("day_of_week", F.lit("2024-01-01").cast("timestamp"))) == 1
+    assert one(spark, call("day_of_week", F.lit("2024-01-07").cast("timestamp"))) == 7
+
+
+def test_truncate_negative(spark):
+    assert one(spark, call("truncate", F.lit(-1.999), 0)) == -1.0
+    assert one(spark, call("truncate", F.lit(1.999), 2)) == 1.99
+
+
+def test_cosine_similarity_maps(spark):
+    df = spark.sql(
+        "SELECT map('a', 1.0d, 'b', 2.0d) AS m1, map('a', 3.0d, 'c', 4.0d) AS m2"
+    )
+    v = df.select(call("cosine_similarity", F.col("m1"), F.col("m2")).alias("v")).collect()[0]["v"]
+    # dot = 1*3 = 3; |m1| = sqrt(5); |m2| = 5
+    assert abs(v - 3.0 / (5.0 ** 0.5 * 5.0)) < 1e-12
+
+
+def test_normal_cdf(spark):
+    assert abs(one(spark, call("normal_cdf", F.lit(0.0), F.lit(1.0), F.lit(0.0))) - 0.5) < 1e-12
+    v = one(spark, call("normal_cdf", F.lit(0.0), F.lit(1.0), F.lit(1.96)))
+    assert abs(v - 0.9750021048517795) < 1e-9
+
+
+def test_inverse_normal_cdf(spark):
+    v = one(spark, call("inverse_normal_cdf", F.lit(0.0), F.lit(1.0), F.lit(0.975)))
+    assert abs(v - 1.959963984540054) < 1e-6
+
+
+def test_ngrams(spark):
+    df = spark.sql("SELECT array('a','b','c','d') AS a")
+    v = df.select(call("ngrams", F.col("a"), 2).alias("v")).collect()[0]["v"]
+    assert v == [["a", "b"], ["b", "c"], ["c", "d"]]
+
+
+def test_checksum_order_independent(spark):
+    df1 = spark.createDataFrame([(i,) for i in range(100)], "x bigint")
+    df2 = spark.createDataFrame([(i,) for i in reversed(range(100))], "x bigint").repartition(7)
+    c1 = df1.agg(call("checksum", "x").alias("c")).collect()[0]["c"]
+    c2 = df2.agg(call("checksum", "x").alias("c")).collect()[0]["c"]
+    assert c1 == c2
+    df3 = spark.createDataFrame([(i + 1,) for i in range(100)], "x bigint")
+    assert df3.agg(call("checksum", "x").alias("c")).collect()[0]["c"] != c1
+
+
+def test_map_agg_and_histogram(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "k string, v int"
+    )
+    m = df.agg(call("map_agg", "k", "v").alias("m")).collect()[0]["m"]
+    assert set(m.keys()) == {"a", "b"} and m["b"] == 2
+    h = df.agg(call("histogram", "k").alias("h")).collect()[0]["h"]
+    assert h == {"a": 2, "b": 1}
+
+
+def test_multimap_agg(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], "k string, v int")
+    m = df.agg(call("multimap_agg", "k", "v").alias("m")).collect()[0]["m"]
+    assert sorted(m["a"]) == [1, 3] and m["b"] == [2]
+
+
+def test_min_max_n(spark):
+    df = spark.createDataFrame([(i,) for i in [5, 1, 4, 2, 3]], "x int")
+    assert df.agg(call("max", "x", 2).alias("v")).collect()[0]["v"] == [5, 4]
+    assert df.agg(call("min", "x", 2).alias("v")).collect()[0]["v"] == [1, 2]
+
+
+def test_max_by_n(spark):
+    from facebook_presto_spark.functions.agg_fns import max_by_n
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 3), ("c", 2)], "name string, score int"
+    )
+    assert df.agg(max_by_n("name", "score", 2).alias("v")).collect()[0]["v"] == ["b", "c"]
+
+
+def test_reduce_agg(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 5)], "x int")
+    v = df.agg(call("reduce_agg", "x", 1, lambda acc, x: acc * x).alias("v")).collect()[0]["v"]
+    assert v == 24
+
+
+def test_map_union(spark):
+    df = spark.sql(
+        "SELECT map('a', 1) AS m UNION ALL SELECT map('b', 2) AS m"
+    )
+    v = df.agg(call("map_union", "m").alias("v")).collect()[0]["v"]
+    assert v == {"a": 1, "b": 2}
+
+
+def test_json_functions(spark):
+    j = F.lit('{"a": {"b": [1, 2, 3]}}')
+    assert one(spark, call("json_extract_scalar", j, "$.a.b[1]")) == "2"
+    assert one(spark, call("json_array_length", F.lit("[1,2,3]"))) == 3
+    assert one(spark, call("json_array_get", F.lit('["x","y"]'), 1)) == "y"
+    assert one(spark, call("is_json_scalar", F.lit("42")))
+    assert not one(spark, call("is_json_scalar", F.lit("[1]")))
+
+
+def test_try_functions(spark):
+    assert one(spark, call("try_divide", F.lit(1), F.lit(0))) is None
+    assert one(spark, call("try_cast", F.lit("abc"), "int")) is None
+    assert one(spark, call("try_cast", F.lit("42"), "int")) == 42
+
+
+def test_parse_presto_data_size(spark):
+    assert int(one(spark, call("parse_presto_data_size", F.lit("2kB")))) == 2048
+    assert int(one(spark, call("parse_presto_data_size", F.lit("3MB")))) == 3 * 1024 * 1024
+
+
+def test_big_endian_roundtrip(spark):
+    v = one(spark, call("from_big_endian_64", call("to_big_endian_64", F.lit(123456789))))
+    assert v == 123456789
+
+
+def test_unknown_function_raises():
+    try:
+        call("definitely_not_a_function")
+        raise AssertionError("should have raised")
+    except KeyError as e:
+        assert "not registered" in str(e)

@@ -1,0 +1,79 @@
+"""Property tests for the pipeline operators whose hashes are Spark-side
+only (no DuckDB oracle): SimHash, ANN LSH — plus MinHash estimate sanity
+against exact Jaccard on constructed near-duplicates."""
+
+from pyspark.sql import functions as F
+
+from facebook_presto_spark.pipeline import dedup, similarity
+
+
+def _hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_simhash_near_dup_distance(spark, tmp_path):
+    """Near-identical docs must get near-identical simhashes; unrelated
+    docs must not."""
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base.replace("tok3 ", "tokX ")  # 1 of 200 tokens changed
+    other = " ".join(f"zzz{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(0, base, "en", "s", len(base)), (1, near, "en", "s", len(near)),
+         (2, other, "en", "s", len(other))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(p)
+    out = {r.doc_id: r.simhash for r in dedup.simhash64(spark, str(tmp_path)).collect()}
+    d_near = _hamming64(out[0], out[1])
+    d_far = _hamming64(out[0], out[2])
+    # ~1/200 tokens changed flips only low-margin bits (expected ≈7 of 64);
+    # unrelated docs land at ≈32.  Wide gap, stable for a fixed hash.
+    assert d_near <= 16, f"near-dup hamming {d_near} too large"
+    assert d_far >= 20, f"unrelated hamming {d_far} too small"
+    assert d_near < d_far
+
+
+def test_minhash_estimates_match_exact_jaccard(spark, tmp_path):
+    """Construct docs with known overlap; LSH must surface the near-dup pair
+    and the signature estimate must be in a sane band around true Jaccard."""
+    words_a = [f"w{i}" for i in range(50)]
+    words_b = words_a[:45] + [f"x{i}" for i in range(5)]  # ~82% shingle overlap
+    words_c = [f"y{i}" for i in range(50)]
+    rows = [
+        (0, " ".join(words_a)), (1, " ".join(words_b)), (2, " ".join(words_c)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in pairs, "near-dup pair not surfaced by LSH banding"
+    assert pairs[(0, 1)] >= 0.5
+    assert (0, 2) not in pairs, "unrelated pair should not share a band"
+
+
+def test_ann_recall_against_brute_force(spark, sf_dir):
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r.q_id, r.c_id) for r in similarity.cosine_topk(spark, sf).collect()
+    }
+    ann = {(r.q_id, r.c_id) for r in similarity.ann_lsh_topk(spark, sf).collect()}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.5, f"ANN recall {recall} below floor"
+
+
+def test_exact_dedup_collapses_duplicates(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(0, "Same Text", "en", "s", 9), (1, "same text", "en", "s", 9),
+         (2, "different", "en", "s", 9)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup.exact_dedup(spark, str(tmp_path)).collect()
+    groups = {r.keep_doc_id: r.group_size for r in out}
+    assert groups == {0: 2, 2: 1}  # case-insensitive collapse keeps doc 0
