@@ -26,9 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from facebook_presto_spark.plans import functions_showcase, relational, tpch
     from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
+    from facebook_presto_spark.streaming import windows as stream_windows
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (tpch, relational, functions_showcase, dedup, similarity, text, multimodal):
+    for mod in (
+        tpch, relational, functions_showcase, dedup, similarity, text, multimodal,
+        stream_windows,
+    ):
         out.update(mod.QUERIES)
     return out
 
@@ -36,8 +40,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from facebook_presto_spark.plans import functions_showcase, relational, tpch
     from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
+    from facebook_presto_spark.streaming import windows as stream_windows
 
     out: dict[str, str] = {}
-    for mod in (tpch, relational, functions_showcase, dedup, similarity, text, multimodal):
+    for mod in (
+        tpch, relational, functions_showcase, dedup, similarity, text, multimodal,
+        stream_windows,
+    ):
         out.update(mod.ORACLE)
     return out

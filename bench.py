@@ -1,0 +1,75 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Protocol (BASELINE.md): per query, 1 prewarm + 3 measured runs, median
+seconds, over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].  Headline set: the 22 adapted TPC-H queries
+plus the heavyweight pipeline operators (LSH dedup, cosine top-k,
+session windows) so the scale-path ops are measured, not just claimed.
+
+Usage: python bench.py [--queries name1,name2] [--runs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [f"tpch_q{i:02d}" for i in range(1, 23)] + [
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "stream_session_1h",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=None, help="comma-separated subset")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--prewarm", type=int, default=1)
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from facebook_presto_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+    names = args.queries.split(",") if args.queries else HEADLINE
+    names = [n for n in names if n in queries]
+
+    # JVM/codegen warmup on an unrelated plan
+    queries["tpch_q06"](spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        for _ in range(args.prewarm):
+            fn(spark, SF_DIR).collect()
+        times = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            times.append(time.perf_counter() - t0)
+            assert rows is not None
+        per_query[name] = round(statistics.median(times), 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "median_sec_per_query_total",
+        "value": round(sum(per_query.values()), 4),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

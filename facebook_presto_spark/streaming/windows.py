@@ -1,0 +1,218 @@
+"""Windowed event aggregation: tumbling / sliding / session, batch + stream.
+
+Batch forms are oracle-checked (DuckDB time_bucket / gaps-and-islands);
+streaming forms run the *same* expressions over readStream and are asserted
+equal to batch in tests/test_streaming.py — Structured Streaming's
+correctness contract (incremental execution of a deterministic batch plan).
+
+Scale notes:
+- tumbling/sliding are single shuffles on (window, key); watermarks bound
+  state so a 100 TB/day stream holds only the open windows per key.
+- session windows use Spark's session_window merge state; the batch oracle
+  is the classic gaps-and-islands construction (lag + running flag sum) —
+  same semantics, two very different execution strategies.
+- `value` money sums use the integer-cents device (see plans/tpch.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from facebook_presto_spark.catalog import events_table
+from facebook_presto_spark.plans.tpch import cents
+
+GAP = "1 hour"  # session gap; ~15% of the driver's inter-event gaps are <1h
+
+
+def tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event_type."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start, event_type,
+       count(*) AS n,
+       sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value,
+       count(DISTINCT user_id) AS users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_6h_3h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6-hour windows every 3 hours — each event lands in 2 windows."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "3 hours").start.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+    )
+
+
+SLIDING_SQL = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 3 HOUR, ts) AS ws, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 3 HOUR, ts) - INTERVAL 3 HOUR AS ws, value FROM events
+)
+SELECT ws AS window_start, count(*) AS n,
+       sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+FROM assigned
+GROUP BY 1
+"""
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 1-hour inactivity gap."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT))/100.0 AS session_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+def hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hour × event_type matrix via conditional aggregation (the
+    PIVOT shape without engine-specific pivot syntax)."""
+    ev = events_table(spark, sf_dir)
+    agg = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy(F.window("ts", "1 hour").start.alias("hour_start")).agg(*agg)
+
+
+HOURLY_PIVOT_SQL = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error
+FROM events
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Streaming mirrors — same transformations over readStream.
+# --------------------------------------------------------------------------
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (read via nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source (file stream over the same parquet).
+
+    FileStreamSource requires a *directory* (new files arriving = new
+    micro-batches), while the driver ships a single file — stage a symlink
+    directory.  In production this is the landing directory / Kafka topic.
+    """
+    import hashlib
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp/fps_stream", hashlib.md5(src.encode()).hexdigest()[:12]
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str, watermark: str = "1 day") -> DataFrame:
+    """Streaming form of tumbling_daily with late-data watermark: state for
+    a day-window is dropped once the watermark passes its end — bounded
+    state on an unbounded stream."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", "1 day").start.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str) -> None:
+    """Drain an availableNow stream into a memory sink (test harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+QUERIES = {
+    "stream_tumbling_daily": tumbling_daily,
+    "stream_sliding_6h3h": sliding_6h_3h,
+    "stream_session_1h": session_windows,
+    "stream_hourly_pivot": hourly_type_pivot,
+}
+
+ORACLE = {
+    "stream_tumbling_daily": TUMBLING_SQL,
+    "stream_sliding_6h3h": SLIDING_SQL,
+    "stream_session_1h": SESSION_SQL,
+    "stream_hourly_pivot": HOURLY_PIVOT_SQL,
+}

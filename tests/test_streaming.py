@@ -1,0 +1,45 @@
+"""Structured Streaming mirror: the streaming run (availableNow trigger)
+must produce exactly the batch result — Structured Streaming's
+incremental-execution contract over a deterministic plan."""
+
+from facebook_presto_spark.streaming import windows
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    batch = windows.tumbling_daily(spark, sf_dir).select(
+        "window_start", "event_type", "n", "total_value"
+    )
+    stream_df = windows.stream_tumbling_daily(spark, sf_dir)
+    windows.run_stream_to_memory(stream_df, "t_tumble")
+    streamed = spark.sql(
+        "SELECT window_start, event_type, n, total_value FROM t_tumble"
+    )
+    assert _rows(batch) == _rows(streamed)
+
+
+def test_stream_watermark_drops_late_rows(spark, sf_dir, tmp_path):
+    """With a tiny watermark and append mode, only finalized windows emit —
+    the late-data handling surface the reference entirely lacks."""
+    from pyspark.sql import functions as F
+
+    ev = windows.events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "1 day")).count()
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    finalized = spark.sql("SELECT count(*) AS c FROM t_wm").collect()[0]["c"]
+    total_windows = windows.tumbling_daily(spark, sf_dir).select("window_start").distinct().count()
+    # append mode emits only windows older than the watermark: strictly fewer
+    # than the batch window count (the last open window is withheld).
+    assert 0 < finalized < total_windows + 1
