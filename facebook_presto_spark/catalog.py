@@ -41,7 +41,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = (
+                events_table(spark, sf_dir) if name == "events"
+                else spark.read.parquet(path)
+            )
     return out
 
 

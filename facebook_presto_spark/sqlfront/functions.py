@@ -1,0 +1,380 @@
+"""Per-function translation rules: Presto call → Spark SQL tokens.
+
+Covers the scalar/aggregate surface of ``presto-main/.../metadata/
+FunctionRegistry.java:418-665`` where the Spark spelling differs. Functions
+whose name and argument order already match Spark (the majority — SURVEY.md
+§2.2) need no entry and pass through untouched.
+
+Each rule takes the list of already-translated argument token lists and
+returns replacement tokens. ``RENAME`` entries are plain name swaps.
+"""
+
+from __future__ import annotations
+
+import re
+
+from facebook_presto_spark.sqlfront.tokens import (
+    Tok,
+    ident,
+    op,
+    string_literal,
+    string_value,
+)
+
+Args = list[list[Tok]]
+
+# ---------------------------------------------------------------------------
+# plain renames (same argument order/semantics)
+# ---------------------------------------------------------------------------
+RENAME: dict[str, str] = {
+    # string (StringFunctions.java)
+    "strpos": "instr",
+    "codepoint": "ascii",
+    "chr": "char",
+    "levenshtein_distance": "levenshtein",
+    # binary (VarbinaryFunctions.java)
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    # array (Array*.java)
+    "repeat": "array_repeat",
+    "reduce": "aggregate",
+    # json (JsonFunctions.java)
+    "json_extract": "get_json_object",
+    "json_extract_scalar": "get_json_object",
+    # aggregates (operator/aggregation/)
+    "approx_distinct": "approx_count_distinct",
+    "approx_percentile": "percentile_approx",
+    "arbitrary": "any_value",
+    "array_agg": "collect_list",
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
+    # math (MathFunctions.java)
+    "random": "rand",
+    "is_nan": "isnan",
+    # datetime (DateTimeFunctions.java)
+    "day_of_year": "dayofyear",
+    "doy": "dayofyear",
+    "week": "weekofyear",
+    "week_of_year": "weekofyear",
+    "last_day_of_month": "last_day",
+    "millisecond": "ms",  # placeholder; handled by rule below
+}
+del RENAME["millisecond"]
+
+# Presto date/time unit strings → Spark timestampadd/timestampdiff keywords
+_UNITS = {
+    "millisecond": "MILLISECOND",
+    "second": "SECOND",
+    "minute": "MINUTE",
+    "hour": "HOUR",
+    "day": "DAY",
+    "week": "WEEK",
+    "month": "MONTH",
+    "quarter": "QUARTER",
+    "year": "YEAR",
+}
+
+# MySQL %-format (Presto date_format/date_parse — DateTimeFunctions.java,
+# @Description "MySQL date format") → Java SimpleDateFormat pattern.
+_MYSQL_FMT = {
+    "a": "EEE", "b": "MMM", "c": "M", "d": "dd", "e": "d", "f": "SSSSSS",
+    "H": "HH", "h": "hh", "I": "hh", "i": "mm", "j": "DDD", "k": "H",
+    "l": "h", "M": "MMMM", "m": "MM", "p": "a", "r": "hh:mm:ss a",
+    "S": "ss", "s": "ss", "T": "HH:mm:ss", "v": "ww", "W": "EEEE",
+    "Y": "yyyy", "y": "yy", "%": "%",
+}
+
+
+def mysql_to_java_format(fmt: str) -> str:
+    """'%Y-%m-%d %H:%i' → 'yyyy-MM-dd HH:mm' (literal letters get quoted)."""
+    out: list[str] = []
+    literal: list[str] = []
+
+    def flush() -> None:
+        if literal:
+            run = "".join(literal)
+            if re.search(r"[A-Za-z']", run):
+                out.append("'" + run.replace("'", "''") + "'")
+            else:
+                out.append(run)
+            literal.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec not in _MYSQL_FMT:
+                raise ValueError(f"unsupported MySQL datetime format %{spec}")
+            flush()
+            if spec == "%":
+                literal.append("%")
+            else:
+                out.append(_MYSQL_FMT[spec])
+            i += 2
+        else:
+            literal.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# helpers for building token output
+# ---------------------------------------------------------------------------
+
+def _call(name: str, *arg_groups: list[Tok]) -> list[Tok]:
+    out = [ident(name), op("(")]
+    for i, g in enumerate(arg_groups):
+        if i:
+            out.append(op(","))
+        out.extend(g)
+    out.append(op(")"))
+    return out
+
+
+def _lit_unit(arg: list[Tok]) -> str | None:
+    if len(arg) == 1 and arg[0].kind == "string":
+        unit = string_value(arg[0]).lower()
+        return _UNITS.get(unit)
+    return None
+
+
+def _paren(toks: list[Tok]) -> list[Tok]:
+    return [op("(")] + toks + [op(")")]
+
+
+# ---------------------------------------------------------------------------
+# structural rules
+# ---------------------------------------------------------------------------
+
+def _date_add(args: Args) -> list[Tok]:
+    # date_add(unit, n, x) → (x + n * INTERVAL '1' unit).  Interval
+    # arithmetic preserves Presto's result typing (DateTimeFunctions.java):
+    # DATE + year-month/day-time interval stays DATE in Spark, TIMESTAMP
+    # stays TIMESTAMP — unlike timestampadd(), which always yields TIMESTAMP.
+    unit = _lit_unit(args[0])
+    if unit is None or len(args) != 3:
+        raise ValueError("date_add requires a literal unit string")
+    return _paren(
+        args[2] + [op("+")] + _paren(args[1]) + [op("*"), ident("INTERVAL"),
+        string_literal("1"), ident(unit)]
+    )
+
+
+def _date_diff(args: Args) -> list[Tok]:
+    unit = _lit_unit(args[0])
+    if unit is None or len(args) != 3:
+        raise ValueError("date_diff requires a literal unit string")
+    # Presto: date_diff(unit, t1, t2) = t2 - t1 == timestampdiff(U, t1, t2)
+    return _call("timestampdiff", [ident(unit)], args[1], args[2])
+
+
+def _date_format(args: Args) -> list[Tok]:
+    if len(args) == 2 and args[1] and args[1][0].kind == "string":
+        java = mysql_to_java_format(string_value(args[1][0]))
+        return _call("date_format", args[0], [string_literal(java)])
+    raise ValueError("date_format requires a literal MySQL format string")
+
+
+def _date_parse(args: Args) -> list[Tok]:
+    if len(args) == 2 and args[1] and args[1][0].kind == "string":
+        java = mysql_to_java_format(string_value(args[1][0]))
+        return _call("to_timestamp", args[0], [string_literal(java)])
+    raise ValueError("date_parse requires a literal MySQL format string")
+
+
+def _from_unixtime(args: Args) -> list[Tok]:
+    # Presto returns TIMESTAMP; Spark's from_unixtime returns STRING.
+    return _call("timestamp_seconds", args[0])
+
+
+def _to_unixtime(args: Args) -> list[Tok]:
+    # fractional seconds survive a double cast (Spark semantics)
+    return _paren(_call("cast", args[0] + [ident("AS"), ident("DOUBLE")]))
+
+
+def _day_of_week(args: Args) -> list[Tok]:
+    # Presto dow: Monday=1..Sunday=7 (ISO); Spark dayofweek: Sunday=1.
+    inner = _call("dayofweek", args[0])
+    return _paren(
+        _paren(_paren(inner + [op("+"), Tok("number", "5")])
+               + [op("%"), Tok("number", "7")])
+        + [op("+"), Tok("number", "1")]
+    )
+
+
+def _sha2(bits: str):
+    def rule(args: Args) -> list[Tok]:
+        return _call("sha2", args[0], [Tok("number", bits)])
+    return rule
+
+
+def _split(args: Args) -> list[Tok]:
+    # Presto split() delimiter is a literal; Spark's is a regex → quote it.
+    if len(args) >= 2 and len(args[1]) == 1 and args[1][0].kind == "string":
+        delim = string_value(args[1][0])
+        args = [args[0], [string_literal(re.escape(delim))], *args[2:]]
+    return _call("split", *args)
+
+
+def _regexp_extract(args: Args) -> list[Tok]:
+    # Presto default group = 0 (whole match); Spark default = 1.
+    if len(args) == 2:
+        args = [*args, [Tok("number", "0")]]
+    return _call("regexp_extract", *args)
+
+
+def _regexp_extract_all(args: Args) -> list[Tok]:
+    if len(args) == 2:
+        args = [*args, [Tok("number", "0")]]
+    return _call("regexp_extract_all", *args)
+
+
+_URL_PART = {
+    "url_extract_host": "HOST",
+    "url_extract_path": "PATH",
+    "url_extract_protocol": "PROTOCOL",
+    "url_extract_query": "QUERY",
+    "url_extract_fragment": "REF",
+}
+
+
+def _url_extract(part: str):
+    def rule(args: Args) -> list[Tok]:
+        return _call("parse_url", args[0], [string_literal(part)])
+    return rule
+
+
+def _url_extract_parameter(args: Args) -> list[Tok]:
+    return _call("parse_url", args[0], [string_literal("QUERY")], args[1])
+
+
+def _contains(args: Args) -> list[Tok]:
+    # array contains(arr, x); Spark's `contains` is string-only
+    return _call("array_contains", *args)
+
+
+def _map_agg(args: Args) -> list[Tok]:
+    inner = _call("collect_list", _call("struct", args[0], args[1]))
+    return _call("map_from_entries", inner)
+
+
+def _checksum(args: Args) -> list[Tok]:
+    # order-independent checksum (ChecksumAggregationFunction.java):
+    # sum of per-row 64-bit hashes commutes — same verifier trick.
+    return _call("sum", _call("xxhash64", _call("to_json", _call("struct", args[0]))))
+
+
+def _truncate(args: Args) -> list[Tok]:
+    # truncate(x) / truncate(x, n): round toward zero (MathFunctions.java)
+    n = args[1] if len(args) == 2 else [Tok("number", "0")]
+    scale = _call("power", [Tok("number", "10")], n)
+    scaled = _paren(args[0] + [op("*")] + scale)
+    floored = _call("floor", _call("abs", scaled))
+    signed = _paren(_call("sign", args[0]) + [op("*")] + floored)
+    return _paren(signed + [op("/")] + scale)
+
+
+def _infinity(args: Args) -> list[Tok]:
+    return _paren([ident("CAST"), op("("), string_literal("Infinity"),
+                   ident("AS"), ident("DOUBLE"), op(")")])
+
+
+def _nan(args: Args) -> list[Tok]:
+    return _paren([ident("CAST"), op("("), string_literal("NaN"),
+                   ident("AS"), ident("DOUBLE"), op(")")])
+
+
+def _is_finite(args: Args) -> list[Tok]:
+    x = args[0]
+    not_nan = [ident("NOT")] + _call("isnan", x)
+    # any finite double compares < +inf; NaN already excluded above
+    bounded = _call("abs", x) + [op("<")] + _infinity([])
+    return _paren(not_nan + [ident("AND")] + bounded)
+
+
+def _to_base(args: Args) -> list[Tok]:
+    return _call("lower", _call("conv", args[0], [Tok("number", "10")], args[1]))
+
+
+def _from_base(args: Args) -> list[Tok]:
+    conv = _call("conv", args[0], args[1], [Tok("number", "10")])
+    return _call("cast", conv + [ident("AS"), ident("BIGINT")])
+
+
+def _log2_or_log(args: Args) -> list[Tok]:
+    # Presto log(b, x) and Spark log(base, expr) agree; passthrough exists
+    # only to document the check.
+    return _call("log", *args)
+
+
+def _geometric_mean(args: Args) -> list[Tok]:
+    return _call("exp", _call("avg", _call("ln", args[0])))
+
+
+def _year_of_week(args: Args) -> list[Tok]:
+    return _call("extract", [ident("YEAROFWEEK"), ident("FROM")] + args[0])
+
+
+def _json_array_get(args: Args) -> list[Tok]:
+    # json_array_get(j, i): 0-based index into a JSON array
+    path = _call("concat", [string_literal("$[")],
+                 _call("cast", args[1] + [ident("AS"), ident("STRING")]),
+                 [string_literal("]")])
+    return _call("get_json_object", args[0], path)
+
+
+def _try(args: Args) -> list[Tok]:
+    # try(expr) (TryFunction.java): NULL on error. Spark has no generic
+    # form; translate the common arithmetic/cast shapes.
+    if len(args) != 1:
+        raise ValueError("try() takes one argument")
+    inner = args[0]
+    # try(a / b) → try_divide(a, b)
+    from facebook_presto_spark.sqlfront.tokens import split_top_level
+    halves = split_top_level(inner, "/")
+    if len(halves) == 2:
+        return _call("try_divide", halves[0], halves[1])
+    if inner and inner[0].is_kw("CAST"):
+        return [ident("try_cast")] + inner[1:]
+    raise ValueError("try() supported only for division and CAST shapes")
+
+
+RULES: dict[str, object] = {
+    "date_add": _date_add,
+    "date_diff": _date_diff,
+    "date_format": _date_format,
+    "date_parse": _date_parse,
+    "from_unixtime": _from_unixtime,
+    "to_unixtime": _to_unixtime,
+    "day_of_week": _day_of_week,
+    "dow": _day_of_week,
+    "year_of_week": _year_of_week,
+    "yow": _year_of_week,
+    "sha256": _sha2("256"),
+    "sha512": _sha2("512"),
+    "split": _split,
+    "regexp_extract": _regexp_extract,
+    "regexp_extract_all": _regexp_extract_all,
+    "regexp_split": lambda args: _call("split", *args),
+    "url_extract_parameter": _url_extract_parameter,
+    "contains": _contains,
+    "map_agg": _map_agg,
+    "checksum": _checksum,
+    "truncate": _truncate,
+    "infinity": _infinity,
+    "nan": _nan,
+    "is_finite": _is_finite,
+    "to_base": _to_base,
+    "from_base": _from_base,
+    "geometric_mean": _geometric_mean,
+    "json_array_get": _json_array_get,
+    "json_parse": lambda args: list(args[0]),      # JSON stays a string
+    "json_format": lambda args: list(args[0]),
+    "try": _try,
+}
+for _name, _part in _URL_PART.items():
+    RULES[_name] = _url_extract(_part)

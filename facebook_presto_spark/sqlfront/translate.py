@@ -1,0 +1,342 @@
+"""Presto-SQL → Spark-SQL translation passes.
+
+Token-level rewrites bridging the dialect gaps SURVEY.md §7 lists; each pass
+names the reference behavior it matches:
+
+1. typed string literals  — ``DOUBLE '1.5'`` → ``CAST('1.5' AS DOUBLE)``
+2. UNNEST → LATERAL VIEW  — UnnestOperator (operator/UnnestOperator.java:35),
+   ``WITH ORDINALITY`` via posexplode (+1 for Presto's 1-based ordinality)
+3. quantified comparisons — ALL/ANY/SOME (SqlBase.g4:254,329) rewritten to
+   min/max scalar subqueries / IN, the same trick the reference applies in
+   TransformQuantifiedComparisonApplyToLateralJoin.java
+4. function calls         — per-function rules (functions.py)
+5. ORDER BY null ordering — Presto defaults NULLS LAST for ASC & DESC
+   (sql/planner/QueryPlanner.java:936-954); Spark's ASC default is
+   NULLS FIRST, so ASC keys get an explicit NULLS LAST
+6. TABLESAMPLE BERNOULLI(p) → TABLESAMPLE (p PERCENT); FETCH FIRST → LIMIT
+
+Known gaps (raise or pass through): multi-array UNNEST(a, b), generic
+``try()`` beyond division/CAST, ``AT TIME ZONE``, integer-division `/`
+retyping (Presto int/int truncates; write ``div`` explicitly).
+"""
+
+from __future__ import annotations
+
+from facebook_presto_spark.sqlfront.functions import RENAME, RULES, _call
+from facebook_presto_spark.sqlfront.tokens import (
+    Tok,
+    find_matching_paren,
+    ident,
+    op,
+    render,
+    split_top_level,
+    string_literal,
+    tokenize,
+)
+
+_CAST_TYPES = {
+    "DOUBLE", "REAL", "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "VARCHAR", "CHAR", "BOOLEAN",
+}
+
+
+def _pass_typed_literals(tokens: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+        if nxt is not None and nxt.kind == "string" and t.kind == "ident":
+            u = t.text.upper()
+            if u in _CAST_TYPES:
+                out.extend([ident("CAST"), op("("), nxt, ident("AS"),
+                            ident("DOUBLE" if u == "REAL" else u), op(")")])
+                i += 2
+                continue
+            if u == "DECIMAL":
+                body = nxt.text[1:-1].lstrip("+-")
+                digits = body.replace(".", "")
+                scale = len(body.split(".")[1]) if "." in body else 0
+                out.extend([ident("CAST"), op("("), nxt, ident("AS"),
+                            ident(f"DECIMAL({max(len(digits), 1)},{scale})"), op(")")])
+                i += 2
+                continue
+            if u == "JSON":
+                out.append(nxt)
+                i += 2
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    ord_renames: dict[str, str] = {}
+    while i < len(tokens):
+        t = tokens[i]
+        is_cross = (
+            t.is_kw("CROSS") and i + 2 < len(tokens)
+            and tokens[i + 1].is_kw("JOIN") and tokens[i + 2].is_kw("UNNEST")
+        )
+        is_comma = (
+            t.text == "," and i + 1 < len(tokens) and tokens[i + 1].is_kw("UNNEST")
+        )
+        if not (is_cross or is_comma):
+            out.append(t)
+            i += 1
+            continue
+        u = i + (2 if is_cross else 1)
+        open_p = u + 1
+        close_p = find_matching_paren(tokens, open_p)
+        exprs = split_top_level(tokens[open_p + 1:close_p])
+        if len(exprs) != 1:
+            raise NotImplementedError("UNNEST of multiple arrays is not supported")
+        j = close_p + 1
+        with_ord = False
+        if j + 1 < len(tokens) and tokens[j].is_kw("WITH") and tokens[j + 1].is_kw("ORDINALITY"):
+            with_ord = True
+            j += 2
+        if not (j < len(tokens) and tokens[j].is_kw("AS")):
+            raise NotImplementedError("UNNEST requires AS alias(column, ...)")
+        alias = tokens[j + 1].text
+        cols_open = j + 2
+        cols_close = find_matching_paren(tokens, cols_open)
+        cols = [g[0].text for g in split_top_level(tokens[cols_open + 1:cols_close])]
+        i = cols_close + 1
+
+        out.append(ident("LATERAL"))
+        out.append(ident("VIEW"))
+        if with_ord:
+            ordcol = cols[-1]
+            value_cols = cols[:-1]
+            pos_name = f"__pos_{ordcol}"
+            ord_renames[ordcol] = pos_name
+            ord_renames[f"{alias}.{ordcol}"] = pos_name
+            out.extend(_call("posexplode", exprs[0]))
+            out.append(ident(alias))
+            out.append(ident("AS"))
+            out.append(ident(pos_name))
+            for c in value_cols:
+                out.append(op(","))
+                out.append(ident(c))
+        else:
+            out.extend(_call("explode", exprs[0]))
+            out.append(ident(alias))
+            out.append(ident("AS"))
+            for k, c in enumerate(cols):
+                if k:
+                    out.append(op(","))
+                out.append(ident(c))
+    if ord_renames:
+        renamed: list[Tok] = []
+        k = 0
+        while k < len(out):
+            t = out[k]
+            # qualified alias.ordcol
+            if (
+                t.kind == "ident" and k + 2 < len(out) and out[k + 1].text == "."
+                and f"{t.text}.{out[k + 2].text}" in ord_renames
+            ):
+                pos = ord_renames[f"{t.text}.{out[k + 2].text}"]
+                renamed.extend([op("("), ident(pos), op("+"), Tok("number", "1"), op(")")])
+                k += 3
+                continue
+            if t.kind == "ident" and t.text in ord_renames and t.text != ord_renames[t.text]:
+                prev_dot = renamed and renamed[-1].text == "."
+                if not prev_dot:
+                    renamed.extend([op("("), ident(ord_renames[t.text]), op("+"),
+                                    Tok("number", "1"), op(")")])
+                    k += 1
+                    continue
+            renamed.append(t)
+            k += 1
+        out = renamed
+    return out
+
+
+_CMP = {"=", "<>", "!=", "<", "<=", ">", ">="}
+_ALL_AGG = {">": "max", ">=": "max", "<": "min", "<=": "min"}
+_ANY_AGG = {">": "min", ">=": "min", "<": "max", "<=": "max"}
+
+
+def _pass_quantified(tokens: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    n = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if (
+            t.text in _CMP and i + 2 < len(tokens)
+            and tokens[i + 1].is_kw("ALL", "ANY", "SOME")
+            and tokens[i + 2].text == "("
+        ):
+            quant = tokens[i + 1].upper
+            close = find_matching_paren(tokens, i + 2)
+            subq = tokens[i + 2:close + 1]  # includes parens
+            subq = _pass_quantified(subq[1:-1])
+            n += 1
+            if t.text == "=" and quant in ("ANY", "SOME"):
+                out.extend([ident("IN"), op("(")] + subq + [op(")")])
+            elif t.text in ("<>", "!=") and quant == "ALL":
+                out.extend([ident("NOT"), ident("IN"), op("(")] + subq + [op(")")])
+            elif quant == "ALL" and t.text in _ALL_AGG:
+                agg = _ALL_AGG[t.text]
+                out.extend([op(t.text), op("(" ), ident("SELECT"),
+                            ident(agg), op("("), ident("__v"), op(")"),
+                            ident("FROM"), op("(")] + subq +
+                           [op(")"), ident("AS"), ident(f"__q{n}"),
+                            op("("), ident("__v"), op(")"), op(")")])
+            elif quant in ("ANY", "SOME") and t.text in _ANY_AGG:
+                agg = _ANY_AGG[t.text]
+                out.extend([op(t.text), op("("), ident("SELECT"),
+                            ident(agg), op("("), ident("__v"), op(")"),
+                            ident("FROM"), op("(")] + subq +
+                           [op(")"), ident("AS"), ident(f"__q{n}"),
+                            op("("), ident("__v"), op(")"), op(")")])
+            else:
+                raise NotImplementedError(f"{t.text} {quant} (subquery) is not supported")
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pass_functions(tokens: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if (
+            t.kind == "ident" and i + 1 < len(tokens) and tokens[i + 1].text == "("
+        ):
+            close = find_matching_paren(tokens, i + 1)
+            inner = tokens[i + 2:close]
+            name = t.text.lower()
+            if inner:
+                args = [_pass_functions(a) for a in split_top_level(inner)]
+            else:
+                args = []
+            if name in RULES and not _looks_like_keyword_use(t):
+                out.extend(RULES[name](args))  # type: ignore[operator]
+            elif name in RENAME:
+                out.extend(_call(RENAME[name], *args))
+            else:
+                out.append(t)
+                out.append(op("("))
+                for k, a in enumerate(args):
+                    if k:
+                        out.append(op(","))
+                    out.extend(a)
+                out.append(op(")"))
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _looks_like_keyword_use(tok: Tok) -> bool:
+    # `contains` never collides, but guard structural keywords that can
+    # precede '(' without being calls
+    return tok.upper in ("IN", "EXISTS", "OVER", "VALUES", "AND", "OR", "NOT",
+                         "WHERE", "ON", "FROM", "SELECT", "AS", "BY")
+
+
+_ORDER_TERMINATORS = {"LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS",
+                      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "HAVING"}
+
+
+def _pass_order_by_nulls(tokens: list[Tok]) -> list[Tok]:
+    insertions: list[int] = []  # positions where [NULLS LAST] is inserted
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if tokens[i].is_kw("ORDER") and i + 1 < n and tokens[i + 1].is_kw("BY"):
+            j = i + 2
+            depth = 0
+            item_start = j
+            item_last_tokens: list[Tok] = []
+
+            def close_item(end: int) -> None:
+                seg = tokens[item_start:end]
+                if not seg:
+                    return
+                uppers = [s.upper for s in seg]
+                if "NULLS" in uppers:
+                    return
+                if uppers[-1] == "DESC":
+                    return  # Spark DESC default is already NULLS LAST
+                insertions.append(end)
+
+            while j < n:
+                t = tokens[j]
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0:
+                    if t.text in (",",):
+                        close_item(j)
+                        item_start = j + 1
+                    elif t.text == ";" or (t.kind == "ident" and t.upper in _ORDER_TERMINATORS):
+                        break
+                j += 1
+            close_item(j)
+            i = j
+            continue
+        i += 1
+    if not insertions:
+        return tokens
+    out = list(tokens)
+    for pos in sorted(set(insertions), reverse=True):
+        out[pos:pos] = [ident("NULLS"), ident("LAST")]
+    return out
+
+
+def _pass_misc(tokens: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        # TABLESAMPLE BERNOULLI(p) / SYSTEM(p) → TABLESAMPLE (p PERCENT)
+        if (
+            t.is_kw("TABLESAMPLE") and i + 1 < n
+            and tokens[i + 1].is_kw("BERNOULLI", "SYSTEM")
+            and i + 2 < n and tokens[i + 2].text == "("
+        ):
+            close = find_matching_paren(tokens, i + 2)
+            pct = tokens[i + 3:close]
+            out.extend([ident("TABLESAMPLE"), op("(")] + pct +
+                       [ident("PERCENT"), op(")")])
+            i = close + 1
+            continue
+        # FETCH FIRST|NEXT n ROWS ONLY → LIMIT n
+        if t.is_kw("FETCH") and i + 4 < n and tokens[i + 1].is_kw("FIRST", "NEXT"):
+            out.extend([ident("LIMIT"), tokens[i + 2]])
+            i += 5  # FETCH FIRST n ROWS ONLY
+            continue
+        # LIMIT ALL → (drop)
+        if t.is_kw("LIMIT") and i + 1 < n and tokens[i + 1].is_kw("ALL"):
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def translate(sql: str) -> str:
+    """Presto-dialect SQL → Spark-SQL string."""
+    toks = tokenize(sql)
+    toks = _pass_typed_literals(toks)
+    toks = _pass_unnest(toks)
+    toks = _pass_quantified(toks)
+    toks = _pass_functions(toks)
+    toks = _pass_misc(toks)
+    toks = _pass_order_by_nulls(toks)
+    return render(toks)
