@@ -23,29 +23,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q01(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from facebook_presto_spark.plans import functions_showcase, relational, tpch
+def _modules():
+    from facebook_presto_spark.plans import (
+        functions_showcase,
+        presto_sql,
+        relational,
+        tpch,
+    )
     from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
     from facebook_presto_spark.streaming import windows as stream_windows
 
+    return (
+        tpch, presto_sql, relational, functions_showcase, dedup, similarity,
+        text, multimodal, stream_windows,
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (
-        tpch, relational, functions_showcase, dedup, similarity, text, multimodal,
-        stream_windows,
-    ):
+    for mod in _modules():
         out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from facebook_presto_spark.plans import functions_showcase, relational, tpch
-    from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
-    from facebook_presto_spark.streaming import windows as stream_windows
-
     out: dict[str, str] = {}
-    for mod in (
-        tpch, relational, functions_showcase, dedup, similarity, text, multimodal,
-        stream_windows,
-    ):
+    for mod in _modules():
         out.update(mod.ORACLE)
     return out
