@@ -30,12 +30,13 @@ def _modules():
         relational,
         tpch,
     )
+    from facebook_presto_spark import ddl
     from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
     from facebook_presto_spark.streaming import windows as stream_windows
 
     return (
-        tpch, presto_sql, relational, functions_showcase, dedup, similarity,
-        text, multimodal, stream_windows,
+        tpch, presto_sql, relational, functions_showcase, ddl, dedup,
+        similarity, text, multimodal, stream_windows,
     )
 
 

@@ -1,0 +1,185 @@
+"""DDL/DML: CREATE TABLE AS, INSERT, DELETE, SHOW/DESCRIBE.
+
+Reference surface:
+
+- TableWriterOperator (presto-main/.../operator/TableWriterOperator.java:58)
+  + TableFinishOperator (TableFinishOperator.java) — CTAS/INSERT pages flow
+  into a ConnectorPageSink and a coordinator-side commit finalizes them.
+  Spark's write path (FileFormatWriter + commit protocol) is the same
+  two-phase design; ``df.write`` is the whole mapping.
+- DeleteOperator / MetadataDeleteOperator (DeleteOperator.java:39) — Presto
+  row-level DELETE marks row positions for the connector; on plain parquet
+  the scalable equivalent is copy-on-write: rewrite surviving rows, swap.
+  (Delta/Iceberg would do this natively; parquet is what the environment
+  ships.)
+- DDL tasks (execution/CreateTableTask.java, DropTableTask.java …) —
+  short-circuit metadata ops → spark.catalog calls.
+
+Scale notes: CTAS/INSERT inherit the source DataFrame's partitioning — at
+100 TB callers should ``partition_by`` a natural key (date) so downstream
+scans prune; DELETE's rewrite cost is proportional to the *partitions
+touched*, not table size, when the predicate aligns with partitioning
+(partition-pruned scan → only matching directories rewritten).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+
+def create_table_as(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "errorifexists",
+) -> DataFrame:
+    """CTAS onto parquet at ``path``; returns the (re-read) table."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return spark.read.parquet(path)
+
+
+def insert_into(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
+    """INSERT INTO an existing parquet table (append, schema-by-name)."""
+    existing = spark.read.parquet(path)
+    aligned = df.select(*[F.col(c) for c in existing.columns])
+    aligned.write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column | str) -> int:
+    """DELETE FROM table WHERE predicate; returns rows deleted.
+
+    Copy-on-write: surviving rows are rewritten to a sibling directory and
+    atomically swapped in (rename).  The anti-filter is a parquet-pushed
+    scan, so partitions with no matches are pure read-through; on a real
+    lake format this becomes a metadata-only operation for aligned
+    predicates.
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    src = spark.read.parquet(path)
+    deleted = src.filter(pred).count()
+    if deleted == 0:
+        return 0
+    tmp = f"{path}.__rewrite_{uuid.uuid4().hex[:8]}"
+    src.filter(~pred).write.parquet(tmp)
+    old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return deleted
+
+
+def show_tables(spark: SparkSession) -> list[str]:
+    """SHOW TABLES (execution/ShowTablesTask-equivalent via ShowQueriesRewrite)."""
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def describe_table(spark: SparkSession, name: str) -> list[Row]:
+    """DESCRIBE table → (col_name, data_type) rows, Presto SHOW COLUMNS shape."""
+    return spark.sql(f"DESCRIBE TABLE {name}").collect()
+
+
+def explain_analyze(df: DataFrame) -> str:
+    """EXPLAIN ANALYZE (ExplainAnalyzeOperator): run, then formatted plan.
+
+    Spark's formatted explain carries per-node statistics once the query
+    has executed under AQE (final plan + runtime shuffle metrics).
+    """
+    import contextlib
+    import io
+
+    df.count()  # execute so AQE finalizes the plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# driver queries: verifiable write→read round-trips
+# ---------------------------------------------------------------------------
+
+_SCRATCH = "/root/repo/.scratch"
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = os.path.join(_SCRATCH, name)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    return path
+
+
+def ddl_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS a filtered+projected orders slice, partitioned by priority, and
+    aggregate the re-read table — verifies the full write/commit/read path."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    slice_df = orders.filter(F.col("o_totalprice") > 100000.0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    table = create_table_as(
+        spark, _scratch("ctas_orders"), slice_df,
+        partition_by=["o_orderpriority"], mode="overwrite",
+    )
+    return (
+        table.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_CTAS = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE o_totalprice > 100000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def ddl_insert_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS low-balance customers, INSERT the high-balance rest, DELETE the
+    negative balances; equivalent to SELECT ... WHERE c_acctbal >= 0."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    path = _scratch("dml_customer")
+    create_table_as(spark, path, cust.filter(F.col("c_acctbal") < 5000.0))
+    insert_into(spark, path, cust.filter(F.col("c_acctbal") >= 5000.0))
+    delete_where(spark, path, F.col("c_acctbal") < 0.0)
+    table = spark.read.parquet(path)
+    return table.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents"),
+    ).orderBy("c_nationkey")
+
+
+ORACLE_DML = """
+SELECT c_nationkey, count(*) AS n,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer WHERE c_acctbal >= 0.0
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "ddl_ctas_roundtrip": ddl_ctas_roundtrip,
+    "ddl_insert_delete_roundtrip": ddl_insert_delete_roundtrip,
+}
+
+ORACLE = {
+    "ddl_ctas_roundtrip": ORACLE_CTAS,
+    "ddl_insert_delete_roundtrip": ORACLE_DML,
+}

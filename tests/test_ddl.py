@@ -1,0 +1,64 @@
+"""DDL/DML tests: write paths (CTAS/INSERT/DELETE) and metadata ops."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from facebook_presto_spark import ddl
+
+
+def test_ctas_partitioned(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    path = str(tmp_path / "ctas")
+    table = ddl.create_table_as(
+        spark, path, orders.select("o_orderkey", "o_orderpriority"),
+        partition_by=["o_orderpriority"],
+    )
+    assert table.count() == orders.count()
+    # hive-style partition directories exist → scans on priority prune
+    assert any(d.startswith("o_orderpriority=") for d in os.listdir(path))
+
+
+def test_insert_appends(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    path = str(tmp_path / "ins")
+    ddl.create_table_as(spark, path, nation.filter(F.col("n_nationkey") < 10))
+    after = ddl.insert_into(spark, path, nation.filter(F.col("n_nationkey") >= 10))
+    assert after.count() == nation.count()
+    # schema-by-name alignment holds even with reordered input columns
+    reordered = nation.select("n_name", "n_regionkey", "n_nationkey")
+    assert ddl.insert_into(spark, path, reordered).count() == 2 * nation.count()
+
+
+def test_delete_where(spark, sf_dir, tmp_path):
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    path = str(tmp_path / "del")
+    ddl.create_table_as(spark, path, cust)
+    neg = cust.filter(F.col("c_acctbal") < 0).count()
+    assert ddl.delete_where(spark, path, "c_acctbal < 0") == neg
+    left = spark.read.parquet(path)
+    assert left.count() == cust.count() - neg
+    assert left.filter(F.col("c_acctbal") < 0).count() == 0
+    # no-match delete is a no-op (no rewrite)
+    assert ddl.delete_where(spark, path, "c_acctbal < -1e18") == 0
+
+
+def test_show_and_describe(spark, sf_dir):
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).createOrReplaceTempView(
+        "__ddl_region"
+    )
+    assert "__ddl_region" in ddl.show_tables(spark)
+    cols = {r.col_name: r.data_type for r in ddl.describe_table(spark, "__ddl_region")}
+    assert cols.get("r_regionkey") in ("int", "bigint")
+
+
+def test_explain_analyze(spark, sf_dir):
+    df = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_totalprice") > 0)
+        .groupBy("o_orderpriority").count()
+    )
+    text = ddl.explain_analyze(df)
+    assert "AdaptiveSparkPlan" in text or "HashAggregate" in text
