@@ -25,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from facebook_presto_spark.plans import (
+        aggregates,
         functions_showcase,
         presto_sql,
         relational,
@@ -35,8 +36,8 @@ def _modules():
     from facebook_presto_spark.streaming import windows as stream_windows
 
     return (
-        tpch, presto_sql, relational, functions_showcase, ddl, dedup,
-        similarity, text, multimodal, stream_windows,
+        tpch, presto_sql, relational, aggregates, functions_showcase, ddl,
+        dedup, similarity, text, multimodal, stream_windows,
     )
 
 

@@ -1,0 +1,272 @@
+"""Aggregate long-tail: map aggs, N-variants, reduce_agg, sketches.
+
+Completes SURVEY.md §2.3 beyond the common aggregates already covered in
+plans/relational.py.  Reference implementations:
+
+- map_agg        — operator/aggregation/MapAggregationFunction.java:48
+- multimap_agg   — operator/aggregation/multimapagg/MultimapAggregationFunction.java:52
+- map_union      — operator/aggregation/MapUnionAggregation.java:46
+- min/max(x, n)  — operator/aggregation/MinNAggregationFunction.java (TypedHeap)
+- min_by/max_by(x, y, n) — operator/aggregation/AbstractMinMaxByNAggregationFunction.java
+- reduce_agg     — operator/aggregation/ReduceAggregationFunction.java
+- numeric_histogram — operator/aggregation/NumericHistogram.java
+- approx_set / merge / cardinality — ApproximateSetAggregation.java,
+  MergeHyperLogLogAggregation.java, scalar/HyperLogLogFunctions.java
+
+Spark-first design notes:
+
+- map columns never cross the oracle boundary directly (entry order is
+  engine-specific); queries project deterministic scalars out of the maps
+  (element_at / sorted entries) so the hash compare is meaningful.
+- N-variants are `slice(sort_array(collect_list(struct…)), 1, n)` — the
+  collect is bounded per group by the subsequent slice, and Catalyst's
+  partial aggregation keeps the shuffle small.  (Presto's TypedHeap caps
+  memory at n; for huge groups the window-filter form in
+  relational.window_topk_per_group is the scale path.)
+- reduce_agg uses F.aggregate over a collected array: correct for the
+  bounded-group shapes Presto documents (the reference itself warns
+  reduce_agg state must stay small).
+- HLL parity: Spark's hll_sketch_agg is the same Apache DataSketches HLL
+  family; below ~thousands of distinct values per group the sparse
+  representation is exact, which the oracle (exact COUNT DISTINCT)
+  exploits — same trick the reference's own tests use for approx_distinct
+  on tiny TPCH.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# map_agg: per priority, map of order-status → order count; probe the map.
+def agg_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = F.map_from_entries(
+        F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+    )
+    return (
+        per_status.groupBy("o_orderpriority")
+        .agg(m.alias("m"))
+        .select(
+            "o_orderpriority",
+            F.map_keys(F.col("m")).alias("statuses"),  # sorted by construction
+            F.element_at(F.col("m"), "F").alias("n_f"),
+            F.element_at(F.col("m"), "O").alias("n_o"),
+            F.cardinality(F.col("m")).alias("n_statuses"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_MAP_AGG = """
+SELECT o_orderpriority,
+       list(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(DISTINCT o_orderstatus) AS n_statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# multimap_agg: nation → all its customer keys (as a sorted list per key);
+# map_union: disjoint per-status maps merged across rows.
+def agg_multimap_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    # multimap_agg(c_nationkey, c_custkey) ≡ map<nation, array<custkey>>;
+    # the grouped collect IS the multimap's value side.
+    mm = cust.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("custkeys")
+    )
+    # map_union over per-row singleton maps (disjoint keys ⇒ deterministic):
+    # aggregate the entry set, then rebuild one map.
+    merged = mm.select(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("c_nationkey", "custkeys")))
+        ).alias("m")
+    )
+    return merged.select(
+        F.cardinality(F.col("m")).alias("n_nations"),
+        F.size(F.element_at(F.col("m"), F.lit(0))).alias("n0_customers"),
+        F.element_at(F.element_at(F.col("m"), F.lit(0)), 1).alias("n0_first_key"),
+    )
+
+
+ORACLE_MULTIMAP = """
+SELECT count(DISTINCT c_nationkey) AS n_nations,
+       count(*) FILTER (WHERE c_nationkey = 0) AS n0_customers,
+       min(c_custkey) FILTER (WHERE c_nationkey = 0) AS n0_first_key
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# min(x,n) / max(x,n) / min_by(x,y,n) / max_by(x,y,n)
+def agg_minmax_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    price = F.round(F.col("o_totalprice") * 100).cast("long")
+    lo3 = F.slice(F.sort_array(F.collect_list(price)), 1, 3)
+    hi3 = F.slice(F.sort_array(F.collect_list(price), asc=False), 1, 3)
+    # min_by(o_orderkey, price, 3): keys of the 3 cheapest orders
+    by_price = F.collect_list(F.struct(price.alias("p"), F.col("o_orderkey").alias("k")))
+    minby3 = F.transform(F.slice(F.sort_array(by_price), 1, 3), lambda s: s["k"])
+    maxby3 = F.transform(F.slice(F.sort_array(by_price, asc=False), 1, 3), lambda s: s["k"])
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(lo3.cast("array<string>"), ",").alias("min3"),
+            F.array_join(hi3.cast("array<string>"), ",").alias("max3"),
+            F.array_join(minby3.cast("array<string>"), ",").alias("minby3"),
+            F.array_join(maxby3.cast("array<string>"), ",").alias("maxby3"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_MINMAX_N = """
+WITH t AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS p
+  FROM orders
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY p, o_orderkey) AS rn_asc,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY p DESC, o_orderkey DESC) AS rn_desc
+  FROM t
+)
+SELECT o_orderpriority,
+       string_agg(CASE WHEN rn_asc <= 3 THEN CAST(p AS VARCHAR) END, ',' ORDER BY rn_asc) AS min3,
+       string_agg(CASE WHEN rn_desc <= 3 THEN CAST(p AS VARCHAR) END, ',' ORDER BY rn_desc) AS max3,
+       string_agg(CASE WHEN rn_asc <= 3 THEN CAST(o_orderkey AS VARCHAR) END, ',' ORDER BY rn_asc) AS minby3,
+       string_agg(CASE WHEN rn_desc <= 3 THEN CAST(o_orderkey AS VARCHAR) END, ',' ORDER BY rn_desc) AS maxby3
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# reduce_agg: per-nation product of (1 + supplier count mod 3) — a bounded
+# custom fold, the reference's canonical reduce_agg example shape.
+def agg_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    term = (F.col("s_suppkey") % 3 + 1).cast("long")
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(F.collect_list(term).alias("terms"))
+        .select(
+            "s_nationkey",
+            F.aggregate("terms", F.lit(1).cast("long"), lambda acc, x: acc * x).alias(
+                "product"
+            ),
+            F.aggregate("terms", F.lit(0).cast("long"), lambda acc, x: acc + x).alias(
+                "fold_sum"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE_REDUCE = """
+SELECT s_nationkey,
+       CAST(product(s_suppkey % 3 + 1) AS BIGINT) AS product,
+       CAST(sum(s_suppkey % 3 + 1) AS BIGINT) AS fold_sum
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# numeric_histogram via width_bucket: fixed [0, 600k) price range, 6 buckets.
+# (Presto's numeric_histogram is an adaptive V-optimal sketch with no exact
+# cross-engine twin; the width_bucket form is the deterministic equivalent
+# and width_bucket itself is MathFunctions.java surface.)
+def agg_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(6))
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_NUMERIC_HISTOGRAM = """
+SELECT CAST(least(greatest(floor(o_totalprice / 100000.0), -1), 6) + 1 AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# HLL sketch lifecycle: approx_set per group → merge(hll) across groups →
+# cardinality.  Sparse-mode sketches are exact at these per-group sizes, so
+# the oracle is exact COUNT DISTINCT.
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # lgConfigK=21: the DataSketches coupon (sparse) representation stays
+    # exact well past the ~1.3k distinct customers per group at sf0.01, so
+    # the exact-COUNT-DISTINCT oracle is valid; at 100 TB you'd drop back to
+    # the default 12 and accept the documented ±2% error.
+    per_prio = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", 21).alias("hll"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_group = per_prio.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("hll").alias("approx_customers"),
+    )
+    merged = per_prio.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_customers")
+    ).select(F.lit("__ALL__").alias("o_orderpriority"), "approx_customers")
+    return per_group.unionByName(merged).orderBy("o_orderpriority")
+
+
+ORACLE_HLL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS approx_customers
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT '__ALL__', count(DISTINCT o_custkey) FROM orders
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "agg_map_agg": agg_map_agg,
+    "agg_multimap_union": agg_multimap_union,
+    "agg_minmax_n": agg_minmax_n,
+    "agg_reduce": agg_reduce,
+    "agg_numeric_histogram": agg_numeric_histogram,
+    "agg_hll_sketch": agg_hll_sketch,
+}
+
+ORACLE = {
+    "agg_map_agg": ORACLE_MAP_AGG,
+    "agg_multimap_union": ORACLE_MULTIMAP,
+    "agg_minmax_n": ORACLE_MINMAX_N,
+    "agg_reduce": ORACLE_REDUCE,
+    "agg_numeric_histogram": ORACLE_NUMERIC_HISTOGRAM,
+    "agg_hll_sketch": ORACLE_HLL,
+}
