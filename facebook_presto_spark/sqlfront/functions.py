@@ -59,9 +59,12 @@ RENAME: dict[str, str] = {
     "week": "weekofyear",
     "week_of_year": "weekofyear",
     "last_day_of_month": "last_day",
-    "millisecond": "ms",  # placeholder; handled by rule below
+    "from_iso8601_timestamp": "to_timestamp",
+    "from_iso8601_date": "to_date",
+    "parse_datetime": "to_timestamp",  # Joda patterns ≈ Java patterns for common cases
+    # map/string (MapFunctions, StringFunctions)
+    "split_to_map": "str_to_map",
 }
-del RENAME["millisecond"]
 
 # Presto date/time unit strings → Spark timestampadd/timestampdiff keywords
 _UNITS = {
@@ -343,7 +346,64 @@ def _try(args: Args) -> list[Tok]:
     raise ValueError("try() supported only for division and CAST shapes")
 
 
+def _bitwise(op_text: str):
+    def rule(args: Args) -> list[Tok]:
+        return _paren(args[0] + [op(op_text)] + args[1])
+    return rule
+
+
+def _bitwise_not(args: Args) -> list[Tok]:
+    return _paren([op("~")] + args[0])
+
+
+def _to_utf8(args: Args) -> list[Tok]:
+    return _call("encode", args[0], [string_literal("UTF-8")])
+
+
+def _from_utf8(args: Args) -> list[Tok]:
+    return _call("decode", args[0], [string_literal("UTF-8")])
+
+
+def _to_iso8601(args: Args) -> list[Tok]:
+    # timestamps render with a 'T' separator; dates pass through unchanged
+    # under this pattern (Presto to_iso8601 accepts both).
+    return _call("date_format", args[0],
+                 [string_literal("yyyy-MM-dd'T'HH:mm:ss.SSS")])
+
+
+def _template(sql: str, **slots: list[Tok]) -> list[Tok]:
+    """Tokenize a Spark-SQL fragment, splicing arg token lists at __NAME__."""
+    from facebook_presto_spark.sqlfront.tokens import tokenize
+
+    out: list[Tok] = []
+    for t in tokenize(sql):
+        key = t.text.strip("_").lower() if t.kind == "ident" else ""
+        if t.kind == "ident" and t.text.startswith("__") and key in slots:
+            out.extend(slots[key])
+        else:
+            out.append(t)
+    return out
+
+
+def _hamming_distance(args: Args) -> list[Tok]:
+    # HammingDistanceFunction.java: count of differing positions between
+    # equal-length strings — zip char arrays, count mismatches JVM-side.
+    return _template(
+        "aggregate(zip_with(split(__A__, ''), split(__B__, ''), "
+        "(x, y) -> IF(x = y, 0, 1)), 0, (s, v) -> s + v)",
+        a=args[0], b=args[1],
+    )
+
+
 RULES: dict[str, object] = {
+    "bitwise_and": _bitwise("&"),
+    "bitwise_or": _bitwise("|"),
+    "bitwise_xor": _bitwise("^"),
+    "bitwise_not": _bitwise_not,
+    "to_utf8": _to_utf8,
+    "from_utf8": _from_utf8,
+    "to_iso8601": _to_iso8601,
+    "hamming_distance": _hamming_distance,
     "date_add": _date_add,
     "date_diff": _date_diff,
     "date_format": _date_format,

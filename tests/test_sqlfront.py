@@ -121,6 +121,30 @@ def test_nested_calls_translate_inside_out():
     assert "instr(hex(b), ascii(c))" in out
 
 
+def test_bitwise_functions():
+    out = translate("SELECT bitwise_and(a, b), bitwise_not(c) FROM t")
+    assert "(a & b)" in out
+    assert "(~ c)" in out or "(~c)" in out
+
+
+def test_utf8_and_iso8601():
+    out = translate("SELECT to_utf8(s), from_utf8(b), to_iso8601(ts) FROM t")
+    assert "encode(s, 'UTF-8')" in out
+    assert "decode(b, 'UTF-8')" in out
+    assert "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss.SSS')" in out
+
+
+def test_hamming_distance_expansion():
+    out = translate("SELECT hamming_distance(a, b) FROM t")
+    assert "zip_with(split(a, ''), split(b, '')" in out
+    assert "aggregate(" in out
+
+
+def test_split_to_map():
+    out = translate("SELECT split_to_map(s, ';', '=') FROM t")
+    assert "str_to_map(s, ';', '=')" in out
+
+
 # ---------------------------------------------------------------------------
 # 2. end-to-end vs DuckDB oracle
 # ---------------------------------------------------------------------------

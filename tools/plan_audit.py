@@ -1,0 +1,86 @@
+"""Plan audit: assert the physical plans we'd want at 100 TB.
+
+For each headline query, render the formatted physical plan and check:
+
+- parquet scans carry PushedFilters when the query filters scan columns
+  (predicate pushdown reached the DataSource — PickTableLayout parity);
+- dimension joins are broadcast (no fact-table shuffle for small dims);
+- no row-at-a-time Python UDF (BatchEvalPython) in any plan — Arrow
+  (ArrowEvalPython / mapInPandas) is the only allowed Python boundary;
+- WholeStageCodegen spans exist (expressions stay JVM-side).
+
+Usage: python tools/plan_audit.py [name-substring ...]
+Exit code 1 if any audit fails.  Informational lines are prefixed `note`.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# queries where each property is required
+REQUIRE_PUSHDOWN = {
+    "tpch_q01", "tpch_q03", "tpch_q04", "tpch_q05", "tpch_q06", "tpch_q10",
+    "tpch_q12", "tpch_q14", "tpch_q19", "prestosql_q06",
+}
+REQUIRE_BROADCAST = {
+    "tpch_q03", "tpch_q05", "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10",
+}
+
+
+def formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+    from facebook_presto_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    queries = entry.queries()
+    filters = sys.argv[1:]
+    names = [
+        n for n in queries
+        if not filters or any(f in n for f in filters)
+    ]
+
+    failures = 0
+    for name in sorted(names):
+        try:
+            plan = formatted_plan(queries[name](spark, SF_DIR))
+        except Exception as exc:  # pragma: no cover
+            print(f"FAIL {name}: explain failed: {exc}")
+            failures += 1
+            continue
+        problems: list[str] = []
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time Python UDF in plan")
+        if name in REQUIRE_PUSHDOWN and not re.search(
+            r"PushedFilters: \[[^\]]", plan
+        ):
+            problems.append("no PushedFilters on any scan")
+        if name in REQUIRE_BROADCAST and "BroadcastHashJoin" not in plan:
+            problems.append("expected a broadcast join, found none")
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            wsc = plan.count("WholeStageCodegen")
+            print(f"ok   {name} (codegen spans: {wsc})")
+    print(f"\n{failures} failures / {len(names)} plans")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
