@@ -241,12 +241,84 @@ FROM t
 """
 
 
+def fn_binary_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VarbinaryFunctions.java + BitwiseFunctions.java surface.
+
+    sha1/crc32/xxhash64 have no DuckDB twin and are unit-tested in
+    tests/test_functions.py instead.
+    """
+    ords = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return ords.select(
+        "o_orderkey",
+        call("md5", call("to_utf8", F.col("o_orderpriority"))).alias("prio_md5"),
+        call("sha256", call("to_utf8", F.col("o_orderstatus"))).alias("status_sha256"),
+        call("to_hex", call("to_utf8", F.col("o_orderstatus"))).alias("status_hex"),
+        call("to_base64", call("to_utf8", F.col("o_orderpriority"))).alias("prio_b64"),
+        call("bitwise_and", k, F.lit(255)).alias("and255"),
+        call("bitwise_or", k, F.lit(16)).alias("or16"),
+        call("bitwise_xor", k, F.lit(85)).alias("xor85"),
+        call("bit_count", k).cast("bigint").alias("popcount"),
+    )
+
+
+FN_BINARY_BITWISE_SQL = """
+SELECT o_orderkey,
+       md5(o_orderpriority) AS prio_md5,
+       sha256(o_orderstatus) AS status_sha256,
+       hex(o_orderstatus) AS status_hex,
+       base64(o_orderpriority::BLOB) AS prio_b64,
+       o_orderkey & 255 AS and255,
+       o_orderkey | 16 AS or16,
+       xor(o_orderkey, 85) AS xor85,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+FROM orders WHERE o_orderkey < 200
+"""
+
+
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional surface: if, coalesce, nullif, try_cast, CASE, try().
+
+    Reference: TryFunction.java / TryCastFunction.java + grammar-level
+    if/case/coalesce/nullif (SqlBase.g4 primaryExpression).
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        call("if", bal < 0, F.lit("neg"), F.lit("pos")).alias("sign_label"),
+        call("coalesce", call("nullif", F.col("c_mktsegment"), F.lit("BUILDING")),
+             F.lit("<default>")).alias("seg_or_default"),
+        call("try_cast", F.col("c_name").substr(F.lit(10), F.lit(8)), "double").alias(
+            "name_tail_num"
+        ),
+        F.when(bal > 5000, "high").when(bal > 0, "low").otherwise("neg").alias("band"),
+        call("try", F.lit(1.0) / F.when(bal > 0, bal).otherwise(F.lit(0.0))).alias(
+            "inv_bal"
+        ),
+    )
+
+
+FN_CONDITIONAL_SQL = """
+SELECT c_custkey,
+       if(c_acctbal < 0, 'neg', 'pos') AS sign_label,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '<default>') AS seg_or_default,
+       try_cast(substr(c_name, 10, 8) AS DOUBLE) AS name_tail_num,
+       CASE WHEN c_acctbal > 5000 THEN 'high' WHEN c_acctbal > 0 THEN 'low'
+            ELSE 'neg' END AS band,
+       CASE WHEN c_acctbal > 0 THEN 1.0 / c_acctbal END AS inv_bal
+FROM customer WHERE c_custkey < 300
+"""
+
+
 QUERIES = {
     "fn_string": fn_string,
     "fn_math": fn_math,
     "fn_datetime": fn_datetime,
     "fn_json_url": fn_json_url,
     "fn_array_hof": fn_array_hof,
+    "fn_binary_bitwise": fn_binary_bitwise,
+    "fn_conditional": fn_conditional,
 }
 
 ORACLE = {
@@ -255,4 +327,6 @@ ORACLE = {
     "fn_datetime": FN_DATETIME_SQL,
     "fn_json_url": FN_JSON_URL_SQL,
     "fn_array_hof": FN_ARRAY_HOF_SQL,
+    "fn_binary_bitwise": FN_BINARY_BITWISE_SQL,
+    "fn_conditional": FN_CONDITIONAL_SQL,
 }
