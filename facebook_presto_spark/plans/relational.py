@@ -826,7 +826,65 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Lateral join + AssignUniqueId
+# ---------------------------------------------------------------------------
+
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery in FROM (LateralJoinNode,
+    sql/planner/plan/LateralJoinNode.java:37; grammar SqlBase.g4:236):
+    top-2 customers by balance per nation.  Catalyst decorrelates to a
+    ranked window join — the same rewrite the reference applies via
+    TransformCorrelatedLateralJoinToJoin.java."""
+    from facebook_presto_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, t.c_name, t.c_acctbal
+        FROM nation JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        ORDER BY n_name, c_acctbal DESC, c_name
+        """
+    )
+
+
+LATERAL_TOPK_SQL = """
+SELECT n_name, t.c_name, t.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+def assign_unique_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AssignUniqueIdOperator (operator/AssignUniqueIdOperator.java:29):
+    per-row unique id used for decorrelation.  The ids themselves are
+    engine-specific (partition-prefixed longs), so the verifiable facts
+    are uniqueness and cardinality."""
+    orders = _t(spark, sf_dir, "orders")
+    with_id = orders.withColumn("uid", F.monotonically_increasing_id())
+    return with_id.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("uid").alias("n_ids"),
+        (F.count(F.lit(1)) == F.countDistinct("uid")).alias("ids_unique"),
+    )
+
+
+ASSIGN_UNIQUE_ID_SQL = """
+SELECT count(*) AS n_rows, count(*) AS n_ids, true AS ids_unique FROM orders
+"""
+
+
 QUERIES = {
+    "lateral_topk": lateral_topk,
+    "assign_unique_id": assign_unique_id,
     "window_rank": window_rank,
     "window_offsets": window_offsets,
     "window_frames": window_frames,
@@ -867,6 +925,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lateral_topk": LATERAL_TOPK_SQL,
+    "assign_unique_id": ASSIGN_UNIQUE_ID_SQL,
     "window_rank": WINDOW_RANK_SQL,
     "window_offsets": WINDOW_OFFSETS_SQL,
     "window_frames": WINDOW_FRAMES_SQL,
