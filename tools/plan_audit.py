@@ -76,8 +76,9 @@ def main() -> int:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            wsc = plan.count("WholeStageCodegen")
-            print(f"ok   {name} (codegen spans: {wsc})")
+            nscan = plan.count("Scan parquet")
+            nbhj = plan.count("BroadcastHashJoin")
+            print(f"ok   {name} (scans: {nscan}, broadcast joins: {nbhj})")
     print(f"\n{failures} failures / {len(names)} plans")
     return 1 if failures else 0
 
