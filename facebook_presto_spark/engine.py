@@ -47,11 +47,23 @@ class PrestoSparkEngine:
     def sql(self, presto_sql: str) -> DataFrame:
         """Run Presto-dialect SQL; returns a lazy DataFrame.
 
-        Catalyst performs everything the reference's optimizer sequence
-        (PlanOptimizers.java:221-502) does — pushdown, pruning, join
-        selection — on the translated text; nothing is executed until an
-        action is called.
+        ``SET SESSION <prop> = <value>`` statements apply the reference's
+        session-property surface (SystemSessionProperties.java) to the
+        Spark conf and return an empty OK relation, like the reference's
+        coordinator does.  Everything else is translated and planned by
+        Catalyst — which performs the reference's whole optimizer sequence
+        (PlanOptimizers.java:221-502): pushdown, pruning, join selection —
+        lazily, until an action runs.
         """
+        from facebook_presto_spark.properties import (
+            parse_set_session,
+            set_session_property,
+        )
+
+        set_stmt = parse_set_session(presto_sql)
+        if set_stmt is not None:
+            set_session_property(self.spark, *set_stmt)
+            return self.spark.sql("SELECT true AS ok WHERE false")
         return self.spark.sql(translate(presto_sql))
 
     def explain(self, presto_sql: str) -> str:

@@ -1,0 +1,104 @@
+"""Session properties: the reference's tuning surface mapped to Spark conf.
+
+Reference: presto-main/.../SystemSessionProperties.java (names at lines
+58-112) exposed via ``SET SESSION <name> = <value>``.  Each supported
+property maps onto the Spark conf that controls the equivalent behavior;
+properties whose behavior Spark subsumes (spill, partial aggregation,
+hash generation…) are accepted as no-ops so reference workloads run
+unchanged, and unknown names raise — same as the reference's validation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import SparkSession
+
+
+def _set_conf(key: str, transform: Callable[[str], str] = str):
+    def apply(spark: SparkSession, value: str) -> None:
+        spark.conf.set(key, transform(value))
+
+    return apply
+
+
+def _join_distribution(spark: SparkSession, value: str) -> None:
+    v = value.strip().strip("'\"").upper()
+    if v == "PARTITIONED":
+        # never broadcast — force shuffle joins
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    elif v in ("AUTOMATIC", "BROADCAST"):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    else:
+        raise ValueError(f"join_distribution_type: unknown value {value!r}")
+
+
+def _join_reordering(spark: SparkSession, value: str) -> None:
+    v = value.strip().strip("'\"").upper()
+    if v == "AUTOMATIC":
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    elif v in ("NONE", "ELIMINATE_CROSS_JOINS"):
+        # Catalyst always eliminates cross joins when equi-conditions exist;
+        # NONE disables the CBO reorder only.
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    else:
+        raise ValueError(f"join_reordering_strategy: unknown value {value!r}")
+
+
+def _noop(_spark: SparkSession, _value: str) -> None:
+    return None
+
+
+# property name (SystemSessionProperties.java) → applier
+PROPERTIES: dict[str, Callable[[SparkSession, str], None]] = {
+    # distribution / parallelism
+    "hash_partition_count": _set_conf("spark.sql.shuffle.partitions"),
+    "join_distribution_type": _join_distribution,
+    "distributed_join": lambda s, v: _join_distribution(
+        s, "PARTITIONED" if v.strip().lower() in ("true", "1") else "AUTOMATIC"
+    ),
+    "join_reordering_strategy": _join_reordering,
+    "reorder_joins": lambda s, v: _join_reordering(
+        s, "AUTOMATIC" if v.strip().lower() in ("true", "1") else "NONE"
+    ),
+    # limits Spark enforces through its own memory manager — accepted, no-op
+    "query_max_memory": _noop,
+    "query_max_total_memory": _noop,
+    "query_max_run_time": _noop,
+    "query_max_execution_time": _noop,
+    # features Spark always provides (spiller/, MemoryRevokingScheduler …)
+    "spill_enabled": _noop,
+    "optimize_hash_generation": _noop,
+    "push_aggregation_through_join": _noop,
+    "push_partial_aggregation_through_join": _noop,
+    "dictionary_aggregation": _noop,
+    "fast_inequality_joins": _noop,
+    "colocated_join": _noop,
+    "redistribute_writes": _noop,
+    "scale_writers": _noop,
+    # execution knobs with direct Spark twins
+    "task_concurrency": _set_conf("spark.sql.shuffle.partitions"),
+    "execution_policy": _noop,
+}
+
+
+def set_session_property(spark: SparkSession, name: str, value: str) -> None:
+    key = name.strip().lower()
+    if key not in PROPERTIES:
+        raise ValueError(f"unknown session property: {name}")
+    PROPERTIES[key](spark, value)
+
+
+def parse_set_session(sql: str) -> tuple[str, str] | None:
+    """Return (name, value) if ``sql`` is a SET SESSION statement."""
+    import re
+
+    m = re.match(
+        r"\s*SET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*=\s*(.+?)\s*;?\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return None
+    return m.group(1), m.group(2)
