@@ -67,6 +67,21 @@ def test_ann_recall_against_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall {recall} below floor"
 
 
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r.q_id, r.c_id) for r in similarity.cosine_topk(spark, sf).collect()
+    }
+    ivf = {(r.q_id, r.c_id) for r in similarity.ann_ivf_topk(spark, sf).collect()}
+    recall = len(brute & ivf) / len(brute)
+    # nprobe=4 of 16 lists searches ~25% of the corpus; near neighbors
+    # cluster into the same coarse lists, so recall must beat that floor
+    assert recall >= 0.5, f"IVF recall {recall} below floor"
+    # every IVF result is a real vector pair with a valid cosine
+    rows = similarity.ann_ivf_topk(spark, sf).collect()
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
+
+
 def test_exact_dedup_collapses_duplicates(spark, tmp_path):
     df = spark.createDataFrame(
         [(0, "Same Text", "en", "s", 9), (1, "same text", "en", "s", 9),
