@@ -31,13 +31,13 @@ def _modules():
         relational,
         tpch,
     )
-    from facebook_presto_spark import ddl
+    from facebook_presto_spark import ddl, sources
     from facebook_presto_spark.pipeline import dedup, multimodal, similarity, text
     from facebook_presto_spark.streaming import windows as stream_windows
 
     return (
         tpch, presto_sql, relational, aggregates, functions_showcase, ddl,
-        dedup, similarity, text, multimodal, stream_windows,
+        sources, dedup, similarity, text, multimodal, stream_windows,
     )
 
 
