@@ -23,9 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [f"tpch_q{i:02d}" for i in range(1, 23)] + [
+    # scale-path pipeline operators
     "dedup_minhash_lsh",
+    "dedup_exact",
     "similarity_cosine_topk",
+    "similarity_ann_ivf",
     "stream_session_1h",
+    "text_quality_score",
+    "multimodal_decode_features",
+    "agg_hll_sketch",
+    # the SQL front-end path (translation overhead must stay negligible)
+    "prestosql_q06",
 ]
 
 

@@ -128,14 +128,13 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    min_cost = joined.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    # "rows at the per-part minimum cost" via a window min — one pass over
+    # `joined`, where the correlated-subquery form would compute the join
+    # tree twice (build the aggregate, then re-join against it).
+    w = W.partitionBy("p_partkey")
     return (
-        joined.join(
-            min_cost,
-            (F.col("p_partkey") == F.col("mc_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        joined.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
