@@ -16,6 +16,7 @@ def test_oracle_keys_subset_of_queries():
         "agg_checksum",
         "dedup_simhash",
         "similarity_ann_lsh",
+        "similarity_ann_ivf",
     }, rows_only
 
 
