@@ -13,10 +13,15 @@ this package provides is the *semantic layer*:
 - ``functions`` — the reference's ~400-function library (FunctionRegistry.java:418-665)
                   re-expressed as Spark Column builders: built-ins first,
                   composed expressions second, Arrow-vectorized pandas UDFs last.
-- ``operators`` — relational operator helpers where Spark's surface differs
-                  (top-n per group, grouping sets, quantified comparisons,
-                  deterministic sampling, unnest-with-ordinality).
-- ``plans``     — full queries (TPC-H adapted to the driver's star schema).
+- ``engine``    — ``PrestoSparkEngine.sql()``: Presto-dialect SQL in,
+                  DataFrame out (the reference's statement lifecycle).
+- ``sqlfront``  — the dialect translator behind it.
+- ``ddl``       — CTAS / INSERT / DELETE / SHOW / DESCRIBE / EXPLAIN ANALYZE.
+- ``sources``   — ORC/JSON/CSV source-sink round-trips (connector surface).
+- ``properties``— SET SESSION property surface → Spark conf.
+- ``plans``     — full queries (TPC-H adapted to the driver's star schema,
+                  plus the same 22 as raw Presto-dialect SQL text, operator
+                  coverage, and the aggregate long-tail).
 - ``pipeline``  — large-scale training-data ops: dedup (exact / minhash-LSH /
                   simhash / n-gram jaccard / embedding cosine), similarity
                   search, text analysis, multimodal column plumbing.

@@ -250,6 +250,16 @@ def test_e2e_aggregates(engine, duck):
     )
 
 
+def test_e2e_show_describe_passthrough(engine):
+    # Presto metadata statements (ShowTablesTask etc.) share Spark's syntax
+    tables = {r[1] for r in engine.sql("SHOW TABLES").collect()}
+    assert "nation" in tables and "orders" in tables
+    cols = {r[0] for r in engine.sql("SHOW COLUMNS FROM nation").collect()}
+    assert "n_nationkey" in cols
+    desc = {r[0]: r[1] for r in engine.sql("DESCRIBE nation").collect()}
+    assert "n_name" in desc
+
+
 def test_e2e_order_by_null_placement(engine, spark):
     spark.sql(
         "SELECT * FROM VALUES (1), (NULL), (2) AS t(v)"
