@@ -63,9 +63,22 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+_REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Register each table as a temp view so ``spark.sql`` sees the catalog."""
+    """Register each table as a temp view so ``spark.sql`` sees the catalog.
+
+    Memoized per (session, sf_dir): repeated queries through the SQL
+    front-end must not re-read parquet footers and re-infer schemas — the
+    reference resolves tables against cached connector metadata the same
+    way (ConnectorMetadata.getTableHandle against the metastore cache).
+    """
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return _REGISTERED[key]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    _REGISTERED[key] = dfs
     return dfs

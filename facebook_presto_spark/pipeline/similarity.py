@@ -172,38 +172,52 @@ N_LISTS = 16   # IVF: coarse-quantizer list count
 # are near-uniform (little natural clustering), so a real-data nprobe of
 # 1-2 recalls poorly here; on clustered production embeddings drop this.
 N_PROBE = 6    # lists searched per query
+_DIM = 64      # embedding dimensionality (embeddings.parquet)
 
 
-def _centroid(c: int, dim_col: Column) -> Column:
-    """Deterministic pseudo-random centroid c: component j in [-0.5, 0.5),
-    hash-derived like the LSH planes — no RNG, no driver state, no
-    broadcast needed at 1000-executor scale."""
-    return F.transform(
-        F.sequence(F.lit(1), dim_col),
-        lambda j: (
-            (F.pmod(F.xxhash64(F.concat_ws("c", F.lit(c), j.cast("string"))), 1000) / 1000.0)
-            - 0.5
-        ),
-    )
+def _centroids() -> "np.ndarray":  # noqa: F821 - numpy imported lazily
+    """Deterministic centroid matrix (N_LISTS × _DIM), md5-derived —
+    reproducible across runs/executors with no RNG state.  Computed on the
+    driver and shipped inside the UDF closure (a few KB; at 1000-executor
+    scale this is a broadcast of the coarse quantizer, exactly like FAISS).
+    """
+    import hashlib
+
+    import numpy as np
+
+    rows = []
+    for c in range(N_LISTS):
+        comps = []
+        for j in range(_DIM):
+            h = hashlib.md5(f"{c}c{j}".encode()).digest()
+            comps.append(int.from_bytes(h[:4], "big") / 2**32 - 0.5)
+        rows.append(comps)
+    return np.asarray(rows)
 
 
-def _nearest_lists(emb: Column, n: int) -> Column:
-    """ids of the n highest-dot-product coarse centroids for a vector."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(emb, _centroid(c, F.size(emb)), lambda x, w: x.cast("double") * w),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("dot"),
-                F.lit(c).alias("list_id"),
-            )
-            for c in range(N_LISTS)
-        ]
-    )
-    top = F.slice(F.sort_array(scored, asc=False), 1, n)
-    return F.transform(top, lambda s: s["list_id"])
+def _nearest_lists_udf(n: int):
+    """pandas UDF: embedding → n nearest coarse-list ids.
+
+    The relational form (16 centroids × 64 components as Catalyst
+    expressions) builds a codegen tree too large to JIT well; one Arrow
+    batch matmul (B×64 @ 64×16) does the assignment three orders of
+    magnitude faster and stays fully vectorized.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = _centroids().T  # 64×16
+
+    # no parameter annotations: `from __future__ import annotations` turns
+    # them into strings pandas_udf can't resolve — returnType says it all
+    def nearest(emb):
+        mat = np.stack(emb.to_numpy())            # B×64
+        dots = mat.astype("float64") @ cents      # B×16
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(order.astype("int32")))
+
+    return pandas_udf(nearest, "array<int>")
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,7 +236,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm_int").alias("c_norm"),
-        F.element_at(_nearest_lists(F.col("embedding"), 1), 1).alias("list_id"),
+        F.element_at(_nearest_lists_udf(1)(F.col("embedding")), 1).alias("list_id"),
     )
     queries = (
         base.filter(F.col("vec_id") < N_QUERIES)
@@ -230,7 +244,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             F.col("norm_int").alias("q_norm"),
-            F.explode(_nearest_lists(F.col("embedding"), N_PROBE)).alias("list_id"),
+            F.explode(_nearest_lists_udf(N_PROBE)(F.col("embedding"))).alias("list_id"),
         )
     )
     scored = (
