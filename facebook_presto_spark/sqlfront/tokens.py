@@ -80,7 +80,12 @@ def render(tokens: list[Tok]) -> str:
             or (t.text == "(" and prev is not None and prev.kind in ("ident", "qident"))
         ):
             parts.append(" ")
-        parts.append(t.text)
+        if t.kind == "qident":
+            # ANSI/Presto "quoted identifier" → Spark backtick identifier
+            name = t.text[1:-1].replace('""', '"')
+            parts.append("`" + name.replace("`", "``") + "`")
+        else:
+            parts.append(t.text)
         prev = t
     return "".join(parts)
 

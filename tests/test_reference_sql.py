@@ -1,0 +1,77 @@
+"""The reference's literal benchmark SQL analyzes end-to-end.
+
+Reads the actual 22 query files the reference benchmarks with
+(presto-benchto-benchmarks/src/main/resources/sql/presto/tpch/q*.sql),
+substitutes the benchto catalog placeholders, translates the Presto
+dialect, and fully analyzes each against the standard TPC-H schema
+(empty views — resolution and type-checking without execution).  This is
+the drop-in proof at the SQL-text level: a reference user's exact query
+corpus plans on this engine unchanged.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from facebook_presto_spark.sqlfront import translate
+
+REF_DIR = "/root/reference/presto-benchto-benchmarks/src/main/resources/sql/presto/tpch"
+CASES = sorted(glob.glob(f"{REF_DIR}/q*.sql"))
+
+# benchto TPC-H schema: unprefixed column names
+TPCH_SCHEMAS = {
+    "region": "regionkey bigint, name string, comment string",
+    "nation": "nationkey bigint, name string, regionkey bigint, comment string",
+    "supplier": (
+        "suppkey bigint, name string, address string, nationkey bigint, "
+        "phone string, acctbal double, comment string"
+    ),
+    "customer": (
+        "custkey bigint, name string, address string, nationkey bigint, "
+        "phone string, acctbal double, mktsegment string, comment string"
+    ),
+    "part": (
+        "partkey bigint, name string, mfgr string, brand string, type string, "
+        "size int, container string, retailprice double, comment string"
+    ),
+    "partsupp": (
+        "partkey bigint, suppkey bigint, availqty int, supplycost double, "
+        "comment string"
+    ),
+    "orders": (
+        "orderkey bigint, custkey bigint, orderstatus string, totalprice double, "
+        "orderdate date, orderpriority string, clerk string, shippriority int, "
+        "comment string"
+    ),
+    "lineitem": (
+        "orderkey bigint, partkey bigint, suppkey bigint, linenumber int, "
+        "quantity double, extendedprice double, discount double, tax double, "
+        "returnflag string, linestatus string, shipdate date, commitdate date, "
+        "receiptdate date, shipinstruct string, shipmode string, comment string"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def tpch_views(spark):
+    for name, schema in TPCH_SCHEMAS.items():
+        spark.createDataFrame([], schema).createOrReplaceTempView(name)
+    yield
+    for name in TPCH_SCHEMAS:
+        spark.catalog.dropTempView(name)
+
+
+def _load(path: str) -> str:
+    sql = open(path).read()
+    # benchto placeholders: "${database}"."${schema}"."${prefix}tbl" → "tbl"
+    sql = sql.replace('"${database}"."${schema}"."${prefix}', '"')
+    return sql.strip().rstrip(";")
+
+
+@pytest.mark.parametrize("path", CASES, ids=[p.rsplit("/", 1)[1][:-4] for p in CASES])
+def test_reference_query_analyzes(spark, tpch_views, path):
+    spark_sql = translate(_load(path))
+    df = spark.sql(spark_sql)
+    assert len(df.schema.fields) > 0  # full analysis (resolution + typing)
