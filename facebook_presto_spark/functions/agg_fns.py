@@ -54,6 +54,12 @@ register("approx_distinct")(lambda c, e=None: F.approx_count_distinct(_c(c), rsd
 register("approx_percentile")(
     lambda c, p, accuracy=10000: F.percentile_approx(_c(c), p, accuracy)
 )
+# weighted form approx_percentile(x, w, p) (ApproximateLongPercentile
+# WeightedAggregations): Spark's exact percentile takes a frequency column —
+# a strict-accuracy superset of the reference's qdigest-weighted estimate.
+register("approx_percentile_weighted")(
+    lambda c, w, p: F.percentile(_c(c), p, _c(w).cast("long"))
+)
 register("percentile")(lambda c, p: F.percentile(_c(c), p))
 # HLL sketch surface (HyperLogLogFunctions.java / ApproximateSetAggregation):
 register("approx_set")(lambda c: F.hll_sketch_agg(_c(c)))

@@ -253,7 +253,43 @@ ORDER BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# weighted approx_percentile (x, w, p) — Presto's qdigest-weighted estimate
+# (ApproximateLongPercentileWeightedAggregations); ours is Spark's exact
+# percentile-with-frequency, verified against DuckDB's quantile over
+# weight-expanded rows (identical linear interpolation).
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from facebook_presto_spark.functions import call
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    w = F.col("l_quantity").cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(call("approx_percentile_weighted", cents, w, 0.5), 4).alias("wp50"),
+            F.round(call("approx_percentile_weighted", cents, w, 0.9), 4).alias("wp90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_WEIGHTED_PERCENTILE = """
+WITH expanded AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+  FROM lineitem, LATERAL (SELECT unnest(range(CAST(l_quantity AS BIGINT)))) t
+)
+SELECT l_returnflag,
+       round(quantile_cont(cents, 0.5), 4) AS wp50,
+       round(quantile_cont(cents, 0.9), 4) AS wp90
+FROM expanded
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "agg_weighted_percentile": agg_weighted_percentile,
     "agg_map_agg": agg_map_agg,
     "agg_multimap_union": agg_multimap_union,
     "agg_minmax_n": agg_minmax_n,
@@ -263,6 +299,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_weighted_percentile": ORACLE_WEIGHTED_PERCENTILE,
     "agg_map_agg": ORACLE_MAP_AGG,
     "agg_multimap_union": ORACLE_MULTIMAP,
     "agg_minmax_n": ORACLE_MINMAX_N,
