@@ -16,8 +16,8 @@ names the reference behavior it matches:
 6. TABLESAMPLE BERNOULLI(p) → TABLESAMPLE (p PERCENT); FETCH FIRST → LIMIT
 
 Known gaps (raise or pass through): multi-array UNNEST(a, b), generic
-``try()`` beyond division/CAST, ``AT TIME ZONE``, integer-division `/`
-retyping (Presto int/int truncates; write ``div`` explicitly).
+``try()`` beyond division/CAST, integer-division `/` retyping (Presto
+int/int truncates; write ``div`` explicitly).
 """
 
 from __future__ import annotations
@@ -298,6 +298,59 @@ def _pass_order_by_nulls(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_at_time_zone(tokens: list[Tok]) -> list[Tok]:
+    """``x AT TIME ZONE 'z'`` → ``from_utc_timestamp(x, 'z')``.
+
+    The session runs UTC (session.py), so a zone-less timestamp IS the
+    UTC instant; from_utc_timestamp yields the wall-clock a user in ``z``
+    observes — the rendering semantics of the reference's
+    timestamp-with-time-zone (spi/type/DateTimeEncoding.java packing).
+    The operand is the single preceding token or parenthesized group.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.is_kw("AT") and i + 3 < n and tokens[i + 1].is_kw("TIME")
+            and tokens[i + 2].is_kw("ZONE") and out
+        ):
+            zone = tokens[i + 3]
+            # pop the operand: a ')'-terminated group or one value token
+            if out[-1].text == ")":
+                depth = 0
+                j = len(out) - 1
+                while j >= 0:
+                    if out[j].text == ")":
+                        depth += 1
+                    elif out[j].text == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                # include a function name directly before the '('
+                if j > 0 and out[j - 1].kind in ("ident", "qident"):
+                    j -= 1
+                operand = out[j:]
+                del out[j:]
+            else:
+                operand = [out.pop()]
+                # typed literal: TIMESTAMP '...' / DATE '...'
+                if operand[0].kind == "string" and out and out[-1].is_kw("TIMESTAMP", "DATE"):
+                    operand.insert(0, out.pop())
+                # qualified name: a.b.c
+                while len(out) >= 2 and out[-1].text == "." and out[-2].kind in ("ident", "qident"):
+                    operand.insert(0, out.pop())
+                    operand.insert(0, out.pop())
+            out.extend(_call("from_utc_timestamp", operand, [zone]))
+            i += 4
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_misc(tokens: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -337,6 +390,7 @@ def translate(sql: str) -> str:
     toks = _pass_unnest(toks)
     toks = _pass_quantified(toks)
     toks = _pass_functions(toks)
+    toks = _pass_at_time_zone(toks)
     toks = _pass_misc(toks)
     toks = _pass_order_by_nulls(toks)
     return render(toks)

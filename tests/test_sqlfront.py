@@ -121,6 +121,17 @@ def test_nested_calls_translate_inside_out():
     assert "instr(hex(b), ascii(c))" in out
 
 
+def test_at_time_zone():
+    out = translate("SELECT ts AT TIME ZONE 'America/New_York' FROM t")
+    assert "from_utc_timestamp(ts, 'America/New_York')" in out
+    out = translate("SELECT o.ts AT TIME ZONE 'UTC' FROM t o")
+    assert "from_utc_timestamp(o.ts, 'UTC')" in out
+    out = translate("SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'Asia/Tokyo'")
+    assert "from_utc_timestamp(TIMESTAMP '2020-01-01 00:00:00', 'Asia/Tokyo')" in out
+    out = translate("SELECT from_unixtime(0) AT TIME ZONE 'UTC'")
+    assert "from_utc_timestamp(timestamp_seconds(0), 'UTC')" in out
+
+
 def test_bitwise_functions():
     out = translate("SELECT bitwise_and(a, b), bitwise_not(c) FROM t")
     assert "(a & b)" in out
