@@ -271,6 +271,17 @@ def test_e2e_show_describe_passthrough(engine):
     assert "n_name" in desc
 
 
+def test_e2e_ddl_statements_through_engine(engine, spark):
+    # CTAS / INSERT / DROP pass through to Spark's catalog (the reference
+    # short-circuits DDL to execution/*Task.java — same division of labor)
+    engine.sql("DROP TABLE IF EXISTS __eng_ddl")
+    engine.sql("CREATE TABLE __eng_ddl AS SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 5")
+    engine.sql("INSERT INTO __eng_ddl SELECT n_nationkey, n_name FROM nation WHERE n_nationkey >= 20")
+    got = engine.sql("SELECT count(*) AS c FROM __eng_ddl").collect()[0][0]
+    assert got == 10
+    engine.sql("DROP TABLE __eng_ddl")
+
+
 def test_e2e_order_by_null_placement(engine, spark):
     spark.sql(
         "SELECT * FROM VALUES (1), (NULL), (2) AS t(v)"
