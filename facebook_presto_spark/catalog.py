@@ -76,7 +76,13 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     """
     key = (id(spark), sf_dir)
     if key in _REGISTERED:
-        return _REGISTERED[key]
+        cached = _REGISTERED[key]
+        # trust the memo only while the views still exist — callers (and
+        # tests) may drop or shadow temp views; catalog lookups are cheap,
+        # re-reading parquet footers is not.
+        if all(spark.catalog.tableExists(name) for name in cached):
+            return cached
+        del _REGISTERED[key]
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
