@@ -19,6 +19,7 @@ from facebook_presto_spark.functions import (  # noqa: F401  (registration side 
     json_fns,
     map_fns,
     math_fns,
+    sketch_fns,
     string_fns,
 )
 from facebook_presto_spark.functions.registry import REGISTRY, SLOW_PATH, call, names

@@ -171,3 +171,26 @@ def reduce_agg(c, initial, merge_two) -> Column:
     collect_list + aggregate (the reference evaluates the lambda per row;
     for unbounded groups prefer a dedicated built-in aggregate)."""
     return F.aggregate(F.collect_list(_c(c)), F.lit(initial), merge_two)
+
+
+# merge(HyperLogLog) aggregate (MergeHyperLogLogAggregation.java) — the
+# polymorphic reference name; HLL is by far the common operand.
+register("merge")(lambda c: F.hll_union_agg(_c(c)))
+
+
+@register("empty_approx_set")
+def empty_approx_set() -> Column:
+    """empty_approx_set() (HyperLogLogFunctions.java) — literal empty sketch.
+
+    Computed once per session from an empty aggregation; cached bytes become
+    a Column literal so repeated calls cost nothing.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    key = "_presto_spark_empty_hll"
+    cached = getattr(spark, key, None)
+    if cached is None:
+        cached = spark.range(0).agg(F.hll_sketch_agg("id").alias("s")).collect()[0]["s"]
+        setattr(spark, key, cached)
+    return F.lit(bytearray(cached))

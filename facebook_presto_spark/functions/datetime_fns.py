@@ -162,3 +162,37 @@ def date_parse(s, fmt: str) -> Column:
 # common subset; passed through.
 register("format_datetime")(lambda ts, fmt: F.date_format(_c(ts), fmt))
 register("parse_datetime")(lambda s, fmt: F.to_timestamp(_c(s), fmt))
+
+
+# --------------------------------------------------------------------------
+# Time-zone surface (DateTimeFunctions.java:269-296, 1157-1172).  Our model
+# (SURVEY §1.2): timestamps are zone-less; the instant is interpreted in the
+# engine session zone (UTC).  at_timezone re-renders the instant in another
+# zone — same translation the sqlfront emits for AT TIME ZONE.
+@register("at_timezone")
+def at_timezone(ts, zone) -> Column:
+    """at_timezone(timestamp, zone) — DateTimeFunctions.java:269."""
+    return F.from_utc_timestamp(_c(ts), zone if isinstance(zone, str) else _c(zone))
+
+
+def _zone_offset_seconds(ts, zone) -> Column:
+    # to_utc_timestamp(ts, zone) = ts - offset(zone @ ts)  ⇒
+    # offset = ts - to_utc_timestamp(ts, zone), in seconds.
+    z = zone if isinstance(zone, str) else _c(zone)
+    return F.unix_timestamp(_c(ts)) - F.unix_timestamp(F.to_utc_timestamp(_c(ts), z))
+
+
+@register("timezone_hour")
+def timezone_hour(ts, zone: str = "UTC") -> Column:
+    """timezone_hour(ts[, zone]) — DateTimeFunctions.java:1165; the reference
+    reads the offset packed into timestamp-with-tz (DateTimeEncoding.java),
+    ours derives it from the rendering zone (session UTC default → 0)."""
+    off = _zone_offset_seconds(ts, zone)
+    return (off / 3600).cast("bigint")
+
+
+@register("timezone_minute")
+def timezone_minute(ts, zone: str = "UTC") -> Column:
+    """timezone_minute(ts[, zone]) — DateTimeFunctions.java:1157."""
+    off = _zone_offset_seconds(ts, zone)
+    return ((off % 3600) / 60).cast("bigint")

@@ -119,3 +119,11 @@ register("regexp_extract_all")(
 register("regexp_replace")(lambda s, p, repl="": F.regexp_replace(_c(s), p, repl))
 register("regexp_split")(lambda s, p: F.split(_c(s), p))
 register("regexp_count")(lambda s, p: F.regexp_count(_c(s), F.lit(p)))
+
+
+# ANSI alias of substr (grammar SqlBase.g4 primaryExpression SUBSTRING(x FROM s FOR n)).
+register("substring")(
+    lambda s, start, length=None: F.substring(_c(s), start, length)
+    if length is not None
+    else _c(s).substr(F.lit(start), F.length(_c(s)))
+)

@@ -288,7 +288,83 @@ ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# SetDigest (MinHash) lifecycle: make_set_digest per group → pairwise
+# jaccard_index / intersection_cardinality / cardinality
+# (type/setdigest/SetDigestFunctions.java:45-84).  Bottom-k digests are
+# exact while per-group distinct custkeys (~1.4k at sf0.01) stay below
+# k=8192, so the oracle is exact set arithmetic; at 100 TB the same plan
+# degrades gracefully to the bottom-k estimators.
+def agg_set_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from facebook_presto_spark.functions import call
+
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy("o_orderpriority").agg(
+        call("make_set_digest", "o_custkey").alias("dg")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.o_orderpriority") < F.col("b.o_orderpriority"))
+    return pairs.select(
+        F.col("a.o_orderpriority").alias("p1"),
+        F.col("b.o_orderpriority").alias("p2"),
+        F.round(call("jaccard_index", F.col("a.dg"), F.col("b.dg")), 4).alias("jaccard"),
+        call("intersection_cardinality", F.col("a.dg"), F.col("b.dg")).alias("icard"),
+        call("cardinality_setdigest", F.col("a.dg")).alias("card1"),
+    ).orderBy("p1", "p2")
+
+
+ORACLE_SET_DIGEST = """
+WITH s AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+cnt AS (SELECT p, count(*) AS n FROM s GROUP BY p),
+inter AS (
+  SELECT s1.p AS p1, s2.p AS p2, count(*) AS i
+  FROM s s1 JOIN s s2 ON s1.c = s2.c AND s1.p < s2.p
+  GROUP BY s1.p, s2.p
+)
+SELECT i.p1, i.p2,
+       round(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) AS jaccard,
+       CAST(i.i AS BIGINT) AS icard,
+       CAST(ca.n AS BIGINT) AS card1
+FROM inter i
+JOIN cnt ca ON ca.p = i.p1
+JOIN cnt cb ON cb.p = i.p2
+ORDER BY p1, p2
+"""
+
+
+# --------------------------------------------------------------------------
+# Quantile-digest lifecycle: qdigest_agg → value_at_quantile /
+# values_at_quantiles (QuantileDigestFunctions.java:41-91).  The grid is
+# exact percentiles, so DuckDB quantile_cont is an exact oracle.
+def agg_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from facebook_presto_spark.functions import call
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qd = li.groupBy("l_returnflag").agg(call("qdigest_agg", cents).alias("qd"))
+    pair = call("values_at_quantiles", F.col("qd"), [0.25, 0.75])
+    return qd.select(
+        "l_returnflag",
+        (call("value_at_quantile", F.col("qd"), 0.5) / 100.0).alias("p50"),
+        (call("value_at_quantile", F.col("qd"), 0.9) / 100.0).alias("p90"),
+        (F.element_at(pair, 1) / 100.0).alias("p25"),
+        (F.element_at(pair, 2) / 100.0).alias("p75"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_QDIGEST = """
+SELECT l_returnflag,
+       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5)/100.0 AS p50,
+       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9)/100.0 AS p90,
+       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.25)/100.0 AS p25,
+       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.75)/100.0 AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
+    "agg_set_digest": agg_set_digest,
+    "agg_qdigest": agg_qdigest,
     "agg_weighted_percentile": agg_weighted_percentile,
     "agg_map_agg": agg_map_agg,
     "agg_multimap_union": agg_multimap_union,
@@ -299,6 +375,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_set_digest": ORACLE_SET_DIGEST,
+    "agg_qdigest": ORACLE_QDIGEST,
     "agg_weighted_percentile": ORACLE_WEIGHTED_PERCENTILE,
     "agg_map_agg": ORACLE_MAP_AGG,
     "agg_multimap_union": ORACLE_MULTIMAP,

@@ -214,3 +214,84 @@ def test_unknown_function_raises():
         raise AssertionError("should have raised")
     except KeyError as e:
         assert "not registered" in str(e)
+
+
+# --------------------------------------------------------------------------
+# Sketch family (type/setdigest/SetDigestFunctions.java,
+# operator/scalar/QuantileDigestFunctions.java)
+
+
+def test_set_digest_exact_path(spark):
+    # Two overlapping sets, both below k → every function is exact.
+    df = spark.createDataFrame(
+        [(g, v) for g, vals in [("a", range(100)), ("b", range(50, 150))] for v in vals],
+        "g string, v long",
+    )
+    d = df.groupBy("g").agg(call("make_set_digest", "v").alias("dg"))
+    a, b = d.alias("a"), d.alias("b")
+    row = (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .select(
+            call("jaccard_index", F.col("a.dg"), F.col("b.dg")).alias("j"),
+            call("intersection_cardinality", F.col("a.dg"), F.col("b.dg")).alias("i"),
+            call("cardinality_setdigest", F.col("a.dg")).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert row["i"] == 50 and row["c"] == 100
+    assert abs(row["j"] - 50 / 150) < 1e-12
+
+
+def test_set_digest_estimator_path(spark):
+    # 50k distinct values with k=1024 → bottom-k estimator, expect ±10%.
+    df = spark.range(50000).select(F.col("id").alias("v"))
+    est = (
+        df.agg(call("make_set_digest", "v", 1024).alias("dg"))
+        .select(call("cardinality_setdigest", "dg", 1024).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert 45000 < est < 55000
+
+
+def test_set_digest_merge_and_hash_counts(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "g string, v long")
+    merged = (
+        df.groupBy("g")
+        .agg(call("make_set_digest", "v").alias("dg"))
+        .agg(call("merge_set_digest", "dg").alias("m"))
+        .select(
+            call("cardinality_setdigest", "m").alias("c"),
+            F.map_values(call("hash_counts", "m")).alias("hc"),
+        )
+        .collect()[0]
+    )
+    assert merged["c"] == 2 and merged["hc"] == [1, 1]
+
+
+def test_qdigest_value_at_quantile(spark):
+    df = spark.range(1, 101).select(F.col("id").cast("long").alias("v"))
+    row = (
+        df.agg(call("qdigest_agg", "v").alias("qd"))
+        .select(
+            call("value_at_quantile", F.col("qd"), 0.5).alias("p50"),
+            call("values_at_quantiles", F.col("qd"), [0.0, 1.0]).alias("ends"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["p50"] - 50.5) < 1e-9  # linear interpolation, exact grid
+    assert row["ends"] == [1.0, 100.0]
+
+
+def test_timezone_functions(spark):
+    ts = F.lit(datetime.datetime(2021, 7, 1, 12, 0, 0))
+    assert one(spark, call("timezone_hour", ts)) == 0  # session UTC
+    assert one(spark, call("timezone_hour", ts, "America/Los_Angeles")) == -7
+    assert one(spark, call("timezone_minute", ts, "Asia/Kathmandu")) == 45
+    tok = one(spark, call("at_timezone", ts, "Asia/Tokyo"))
+    assert tok.hour == 21
+
+
+def test_substring_alias_and_empty_approx_set(spark):
+    assert one(spark, call("substring", F.lit("hello"), 2, 3)) == "ell"
+    est = one(spark, F.hll_sketch_estimate(call("empty_approx_set")))
+    assert est == 0
