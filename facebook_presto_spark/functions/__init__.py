@@ -21,6 +21,7 @@ from facebook_presto_spark.functions import (  # noqa: F401  (registration side 
     math_fns,
     sketch_fns,
     string_fns,
+    window_fns,
 )
 from facebook_presto_spark.functions.registry import REGISTRY, SLOW_PATH, call, names
 

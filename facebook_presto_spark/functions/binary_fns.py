@@ -156,3 +156,55 @@ def parse_presto_data_size(s) -> Column:
         .when(unit == "PB", 1024.0 ** 5)
     )
     return (num * mult).cast("decimal(38,0)")
+
+
+# 32-bit big-endian + IEEE754 encode/decode (VarbinaryFunctions.java).
+register("to_big_endian_32")(
+    lambda x: F.unhex(
+        F.lpad(F.hex(_c(x).cast("int").cast("bigint").bitwiseAND(F.lit(0xFFFFFFFF))), 8, "0")
+    )
+)
+register("from_big_endian_32")(
+    # reinterpret the 4 bytes as signed int32
+    lambda b: ((F.conv(F.hex(_c(b)), 16, 10).cast("bigint") + F.lit(2**31)) % F.lit(2**32) - F.lit(2**31)).cast("int")
+)
+
+
+def _ieee754_udf(fmt: str, decode: bool, out_type):
+    import struct
+
+    from pyspark.sql.types import BinaryType, DoubleType, FloatType
+
+    if decode:
+        @F.pandas_udf(out_type)
+        def _fn(s: pd.Series) -> pd.Series:
+            return s.map(lambda b: None if b is None else struct.unpack(fmt, bytes(b))[0])
+    else:
+        @F.pandas_udf(BinaryType())
+        def _fn(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None else bytearray(struct.pack(fmt, v)))
+    return _fn
+
+
+@register("to_ieee754_64", slow_path=True)
+def to_ieee754_64(x) -> Column:
+    from pyspark.sql.types import DoubleType
+    return _ieee754_udf(">d", False, DoubleType())(_c(x).cast("double"))
+
+
+@register("from_ieee754_64", slow_path=True)
+def from_ieee754_64(b) -> Column:
+    from pyspark.sql.types import DoubleType
+    return _ieee754_udf(">d", True, DoubleType())(_c(b))
+
+
+@register("to_ieee754_32", slow_path=True)
+def to_ieee754_32(x) -> Column:
+    from pyspark.sql.types import FloatType
+    return _ieee754_udf(">f", False, FloatType())(_c(x).cast("float"))
+
+
+@register("from_ieee754_32", slow_path=True)
+def from_ieee754_32(b) -> Column:
+    from pyspark.sql.types import FloatType
+    return _ieee754_udf(">f", True, FloatType())(_c(b))

@@ -196,3 +196,43 @@ def timezone_minute(ts, zone: str = "UTC") -> Column:
     """timezone_minute(ts[, zone]) — DateTimeFunctions.java:1157."""
     off = _zone_offset_seconds(ts, zone)
     return ((off % 3600) / 60).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Remaining DateTimeFunctions.java surface: current_time/localtime (reference
+# TIME type — modeled as HH:mm:ss.SSS strings per SURVEY §1.2 low-priority
+# TIME mapping), current_timezone, date(), to_milliseconds, parse_duration.
+register("current_time")(lambda: F.date_format(F.now(), "HH:mm:ss.SSS"))
+register("localtime")(lambda: F.date_format(F.localtimestamp(), "HH:mm:ss.SSS"))
+register("current_timezone")(lambda: F.current_timezone())
+register("date")(lambda x: _c(x).cast("date"))
+
+_EPOCH = "CAST('1970-01-01 00:00:00' AS TIMESTAMP)"
+
+
+@register("to_milliseconds")
+def to_milliseconds(i) -> Column:
+    """to_milliseconds(interval day to second) — DateTimeFunctions.java.
+
+    Micros-exact via epoch shift (CAST(interval AS BIGINT) truncates to
+    whole seconds, so it is not used)."""
+    return (F.unix_micros(F.expr(_EPOCH) + _c(i)) / 1000).cast("bigint")
+
+
+_DURATION_MS = {
+    "ns": 1e-6, "us": 1e-3, "ms": 1.0, "s": 1000.0,
+    "m": 60_000.0, "h": 3_600_000.0, "d": 86_400_000.0,
+}
+
+
+@register("parse_duration")
+def parse_duration(s) -> Column:
+    """parse_duration('5.4ms') → interval day to second — io.airlift.Duration
+    grammar (value + unit, optional whitespace)."""
+    v = F.regexp_extract(_c(s), r"^\s*([0-9]*\.?[0-9]+)\s*([a-z]+)\s*$", 1).cast("double")
+    unit = F.regexp_extract(_c(s), r"^\s*([0-9]*\.?[0-9]+)\s*([a-z]+)\s*$", 2)
+    ms = None
+    for u, mult in _DURATION_MS.items():
+        clause = v * F.lit(mult)
+        ms = F.when(unit == u, clause) if ms is None else ms.when(unit == u, clause)
+    return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), ms / 1000.0)

@@ -171,3 +171,98 @@ register("bit_count")(lambda x, bits=64: F.bit_count(_c(x)))
 register("bitwise_left_shift")(lambda x, n: F.shiftleft(_c(x), n))
 register("bitwise_right_shift")(lambda x, n: F.shiftright(_c(x), n))
 register("bitwise_logical_shift_right")(lambda x, n, bits=64: F.shiftrightunsigned(_c(x), n))
+
+
+# --------------------------------------------------------------------------
+# Wilson score interval (MathFunctions.java wilson_interval_lower/upper) —
+# closed form, pure JVM expressions.
+def _wilson(successes, trials, z, sign: int) -> Column:
+    n = _c(trials).cast("double")
+    p = _c(successes).cast("double") / n
+    z = _c(z).cast("double") if not isinstance(z, (int, float)) else F.lit(float(z))
+    center = p + z * z / (2 * n)
+    spread = z * F.sqrt((p * (1 - p) + z * z / (4 * n)) / n)
+    return (center + sign * spread) / (1 + z * z / n)
+
+
+register("wilson_interval_lower")(lambda s, t, z: _wilson(s, t, z, -1))
+register("wilson_interval_upper")(lambda s, t, z: _wilson(s, t, z, +1))
+
+
+# beta_cdf / inverse_beta_cdf (MathFunctions.java) — regularized incomplete
+# beta via Lentz continued fraction (standard published algorithm), Arrow
+# pandas UDF like normal_cdf above.
+def _betainc(a: float, b: float, x: float) -> float:
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    lbeta = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+    front = math.exp(a * math.log(x) + b * math.log(1.0 - x) - lbeta)
+    # continued fraction converges fastest for x < (a+1)/(a+b+2)
+    if x > (a + 1.0) / (a + b + 2.0):
+        return 1.0 - _betainc(b, a, 1.0 - x)
+    tiny = 1e-300
+    c, d = 1.0, 1.0 - (a + b) * x / (a + 1.0)
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 200):
+        m2 = 2 * m
+        num = m * (b - m) * x / ((a + m2 - 1.0) * (a + m2))
+        d = 1.0 + num * d
+        c = 1.0 + num / c
+        d = 1.0 / (tiny if abs(d) < tiny else d)
+        c = tiny if abs(c) < tiny else c
+        h *= d * c
+        num = -(a + m) * (a + b + m) * x / ((a + m2) * (a + m2 + 1.0))
+        d = 1.0 + num * d
+        c = 1.0 + num / c
+        d = 1.0 / (tiny if abs(d) < tiny else d)
+        c = tiny if abs(c) < tiny else c
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-14:
+            break
+    return front * h / a
+
+
+@register("beta_cdf", slow_path=True)
+def beta_cdf(a, b, v) -> Column:
+    @F.pandas_udf(DoubleType())
+    def _cdf(aa: pd.Series, bb: pd.Series, xx: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if x is None else _betainc(float(ai), float(bi), float(x))
+             for ai, bi, x in zip(aa, bb, xx)],
+            dtype="float64",
+        )
+
+    return _cdf(_c(a).cast("double"), _c(b).cast("double"), _c(v).cast("double"))
+
+
+@register("inverse_beta_cdf", slow_path=True)
+def inverse_beta_cdf(a, b, p) -> Column:
+    @F.pandas_udf(DoubleType())
+    def _icdf(aa: pd.Series, bb: pd.Series, pp: pd.Series) -> pd.Series:
+        def inv(ai: float, bi: float, pi: float) -> float:
+            if pi <= 0.0:
+                return 0.0
+            if pi >= 1.0:
+                return 1.0
+            lo, hi = 0.0, 1.0
+            for _ in range(100):  # bisection: 2^-100, below double ulp
+                mid = (lo + hi) / 2.0
+                if _betainc(ai, bi, mid) < pi:
+                    lo = mid
+                else:
+                    hi = mid
+            return (lo + hi) / 2.0
+
+        return pd.Series(
+            [None if p_ is None else inv(float(ai), float(bi), float(p_))
+             for ai, bi, p_ in zip(aa, bb, pp)],
+            dtype="float64",
+        )
+
+    return _icdf(_c(a).cast("double"), _c(b).cast("double"), _c(p).cast("double"))

@@ -127,3 +127,23 @@ register("substring")(
     if length is not None
     else _c(s).substr(F.lit(start), F.length(_c(s)))
 )
+
+
+# split_to_multimap (StringFunctions.java splitToMultimap):
+# 'a=1,a=2,b=3' → {a: [1,2], b: [3]} — duplicate keys collect into arrays.
+@register("split_to_multimap")
+def split_to_multimap(s, entry_delim, kv_delim) -> Column:
+    entries = F.split(_c(s), entry_delim)
+    keys = F.array_distinct(
+        F.transform(entries, lambda e: F.split_part(e, F.lit(kv_delim), F.lit(1)))
+    )
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.transform(
+                F.filter(entries, lambda e: F.split_part(e, F.lit(kv_delim), F.lit(1)) == k),
+                lambda e: F.split_part(e, F.lit(kv_delim), F.lit(2)),
+            ),
+        ),
+    )
