@@ -27,6 +27,9 @@ Args = list[list[Tok]]
 # plain renames (same argument order/semantics)
 # ---------------------------------------------------------------------------
 RENAME: dict[str, str] = {
+    # ROW constructor (RowType.java) — the ROW *type* in CAST targets is
+    # already rewritten to STRUCT<> by translate._pass_cast_types
+    "row": "struct",
     # string (StringFunctions.java)
     "strpos": "instr",
     "codepoint": "ascii",

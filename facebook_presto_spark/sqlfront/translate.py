@@ -156,6 +156,96 @@ def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+_TYPE_RENAME = {"JSON": "STRING", "VARBINARY": "BINARY", "REAL": "FLOAT"}
+
+
+def _type_text(toks: list[Tok]) -> str:
+    """Presto type syntax → Spark type syntax (for CAST targets).
+
+    ROW(n T, ...) → STRUCT<n: T, ...>, ARRAY(T) → ARRAY<T>, MAP(K,V) →
+    MAP<K, V> (spi/type/TypeSignature.java parametric spellings); bare
+    VARCHAR/CHAR → STRING (Spark requires a length parameter, Presto's
+    default is unbounded); JSON → STRING; TIMESTAMP WITH TIME ZONE →
+    TIMESTAMP (session is UTC, see _pass_at_time_zone).
+    """
+    out: list[str] = []
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        nxt = toks[i + 1] if i + 1 < n else None
+        u = t.upper if t.kind == "ident" else ""
+        if u in ("VARCHAR", "CHAR") and not (nxt and nxt.text == "("):
+            out.append("STRING")
+            i += 1
+            continue
+        if u in _TYPE_RENAME:
+            out.append(_TYPE_RENAME[u])
+            i += 1
+            continue
+        if u in ("TIMESTAMP", "TIME") and i + 3 < n and toks[i + 1].is_kw("WITH") \
+                and toks[i + 2].is_kw("TIME") and toks[i + 3].is_kw("ZONE"):
+            out.append("TIMESTAMP")
+            i += 4
+            continue
+        if u in ("ARRAY", "MAP", "ROW") and nxt and nxt.text == "(":
+            close = find_matching_paren(toks, i + 1)
+            parts = split_top_level(toks[i + 2:close])
+            if u == "ARRAY":
+                out.append(f"ARRAY<{_type_text(parts[0])}>")
+            elif u == "MAP":
+                out.append(f"MAP<{_type_text(parts[0])}, {_type_text(parts[1])}>")
+            else:
+                fields = ", ".join(f"{p[0].text}: {_type_text(p[1:])}" for p in parts)
+                out.append(f"STRUCT<{fields}>")
+            i = close + 1
+            continue
+        out.append(t.text)
+        i += 1
+    return " ".join(out)
+
+
+def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
+    """Rewrite the type operand of CAST/TRY_CAST from Presto to Spark syntax.
+
+    Runs before _pass_functions so a ROW(...) *type* is never mistaken for
+    the ROW(...) *constructor* (which RENAMEs to struct there).
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.kind == "ident" and t.upper in ("CAST", "TRY_CAST")
+            and i + 1 < n and tokens[i + 1].text == "("
+        ):
+            close = find_matching_paren(tokens, i + 1)
+            inner = tokens[i + 2:close]
+            depth = 0
+            as_idx = None
+            for k, tok in enumerate(inner):
+                if tok.text == "(":
+                    depth += 1
+                elif tok.text == ")":
+                    depth -= 1
+                elif depth == 0 and tok.is_kw("AS"):
+                    as_idx = k
+            if as_idx is None:
+                out.append(t)
+                i += 1
+                continue
+            out.append(t)
+            out.append(op("("))
+            out.extend(_pass_cast_types(inner[:as_idx]))
+            out.extend([ident("AS"), ident(_type_text(inner[as_idx + 1:])), op(")")])
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 _CMP = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _ALL_AGG = {">": "max", ">=": "max", "<": "min", "<=": "min"}
 _ANY_AGG = {">": "min", ">=": "min", "<": "max", "<=": "max"}
@@ -388,6 +478,7 @@ def translate(sql: str) -> str:
     toks = tokenize(sql)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
+    toks = _pass_cast_types(toks)
     toks = _pass_quantified(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)

@@ -289,3 +289,29 @@ def test_e2e_order_by_null_placement(engine, spark):
     got = [r[0] for r in engine.sql("SELECT v FROM __nulls_t ORDER BY v").collect()]
     # Presto ASC default: NULLS LAST (QueryPlanner.java:936-954)
     assert got == [1, 2, None]
+
+
+def test_cast_type_syntax():
+    # Presto parametric type spellings (spi/type/TypeSignature.java) in CAST
+    assert translate("SELECT CAST(x AS ARRAY(BIGINT))") == \
+        "SELECT CAST(x AS ARRAY<BIGINT>)"
+    assert translate("SELECT CAST(x AS MAP(VARCHAR, ARRAY(DOUBLE)))") == \
+        "SELECT CAST(x AS MAP<STRING, ARRAY<DOUBLE>>)"
+    assert translate("SELECT CAST(ROW(1,'a') AS ROW(x BIGINT, y VARCHAR)).x") == \
+        "SELECT CAST(struct(1, 'a') AS STRUCT<x: BIGINT, y: STRING>).x"
+    assert translate("SELECT CAST(NULL AS VARCHAR)") == "SELECT CAST(NULL AS STRING)"
+    assert translate("SELECT TRY_CAST(b AS JSON)") == "SELECT TRY_CAST(b AS STRING)"
+    assert translate("SELECT CAST(b AS VARBINARY)") == "SELECT CAST(b AS BINARY)"
+    assert translate("SELECT CAST(t AS TIMESTAMP WITH TIME ZONE)") == \
+        "SELECT CAST(t AS TIMESTAMP)"
+    # ROW inside a window frame is untouched; VARCHAR(n) keeps its length
+    assert "CURRENT ROW" in translate("SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
+    assert "VARCHAR ( 10 )" in translate("SELECT CAST(a AS VARCHAR(10))")
+
+
+def test_e2e_row_cast(engine):
+    row = engine.sql(
+        "SELECT CAST(ROW(n_nationkey, n_name) AS ROW(k BIGINT, n VARCHAR)).n AS nm "
+        "FROM nation ORDER BY n_nationkey LIMIT 1"
+    ).collect()
+    assert row[0]["nm"] == "NATION_0"
