@@ -268,6 +268,17 @@ def _map_agg(args: Args) -> list[Tok]:
     return _call("map_from_entries", inner)
 
 
+def _map_ctor(args: Args) -> list[Tok]:
+    # Presto map() / map(key_array, value_array) constructor (MapConstructor);
+    # Spark's map() takes interleaved k,v — the two-array form is
+    # map_from_arrays. MAP(K,V) *types* are handled by translate's cast pass.
+    if len(args) == 2:
+        return _call("map_from_arrays", *args)
+    if not args:
+        return _call("map")
+    return _call("map", *args)
+
+
 def _checksum(args: Args) -> list[Tok]:
     # order-independent checksum (ChecksumAggregationFunction.java):
     # sum of per-row 64-bit hashes commutes — same verifier trick.
@@ -399,6 +410,7 @@ def _hamming_distance(args: Args) -> list[Tok]:
 
 
 RULES: dict[str, object] = {
+    "map": _map_ctor,
     "bitwise_and": _bitwise("&"),
     "bitwise_or": _bitwise("|"),
     "bitwise_xor": _bitwise("^"),

@@ -246,6 +246,64 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_subscript(tokens: list[Tok]) -> list[Tok]:
+    """ARRAY[...] literals and 1-based subscripts.
+
+    ``ARRAY[1,2,3]`` → ``array(1, 2, 3)`` (grammar SqlBase.g4 arrayLiteral);
+    ``x[i]`` → ``element_at(x, i)`` — Presto subscripts are 1-based for
+    arrays and key-lookups for maps (operator/scalar/SubscriptOperator),
+    which is exactly Spark's element_at; Spark's own ``[]`` is 0-based and
+    would be silently off by one.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "[" and out:
+            depth = 1
+            j = i + 1
+            while j < n and depth:
+                if tokens[j].text == "[":
+                    depth += 1
+                elif tokens[j].text == "]":
+                    depth -= 1
+                j += 1
+            inner = _pass_subscript(tokens[i + 1:j - 1])
+            if out[-1].is_kw("ARRAY"):
+                out.pop()
+                out.extend(_call("array", *split_top_level(inner)))
+            else:
+                if out[-1].text == ")":
+                    depth2 = 0
+                    k = len(out) - 1
+                    while k >= 0:
+                        if out[k].text == ")":
+                            depth2 += 1
+                        elif out[k].text == "(":
+                            depth2 -= 1
+                            if depth2 == 0:
+                                break
+                        k -= 1
+                    if k > 0 and out[k - 1].kind in ("ident", "qident") \
+                            and out[k - 1].upper not in _STRUCTURAL_KWS:
+                        k -= 1
+                    operand = out[k:]
+                    del out[k:]
+                else:
+                    operand = [out.pop()]
+                    while len(out) >= 2 and out[-1].text == "." \
+                            and out[-2].kind in ("ident", "qident"):
+                        operand.insert(0, out.pop())
+                        operand.insert(0, out.pop())
+                out.extend(_call("element_at", operand, inner))
+            i = j
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 _CMP = {"=", "<>", "!=", "<", "<=", ">", ">="}
 _ALL_AGG = {">": "max", ">=": "max", "<": "min", "<=": "min"}
 _ANY_AGG = {">": "min", ">=": "min", "<": "max", "<=": "max"}
@@ -328,11 +386,16 @@ def _pass_functions(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+_STRUCTURAL_KWS = {"IN", "EXISTS", "OVER", "VALUES", "AND", "OR", "NOT",
+                   "WHERE", "ON", "FROM", "SELECT", "AS", "BY", "WHEN",
+                   "THEN", "ELSE", "CASE", "END", "HAVING", "JOIN", "USING",
+                   "DISTINCT", "ALL", "UNION", "EXCEPT", "INTERSECT"}
+
+
 def _looks_like_keyword_use(tok: Tok) -> bool:
     # `contains` never collides, but guard structural keywords that can
     # precede '(' without being calls
-    return tok.upper in ("IN", "EXISTS", "OVER", "VALUES", "AND", "OR", "NOT",
-                         "WHERE", "ON", "FROM", "SELECT", "AS", "BY")
+    return tok.upper in _STRUCTURAL_KWS
 
 
 _ORDER_TERMINATORS = {"LIMIT", "OFFSET", "FETCH", "ROWS", "RANGE", "GROUPS",
@@ -420,7 +483,8 @@ def _pass_at_time_zone(tokens: list[Tok]) -> list[Tok]:
                             break
                     j -= 1
                 # include a function name directly before the '('
-                if j > 0 and out[j - 1].kind in ("ident", "qident"):
+                if j > 0 and out[j - 1].kind in ("ident", "qident") \
+                        and out[j - 1].upper not in _STRUCTURAL_KWS:
                     j -= 1
                 operand = out[j:]
                 del out[j:]
@@ -479,6 +543,7 @@ def translate(sql: str) -> str:
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
     toks = _pass_cast_types(toks)
+    toks = _pass_subscript(toks)
     toks = _pass_quantified(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)

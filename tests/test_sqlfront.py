@@ -315,3 +315,28 @@ def test_e2e_row_cast(engine):
         "FROM nation ORDER BY n_nationkey LIMIT 1"
     ).collect()
     assert row[0]["nm"] == "NATION_0"
+
+
+def test_subscript_and_array_literal():
+    # Presto subscripts are 1-based (SubscriptOperator) → element_at
+    assert translate("SELECT a[1], m['k'] FROM t") == \
+        "SELECT element_at(a, 1), element_at(m, 'k') FROM t"
+    assert translate("SELECT split(x, ',')[1] FROM t") == \
+        "SELECT element_at(split(x, ','), 1) FROM t"
+    assert translate("SELECT ARRAY[1,2,3][2]") == \
+        "SELECT element_at(array(1, 2, 3), 2)"
+    # two-array map constructor (MapConstructor) → map_from_arrays
+    assert translate("SELECT map(ARRAY[1,2], ARRAY['a','b'])") == \
+        "SELECT map_from_arrays(array(1, 2), array('a', 'b'))"
+    # parenthesized operand after a structural keyword is not a call
+    assert translate("SELECT (ARRAY['a'] || ARRAY['c'])[2]") == \
+        "SELECT element_at((array('a') || array('c')), 2)"
+    assert translate("SELECT a[b[1]] FROM t") == \
+        "SELECT element_at(a, element_at(b, 1)) FROM t"
+
+
+def test_e2e_subscripts(engine):
+    got = engine.sql(
+        "SELECT ARRAY[10,20,30][2] AS x, map(ARRAY[1], ARRAY['a'])[1] AS v"
+    ).collect()[0]
+    assert got["x"] == 20 and got["v"] == "a"
