@@ -84,6 +84,10 @@ def render(tokens: list[Tok]) -> str:
             # ANSI/Presto "quoted identifier" → Spark backtick identifier
             name = t.text[1:-1].replace('""', '"')
             parts.append("`" + name.replace("`", "``") + "`")
+        elif t.kind == "string":
+            # Presto string literals are raw (no backslash escapes); Spark's
+            # parser treats backslash as an escape, so double them
+            parts.append(t.text.replace("\\", "\\\\"))
         else:
             parts.append(t.text)
         prev = t

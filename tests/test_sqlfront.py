@@ -63,9 +63,17 @@ def test_regexp_group_default():
 
 
 def test_split_literal_delimiter():
-    # Presto split() takes a literal; Spark's takes a regex — '.' must be escaped
+    # Presto split() takes a literal; Spark's takes a regex — '.' must be
+    # escaped, and the backslash itself doubled for Spark's string parser
     out = translate("SELECT split(host, '.') FROM t")
-    assert "split(host, '\\.')" in out
+    assert "split(host, '\\\\.')" in out
+
+
+def test_string_literal_backslash_raw():
+    # Presto string literals are raw; Spark's parser eats single backslashes
+    assert translate(r"SELECT 'a\b'") == r"SELECT 'a\\b'"
+    assert translate(r"SELECT x LIKE 'a\_b' ESCAPE '\' FROM t") == \
+        r"SELECT x LIKE 'a\\_b' ESCAPE '\\' FROM t"
 
 
 def test_unnest_rewrite():
