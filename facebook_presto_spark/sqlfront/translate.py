@@ -183,6 +183,10 @@ def _type_text(toks: list[Tok]) -> str:
             out.append(_TYPE_RENAME[u])
             i += 1
             continue
+        if u == "DOUBLE" and nxt is not None and nxt.is_kw("PRECISION"):
+            out.append("DOUBLE")
+            i += 2
+            continue
         if u in ("TIMESTAMP", "TIME") and i + 3 < n and toks[i + 1].is_kw("WITH") \
                 and toks[i + 2].is_kw("TIME") and toks[i + 3].is_kw("ZONE"):
             out.append("TIMESTAMP")

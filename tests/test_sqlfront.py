@@ -348,3 +348,8 @@ def test_e2e_subscripts(engine):
         "SELECT ARRAY[10,20,30][2] AS x, map(ARRAY[1], ARRAY['a'])[1] AS v"
     ).collect()[0]
     assert got["x"] == 20 and got["v"] == "a"
+
+
+def test_double_precision_type():
+    assert translate("SELECT CAST('1.5' AS DOUBLE PRECISION)") == \
+        "SELECT CAST('1.5' AS DOUBLE)"
