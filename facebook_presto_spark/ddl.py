@@ -71,7 +71,10 @@ def delete_where(spark: SparkSession, path: str, predicate: Column | str) -> int
     if deleted == 0:
         return 0
     tmp = f"{path}.__rewrite_{uuid.uuid4().hex[:8]}"
-    src.filter(~pred).write.parquet(tmp)
+    # DELETE removes only rows where the predicate is TRUE; rows where it
+    # evaluates to NULL must survive the rewrite (plain ~pred would drop
+    # them, since both pred and ~pred are NULL there).
+    src.filter(~F.coalesce(pred, F.lit(False))).write.parquet(tmp)
     old = f"{path}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

@@ -48,7 +48,6 @@ RENAME: dict[str, str] = {
     "json_extract_scalar": "get_json_object",
     # aggregates (operator/aggregation/)
     "approx_distinct": "approx_count_distinct",
-    "approx_percentile": "percentile_approx",
     "arbitrary": "any_value",
     "array_agg": "collect_list",
     "bitwise_and_agg": "bit_and",
@@ -194,7 +193,38 @@ def _date_parse(args: Args) -> list[Tok]:
 
 def _from_unixtime(args: Args) -> list[Tok]:
     # Presto returns TIMESTAMP; Spark's from_unixtime returns STRING.
-    return _call("timestamp_seconds", args[0])
+    # DateTimeFunctions.java signatures: (unixtime), (unixtime, zone),
+    # (unixtime, zone_hours, zone_minutes).
+    if len(args) == 1:
+        return _call("timestamp_seconds", args[0])
+    if len(args) == 2:
+        return _call(
+            "from_utc_timestamp", _call("timestamp_seconds", args[0]), args[1]
+        )
+    if len(args) == 3:
+        zone = _call(
+            "format_string", [string_literal("%+03d:%02d")],
+            _call("cast", args[1] + [ident("AS"), ident("INT")]),
+            _call("abs", _call("cast", args[2] + [ident("AS"), ident("INT")])),
+        )
+        return _call(
+            "from_utc_timestamp", _call("timestamp_seconds", args[0]), zone
+        )
+    raise ValueError("from_unixtime takes 1-3 arguments")
+
+
+def _approx_percentile(args: Args) -> list[Tok]:
+    # ApproximateLongPercentileAggregations.java signatures:
+    # (x, p) → percentile_approx; weighted (x, w, p[, accuracy]) → Spark's
+    # exact percentile(x, p, frequency) — arg order differs, so a plain
+    # rename would silently read w as the percentage.  Presto's accuracy
+    # knob (relative error) has no Spark twin; the exact result is strictly
+    # more accurate, so it is dropped.
+    if len(args) == 2:
+        return _call("percentile_approx", args[0], args[1])
+    if len(args) in (3, 4):
+        return _call("percentile", args[0], args[2], args[1])
+    raise ValueError("approx_percentile takes 2-4 arguments")
 
 
 def _to_unixtime(args: Args) -> list[Tok]:
@@ -419,6 +449,7 @@ RULES: dict[str, object] = {
     "from_utf8": _from_utf8,
     "to_iso8601": _to_iso8601,
     "hamming_distance": _hamming_distance,
+    "approx_percentile": _approx_percentile,
     "date_add": _date_add,
     "date_diff": _date_diff,
     "date_format": _date_format,

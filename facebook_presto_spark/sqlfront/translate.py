@@ -250,6 +250,39 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pop_operand(out: list[Tok]) -> list[Tok]:
+    """Pop the expression immediately left of the cursor off ``out``.
+
+    Handles a parenthesized group / function call (pulling the preceding
+    function name unless it is a structural keyword) or a single
+    [qualified] identifier / literal.  Shared by the subscript and
+    quantified-comparison passes.
+    """
+    if out[-1].text == ")":
+        depth = 0
+        k = len(out) - 1
+        while k >= 0:
+            if out[k].text == ")":
+                depth += 1
+            elif out[k].text == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k > 0 and out[k - 1].kind in ("ident", "qident") \
+                and out[k - 1].upper not in _STRUCTURAL_KWS:
+            k -= 1
+        operand = out[k:]
+        del out[k:]
+        return operand
+    operand = [out.pop()]
+    while len(out) >= 2 and out[-1].text == "." \
+            and out[-2].kind in ("ident", "qident"):
+        operand.insert(0, out.pop())
+        operand.insert(0, out.pop())
+    return operand
+
+
 def _pass_subscript(tokens: list[Tok]) -> list[Tok]:
     """ARRAY[...] literals and 1-based subscripts.
 
@@ -258,6 +291,13 @@ def _pass_subscript(tokens: list[Tok]) -> list[Tok]:
     arrays and key-lookups for maps (operator/scalar/SubscriptOperator),
     which is exactly Spark's element_at; Spark's own ``[]`` is 0-based and
     would be silently off by one.
+
+    Documented divergence (permissive vs Presto's strict errors): a missing
+    map key or out-of-range array index raises in Presto but yields NULL
+    through element_at.  Negative *literal* indexes are rejected here —
+    Presto raises "Array subscript is negative" while element_at would
+    silently index from the end.  (Negative map-key lookups need the
+    explicit element_at(m, k) spelling.)
     """
     out: list[Tok] = []
     i = 0
@@ -278,28 +318,14 @@ def _pass_subscript(tokens: list[Tok]) -> list[Tok]:
                 out.pop()
                 out.extend(_call("array", *split_top_level(inner)))
             else:
-                if out[-1].text == ")":
-                    depth2 = 0
-                    k = len(out) - 1
-                    while k >= 0:
-                        if out[k].text == ")":
-                            depth2 += 1
-                        elif out[k].text == "(":
-                            depth2 -= 1
-                            if depth2 == 0:
-                                break
-                        k -= 1
-                    if k > 0 and out[k - 1].kind in ("ident", "qident") \
-                            and out[k - 1].upper not in _STRUCTURAL_KWS:
-                        k -= 1
-                    operand = out[k:]
-                    del out[k:]
-                else:
-                    operand = [out.pop()]
-                    while len(out) >= 2 and out[-1].text == "." \
-                            and out[-2].kind in ("ident", "qident"):
-                        operand.insert(0, out.pop())
-                        operand.insert(0, out.pop())
+                if (len(inner) == 2 and inner[0].text == "-"
+                        and inner[1].kind == "number"):
+                    raise NotImplementedError(
+                        "negative subscript x[-n]: Presto raises 'Array "
+                        "subscript is negative'; use element_at(m, k) "
+                        "explicitly for negative map keys"
+                    )
+                operand = _pop_operand(out)
                 out.extend(_call("element_at", operand, inner))
             i = j
             continue
@@ -313,7 +339,24 @@ _ALL_AGG = {">": "max", ">=": "max", "<": "min", "<=": "min"}
 _ANY_AGG = {">": "min", ">=": "min", "<": "max", "<=": "max"}
 
 
+def _agg_sq(select_body: list[Tok], subq: list[Tok], alias: str) -> list[Tok]:
+    """(SELECT <body> FROM (<subq>) AS <alias>(__v)) scalar subquery."""
+    return ([op("("), ident("SELECT")] + select_body
+            + [ident("FROM"), op("(")] + subq
+            + [op(")"), ident("AS"), ident(alias),
+               op("("), ident("__v"), op(")"), op(")")])
+
+
 def _pass_quantified(tokens: list[Tok]) -> list[Tok]:
+    """ALL/ANY/SOME → min/max scalar subqueries with an empty-set guard.
+
+    Mirrors TransformQuantifiedComparisonApplyToLateralJoin.java, which
+    guards the min/max rewrite with count checks: ``x < ALL (empty)`` is
+    TRUE and ``x > ANY (empty)`` is FALSE, but the bare scalar-subquery
+    comparison would evaluate to NULL on an empty subquery.  NULL elements
+    inside a non-empty subquery still diverge (min/max skip them) — same
+    simplification the non-count path of the reference rule applies.
+    """
     out: list[Tok] = []
     i = 0
     n = 0
@@ -333,22 +376,42 @@ def _pass_quantified(tokens: list[Tok]) -> list[Tok]:
                 out.extend([ident("IN"), op("(")] + subq + [op(")")])
             elif t.text in ("<>", "!=") and quant == "ALL":
                 out.extend([ident("NOT"), ident("IN"), op("(")] + subq + [op(")")])
-            elif quant == "ALL" and t.text in _ALL_AGG:
-                agg = _ALL_AGG[t.text]
-                out.extend([op(t.text), op("(" ), ident("SELECT"),
-                            ident(agg), op("("), ident("__v"), op(")"),
-                            ident("FROM"), op("(")] + subq +
-                           [op(")"), ident("AS"), ident(f"__q{n}"),
-                            op("("), ident("__v"), op(")"), op(")")])
-            elif quant in ("ANY", "SOME") and t.text in _ANY_AGG:
-                agg = _ANY_AGG[t.text]
-                out.extend([op(t.text), op("("), ident("SELECT"),
-                            ident(agg), op("("), ident("__v"), op(")"),
-                            ident("FROM"), op("(")] + subq +
-                           [op(")"), ident("AS"), ident(f"__q{n}"),
-                            op("("), ident("__v"), op(")"), op(")")])
             else:
-                raise NotImplementedError(f"{t.text} {quant} (subquery) is not supported")
+                x = _pop_operand(out)
+                count_star = [ident("count"), op("("), op("*"), op(")")]
+                minv = [ident("min"), op("("), ident("__v"), op(")")]
+                maxv = [ident("max"), op("("), ident("__v"), op(")")]
+                if quant == "ALL" and t.text in _ALL_AGG:
+                    body = minv if _ALL_AGG[t.text] == "min" else maxv
+                    cmp_toks = x + [op(t.text)] + _agg_sq(body, subq, f"__q{n}")
+                    empty = "TRUE"
+                elif quant in ("ANY", "SOME") and t.text in _ANY_AGG:
+                    body = minv if _ANY_AGG[t.text] == "min" else maxv
+                    cmp_toks = x + [op(t.text)] + _agg_sq(body, subq, f"__q{n}")
+                    empty = "FALSE"
+                elif quant == "ALL" and t.text == "=":
+                    # x = ALL(s) ⟺ every element equals x ⟺ min = x = max
+                    cmp_toks = (x + [op("=")] + _agg_sq(minv, subq, f"__q{n}a")
+                                + [ident("AND")]
+                                + x + [op("=")] + _agg_sq(maxv, subq, f"__q{n}b"))
+                    empty = "TRUE"
+                elif quant in ("ANY", "SOME") and t.text in ("<>", "!="):
+                    # x <> ANY(s) ⟺ some element differs ⟺ min <> x or max <> x
+                    cmp_toks = (x + [op("<>")] + _agg_sq(minv, subq, f"__q{n}a")
+                                + [ident("OR")]
+                                + x + [op("<>")] + _agg_sq(maxv, subq, f"__q{n}b"))
+                    empty = "FALSE"
+                else:
+                    raise NotImplementedError(
+                        f"{t.text} {quant} (subquery) is not supported"
+                    )
+                out.extend(
+                    [op("("), ident("CASE"), ident("WHEN")]
+                    + _agg_sq(count_star, subq, f"__q{n}c")
+                    + [op("="), Tok("number", "0"), ident("THEN"), ident(empty),
+                       ident("ELSE")]
+                    + cmp_toks + [ident("END"), op(")")]
+                )
             i = close + 1
             continue
         out.append(t)

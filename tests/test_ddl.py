@@ -45,6 +45,18 @@ def test_delete_where(spark, sf_dir, tmp_path):
     assert ddl.delete_where(spark, path, "c_acctbal < -1e18") == 0
 
 
+def test_delete_where_null_predicate(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id bigint, v double"
+    )
+    path = str(tmp_path / "delnull")
+    ddl.create_table_as(spark, path, df)
+    # DELETE removes rows where the predicate is TRUE; the NULL-predicate
+    # row (id=2) must survive the rewrite
+    assert ddl.delete_where(spark, path, "v < 0") == 1
+    assert {r.id for r in spark.read.parquet(path).collect()} == {1, 2}
+
+
 def test_show_and_describe(spark, sf_dir):
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).createOrReplaceTempView(
         "__ddl_region"

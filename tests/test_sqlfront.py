@@ -101,6 +101,41 @@ def test_quantified_comparisons():
     assert "max(__v)" in out
 
 
+def test_quantified_empty_set_guard():
+    # empty subquery: 'x < ALL (empty)' is TRUE, 'x > ANY (empty)' is FALSE
+    # (TransformQuantifiedComparisonApplyToLateralJoin count guards)
+    out = translate("SELECT * FROM t WHERE x > ALL (SELECT y FROM u)")
+    assert "count(*)" in out and "THEN TRUE" in out
+    out = translate("SELECT * FROM t WHERE x > ANY (SELECT y FROM u)")
+    assert "count(*)" in out and "THEN FALSE" in out
+    out = translate("SELECT * FROM t WHERE x = ALL (SELECT y FROM u)")
+    assert "min(__v)" in out and "max(__v)" in out and "THEN TRUE" in out
+    out = translate("SELECT * FROM t WHERE x <> ANY (SELECT y FROM u)")
+    assert "min(__v)" in out and "max(__v)" in out and "THEN FALSE" in out
+
+
+def test_negative_literal_subscript_rejected():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="negative"):
+        translate("SELECT a[-1] FROM t")
+
+
+def test_weighted_approx_percentile_translation():
+    out = translate("SELECT approx_percentile(x, 0.5) FROM t")
+    assert "percentile_approx(x, 0.5)" in out
+    # weighted 3-arg form: w is the *frequency*, not the percentage
+    out = translate("SELECT approx_percentile(x, w, 0.5) FROM t")
+    assert "percentile(x, 0.5, w)" in out
+
+
+def test_from_unixtime_zone_forms():
+    out = translate("SELECT from_unixtime(t, 'America/New_York') FROM t")
+    assert "from_utc_timestamp(timestamp_seconds(t), 'America/New_York')" in out
+    out = translate("SELECT from_unixtime(t, 5, 30) FROM t")
+    assert "from_utc_timestamp" in out and "format_string" in out
+
+
 def test_order_by_nulls_last():
     out = translate("SELECT a FROM t ORDER BY a")
     assert out.endswith("ORDER BY a NULLS LAST")
@@ -222,6 +257,36 @@ def test_e2e_quantified_all(engine, duck):
         "SELECT o_orderkey FROM orders WHERE o_totalprice > ALL "
         "(SELECT o_totalprice * 0.999 FROM orders)",
     )
+
+
+def test_e2e_quantified_empty_subquery(engine, duck):
+    assert_matches(
+        engine, duck,
+        "SELECT n_nationkey FROM nation WHERE n_nationkey < ALL "
+        "(SELECT n_nationkey FROM nation WHERE n_name = 'NO_SUCH_NATION') "
+        "ORDER BY n_nationkey",
+    )
+    assert_matches(
+        engine, duck,
+        "SELECT n_nationkey FROM nation WHERE n_nationkey > ANY "
+        "(SELECT n_nationkey FROM nation WHERE n_name = 'NO_SUCH_NATION')",
+    )
+
+
+def test_e2e_weighted_approx_percentile(engine, duck):
+    # weight 1 ≡ plain exact median (Spark percentile is exact-interpolated)
+    assert_matches(
+        engine, duck,
+        "SELECT approx_percentile(n_nationkey, 1, 0.5) AS m FROM nation",
+        "SELECT quantile_cont(n_nationkey, 0.5) AS m FROM nation",
+    )
+
+
+def test_from_unixtime_zone_values(engine):
+    row = engine.sql("SELECT from_unixtime(0, 'America/New_York') AS t").collect()[0]
+    assert str(row.t) == "1969-12-31 19:00:00"
+    row = engine.sql("SELECT from_unixtime(0, -5, 0) AS t").collect()[0]
+    assert str(row.t) == "1969-12-31 19:00:00"
 
 
 def test_e2e_unnest(engine, duck):
