@@ -27,6 +27,7 @@ def _modules():
     from facebook_presto_spark.plans import (
         aggregates,
         functions_showcase,
+        geospatial,
         presto_sql,
         relational,
         tpch,
@@ -38,6 +39,7 @@ def _modules():
     return (
         tpch, presto_sql, relational, aggregates, functions_showcase, ddl,
         sources, dedup, similarity, text, multimodal, stream_windows,
+        geospatial,
     )
 
 

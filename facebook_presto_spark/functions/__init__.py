@@ -16,6 +16,7 @@ from facebook_presto_spark.functions import (  # noqa: F401  (registration side 
     array_fns,
     binary_fns,
     datetime_fns,
+    geo_fns,
     json_fns,
     map_fns,
     math_fns,

@@ -1,0 +1,122 @@
+"""Geometry-kernel unit tests (functions/geo_fns.py).
+
+Mirrors presto-geospatial/src/test/.../TestGeoFunctions.java and
+TestBingTileFunctions.java cases for the implemented subset; the
+oracle-diffed geo_* queries cover the join paths end-to-end.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from facebook_presto_spark.functions import call
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+PENTAGON = "POLYGON ((0 0, 4 0, 5 3, 2 5, -1 3, 0 0))"
+L_SHAPE = "POLYGON ((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0))"  # concave
+
+
+def test_point_roundtrip(spark):
+    assert one(spark, call("ST_Point", F.lit(1.0), F.lit(2.5))) == "POINT (1 2.5)"
+    assert one(spark, call("ST_X", F.lit("POINT (3.5 -7)"))) == 3.5
+    assert one(spark, call("ST_Y", F.lit("POINT (3.5 -7)"))) == -7.0
+    assert one(spark, call("ST_GeometryType", F.lit(PENTAGON))) == "POLYGON"
+
+
+def test_num_points_closed_envelope(spark):
+    assert one(spark, call("ST_NumPoints", F.lit(PENTAGON))) == 6
+    assert one(spark, call("ST_IsClosed", F.lit(PENTAGON))) is True
+    assert one(spark, call("ST_IsClosed", F.lit("LINESTRING (0 0, 1 1)"))) is False
+    assert (
+        one(spark, call("ST_Envelope", F.lit(PENTAGON)))
+        == "POLYGON ((-1 0, 5 0, 5 5, -1 5, -1 0))"
+    )
+    assert one(spark, call("ST_XMin", F.lit(PENTAGON))) == -1.0
+    assert one(spark, call("ST_YMax", F.lit(PENTAGON))) == 5.0
+
+
+def test_area_length_centroid(spark):
+    # shoelace on the unit square, then on the concave L-shape (area 5)
+    sq = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert one(spark, call("ST_Area", F.lit(sq))) == 1.0
+    assert one(spark, call("ST_Area", F.lit(L_SHAPE))) == 5.0
+    assert one(spark, call("ST_Length", F.lit("LINESTRING (0 0, 3 4, 3 0)"))) == 9.0
+    assert one(spark, call("ST_Centroid", F.lit(sq))) == "POINT (0.5 0.5)"
+
+
+def test_distance(spark):
+    assert one(
+        spark, call("ST_Distance", F.lit("POINT (0 0)"), F.lit("POINT (3 4)"))
+    ) == 5.0
+    # point to segment: (5, 0) to vertical line x in segment ((0,-1)-(0,1)) = 5
+    d = one(
+        spark,
+        call("ST_Distance", F.lit("POINT (5 0)"), F.lit("LINESTRING (0 -1, 0 1)")),
+    )
+    assert d == 5.0
+    # beyond the segment end: distance to endpoint
+    d = one(
+        spark,
+        call("ST_Distance", F.lit("POINT (0 5)"), F.lit("LINESTRING (0 -1, 0 1)")),
+    )
+    assert d == 4.0
+
+
+def test_contains_ray_casting(spark):
+    inside = [("0.5 0.5", True), ("0.5 2.5", True), ("2.0 0.5", True)]
+    # (2, 2) sits in the concave notch — the case a bbox test gets wrong
+    outside = [("2 2", False), ("2 2.5", False), ("4 4", False), ("-1 -1", False)]
+    for wkt_pt, expect in inside + outside:
+        got = one(
+            spark, call("ST_Contains", F.lit(L_SHAPE), F.lit(f"POINT ({wkt_pt})"))
+        )
+        assert got is expect, (wkt_pt, got)
+    # ST_Within is the inverse argument order
+    assert one(spark, call("ST_Within", F.lit("POINT (0.5 0.5)"), F.lit(L_SHAPE))) is True
+
+
+def test_intersects(spark):
+    assert one(
+        spark, call("ST_Intersects", F.lit("POINT (2 4)"), F.lit(PENTAGON))
+    ) is True
+    assert one(
+        spark, call("ST_Intersects", F.lit("POINT (9 9)"), F.lit(PENTAGON))
+    ) is False
+    # polygon↔polygon: envelope overlap
+    assert one(
+        spark,
+        call(
+            "ST_Intersects",
+            F.lit("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"),
+            F.lit(PENTAGON),
+        ),
+    ) is True
+
+
+def test_bing_tiles(spark):
+    # TestBingTileFunctions: quadkey of tile (3, 5, zoom 3) = '213'
+    t = call("bing_tile", 3, 5, 3)
+    assert one(spark, call("bing_tile_quadkey", t)) == "213"
+    assert one(spark, call("bing_tile_zoom_level", t)) == 3
+    # quadkey → tile roundtrip
+    t2 = call("bing_tile", F.lit("213"))
+    got = one(spark, F.struct(t2["x"], t2["y"], t2["zoom"]))
+    assert (got["x"], got["y"], got["zoom"]) == (3, 5, 3)
+    # lat/lng 0,0 at zoom 1 → tile (1, 0)? Mercator: lng 0 → x=1, lat 0 → y=1
+    at = call("bing_tile_at", F.lit(0.0), F.lit(0.0), 1)
+    got = one(spark, F.struct(at["x"], at["y"]))
+    assert (got["x"], got["y"]) == (1, 1)
+
+
+def test_bing_tile_polygon(spark):
+    # zoom 0: the single tile covers the full Mercator square
+    wkt = one(spark, call("bing_tile_polygon", call("bing_tile", 0, 0, 0)))
+    assert wkt.startswith("POLYGON ((-180 ")
+    xs = one(spark, call("ST_XMax", F.lit(wkt)))
+    assert xs == 180.0
+    ymax = one(spark, call("ST_YMax", F.lit(wkt)))
+    assert abs(ymax - 85.05112878) < 1e-6
