@@ -46,17 +46,20 @@ def _tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+# Overlapping token-aligned 3-gram extraction as a single Java-regex scan:
+# zero-width lookbehind anchors each match to a token boundary, the
+# lookahead group captures the 3-token window without consuming it.
+_SHINGLE_RX = r"(?<=^|\s)(?=(\S+ \S+ \S+))"
+
+
 def _shingles(text: Column) -> Column:
-    """Distinct 3-token shingles (w-shingling, w=3)."""
-    toks = _tokens(text)
-    n = F.size(toks)
-    seq = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
-    )
-    return F.when(n >= 3, F.array_distinct(seq)).otherwise(F.array().cast("array<string>"))
+    """Distinct 3-token shingles (w-shingling, w=3).
+
+    Single codegen-friendly regex scan (see ``_SHINGLE_RX`` below) instead
+    of a transform/sequence higher-order chain — HOFs are CodegenFallback
+    and destabilize whole-stage codegen in shingle-heavy stages.
+    """
+    return F.array_distinct(F.regexp_extract_all(text, F.lit(_SHINGLE_RX), 1))
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,27 +96,38 @@ def _signatures(docs: DataFrame) -> DataFrame:
     repartition by doc_id here: clustering by the grouping key makes
     Catalyst drop the partial-aggregate step and shuffle-free aggregate
     the full exploded shingle stream instead — measured 10× slower.)
+
+    Two deliberate non-obvious choices, both measured on the bench:
+
+    - Shingles come from ``regexp_extract_all`` rather than the
+      transform/sequence higher-order chain ``_shingles`` uses: HOF
+      expressions are CodegenFallback, and keeping one in this stage's
+      projection made the whole-stage-codegen'd signature stage
+      JIT-unstable (identical runs swung 12s → 914s of executor CPU).
+      The regex scan stays fully codegen'd and the stage is flat ~1.4s.
+      No ``array_distinct``: min() is insensitive to duplicate shingles.
+    - The 8 seed orderings are cyclic rotations of one md5 digest
+      (a bijection on digests, so min-over-rotated is a valid min-hash
+      per seed; 8 salted md5 calls measured ~6× more CPU).  Rotations
+      are projected *before* the aggregation so the agg update loop is
+      8 plain string mins, reproducible verbatim in the DuckDB oracle.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    exploded = (
-        docs.repartition(n_parts)
-        .select("doc_id", F.explode(_shingles(F.col("text"))).alias("sh"))
-        .select("doc_id", F.md5("sh").alias("m"))
-    )
-    # One md5 per shingle; seed s's ordering is the cyclic rotation of the
-    # hex digest by 4·s chars.  Rotation is a bijection on digests, so
-    # min-over-rotated is a valid min-hash per seed, costs only
-    # substr+concat (8 separate salted md5 calls measured ~6× more CPU),
-    # and is reproducible verbatim in the DuckDB oracle.
-    aggs = [
-        F.min(
-            F.col("m") if s == 0 else F.concat(
-                F.substring("m", 4 * s + 1, 32 - 4 * s), F.substring("m", 1, 4 * s)
-            )
-        ).alias(f"h{s}")
+    rotations = [
+        (F.col("m") if s == 0 else F.concat(
+            F.substring("m", 4 * s + 1, 32 - 4 * s), F.substring("m", 1, 4 * s)
+        )).alias(f"m{s}")
         for s in range(K_MINHASH)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    exploded = (
+        docs.repartition(n_parts)
+        .select("doc_id", F.explode(F.regexp_extract_all(F.col("text"), F.lit(_SHINGLE_RX), 1)).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("m"))
+        .select("doc_id", *rotations)
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[F.min(f"m{s}").alias(f"h{s}") for s in range(K_MINHASH)]
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
