@@ -26,10 +26,13 @@ def _c(x) -> Column:
 
 
 # --- hashes / encodings ----------------------------------------------------
-register("md5")(lambda b: F.md5(_c(b)))
-register("sha1")(lambda b: F.sha1(_c(b)))
-register("sha256")(lambda b: F.sha2(_c(b), 256))
-register("sha512")(lambda b: F.sha2(_c(b), 512))
+# Presto digests return VARBINARY (VarbinaryFunctions.java:md5/sha*);
+# Spark's builtins return lowercase hex strings — unhex back to bytes so
+# to_hex(md5(x)) composes the way Presto users expect.
+register("md5")(lambda b: F.unhex(F.md5(_c(b))))
+register("sha1")(lambda b: F.unhex(F.sha1(_c(b))))
+register("sha256")(lambda b: F.unhex(F.sha2(_c(b), 256)))
+register("sha512")(lambda b: F.unhex(F.sha2(_c(b), 512)))
 register("crc32")(lambda b: F.crc32(_c(b)))
 register("xxhash64")(lambda *cols: F.xxhash64(*[_c(c) for c in cols]))
 register("spooky_hash_v2_64")(lambda b: F.xxhash64(_c(b)))  # 64-bit stand-in
@@ -50,8 +53,9 @@ register("from_big_endian_64")(lambda b: F.conv(F.hex(_c(b)), 16, 10).cast("bigi
 
 
 def _hmac(algo: str):
+    # Presto hmac_* return VARBINARY (HmacFunctions.java)
     def build(key, data) -> Column:
-        @F.pandas_udf(StringType())
+        @F.pandas_udf(BinaryType())
         def _h(k: pd.Series, d: pd.Series) -> pd.Series:
             return pd.Series(
                 [
@@ -61,7 +65,7 @@ def _hmac(algo: str):
                         kk.encode() if isinstance(kk, str) else bytes(kk),
                         dd.encode() if isinstance(dd, str) else bytes(dd),
                         algo,
-                    ).hexdigest()
+                    ).digest()
                     for kk, dd in zip(k, d)
                 ]
             )

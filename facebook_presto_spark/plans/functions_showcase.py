@@ -175,8 +175,8 @@ def fn_json_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         call("url_extract_query", url).alias("query"),
         call("url_extract_fragment", url).alias("fragment"),
         call("url_extract_parameter", url, "uid").cast("bigint").alias("uid_param"),
-        call("md5", F.col("event_type")).alias("etype_md5"),
-        call("sha256", F.col("event_type")).alias("etype_sha256"),
+        call("to_hex", call("md5", F.col("event_type"))).alias("etype_md5"),
+        call("to_hex", call("sha256", F.col("event_type"))).alias("etype_sha256"),
         call("to_hex", call("to_utf8", F.col("event_type"))).alias("etype_hex"),
         call("to_base64", call("to_utf8", F.col("event_type"))).alias("etype_b64"),
     )
@@ -192,8 +192,8 @@ SELECT event_id,
        'uid=' || CAST(user_id AS VARCHAR) || '&x=1' AS query,
        'frag' AS fragment,
        user_id AS uid_param,
-       md5(event_type) AS etype_md5,
-       sha256(event_type) AS etype_sha256,
+       upper(md5(event_type)) AS etype_md5,
+       upper(sha256(event_type)) AS etype_sha256,
        upper(hex(event_type)) AS etype_hex,
        to_base64(encode(event_type)) AS etype_b64
 FROM events WHERE event_id < 500
@@ -251,8 +251,8 @@ def fn_binary_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("o_orderkey")
     return ords.select(
         "o_orderkey",
-        call("md5", call("to_utf8", F.col("o_orderpriority"))).alias("prio_md5"),
-        call("sha256", call("to_utf8", F.col("o_orderstatus"))).alias("status_sha256"),
+        call("to_hex", call("md5", call("to_utf8", F.col("o_orderpriority")))).alias("prio_md5"),
+        call("to_hex", call("sha256", call("to_utf8", F.col("o_orderstatus")))).alias("status_sha256"),
         call("to_hex", call("to_utf8", F.col("o_orderstatus"))).alias("status_hex"),
         call("to_base64", call("to_utf8", F.col("o_orderpriority"))).alias("prio_b64"),
         call("bitwise_and", k, F.lit(255)).alias("and255"),
@@ -264,8 +264,8 @@ def fn_binary_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FN_BINARY_BITWISE_SQL = """
 SELECT o_orderkey,
-       md5(o_orderpriority) AS prio_md5,
-       sha256(o_orderstatus) AS status_sha256,
+       upper(md5(o_orderpriority)) AS prio_md5,
+       upper(sha256(o_orderstatus)) AS status_sha256,
        hex(o_orderstatus) AS status_hex,
        base64(o_orderpriority::BLOB) AS prio_b64,
        o_orderkey & 255 AS and255,

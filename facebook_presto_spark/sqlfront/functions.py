@@ -243,9 +243,30 @@ def _day_of_week(args: Args) -> list[Tok]:
 
 
 def _sha2(bits: str):
+    # Presto digests return VARBINARY (VarbinaryFunctions.java); Spark's
+    # return lowercase hex strings, so unwrap back to bytes with unhex.
     def rule(args: Args) -> list[Tok]:
-        return _call("sha2", args[0], [Tok("number", bits)])
+        return _call("unhex", _call("sha2", args[0], [Tok("number", bits)]))
     return rule
+
+
+def _digest_binary(spark_name: str):
+    def rule(args: Args) -> list[Tok]:
+        return _call("unhex", _call(spark_name, args[0]))
+    return rule
+
+
+def _url_extract_port(args: Args) -> list[Tok]:
+    # Spark parse_url has no PORT part; pull it off AUTHORITY.  Presto
+    # returns NULL when no explicit port (UrlFunctions.java).
+    auth = _call("parse_url", args[0], [string_literal("AUTHORITY")])
+    port = _call(
+        "regexp_extract", auth, [string_literal(":([0-9]+)$")], [Tok("number", "1")]
+    )
+    nn = _call("nullif", port, [string_literal("")])
+    return _paren(
+        [ident("CAST"), op("(")] + nn + [ident("AS"), ident("BIGINT"), op(")")]
+    )
 
 
 def _split(args: Args) -> list[Tok]:
@@ -460,8 +481,11 @@ RULES: dict[str, object] = {
     "dow": _day_of_week,
     "year_of_week": _year_of_week,
     "yow": _year_of_week,
+    "md5": _digest_binary("md5"),
+    "sha1": _digest_binary("sha1"),
     "sha256": _sha2("256"),
     "sha512": _sha2("512"),
+    "url_extract_port": _url_extract_port,
     "split": _split,
     "regexp_extract": _regexp_extract,
     "regexp_extract_all": _regexp_extract_all,

@@ -56,8 +56,18 @@ def test_normalize(spark):
 
 
 def test_hmac(spark):
-    expected = hmac_mod.new(b"key", b"msg", "sha256").hexdigest()
-    assert one(spark, call("hmac_sha256", F.lit("key"), F.lit("msg"))) == expected
+    # varbinary result, as in the reference (HmacFunctions.java)
+    expected = hmac_mod.new(b"key", b"msg", "sha256").digest()
+    assert bytes(one(spark, call("hmac_sha256", F.lit("key"), F.lit("msg")))) == expected
+
+
+def test_digests_are_varbinary(spark):
+    import hashlib
+
+    got = one(spark, call("md5", call("to_utf8", F.lit("abc"))))
+    assert bytes(got) == hashlib.md5(b"abc").digest()
+    got = one(spark, call("to_hex", call("sha256", call("to_utf8", F.lit("abc")))))
+    assert got == hashlib.sha256(b"abc").hexdigest().upper()
 
 
 def test_url_encode_decode(spark):

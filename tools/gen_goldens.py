@@ -7,6 +7,12 @@ per row, in query order (every corpus query has a total ORDER BY).
 NULL renders as ``NULL``; doubles are excluded from the corpus by design
 (float formatting isn't portable — the oracle-hash suites cover them).
 
+A testcase may carry a DuckDB-specific oracle rewrite after a line
+``--!oracle`` (the reference's own H2-oracle suite rewrites expected SQL
+the same way — QueryAssertions practice, SURVEY.md §7 risk register):
+text above the marker runs through the engine, text below runs on DuckDB
+to produce the golden.  Without the marker the same text runs on both.
+
 Usage: python tools/gen_goldens.py [sf_dir]
 """
 
@@ -19,7 +25,10 @@ import sys
 import duckdb
 
 CORPUS = os.path.join(os.path.dirname(__file__), "..", "tests", "sql_corpus")
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
 
 
 def render(v) -> str:
@@ -39,6 +48,8 @@ def main() -> None:
         )
     for path in sorted(glob.glob(os.path.join(CORPUS, "*", "*.sql"))):
         sql = open(path).read()
+        if "--!oracle" in sql:
+            sql = sql.split("--!oracle", 1)[1]
         rows = con.execute(sql).fetchall()
         out = path[:-4] + ".result"
         with open(out, "w") as f:
