@@ -20,6 +20,7 @@ from facebook_presto_spark.functions import (  # noqa: F401  (registration side 
     json_fns,
     map_fns,
     math_fns,
+    ml_fns,
     sketch_fns,
     string_fns,
     window_fns,

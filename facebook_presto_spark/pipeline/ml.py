@@ -1,0 +1,249 @@
+"""ML functions mirroring the presto-ml plugin surface.
+
+Reference: presto-ml/src/main/java/com/facebook/presto/ml/MLFunctions.java
+(classify/regress), LearnClassifierAggregation.java /
+LearnRegressorAggregation.java (learn_*), MLFeaturesFunctions.java
+(features).  The reference trains a libsvm SVM by collecting the whole
+input into a single aggregation state — inherently single-node.  The
+Spark-first re-expression keeps the API shape (features / learn_* /
+classify / regress) but swaps in models whose TRAINING is a distributed
+aggregation:
+
+- ``learn_regressor`` — ordinary least squares via sufficient statistics
+  (Σx, Σy, Σxy, Σx², Σy², n): one map-side-combined groupBy, no data
+  collected to the driver.  Exact DECIMAL(38) integer sums (inputs are
+  quantized to integers first) make the fitted slope/intercept
+  bit-reproducible across engines — each final coefficient is a single
+  IEEE division of exact integers.
+- ``learn_classifier`` — nearest-centroid: per-(label, dim) integer sums
+  → centroids; ``classify`` broadcasts the tiny model and picks the
+  argmin-distance label.  Distances compare as n²·d² integer forms so
+  everything stays exact until one final division per (row, label).
+
+At 100 TB: training is one shuffle of 6 numbers per group (or one of
+label×dim partial sums); classification joins against a broadcast model —
+nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Quantization scales: inputs are rounded to integers (value·SCALE) so
+# sums are exact.  VEC_SCALE=1e5 keeps n²-scaled squared distances within
+# 63 bits up to ~50k rows/label (document scale bound; raise to DECIMAL
+# sums beyond that).
+VEC_SCALE = 100_000
+
+
+# the scalar ``features()`` constructor is registered in
+# facebook_presto_spark.functions.ml_fns alongside the other scalars.
+
+
+def learn_regressor(
+    df: DataFrame, y: Column, x: Column, group_by: list[str] | None = None
+) -> DataFrame:
+    """OLS y ≈ slope·x + intercept from exact integer sufficient stats.
+
+    ``x`` and ``y`` must already be integer-valued columns (quantize
+    upstream); sums run in DECIMAL(38,0) so they are exact at any scale
+    factor, and each reported coefficient is one double division.
+    """
+    xl = x.cast("decimal(38,0)")
+    yl = y.cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(xl).alias("sx"),
+        F.sum(yl).alias("sy"),
+        F.sum(xl * yl).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xl * xl).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yl * yl).cast("decimal(38,0)").alias("syy"),
+    ]
+    grouped = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
+    slope = num.cast("double") / den.cast("double")
+    return grouped.select(
+        *(group_by or []),
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+        (
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * deny.cast("double"))
+        ).alias("r2"),
+    )
+
+
+def regress(df: DataFrame, model: DataFrame, x: Column, on: list[str] | None = None) -> DataFrame:
+    """Apply a learn_regressor model: broadcast the (tiny) model and emit
+    ``prediction`` — mirrors Presto regress(features, model)."""
+    joined = df.join(F.broadcast(model), on=on) if on else df.crossJoin(F.broadcast(model))
+    return joined.withColumn(
+        "prediction", F.col("intercept") + F.col("slope") * x.cast("double")
+    )
+
+
+def _quantized(vec: Column) -> Column:
+    return F.transform(
+        vec, lambda v: F.round(v.cast("double") * F.lit(float(VEC_SCALE))).cast("long")
+    )
+
+
+def learn_classifier(df: DataFrame, label: Column, vec: Column, dim: int) -> DataFrame:
+    """Nearest-centroid classifier: label → (n, per-dim integer sums).
+
+    One posexplode + groupBy(label, dim) with map-side combine, then the
+    sums are re-assembled into an ordered array — the model is
+    #labels × (dim+2) numbers, always broadcastable.
+    """
+    q = df.select(label.alias("label"), _quantized(vec).alias("vi"))
+    per_dim = q.select("label", F.posexplode("vi").alias("pos", "v")).groupBy(
+        "label", "pos"
+    ).agg(F.sum("v").alias("s"))
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .join(q.groupBy("label").agg(F.count(F.lit(1)).alias("n")), "label")
+        .select(
+            "label",
+            "n",
+            F.transform("ps", lambda e: e["s"]).alias("sums"),
+        )
+    )
+
+
+def classify(df: DataFrame, model: DataFrame, vec: Column, id_col: str) -> DataFrame:
+    """Assign each row the centroid label minimizing squared distance.
+
+    d²·n² = Σ_i (n·v_i − s_i)² keeps the comparison exact-integer; the
+    single double division per candidate restores cross-label
+    comparability deterministically.  The model is broadcast — at scale
+    this is a map-only pass over the data.
+    """
+    cand = df.select(
+        F.col(id_col), _quantized(vec).alias("vi")
+    ).crossJoin(F.broadcast(model.select(F.col("label").alias("cand"), "n", "sums")))
+    nd2 = F.aggregate(
+        F.zip_with(
+            "vi", "sums", lambda v, s: (F.col("n") * v - s) * (F.col("n") * v - s)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = cand.select(
+        id_col,
+        "cand",
+        (nd2.cast("double") / (F.col("n").cast("double") * F.col("n").cast("double"))).alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("d2", "cand")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("cand").alias("predicted"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver queries + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def linear_regression(spark, sf_dir: str) -> DataFrame:
+    """learn_regressor per l_returnflag: price-cents ≈ slope·quantity + b."""
+    from facebook_presto_spark.plans.tpch import _t
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    return learn_regressor(li, F.col("y"), F.col("x"), group_by=["l_returnflag"])
+
+
+ML_LINEAR_REGRESSION_SQL = """
+WITH q AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+         - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+         / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+FROM s
+"""
+
+
+def classify_centroid(spark, sf_dir: str) -> DataFrame:
+    """learn_classifier + classify round-trip over the embeddings table."""
+    from facebook_presto_spark.plans.tpch import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = learn_classifier(emb, F.col("label"), F.col("embedding"), 64)
+    pred = classify(emb, model, F.col("embedding"), "vec_id")
+    return (
+        pred.join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").alias("true_label"),
+            "predicted",
+            (F.col("predicted") == F.col("label")).alias("correct"),
+        )
+    )
+
+
+ML_CLASSIFY_CENTROID_SQL = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 100000) AS BIGINT)) AS vi
+  FROM embeddings
+), cent AS (
+  SELECT label, t.i AS pos, sum(vi[t.i]) AS s
+  FROM v, generate_series(1, 64) t(i)
+  GROUP BY label, t.i
+), cnt AS (
+  SELECT label, count(*) AS n FROM v GROUP BY label
+), m AS (
+  SELECT c.label, any_value(cnt.n) AS n, list(c.s ORDER BY c.pos) AS sums
+  FROM cent c JOIN cnt USING (label)
+  GROUP BY c.label
+), d AS (
+  SELECT v.vec_id, v.label AS true_label, m.label AS cand,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> (m.n * vi[i] - sums[i]) * (m.n * vi[i] - sums[i]))) AS DOUBLE)
+           / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)) AS d2
+  FROM v CROSS JOIN m
+), r AS (
+  SELECT vec_id, true_label, cand,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand) AS rn
+  FROM d
+)
+SELECT vec_id, true_label, cand AS predicted, cand = true_label AS correct
+FROM r WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "ml_linear_regression": linear_regression,
+    "ml_classify_centroid": classify_centroid,
+}
+
+ORACLE = {
+    "ml_linear_regression": ML_LINEAR_REGRESSION_SQL,
+    "ml_classify_centroid": ML_CLASSIFY_CENTROID_SQL,
+}
