@@ -22,16 +22,27 @@ Usage::
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from facebook_presto_spark.catalog import DEFAULT_SF_DIR, register_views
 from facebook_presto_spark.session import get_spark
 from facebook_presto_spark.sqlfront import translate
 
+_PREPARE_RE = re.compile(r"^\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+)$", re.I | re.S)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+))?\s*;?\s*$", re.I | re.S
+)
+_DEALLOCATE_RE = re.compile(r"^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$", re.I)
+
 
 class PrestoSparkEngine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        # prepared-statement store (QueryPreparer.java:55-85 keeps these in
+        # the session; one engine instance = one session)
+        self._prepared: dict[str, str] = {}
 
     @classmethod
     def for_dir(cls, sf_dir: str = DEFAULT_SF_DIR, spark: SparkSession | None = None) -> "PrestoSparkEngine":
@@ -64,7 +75,66 @@ class PrestoSparkEngine:
         if set_stmt is not None:
             set_session_property(self.spark, *set_stmt)
             return self.spark.sql("SELECT true AS ok WHERE false")
+        prepared = self._dispatch_prepared(presto_sql)
+        if prepared is not None:
+            return prepared
         return self.spark.sql(translate(presto_sql))
+
+    # -- prepared statements (QueryPreparer.java:55-85) ---------------------
+
+    def _dispatch_prepared(self, presto_sql: str) -> DataFrame | None:
+        m = _PREPARE_RE.match(presto_sql)
+        if m:
+            self._prepared[m.group(1).lower()] = m.group(2)
+            return self.spark.sql("SELECT true AS ok WHERE false")
+        m = _DEALLOCATE_RE.match(presto_sql)
+        if m:
+            self._prepared.pop(m.group(1).lower(), None)
+            return self.spark.sql("SELECT true AS ok WHERE false")
+        m = _EXECUTE_RE.match(presto_sql)
+        if m:
+            return self.sql(self._bind(m.group(1).lower(), m.group(2)))
+        return None
+
+    def _bind(self, name: str, using: str | None) -> str:
+        """Substitute `?` parameters with the USING expressions, positional
+        like the reference's ParameterRewriter."""
+        from facebook_presto_spark.sqlfront.tokens import render, tokenize
+
+        if name not in self._prepared:
+            raise ValueError(f"Prepared statement not found: {name}")
+        body = tokenize(self._prepared[name])
+        params: list[list] = []
+        if using:
+            depth, current = 0, []
+            for t in tokenize(using):
+                if t.kind == "op" and t.text in "([":
+                    depth += 1
+                elif t.kind == "op" and t.text in ")]":
+                    depth -= 1
+                if t.kind == "op" and t.text == "," and depth == 0:
+                    params.append(current)
+                    current = []
+                else:
+                    current.append(t)
+            params.append(current)
+        out, i = [], 0
+        for t in body:
+            if t.kind == "op" and t.text == "?":
+                if i >= len(params):
+                    raise ValueError(
+                        f"Incorrect number of parameters: statement needs more "
+                        f"than the {len(params)} supplied"
+                    )
+                out.extend(params[i])
+                i += 1
+            else:
+                out.append(t)
+        if i != len(params):
+            raise ValueError(
+                f"Incorrect number of parameters: expected {i} but found {len(params)}"
+            )
+        return render(out)
 
     def explain(self, presto_sql: str) -> str:
         """Formatted physical plan for a Presto-dialect query."""

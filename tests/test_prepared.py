@@ -1,0 +1,50 @@
+"""PREPARE / EXECUTE / DEALLOCATE through the engine.
+
+Reference: execution/QueryPreparer.java:55-85 unwraps prepared statements
+and substitutes `?` parameters positionally before analysis; the grammar
+(SqlBase.g4 `parameter`) allows `?` anywhere an expression may appear.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from facebook_presto_spark.engine import PrestoSparkEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+
+
+def test_prepare_execute_roundtrip(engine):
+    engine.sql("PREPARE nations_below FROM SELECT n_name FROM nation WHERE n_nationkey < ? ORDER BY n_name")
+    rows = engine.sql("EXECUTE nations_below USING 3").collect()
+    assert [r.n_name for r in rows] == ["NATION_0", "NATION_1", "NATION_2"]
+    # re-execute with a different binding
+    assert len(engine.sql("EXECUTE nations_below USING 10").collect()) == 10
+
+
+def test_execute_multiple_params_and_exprs(engine):
+    engine.sql(
+        "PREPARE o_between FROM SELECT count(*) AS n FROM orders "
+        "WHERE o_orderkey BETWEEN ? AND ? AND o_orderpriority <> ?"
+    )
+    got = engine.sql("EXECUTE o_between USING 1 + 1, 50, 'nope'").first()["n"]
+    assert got == 49
+
+
+def test_deallocate_and_missing(engine):
+    engine.sql("PREPARE tmp_q FROM SELECT 1 AS x")
+    assert engine.sql("EXECUTE tmp_q").first()["x"] == 1
+    engine.sql("DEALLOCATE PREPARE tmp_q")
+    with pytest.raises(ValueError, match="not found"):
+        engine.sql("EXECUTE tmp_q")
+
+
+def test_parameter_count_mismatch(engine):
+    engine.sql("PREPARE one_param FROM SELECT ? AS x")
+    with pytest.raises(ValueError, match="parameters"):
+        engine.sql("EXECUTE one_param USING 1, 2")
+    with pytest.raises(ValueError, match="parameters"):
+        engine.sql("EXECUTE one_param")
