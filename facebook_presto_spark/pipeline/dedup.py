@@ -314,36 +314,69 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
 )
 
 
-def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (Charikar): per-token xxhash64, sum
-    signed bit contributions, sign → fingerprint bits; plus the 16-bit
-    prefix bucket used for near-dup blocking.
+SIMHASH_BITS = 60  # 15 md5 hex chars — representable exactly in both engines
 
-    xxhash64 is Spark-specific → rows-only driver check; determinism and
-    similarity behavior are unit-tested (tests/test_pipeline.py).
-    Pure built-ins: explode → bit ops → groupBy; one shuffle on doc_id.
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash per document (Charikar): per-token hash, sum signed bit
+    contributions, sign → fingerprint bits; plus the 16-bit prefix bucket
+    used for near-dup blocking.
+
+    The token hash is the first 15 hex chars of md5 read as a 60-bit int
+    (``conv(substr(md5(t),1,15),16,10)``) — identical in any engine, so
+    the whole fingerprint is oracle-checkable (DuckDB folds the same hex
+    digits).  Pure built-ins: explode → bit ops → groupBy with map-side
+    combine; one shuffle of 60 small ints per doc.
     """
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
-    h = F.xxhash64("tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     bit_contribs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(SIMHASH_BITS)
     ]
     per_doc = tok.groupBy("doc_id").agg(*bit_contribs)
     fingerprint = sum(
-        (F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** b).cast("long"))
-        if b < 63
-        else F.when(F.col(f"b{b}") > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
+        F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
     )
     return per_doc.select(
         "doc_id",
         fingerprint.alias("simhash"),
-        F.shiftrightunsigned(fingerprint, 48).alias("bucket16"),
+        F.shiftrightunsigned(fingerprint, SIMHASH_BITS - 16).alias("bucket16"),
     )
+
+
+def _simhash_oracle_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_transform(generate_series(1, 15),
+              i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+              (a, b) -> a * 16 + b) AS BIGINT) AS hv
+  FROM tok
+), bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fingerprint} AS simhash FROM bits
+)
+SELECT doc_id, simhash, simhash >> {SIMHASH_BITS - 16} AS bucket16 FROM fp
+"""
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,6 +447,6 @@ ORACLE = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
-    # dedup_simhash: xxhash64-based → rows-only check (unit-tested instead)
+    "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": EMBEDDING_NEARDUP_SQL,
 }

@@ -9,16 +9,18 @@ Two paths, as a large-scale ANN system would have:
   scale: broadcast the (small) query set against the partitioned corpus —
   no corpus shuffle at all; Spark 3.5+ applies the per-group heap
   (InferWindowGroupLimit) so memory stays O(k) per partition.
-- **LSH-bucketed ANN** — the scale path: sign-random-projection bucket
-  per vector (deterministic hash-derived hyperplanes, no RNG state),
-  candidates restricted to the probe's bucket(s), then exact re-rank.
-  Bucketing is one narrow map; the candidate join is an equi-join on
-  bucket id.  Recall vs brute force is unit-tested
-  (tests/test_pipeline.py); hash specifics are Spark-side → rows-only
-  driver check.
+- **LSH-bucketed ANN** — the scale path: multi-table sign-random-
+  projection buckets per vector (deterministic md5-derived hyperplanes,
+  no RNG state), candidates = union over tables of same-bucket vectors,
+  then exact re-rank.  Bucketing is one narrow map; the candidate join
+  is an equi-join on (table, bucket).  Recall vs brute force is
+  unit-tested (tests/test_pipeline.py) and the whole query hash-matches
+  the DuckDB oracle (literal plane matrix embedded in both plans).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -27,7 +29,7 @@ from facebook_presto_spark.plans.tpch import _t
 
 N_QUERIES = 10  # vec_id < 10 are the probe set
 TOP_K = 5
-N_PLANES = 8  # LSH: 8 sign bits → 256 buckets
+
 
 
 def _dot_int(a: Column, b: Column) -> Column:
@@ -99,57 +101,103 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _lsh_bucket(emb: Column) -> Column:
-    """Sign-random-projection bucket id from ``N_PLANES`` pseudo-random
-    hyperplanes.  Plane p's component j is a deterministic hash-derived
-    value in [-0.5, 0.5) — reproducible across runs/executors with no RNG
-    or driver-side state, which is what makes this usable in a 1000-executor
-    fan-out (broadcast of a plane matrix works too; this avoids even that).
+N_TABLES = 8   # LSH hash tables (union of candidates — classic multi-table LSH)
+PLANES_PER_TABLE = 4  # sign bits per table → 16 buckets/table
+_EMB_DIM = 64  # embedding dimensionality (embeddings.parquet)
+
+
+VEC_SCALE = 1_000_000  # fixed-point scale for plane-projection signs
+
+
+def _plane_rows() -> list[tuple[int, int, int]]:
+    """Deterministic hyperplane table: (plane p, 1-based dim pos, component).
+
+    Component (p, j) is the first 15 md5 hex chars of ``"p_j"`` read as an
+    int, mapped to the integer range [-500, 500) (i.e. 1000 × a value in
+    [-0.5, 0.5)) — no RNG or driver state, so every executor and the
+    DuckDB oracle (which embeds the same literals) agree exactly.
     """
-    bucket = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        comp = F.transform(
-            F.sequence(F.lit(1), F.size(emb)),
-            lambda j, p=p: (
-                (F.pmod(F.xxhash64(F.concat_ws("_", F.lit(p), j.cast("string"))), 1000) / 1000.0)
-                - 0.5
-            ),
-        )
-        dot = F.aggregate(
-            F.zip_with(emb, comp, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    import hashlib
+
+    rows = []
+    for p in range(N_TABLES * PLANES_PER_TABLE):
+        for j in range(1, _EMB_DIM + 1):
+            hv = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:15], 16)
+            rows.append((p, j, hv % 1000 - 500))
+    return rows
+
+
+def _bands(emb: DataFrame) -> DataFrame:
+    """vec_id → one (t, bucket) row per LSH hash table.
+
+    The 32 plane projections per vector are one dense int64 matmul — an
+    Arrow-batched pandas UDF is the right tool (the zip_with/aggregate
+    HOF spelling of the same math is CodegenFallback and measured ~5×
+    slower; a posexplode+broadcast-join spelling paid seconds of plan
+    compile per run).  Fixed-point (half-away-from-zero round(x·1e6) ×
+    integer component, exactly DuckDB's round) keeps every dot product an
+    exact integer, so batch order cannot perturb the bucket bits and the
+    oracle reproduces them bit-for-bit.
+    """
+    import numpy as np
+
+    M = np.array(
+        [[ci for _, _, ci in _plane_rows()[p * _EMB_DIM:(p + 1) * _EMB_DIM]]
+         for p in range(N_TABLES * PLANES_PER_TABLE)],
+        dtype=np.int64,
+    )  # (32, 64)
+    weights = np.array([2 ** r for r in range(PLANES_PER_TABLE)], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(col: pd.Series) -> pd.Series:
+        X = np.stack(col.to_numpy()).astype(np.float64) * VEC_SCALE
+        XI = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(np.int64)
+        bits = (XI @ M.T > 0).astype(np.int64)  # (B, 32)
+        b8 = (bits.reshape(len(XI), N_TABLES, PLANES_PER_TABLE) * weights).sum(axis=2)
+        return pd.Series(list(b8))
+
+    return emb.select("vec_id", F.posexplode(buckets("embedding")).alias("t", "bucket"))
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors: candidates limited to the probe's LSH
-    bucket, exact cosine re-rank inside.  One narrow map to bucket, one
-    equi-join on bucket id — the 100 TB shape."""
+    """Approximate top-5 neighbors via multi-table sign-LSH: a candidate is
+    any vector sharing ≥1 of the probe's ``N_TABLES`` 4-bit buckets; exact
+    cosine re-ranks the candidates.  Plan shape: one narrow band pass, one
+    equi-join on (table, bucket), distinct, re-rank — nothing quadratic,
+    and the only shuffles carry (table, bucket, id) triples.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.select(
         "vec_id",
         "embedding",
         _dot_int(F.col("embedding"), F.col("embedding")).alias("norm_int"),
-        _lsh_bucket(F.col("embedding")).alias("bucket"),
     )
-    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+    bands = _bands(emb)
+    # probe-side bands from the (tiny) probe subset — referencing `bands`
+    # twice would run the full-corpus band pass once per join branch
+    q_bands = _bands(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("q_id"), "t", "bucket"
+    )
+    pairs = (
+        F.broadcast(q_bands)
+        .join(bands.select(F.col("vec_id").alias("c_id"), "t", "bucket"), ["t", "bucket"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    q_side = base.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm_int").alias("q_norm"),
-        F.col("bucket").alias("q_bucket"),
     )
-    cands = base.select(
+    c_side = base.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("c_emb"),
         F.col("norm_int").alias("c_norm"),
-        F.col("bucket").alias("c_bucket"),
     )
     scored = (
-        F.broadcast(queries)
-        .join(cands, (F.col("q_bucket") == F.col("c_bucket")) & (F.col("q_id") != F.col("c_id")))
+        pairs.join(F.broadcast(q_side), "q_id")
+        .join(c_side, "c_id")
         .select(
             "q_id",
             "c_id",
@@ -268,6 +316,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """Mirror of ann_lsh_topk: the same literal integer hyperplane table;
+    fixed-point sums are exact, so aggregation order cannot diverge."""
+    values = ", ".join(f"({p}, {j}, {ci})" for p, j, ci in _plane_rows())
+    return f"""
+WITH planes(p, pos, ci) AS (
+  VALUES {values}
+), ve AS (
+  SELECT vec_id, t.j AS pos,
+         CAST(round(CAST(embedding[t.j] AS DOUBLE) * {VEC_SCALE}) AS BIGINT) AS xi
+  FROM embeddings, generate_series(1, {_EMB_DIM}) t(j)
+), dots AS (
+  SELECT vec_id, p.p, sum(xi * p.ci) AS doti
+  FROM ve JOIN planes p ON p.pos = ve.pos
+  GROUP BY vec_id, p.p
+), bands AS (
+  SELECT vec_id, p // {PLANES_PER_TABLE} AS t,
+         CAST(sum(CASE WHEN doti > 0
+              THEN CASE p % {PLANES_PER_TABLE} WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+              ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // {PLANES_PER_TABLE}
+), pairs AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM bands q JOIN bands c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+), e AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+              i -> round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e12))) AS BIGINT) AS norm_int
+  FROM embeddings
+), scored AS (
+  SELECT p.q_id, p.c_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+              i -> round(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
+           / (sqrt(q.norm_int) * sqrt(c.norm_int)) AS cosine
+  FROM pairs p JOIN e q ON p.q_id = q.vec_id JOIN e c ON p.c_id = c.vec_id
+)
+SELECT q_id, c_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": cosine_topk,
     "similarity_ann_lsh": ann_lsh_topk,
@@ -276,7 +371,9 @@ QUERIES = {
 
 ORACLE = {
     "similarity_cosine_topk": COSINE_TOPK_SQL,
-    # similarity_ann_lsh / similarity_ann_ivf: xxhash64-derived planes and
-    # centroids have no DuckDB twin → rows-only driver check; recall vs
-    # the exact baseline is unit-tested in tests/test_pipeline.py.
+    "similarity_ann_lsh": _ann_lsh_oracle_sql(),
+    # similarity_ann_ivf: the pandas-UDF coarse quantizer (numpy argmin over
+    # md5-seeded centroids) has no practical DuckDB twin → rows-only driver
+    # check; recall vs the exact baseline is unit-tested in
+    # tests/test_pipeline.py.
 }

@@ -473,12 +473,32 @@ def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent checksum (ChecksumAggregationFunction.java — the
-    reference verifier's comparison primitive): sum of xxhash64 of the
-    canonical row text.  xxhash64 is Spark-specific → rows-only check here;
-    order-independence is unit-tested in tests/test_functions.py."""
+    reference verifier's comparison primitive): sum of a per-row 64-bit-ish
+    hash of the canonical row text.
+
+    This driver query derives the row hash from md5 (first 10 hex chars as
+    a 40-bit int) so DuckDB reproduces it exactly and the plain BIGINT sum
+    stays overflow-free to ~10^6 rows/group; the registry ``checksum``
+    (agg_fns.py) keeps xxhash64 + wrapping sum as the at-scale primitive,
+    exactly as the reference uses its own engine-internal hash."""
     li = _t(spark, sf_dir, "lineitem")
     row_text = F.concat_ws("|", "l_orderkey", "l_linenumber", "l_quantity")
-    return li.groupBy("l_returnflag").agg(F.sum(F.xxhash64(row_text)).alias("checksum"))
+    h40 = F.conv(F.substring(F.md5(row_text), 1, 10), 16, 10).cast("long")
+    return li.groupBy("l_returnflag").agg(F.sum(h40).alias("checksum"))
+
+
+AGG_CHECKSUM_SQL = """
+WITH h AS (
+  SELECT l_returnflag,
+         CAST(list_reduce(list_transform(generate_series(1, 10),
+              i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_quantity)), i, 1)) - 1 AS BIGINT)),
+              (a, b) -> a * 16 + b) AS BIGINT) AS hv
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(sum(hv) AS BIGINT) AS checksum
+FROM h GROUP BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -944,7 +964,8 @@ ORACLE = {
     "agg_array_collect": AGG_ARRAY_SQL,
     "agg_histogram": AGG_HISTOGRAM_SQL,
     "agg_percentile": AGG_PERCENTILE_SQL,
-    # approx_aggs / agg_checksum: engine-specific sketches → rows-only check
+    # approx_aggs: engine-specific sketch internals → rows-only check
+    "agg_checksum": AGG_CHECKSUM_SQL,
     "setop_union_all": SETOP_UNION_ALL_SQL,
     "setop_union_distinct": SETOP_UNION_DISTINCT_SQL,
     "setop_intersect": SETOP_INTERSECT_SQL,

@@ -13,8 +13,6 @@ def test_oracle_keys_subset_of_queries():
     rows_only = set(q) - set(o)
     assert rows_only <= {
         "approx_aggs",
-        "agg_checksum",
-        "dedup_simhash",
         "similarity_ann_lsh",
         "similarity_ann_ivf",
     }, rows_only
