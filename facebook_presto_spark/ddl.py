@@ -48,6 +48,35 @@ def create_table_as(
     return spark.read.parquet(path)
 
 
+def create_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    *,
+    bucket_by: list[str],
+    bucket_count: int,
+    sort_by: list[str] | None = None,
+    mode: str = "errorifexists",
+) -> DataFrame:
+    """CTAS with hash bucketing — the reference's Hive-connector
+    ``WITH (bucketed_by = ARRAY[...], bucket_count = N)`` table properties
+    (presto-hive/.../HiveTableProperties.java; grouped/bucketed execution
+    per SURVEY.md §4.3).
+
+    At scale this is the shuffle-elimination primitive: two tables
+    bucketed on the join key with equal bucket counts sort-merge-join
+    with NO Exchange on either side (asserted in tests/test_bucketing.py)
+    — the co-located join the reference gets from Hive bucketing.
+    Catalog tables (saveAsTable) rather than path writes because bucket
+    metadata lives in the catalog.
+    """
+    writer = df.write.mode(mode).bucketBy(bucket_count, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(name)
+    return spark.table(name)
+
+
 def insert_into(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
     """INSERT INTO an existing parquet table (append, schema-by-name)."""
     existing = spark.read.parquet(path)
