@@ -35,6 +35,11 @@ _EXECUTE_RE = re.compile(
     r"^\s*EXECUTE\s+([A-Za-z_]\w*)(?:\s+USING\s+(.+))?\s*;?\s*$", re.I | re.S
 )
 _DEALLOCATE_RE = re.compile(r"^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)\s*;?\s*$", re.I)
+_DESCRIBE_IO_RE = re.compile(
+    r"^\s*DESCRIBE\s+(INPUT|OUTPUT)\s+([A-Za-z_]\w*)\s*;?\s*$", re.I
+)
+_SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*;?\s*$", re.I)
+_SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", re.I)
 
 
 class PrestoSparkEngine:
@@ -75,10 +80,71 @@ class PrestoSparkEngine:
         if set_stmt is not None:
             set_session_property(self.spark, *set_stmt)
             return self.spark.sql("SELECT true AS ok WHERE false")
+        meta = self._dispatch_metadata(presto_sql)
+        if meta is not None:
+            return meta
         prepared = self._dispatch_prepared(presto_sql)
         if prepared is not None:
             return prepared
         return self.spark.sql(translate(presto_sql))
+
+    # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------
+
+    def _dispatch_metadata(self, presto_sql: str) -> DataFrame | None:
+        if _SHOW_SESSION_RE.match(presto_sql):
+            # SHOW SESSION (ShowQueriesRewrite) — the accepted property
+            # surface; Spark-subsumed properties list with empty values
+            from facebook_presto_spark.properties import PROPERTIES
+
+            return self.spark.createDataFrame(
+                [(name,) for name in sorted(PROPERTIES)], "name string"
+            )
+        if _SHOW_FUNCTIONS_RE.match(presto_sql):
+            # SHOW FUNCTIONS (ShowQueriesRewrite → FunctionRegistry listing);
+            # implementation column mirrors the registry's fast/slow split
+            from facebook_presto_spark.functions.registry import SLOW_PATH, names
+
+            rows = [
+                (n, "pandas_udf" if n in SLOW_PATH else "builtin")
+                for n in names()
+            ]
+            return self.spark.createDataFrame(rows, "function_name string, implementation string")
+        m = _DESCRIBE_IO_RE.match(presto_sql)
+        if m:
+            kind, name = m.group(1).upper(), m.group(2).lower()
+            if name not in self._prepared:
+                raise ValueError(f"Prepared statement not found: {name}")
+            from facebook_presto_spark.sqlfront.tokens import tokenize
+
+            body = self._prepared[name]
+            if kind == "INPUT":
+                # parameter positions (DescribeInputRewrite); types are not
+                # inferred pre-analysis — 'unknown' like the reference emits
+                # for non-deducible parameters
+                n_params = sum(
+                    1 for t in tokenize(body) if t.kind == "op" and t.text == "?"
+                )
+                return self.spark.createDataFrame(
+                    [(i, "unknown") for i in range(n_params)] or [],
+                    "position int, type string",
+                )
+            # OUTPUT: analyze with NULL-bound parameters (DescribeOutputRewrite)
+            bound = self._bind_nulls(body)
+            schema = self.spark.sql(translate(bound)).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString()) for f in schema],
+                "column_name string, type string",
+            )
+        return None
+
+    def _bind_nulls(self, body: str) -> str:
+        from facebook_presto_spark.sqlfront.tokens import Tok, render, tokenize
+
+        out = [
+            Tok("ident", "NULL") if (t.kind == "op" and t.text == "?") else t
+            for t in tokenize(body)
+        ]
+        return render(out)
 
     # -- prepared statements (QueryPreparer.java:55-85) ---------------------
 

@@ -42,6 +42,26 @@ def test_deallocate_and_missing(engine):
         engine.sql("EXECUTE tmp_q")
 
 
+def test_describe_input_output(engine):
+    engine.sql(
+        "PREPARE di FROM SELECT n_name, n_nationkey + ? AS shifted FROM nation WHERE n_nationkey < ?"
+    )
+    inp = engine.sql("DESCRIBE INPUT di").collect()
+    assert [r.position for r in inp] == [0, 1]
+    out = {r.column_name: r.type for r in engine.sql("DESCRIBE OUTPUT di").collect()}
+    assert out["n_name"] == "string"
+    assert "shifted" in out
+
+
+def test_show_session_and_functions(engine):
+    props = {r.name for r in engine.sql("SHOW SESSION").collect()}
+    assert "join_distribution_type" in props
+    fns = {r.function_name: r.implementation for r in engine.sql("SHOW FUNCTIONS").collect()}
+    assert len(fns) >= 300
+    assert fns["strpos"] == "builtin"
+    assert fns["url_encode"] == "pandas_udf"
+
+
 def test_parameter_count_mismatch(engine):
     engine.sql("PREPARE one_param FROM SELECT ? AS x")
     with pytest.raises(ValueError, match="parameters"):
