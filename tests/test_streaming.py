@@ -23,6 +23,30 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert _rows(batch) == _rows(streamed)
 
 
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    """applyInPandasWithState sessionizer (explicit per-user state) must
+    reproduce the batch lag+cumsum sessionization over availableNow."""
+    from facebook_presto_spark.streaming import stateful
+
+    stream_df = stateful.stream_sessionize(spark, sf_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT user_id, event_id, session_id FROM t_sess")
+    batch = stateful.batch_sessionize(spark, sf_dir).select(
+        "user_id", "event_id", "session_id"
+    )
+    assert _rows(batch) == _rows(streamed)
+    # sanity: sessions actually split (more than one per heavy user)
+    max_sess = streamed.groupBy("user_id").agg({"session_id": "max"}).collect()
+    assert max(r[1] for r in max_sess) > 1
+
+
 def test_stream_watermark_drops_late_rows(spark, sf_dir, tmp_path):
     """With a tiny watermark and append mode, only finalized windows emit —
     the late-data handling surface the reference entirely lacks."""
