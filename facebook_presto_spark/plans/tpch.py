@@ -116,13 +116,27 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
     )
-    # per (part, supplier) unit cost — division of identical doubles is
-    # deterministic cross-engine; min() does no arithmetic.
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
     eu_supp = supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")).join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    # Push both dimension filters BELOW the big aggregation as broadcast
+    # semi-joins: the part predicate and the EUROPE supplier set each drop
+    # whole (l_partkey, l_suppkey) groups, so the min is unchanged but the
+    # groupBy shuffle carries only the surviving fraction — the difference
+    # between shuffling all of lineitem and ~2% of it at 100 TB.
+    li_f = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).join(
+        F.broadcast(eu_supp.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    # per (part, supplier) unit cost — division of identical doubles is
+    # deterministic cross-engine; min() does no arithmetic.
+    ps = li_f.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     joined = (
         ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
