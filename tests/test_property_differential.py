@@ -72,18 +72,18 @@ _KEYS = ["o_orderstatus", "o_orderpriority"]
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW orders AS SELECT * FROM "
-        f"read_parquet('{os.path.join(SF_DIR, 'orders.parquet')}')"
-    )
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(SF_DIR, f'{t}.parquet')}')"
+        )
     return con
 
 
 @pytest.fixture(scope="module")
 def sql_engine(spark):
-    spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).createOrReplaceTempView(
-        "orders"
-    )
+    for t in ("orders", "customer"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).createOrReplaceTempView(t)
     return spark
 
 
@@ -116,6 +116,65 @@ def test_grouped_agg_matches(sql_engine, duck, pred, agg, key):
         f"GROUP BY {key} ORDER BY {key}"
     )
     got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_predicate(1), key=st.sampled_from(["c_mktsegment", "c_nationkey"]))
+def test_join_agg_matches(sql_engine, duck, pred, key):
+    sql = (
+        f"SELECT {key}, count(*) AS n, CAST(sum({_MONEY}) AS BIGINT) AS s "
+        f"FROM orders JOIN customer ON o_custkey = c_custkey "
+        f"WHERE {pred} GROUP BY {key} ORDER BY {key}"
+    )
+    got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_predicate(1), k=st.integers(min_value=1, max_value=5))
+def test_window_topk_matches(sql_engine, duck, pred, k):
+    sql = (
+        "SELECT o_orderpriority, o_orderkey FROM ("
+        "  SELECT o_orderpriority, o_orderkey, "
+        "         row_number() OVER (PARTITION BY o_orderpriority "
+        "                            ORDER BY o_orderkey) AS rn "
+        f"  FROM orders WHERE {pred}"
+        f") t WHERE rn <= {k} ORDER BY o_orderpriority, o_orderkey"
+    )
+    got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_predicate(1))
+def test_presto_frontend_matches(spark, duck, pred):
+    """Same random query through the Presto-dialect front-end
+    (PrestoSparkEngine.sql → translate → spark.sql): the translator must
+    be a no-op-or-better on the common subset."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(SF_DIR, spark=spark)
+    sql = (
+        f"SELECT o_orderstatus, count(*) AS n FROM orders WHERE {pred} "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    got = [tuple(r) for r in eng.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want, sql
 
