@@ -395,20 +395,43 @@ def _json_array_get(args: Args) -> list[Tok]:
     return _call("get_json_object", args[0], path)
 
 
+_TRY_FN = {
+    # Presto functions whose failure mode Spark covers with a try_* twin
+    "element_at": "try_element_at",
+    "to_date": "try_to_date",
+    "date_parse": None,  # handled by its own rule first; see below
+}
+
+
 def _try(args: Args) -> list[Tok]:
     # try(expr) (TryFunction.java): NULL on error. Spark has no generic
-    # form; translate the common arithmetic/cast shapes.
+    # form; translate the failure shapes Spark has try_* twins for.
     if len(args) != 1:
         raise ValueError("try() takes one argument")
     inner = args[0]
-    # try(a / b) → try_divide(a, b)
     from facebook_presto_spark.sqlfront.tokens import split_top_level
-    halves = split_top_level(inner, "/")
-    if len(halves) == 2:
-        return _call("try_divide", halves[0], halves[1])
+
+    # try(a op b) → try_divide/try_multiply/try_add/try_subtract(a, b)
+    for op_text, fn in (("/", "try_divide"), ("*", "try_multiply"),
+                        ("+", "try_add"), ("-", "try_subtract")):
+        halves = split_top_level(inner, op_text)
+        if len(halves) == 2 and all(halves):
+            return _call(fn, halves[0], halves[1])
     if inner and inner[0].is_kw("CAST"):
         return [ident("try_cast")] + inner[1:]
-    raise ValueError("try() supported only for division and CAST shapes")
+    # try(fn(...)) where Spark has a try_ twin (element_at → NULL instead
+    # of error on bad subscript, etc.)
+    if (
+        len(inner) >= 3
+        and inner[0].kind == "ident"
+        and inner[1].text == "("
+        and _TRY_FN.get(inner[0].text.lower())
+    ):
+        return [ident(_TRY_FN[inner[0].text.lower()])] + inner[1:]
+    raise ValueError(
+        "try() supported for +,-,*,/ arithmetic, CAST, and "
+        f"{sorted(k for k, v in _TRY_FN.items() if v)} shapes"
+    )
 
 
 def _bitwise(op_text: str):

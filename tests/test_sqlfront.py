@@ -157,6 +157,10 @@ def test_misc_rewrites():
 def test_try_shapes():
     assert "try_divide(a, b)" in translate("SELECT try(a / b) FROM t")
     assert "try_cast" in translate("SELECT try(CAST(s AS BIGINT)) FROM t")
+    assert "try_multiply(a, b)" in translate("SELECT try(a * b) FROM t")
+    assert "try_add(a, b)" in translate("SELECT try(a + b) FROM t")
+    assert "try_subtract(a, b)" in translate("SELECT try(a - b) FROM t")
+    assert "try_element_at" in translate("SELECT try(element_at(m, 'k')) FROM t")
 
 
 def test_nested_calls_translate_inside_out():
