@@ -223,45 +223,51 @@ N_PROBE = 6    # lists searched per query
 _DIM = 64      # embedding dimensionality (embeddings.parquet)
 
 
-def _centroids() -> "np.ndarray":  # noqa: F821 - numpy imported lazily
-    """Deterministic centroid matrix (N_LISTS × _DIM), md5-derived —
-    reproducible across runs/executors with no RNG state.  Computed on the
-    driver and shipped inside the UDF closure (a few KB; at 1000-executor
-    scale this is a broadcast of the coarse quantizer, exactly like FAISS).
+def _centroid_rows() -> list[tuple[int, int, int]]:
+    """Deterministic integer centroid table: (list c, 1-based dim pos,
+    component), md5-derived — reproducible across runs/executors with no
+    RNG state, and embeddable verbatim in the DuckDB oracle.  Component
+    (c, j) is the first 4 md5 bytes of ``"{c}c{j}"`` re-centered to
+    [-2^31, 2^31) — the integer form of the previous float
+    ``bytes/2^32 - 0.5`` (scale 2^32 cancels in argmax comparisons).
     """
     import hashlib
 
-    import numpy as np
-
     rows = []
     for c in range(N_LISTS):
-        comps = []
         for j in range(_DIM):
             h = hashlib.md5(f"{c}c{j}".encode()).digest()
-            comps.append(int.from_bytes(h[:4], "big") / 2**32 - 0.5)
-        rows.append(comps)
-    return np.asarray(rows)
+            rows.append((c, j + 1, int.from_bytes(h[:4], "big") - 2 ** 31))
+    return rows
 
 
 def _nearest_lists_udf(n: int):
-    """pandas UDF: embedding → n nearest coarse-list ids.
+    """pandas UDF: embedding → n nearest coarse-list ids (by projection).
 
     The relational form (16 centroids × 64 components as Catalyst
     expressions) builds a codegen tree too large to JIT well; one Arrow
     batch matmul (B×64 @ 64×16) does the assignment three orders of
-    magnitude faster and stays fully vectorized.
+    magnitude faster and stays fully vectorized.  Exact int64 arithmetic
+    (fixed-point vectors × integer centroids, ≤1.4e17 per dot) makes the
+    assignment bit-reproducible in the DuckDB oracle; ties break by list
+    id via the stable argsort.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    cents = _centroids().T  # 64×16
+    cents = np.array(
+        [[ci for _, _, ci in _centroid_rows()[c * _DIM:(c + 1) * _DIM]]
+         for c in range(N_LISTS)],
+        dtype=np.int64,
+    ).T  # 64×16
 
     # no parameter annotations: `from __future__ import annotations` turns
     # them into strings pandas_udf can't resolve — returnType says it all
     def nearest(emb):
-        mat = np.stack(emb.to_numpy())            # B×64
-        dots = mat.astype("float64") @ cents      # B×16
+        mat = np.stack(emb.to_numpy()).astype("float64") * VEC_SCALE  # B×64
+        xi = np.where(mat >= 0, np.floor(mat + 0.5), np.ceil(mat - 0.5)).astype(np.int64)
+        dots = xi @ cents                        # B×16, exact int64
         order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
         return pd.Series(list(order.astype("int32")))
 
@@ -363,6 +369,54 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _ann_ivf_oracle_sql() -> str:
+    """Mirror of ann_ivf_topk: the same literal integer centroid table;
+    the exact-int64 quantizer assignment reproduces bit-for-bit."""
+    values = ", ".join(f"({c}, {j}, {ci})" for c, j, ci in _centroid_rows())
+    return f"""
+WITH cents(c, pos, ci) AS (
+  VALUES {values}
+), ve AS (
+  SELECT vec_id, t.j AS pos,
+         CAST(round(CAST(embedding[t.j] AS DOUBLE) * {VEC_SCALE}) AS BIGINT) AS xi
+  FROM embeddings, generate_series(1, {_EMB_DIM}) t(j)
+), dots AS (
+  SELECT vec_id, c, CAST(sum(xi * ci) AS BIGINT) AS d
+  FROM ve JOIN cents USING (pos)
+  GROUP BY vec_id, c
+), ranked AS (
+  SELECT vec_id, c,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rk
+  FROM dots
+), cand_list AS (
+  SELECT vec_id AS c_id, c AS list_id FROM ranked WHERE rk = 1
+), probe_list AS (
+  SELECT vec_id AS q_id, c AS list_id FROM ranked
+  WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}
+), e AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
+              i -> round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e12))) AS BIGINT) AS norm_int
+  FROM embeddings
+), scored AS (
+  SELECT p.q_id, cl.c_id,
+         CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
+              i -> round(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
+           / (sqrt(q.norm_int) * sqrt(c.norm_int)) AS cosine
+  FROM probe_list p JOIN cand_list cl USING (list_id)
+  JOIN e q ON p.q_id = q.vec_id JOIN e c ON cl.c_id = c.vec_id
+  WHERE p.q_id <> cl.c_id
+)
+SELECT q_id, c_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "similarity_cosine_topk": cosine_topk,
     "similarity_ann_lsh": ann_lsh_topk,
@@ -372,8 +426,5 @@ QUERIES = {
 ORACLE = {
     "similarity_cosine_topk": COSINE_TOPK_SQL,
     "similarity_ann_lsh": _ann_lsh_oracle_sql(),
-    # similarity_ann_ivf: the pandas-UDF coarse quantizer (numpy argmin over
-    # md5-seeded centroids) has no practical DuckDB twin → rows-only driver
-    # check; recall vs the exact baseline is unit-tested in
-    # tests/test_pipeline.py.
+    "similarity_ann_ivf": _ann_ivf_oracle_sql(),
 }

@@ -11,11 +11,10 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q), set(o) - set(q)
     # every query should either have an oracle or be a documented sketch op
     rows_only = set(q) - set(o)
-    assert rows_only <= {
-        "approx_aggs",
-        "similarity_ann_lsh",
-        "similarity_ann_ivf",
-    }, rows_only
+    # approx_aggs is the single remaining rows-only check: HLL/KLL sketch
+    # internals are engine-defined by nature (the reference's own sketches
+    # are airlift-specific the same way)
+    assert rows_only <= {"approx_aggs"}, rows_only
 
 
 def test_entry_runs(spark):
