@@ -151,56 +151,61 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     max_bucket = 256  # pair-enumeration cap per LSH bucket
     docs = _t(spark, sf_dir, "documents")
-    sig = _signatures(docs).select(
-        "doc_id", F.array(*[F.col(f"h{s}") for s in range(K_MINHASH)]).alias("sig")
-    )
+    sig = _signatures(docs)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat(
-                    *[F.element_at("sig", b * BAND_ROWS + r + 1) for r in range(BAND_ROWS)]
+                    *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
                 ).alias("key"),
             )
             for b in range(K_MINHASH // BAND_ROWS)
         ]
     )
-    bands = sig.select("doc_id", "sig", F.explode(band_structs).alias("bk")).select(
-        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    member = F.struct("doc_id", *[f"h{s}" for s in range(K_MINHASH)])
+    bands = sig.select(member.alias("m"), F.explode(band_structs).alias("bk")).select(
+        "m", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     buckets = (
         bands.groupBy("band", "key")
-        .agg(F.slice(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))), 1, max_bucket).alias("ms"))
+        .agg(F.slice(F.sort_array(F.collect_list("m")), 1, max_bucket).alias("ms"))
         .filter(F.size("ms") >= 2)
     )
     # all i<j pairs within the bucket (members sorted by doc_id, so the
-    # (a, b) orientation is doc_a < doc_b by construction)
+    # (a, b) orientation is doc_a < doc_b by construction).  The pair
+    # structs carry only plain fields — NO per-pair arithmetic inside the
+    # interpreted HOF: the signature-agreement sum runs *after* the
+    # distinct as a codegen'd 8-column comparison.  (Computing the
+    # agreement per in-bucket pair with zip_with/aggregate was a 30×
+    # blowup on a 10× duplicate-heavy scale probe: duplicate corpora fill
+    # every bucket with copies, and each pre-distinct pair paid an
+    # interpreted 8-element fold.)
     pair_list = F.flatten(
         F.transform(
             F.col("ms"),
-            lambda m, i: F.transform(
+            lambda a, i: F.transform(
                 F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda m2: F.struct(
-                    m["doc_id"].alias("doc_a"),
-                    m2["doc_id"].alias("doc_b"),
-                    (
-                        F.aggregate(
-                            F.zip_with(
-                                m["sig"], m2["sig"],
-                                lambda x, y: F.when(x == y, 1).otherwise(0),
-                            ),
-                            F.lit(0),
-                            lambda acc, v: acc + v,
-                        ).cast("double")
-                        / F.lit(float(K_MINHASH))
-                    ).alias("est_jaccard"),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    *[a[f"h{s}"].alias(f"a{s}") for s in range(K_MINHASH)],
+                    *[b[f"h{s}"].alias(f"b{s}") for s in range(K_MINHASH)],
                 ),
             ),
         )
     )
+    agreement = sum(
+        F.when(F.col(f"pr.a{s}") == F.col(f"pr.b{s}"), 1).otherwise(0)
+        for s in range(K_MINHASH)
+    )
     return (
         buckets.select(F.explode(pair_list).alias("pr"))
-        .select("pr.doc_a", "pr.doc_b", "pr.est_jaccard")
+        .select(
+            F.col("pr.doc_a").alias("doc_a"),
+            F.col("pr.doc_b").alias("doc_b"),
+            (agreement.cast("double") / F.lit(float(K_MINHASH))).alias("est_jaccard"),
+        )
         .distinct()
     )
 
