@@ -235,9 +235,7 @@ WITH toks AS (
 )
 """
 
-MINHASH_LSH_SQL = (
-    _SIG_CTE
-    + """
+_MINHASH_BODY = """
 , bands AS (
   SELECT doc_id, 0 AS band, h0||h1 AS key FROM sig
   UNION ALL SELECT doc_id, 1, h2||h3 FROM sig
@@ -246,7 +244,9 @@ MINHASH_LSH_SQL = (
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-)
+)"""
+
+_MINHASH_SELECT = """
 SELECT doc_a, doc_b,
        ((CASE WHEN sa.h0=sb.h0 THEN 1 ELSE 0 END) + (CASE WHEN sa.h1=sb.h1 THEN 1 ELSE 0 END) +
         (CASE WHEN sa.h2=sb.h2 THEN 1 ELSE 0 END) + (CASE WHEN sa.h3=sb.h3 THEN 1 ELSE 0 END) +
@@ -256,6 +256,62 @@ SELECT doc_a, doc_b,
 FROM pairs
 JOIN sig sa ON pairs.doc_a = sa.doc_id
 JOIN sig sb ON pairs.doc_b = sb.doc_id
+"""
+
+MINHASH_LSH_SQL = _SIG_CTE + _MINHASH_BODY + _MINHASH_SELECT
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline: MinHash-LSH candidate pairs →
+    exact shingle-Jaccard verification on the candidates only.
+
+    This is the composition the other operators exist for: the band join
+    bounds the candidate set (nothing quadratic), and the exact check —
+    O(shingles) per candidate pair via array_intersect on the two
+    (small) shingle sets — runs on candidates alone, never all pairs.
+    At 100 TB this is one signature pass, one narrow band shuffle, and a
+    candidate-sized join back to the shingle relation.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+LSH_VERIFIED_SQL = (
+    _SIG_CTE
+    + _MINHASH_BODY
+    + ", cand AS ("
+    + _MINHASH_SELECT
+    + """
+), shset AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= 3
+)
+SELECT c.doc_a, c.doc_b, c.est_jaccard,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM cand c
+JOIN shset a ON c.doc_a = a.doc_id
+JOIN shset b ON c.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
 """
 )
 
@@ -443,6 +499,7 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_lsh_verified": lsh_verified_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_simhash": simhash64,
     "dedup_embedding_cosine": embedding_neardup_pairs,
@@ -451,6 +508,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_lsh_verified": LSH_VERIFIED_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": EMBEDDING_NEARDUP_SQL,
