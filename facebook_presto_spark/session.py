@@ -46,6 +46,9 @@ def get_spark(app_name: str = "facebook_presto_spark", cpus: str | int | None = 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- semantics ---------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # Presto's TIME type (StandardTypes.java:35) maps to Spark 4.1's
+        # TimeType, which is still flag-gated
+        .config("spark.sql.timeType.enabled", "true")
         # ANSI off matches the reference's permissive double arithmetic;
         # our try()/try_cast helpers provide the safe variants explicitly.
         .config("spark.sql.ansi.enabled", "false")
