@@ -1,0 +1,5 @@
+-- groups: subquery; tables: orders, customer
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c_custkey
