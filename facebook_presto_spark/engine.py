@@ -54,7 +54,19 @@ class PrestoSparkEngine:
         """Engine with the star-schema tables under ``sf_dir`` registered."""
         spark = spark or get_spark()
         register_views(spark, sf_dir)
+        cls._register_sql_udfs(spark)
         return cls(spark)
+
+    @staticmethod
+    def _register_sql_udfs(spark: SparkSession) -> None:
+        """Expose the registry's pandas-UDF fallbacks to SQL text, so
+        engine.sql() reaches the same surface as the Column API (the
+        reference registers every function in one FunctionRegistry —
+        SQL and everything else resolve identically)."""
+        from facebook_presto_spark.functions import binary_fns, string_fns
+
+        for name, udf in {**binary_fns.SQL_UDFS, **string_fns.SQL_UDFS}.items():
+            spark.udf.register(name, udf)
 
     def translate(self, presto_sql: str) -> str:
         """Presto-dialect SQL → the Spark SQL string that will run."""

@@ -96,22 +96,26 @@ def url_extract_port(u) -> Column:
     return F.nullif(port, F.lit("")).cast("bigint")
 
 
-@register("url_encode", slow_path=True)
-def url_encode(s) -> Column:
-    @F.pandas_udf(StringType())
-    def _enc(col: pd.Series) -> pd.Series:
-        return col.map(lambda v: None if v is None else urllib.parse.quote_plus(v))
-
-    return _enc(_c(s))
+# module-level UDF objects so the engine can also register them for SQL
+# text (engine.register_sql_udfs); the registry builders wrap the same ones
+@F.pandas_udf(StringType())
+def _url_encode_udf(col: pd.Series) -> pd.Series:
+    return col.map(lambda v: None if v is None else urllib.parse.quote_plus(v))
 
 
-@register("url_decode", slow_path=True)
-def url_decode(s) -> Column:
-    @F.pandas_udf(StringType())
-    def _dec(col: pd.Series) -> pd.Series:
-        return col.map(lambda v: None if v is None else urllib.parse.unquote_plus(v))
+@F.pandas_udf(StringType())
+def _url_decode_udf(col: pd.Series) -> pd.Series:
+    return col.map(lambda v: None if v is None else urllib.parse.unquote_plus(v))
 
-    return _dec(_c(s))
+
+register("url_encode", slow_path=True)(lambda s: _url_encode_udf(_c(s)))
+register("url_decode", slow_path=True)(lambda s: _url_decode_udf(_c(s)))
+
+# name → UDF object, for SQL-level registration by the engine
+SQL_UDFS = {
+    "url_encode": _url_encode_udf,
+    "url_decode": _url_decode_udf,
+}
 
 
 # --- conditional / misc ----------------------------------------------------

@@ -88,26 +88,30 @@ def normalize(s, form: str = "NFC") -> Column:
 
 
 # word_stem (WordStemFunction.java — Porter).  Simplified Porter suffix
-# stripping, vectorized over Arrow batches.
-@register("word_stem", slow_path=True)
-def word_stem(s) -> Column:
-    suffixes = ("ational", "iveness", "fulness", "ousness", "ization", "ations",
-                "ement", "ments", "ation", "ness", "ing", "edly", "ed", "ies",
-                "ly", "es", "s")
+# stripping, vectorized over Arrow batches; module-level UDF object so the
+# engine can also register it for SQL text.
+_STEM_SUFFIXES = ("ational", "iveness", "fulness", "ousness", "ization",
+                  "ations", "ement", "ments", "ation", "ness", "ing", "edly",
+                  "ed", "ies", "ly", "es", "s")
 
-    def stem(w):
-        if w is None:
-            return None
-        for suf in suffixes:
-            if w.endswith(suf) and len(w) - len(suf) >= 3:
-                return w[: -len(suf)]
-        return w
 
-    @F.pandas_udf(StringType())
-    def _stem(col: pd.Series) -> pd.Series:
-        return col.map(stem)
+def _stem_word(w):
+    if w is None:
+        return None
+    for suf in _STEM_SUFFIXES:
+        if w.endswith(suf) and len(w) - len(suf) >= 3:
+            return w[: -len(suf)]
+    return w
 
-    return _stem(_c(s))
+
+@F.pandas_udf(StringType())
+def _word_stem_udf(col: pd.Series) -> pd.Series:
+    return col.map(_stem_word)
+
+
+register("word_stem", slow_path=True)(lambda s: _word_stem_udf(_c(s)))
+
+SQL_UDFS = {"word_stem": _word_stem_udf}
 
 
 # --- regex (Joni-engine semantics ≈ Java regex for the common surface) -----

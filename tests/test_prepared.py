@@ -53,6 +53,14 @@ def test_describe_input_output(engine):
     assert "shifted" in out
 
 
+def test_slow_path_udfs_reachable_from_sql(engine):
+    row = engine.sql(
+        "SELECT url_encode('a b&c') AS e, url_decode('a+b%26c') AS d, "
+        "word_stem('running') AS st"
+    ).first()
+    assert (row.e, row.d, row.st) == ("a+b%26c", "a b&c", "runn")
+
+
 def test_show_session_and_functions(engine):
     props = {r.name for r in engine.sql("SHOW SESSION").collect()}
     assert "join_distribution_type" in props
