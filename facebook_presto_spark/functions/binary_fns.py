@@ -111,10 +111,31 @@ def _url_decode_udf(col: pd.Series) -> pd.Series:
 register("url_encode", slow_path=True)(lambda s: _url_encode_udf(_c(s)))
 register("url_decode", slow_path=True)(lambda s: _url_decode_udf(_c(s)))
 
+
+@F.pandas_udf(StringType())
+def _ipaddress_udf(col: pd.Series) -> pd.Series:
+    # CAST(varchar AS IPADDRESS) canonical text form (IpAddressType.java);
+    # NULL on invalid input (try_cast semantics — the reference raises)
+    import ipaddress as ipmod
+
+    def canon(v):
+        if v is None:
+            return None
+        try:
+            return str(ipmod.ip_address(v))
+        except ValueError:
+            return None
+
+    return col.map(canon)
+
+
+register("ipaddress", slow_path=True)(lambda s: _ipaddress_udf(_c(s)))
+
 # name → UDF object, for SQL-level registration by the engine
 SQL_UDFS = {
     "url_encode": _url_encode_udf,
     "url_decode": _url_decode_udf,
+    "presto_ipaddress": _ipaddress_udf,
 }
 
 

@@ -239,10 +239,23 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                 out.append(t)
                 i += 1
                 continue
+            type_text = _type_text(inner[as_idx + 1:])
+            if type_text.upper() == "IPADDRESS":
+                # CAST(x AS IPADDRESS) canonicalizes the address text
+                # (presto-main/.../type/IpAddressType.java); Spark has no
+                # such type — emit the canonicalizing engine UDF, which
+                # yields NULL on invalid input (try_cast semantics; the
+                # reference raises — documented permissive divergence).
+                out.append(ident("presto_ipaddress"))
+                out.append(op("("))
+                out.extend(_pass_cast_types(inner[:as_idx]))
+                out.append(op(")"))
+                i = close + 1
+                continue
             out.append(t)
             out.append(op("("))
             out.extend(_pass_cast_types(inner[:as_idx]))
-            out.extend([ident("AS"), ident(_type_text(inner[as_idx + 1:])), op(")")])
+            out.extend([ident("AS"), ident(type_text), op(")")])
             i = close + 1
             continue
         out.append(t)

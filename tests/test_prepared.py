@@ -61,6 +61,19 @@ def test_slow_path_udfs_reachable_from_sql(engine):
     assert (row.e, row.d, row.st) == ("a+b%26c", "a b&c", "runn")
 
 
+def test_ipaddress_cast_canonicalizes(engine):
+    row = engine.sql(
+        "SELECT CAST('2001:0db8:0000:0000:0000:0000:0000:0001' AS IPADDRESS) AS v6, "
+        "CAST('192.168.001.1' AS IPADDRESS) AS bad4, "
+        "CAST('10.0.0.1' AS IPADDRESS) AS v4, "
+        "try_cast('not-an-ip' AS IPADDRESS) AS inv"
+    ).first()
+    assert row.v6 == "2001:db8::1"
+    assert row.v4 == "10.0.0.1"
+    assert row.bad4 is None  # leading zeros are invalid per inet_pton
+    assert row.inv is None
+
+
 def test_show_session_and_functions(engine):
     props = {r.name for r in engine.sql("SHOW SESSION").collect()}
     assert "join_distribution_type" in props
