@@ -23,9 +23,16 @@ def _tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+# BPE-style pre-tokenizer segments (GPT-2 pattern family, simplified to
+# the lookahead-free subset both Java regex and RE2 — the oracle's engine —
+# agree on): optional leading space + letter run | digit run | punct run.
+BPE_RX = r" ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, type-token
-    ratio, mean token length — the cheap pre-filter signals."""
+    """Token counting: whitespace tokens, BPE-ish regex pre-tokens,
+    distinct tokens, type-token ratio, mean token length — the cheap
+    pre-filter signals."""
     docs = _t(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     n = F.size(toks).cast("bigint")
@@ -34,6 +41,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n.alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_RX)).cast("bigint").alias("n_bpe_tokens"),
         nd.alias("n_distinct"),
         (nd.cast("double") / n).alias("ttr"),
         (
@@ -50,6 +58,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_STATS_SQL = """
 SELECT doc_id, lang,
        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+')) AS BIGINT) AS n_bpe_tokens,
        CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
        CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
          / len(string_split(text,' ')) AS ttr,
