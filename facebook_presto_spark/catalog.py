@@ -66,6 +66,36 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
+def register_schema(spark: SparkSession, schema: str, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register ``sf_dir`` as a named schema of persistent parquet views,
+    so qualified identifiers resolve: ``schema.table`` directly, and
+    ``catalog.schema.table`` after the front-end strips the catalog
+    qualifier (the reference's Catalog → Schema → Table model,
+    ConnectorMetadata.java:56 — Spark's session catalog provides the
+    schema level; the catalog level is a name prefix).
+    """
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_]\w*", schema):
+        raise ValueError(f"invalid schema name: {schema}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        if name == "events":
+            # TIMESTAMP(NANOS) physical type: rebuild ts like events_table
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            body = (
+                "SELECT event_id, timestamp_micros(ts div 1000) AS ts, "
+                "user_id, event_type, value, props "
+                f"FROM parquet.`{path}`"
+            )
+        else:
+            body = f"SELECT * FROM parquet.`{path}`"
+        spark.sql(f"CREATE OR REPLACE VIEW {schema}.{name} AS {body}")
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register each table as a temp view so ``spark.sql`` sees the catalog.
 

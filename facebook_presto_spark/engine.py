@@ -57,6 +57,14 @@ class PrestoSparkEngine:
         cls._register_sql_udfs(spark)
         return cls(spark)
 
+    def register_schema(self, schema: str, sf_dir: str) -> None:
+        """Expose ``sf_dir`` as a named schema: ``schema.table`` and
+        ``anycatalog.schema.table`` identifiers resolve (the reference's
+        Catalog → Schema → Table addressing)."""
+        from facebook_presto_spark.catalog import register_schema
+
+        register_schema(self.spark, schema, sf_dir)
+
     @staticmethod
     def _register_sql_udfs(spark: SparkSession) -> None:
         """Expose the registry's pandas-UDF fallbacks to SQL text, so

@@ -617,9 +617,37 @@ def _pass_misc(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_catalog_qualifier(tokens: list[Tok]) -> list[Tok]:
+    """Drop the catalog level from three-part table identifiers.
+
+    The reference addresses tables as catalog.schema.table
+    (ConnectorMetadata's Catalog → Schema → Table); Spark's session
+    catalog has only schema.table.  Conservatively rewrite only names in
+    table position — the identifier chain immediately after FROM or JOIN —
+    so struct-field paths (col.field.sub) elsewhere are untouched.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        out.append(t)
+        if t.is_kw("FROM", "JOIN") and i + 5 < n and all(
+            tokens[i + k].kind in ("ident", "qident") for k in (1, 3, 5)
+        ) and tokens[i + 2].text == "." and tokens[i + 4].text == "." and not (
+            i + 6 < n and tokens[i + 6].text == "."
+        ):
+            out.extend([tokens[i + 3], tokens[i + 4], tokens[i + 5]])
+            i += 6
+            continue
+        i += 1
+    return out
+
+
 def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark-SQL string."""
     toks = tokenize(sql)
+    toks = _pass_catalog_qualifier(toks)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
     toks = _pass_cast_types(toks)

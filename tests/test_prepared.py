@@ -61,6 +61,22 @@ def test_slow_path_udfs_reachable_from_sql(engine):
     assert (row.e, row.d, row.st) == ("a+b%26c", "a b&c", "runn")
 
 
+def test_qualified_table_names(engine, sf_dir):
+    engine.register_schema("tiny", sf_dir)
+    try:
+        direct = engine.sql("SELECT count(*) AS n FROM tiny.orders").first()["n"]
+        qualified = engine.sql("SELECT count(*) AS n FROM tpch.tiny.orders").first()["n"]
+        bare = engine.sql("SELECT count(*) AS n FROM orders").first()["n"]
+        assert direct == qualified == bare > 0
+        joined = engine.sql(
+            "SELECT count(*) AS n FROM tpch.tiny.orders o "
+            "JOIN tpch.tiny.customer c ON o.o_custkey = c.c_custkey"
+        ).first()["n"]
+        assert joined > 0
+    finally:
+        engine.spark.sql("DROP DATABASE IF EXISTS tiny CASCADE")
+
+
 def test_ipaddress_cast_canonicalizes(engine):
     row = engine.sql(
         "SELECT CAST('2001:0db8:0000:0000:0000:0000:0000:0001' AS IPADDRESS) AS v6, "
