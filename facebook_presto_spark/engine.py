@@ -40,6 +40,8 @@ _DESCRIBE_IO_RE = re.compile(
 )
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*;?\s*$", re.I)
 _SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", re.I)
+_EXPLAIN_ANALYZE_RE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+(.+)$", re.I | re.S)
+_EXPLAIN_OPTS_RE = re.compile(r"^\s*EXPLAIN\s*\(([^)]*)\)\s*(.+)$", re.I | re.S)
 
 
 class PrestoSparkEngine:
@@ -111,6 +113,26 @@ class PrestoSparkEngine:
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------
 
     def _dispatch_metadata(self, presto_sql: str) -> DataFrame | None:
+        m = _EXPLAIN_ANALYZE_RE.match(presto_sql)
+        if m:
+            # EXPLAIN ANALYZE executes the query and reports the plan with
+            # runtime metrics (ExplainAnalyzeOperator) — AQE final plan here
+            from facebook_presto_spark.ddl import explain_analyze
+
+            text = explain_analyze(self.sql(m.group(1)))
+            return self.spark.createDataFrame(
+                [(line,) for line in text.splitlines()], "query_plan string"
+            )
+        m = _EXPLAIN_OPTS_RE.match(presto_sql)
+        if m:
+            # EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE, FORMAT TEXT …):
+            # VALIDATE just analyzes; other options map to Spark's formatted
+            # plan (fragmenting is Catalyst's, so one plan form serves all)
+            opts, body = m.group(1).upper(), m.group(2)
+            if "VALIDATE" in opts:
+                self.sql(body).schema  # analysis errors propagate
+                return self.spark.sql("SELECT true AS valid")
+            return self.spark.sql("EXPLAIN EXTENDED " + translate(body))
         if _SHOW_SESSION_RE.match(presto_sql):
             # SHOW SESSION (ShowQueriesRewrite) — the accepted property
             # surface; Spark-subsumed properties list with empty values

@@ -61,6 +61,19 @@ def test_slow_path_udfs_reachable_from_sql(engine):
     assert (row.e, row.d, row.st) == ("a+b%26c", "a b&c", "runn")
 
 
+def test_explain_statements(engine):
+    plain = engine.sql("EXPLAIN SELECT count(*) FROM nation").collect()
+    assert plain and "plan" in plain[0][0].lower() or len(plain) > 0
+    validated = engine.sql("EXPLAIN (TYPE VALIDATE) SELECT n_name FROM nation").first()
+    assert validated["valid"] is True
+    analyzed = engine.sql("EXPLAIN ANALYZE SELECT count(*) AS n FROM nation").collect()
+    assert any("Aggregate" in r.query_plan for r in analyzed)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("EXPLAIN (TYPE VALIDATE) SELECT nope FROM nation").collect()
+
+
 def test_qualified_table_names(engine, sf_dir):
     engine.register_schema("tiny", sf_dir)
     try:
