@@ -41,6 +41,9 @@ _DESCRIBE_IO_RE = re.compile(
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*;?\s*$", re.I)
 _SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", re.I)
 _EXPLAIN_ANALYZE_RE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+(.+)$", re.I | re.S)
+_USE_RE = re.compile(
+    r"^\s*USE\s+(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*;?\s*$", re.I
+)
 _EXPLAIN_OPTS_RE = re.compile(r"^\s*EXPLAIN\s*\(([^)]*)\)\s*(.+)$", re.I | re.S)
 
 
@@ -101,6 +104,22 @@ class PrestoSparkEngine:
         set_stmt = parse_set_session(presto_sql)
         if set_stmt is not None:
             set_session_property(self.spark, *set_stmt)
+            return self.spark.sql("SELECT true AS ok WHERE false")
+        from facebook_presto_spark.properties import (
+            parse_reset_session,
+            reset_session_property,
+        )
+
+        reset_stmt = parse_reset_session(presto_sql)
+        if reset_stmt is not None:
+            reset_session_property(self.spark, reset_stmt)
+            return self.spark.sql("SELECT true AS ok WHERE false")
+        m = _USE_RE.match(presto_sql)
+        if m:
+            # USE [catalog.]schema (SqlBase.g4:35-36) — the schema maps to a
+            # Spark database (see catalog.register_schema); catalog is a
+            # name prefix only
+            self.spark.catalog.setCurrentDatabase(m.group(2))
             return self.spark.sql("SELECT true AS ok WHERE false")
         meta = self._dispatch_metadata(presto_sql)
         if meta is not None:

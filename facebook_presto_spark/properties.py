@@ -83,11 +83,48 @@ PROPERTIES: dict[str, Callable[[SparkSession, str], None]] = {
 }
 
 
+# Spark confs each property may have touched, for RESET SESSION
+_PROPERTY_CONFS: dict[str, tuple[str, ...]] = {
+    "hash_partition_count": ("spark.sql.shuffle.partitions",),
+    "task_concurrency": ("spark.sql.shuffle.partitions",),
+    "join_distribution_type": ("spark.sql.autoBroadcastJoinThreshold",),
+    "distributed_join": ("spark.sql.autoBroadcastJoinThreshold",),
+    "join_reordering_strategy": (
+        "spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+    ),
+    "reorder_joins": (
+        "spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+    ),
+}
+
+
 def set_session_property(spark: SparkSession, name: str, value: str) -> None:
     key = name.strip().lower()
     if key not in PROPERTIES:
         raise ValueError(f"unknown session property: {name}")
     PROPERTIES[key](spark, value)
+
+
+def reset_session_property(spark: SparkSession, name: str) -> None:
+    """RESET SESSION <name> (SqlBase.g4:89) — restore the default by
+    unsetting whichever Spark confs the property maps onto."""
+    key = name.strip().lower()
+    if key not in PROPERTIES:
+        raise ValueError(f"unknown session property: {name}")
+    for conf in _PROPERTY_CONFS.get(key, ()):
+        try:
+            spark.conf.unset(conf)
+        except Exception:
+            pass
+
+
+def parse_reset_session(sql: str) -> str | None:
+    import re
+
+    m = re.match(
+        r"\s*RESET\s+SESSION\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$", sql, re.IGNORECASE
+    )
+    return m.group(1) if m else None
 
 
 def parse_set_session(sql: str) -> tuple[str, str] | None:

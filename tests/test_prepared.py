@@ -61,6 +61,26 @@ def test_slow_path_udfs_reachable_from_sql(engine):
     assert (row.e, row.d, row.st) == ("a+b%26c", "a b&c", "runn")
 
 
+def test_use_and_reset_session(engine, sf_dir):
+    engine.register_schema("use_test", sf_dir)
+    try:
+        engine.sql("USE use_test")
+        n = engine.sql("SELECT count(*) AS n FROM use_test.nation").first()["n"]
+        assert n > 0
+        engine.sql("USE tpch.use_test")  # catalog prefix accepted
+    finally:
+        engine.spark.catalog.setCurrentDatabase("default")
+        engine.spark.sql("DROP DATABASE IF EXISTS use_test CASCADE")
+    engine.sql("SET SESSION hash_partition_count = 7")
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    engine.sql("RESET SESSION hash_partition_count")
+    assert engine.spark.conf.get("spark.sql.shuffle.partitions") != "7"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.sql("RESET SESSION not_a_property")
+
+
 def test_explain_statements(engine):
     plain = engine.sql("EXPLAIN SELECT count(*) FROM nation").collect()
     assert plain and "plan" in plain[0][0].lower() or len(plain) > 0
