@@ -40,6 +40,9 @@ _DESCRIBE_IO_RE = re.compile(
 )
 _SHOW_SESSION_RE = re.compile(r"^\s*SHOW\s+SESSION\s*;?\s*$", re.I)
 _SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", re.I)
+_SHOW_STATS_RE = re.compile(
+    r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+)
 _EXPLAIN_ANALYZE_RE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+(.+)$", re.I | re.S)
 _USE_RE = re.compile(
     r"^\s*USE\s+(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*;?\s*$", re.I
@@ -170,6 +173,9 @@ class PrestoSparkEngine:
                 for n in names()
             ]
             return self.spark.createDataFrame(rows, "function_name string, implementation string")
+        m = _SHOW_STATS_RE.match(presto_sql)
+        if m:
+            return self._show_stats(m.group(1))
         m = _DESCRIBE_IO_RE.match(presto_sql)
         if m:
             kind, name = m.group(1).upper(), m.group(2).lower()
@@ -197,6 +203,51 @@ class PrestoSparkEngine:
                 "column_name string, type string",
             )
         return None
+
+    def _show_stats(self, table: str) -> DataFrame:
+        """SHOW STATS FOR <table> (SqlBase.g4:82, MetadataManager table
+        statistics): one aggregation pass computes per-column
+        data_size / approx distinct / nulls fraction / low / high, plus
+        the summary row — the same shape the reference returns from
+        connector stats, derived live instead of from a metastore."""
+        from pyspark.sql import functions as F
+
+        df = self.spark.table(table)
+        n = F.count(F.lit(1))
+        aggs: list = [n.alias("__n")]
+        numericish = ("int", "bigint", "smallint", "tinyint", "double",
+                      "float", "date", "timestamp", "decimal")
+        for f in df.schema.fields:
+            c, t = f.name, f.dataType.simpleString()
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+            aggs.append(
+                (F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)) / n).alias(f"__nf_{c}")
+            )
+            if t == "string":
+                aggs.append(F.sum(F.octet_length(c)).alias(f"__sz_{c}"))
+            if t.startswith(numericish):
+                aggs.append(F.min(c).cast("string").alias(f"__lo_{c}"))
+                aggs.append(F.max(c).cast("string").alias(f"__hi_{c}"))
+        row = df.agg(*aggs).first()
+        out = []
+        for f in df.schema.fields:
+            c = f.name
+            d = row.asDict()
+            out.append((
+                c,
+                float(d[f"__sz_{c}"]) if f"__sz_{c}" in d and d[f"__sz_{c}"] is not None else None,
+                float(d[f"__ndv_{c}"]),
+                float(d[f"__nf_{c}"]) if d[f"__nf_{c}"] is not None else None,
+                None,
+                d.get(f"__lo_{c}"),
+                d.get(f"__hi_{c}"),
+            ))
+        out.append((None, None, None, None, float(row["__n"]), None, None))
+        return self.spark.createDataFrame(
+            out,
+            "column_name string, data_size double, distinct_values_count double, "
+            "nulls_fraction double, row_count double, low_value string, high_value string",
+        )
 
     def _bind_nulls(self, body: str) -> str:
         from facebook_presto_spark.sqlfront.tokens import Tok, render, tokenize

@@ -61,6 +61,15 @@ def test_slow_path_udfs_reachable_from_sql(engine):
     assert (row.e, row.d, row.st) == ("a+b%26c", "a b&c", "runn")
 
 
+def test_show_stats(engine):
+    rows = {r.column_name: r for r in engine.sql("SHOW STATS FOR orders").collect()}
+    assert rows[None].row_count > 0          # summary row
+    ok = rows["o_orderkey"]
+    assert ok.distinct_values_count > 0 and ok.nulls_fraction == 0.0
+    assert ok.low_value == "0"
+    assert rows["o_orderstatus"].data_size > 0
+
+
 def test_use_and_reset_session(engine, sf_dir):
     engine.register_schema("use_test", sf_dir)
     try:
