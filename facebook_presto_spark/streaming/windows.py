@@ -203,11 +203,75 @@ def run_stream_to_memory(df: DataFrame, name: str) -> None:
     q.awaitTermination()
 
 
+def funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: purchases within 1 hour after a click by the same
+    user — the reference's sorted-inequality join class (SURVEY §2.1#15,
+    SortExpressionExtractor.java builds sorted range scans for exactly
+    this shape) and the batch twin of a watermarked stream-stream join.
+
+    Plan shape at scale: equi-key (user_id) shuffle + per-key range
+    predicate — the range condition never becomes a cross product.
+    """
+    ev = events_table(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("buy_ts")
+    )
+    return (
+        clicks.join(buys, "user_id")
+        .filter(
+            (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("user_id", "click_id", "purchase_id")
+    )
+
+
+FUNNEL_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+def stream_funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarks: unmatched click state
+    is dropped once the purchase watermark passes click_ts + 1h — bounded
+    state on two unbounded streams."""
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    return clicks.join(
+        buys,
+        F.expr(
+            "user_id = b_user_id AND buy_ts >= click_ts "
+            "AND buy_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "click_id", "purchase_id")
+
+
 QUERIES = {
     "stream_tumbling_daily": tumbling_daily,
     "stream_sliding_6h3h": sliding_6h_3h,
     "stream_session_1h": session_windows,
     "stream_hourly_pivot": hourly_type_pivot,
+    "events_funnel_1h": funnel_1h,
 }
 
 ORACLE = {
@@ -215,4 +279,5 @@ ORACLE = {
     "stream_sliding_6h3h": SLIDING_SQL,
     "stream_session_1h": SESSION_SQL,
     "stream_hourly_pivot": HOURLY_PIVOT_SQL,
+    "events_funnel_1h": FUNNEL_SQL,
 }

@@ -23,6 +23,24 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert _rows(batch) == _rows(streamed)
 
 
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join over availableNow must
+    reproduce the batch interval join (all rows inside the watermark)."""
+    stream_df = windows.stream_funnel_1h(spark, sf_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT user_id, click_id, purchase_id FROM t_funnel")
+    batch = windows.funnel_1h(spark, sf_dir).select("user_id", "click_id", "purchase_id")
+    assert _rows(batch) == _rows(streamed)
+    assert len(batch.collect()) > 0
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir):
     """applyInPandasWithState sessionizer (explicit per-user state) must
     reproduce the batch lag+cumsum sessionization over availableNow."""
