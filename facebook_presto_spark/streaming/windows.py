@@ -266,12 +266,66 @@ def stream_funnel_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "click_id", "purchase_id")
 
 
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest click by the same
+    user at-or-before it.  Spark has no ASOF JOIN operator; the scalable
+    composition is the tagged-union + window trick — one shuffle on
+    user_id, one sort, `last_value(..., ignorenulls)` carries the most
+    recent click forward.  No range self-join, no per-row subquery: cost
+    is sort-within-partition, which is the lower bound for as-of
+    semantics.  (Deterministic tie-break: at equal ts the click sorts
+    before the purchase via the tag.)
+    """
+    ev = events_table(spark, sf_dir)
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "asof_click_id",
+        F.last(F.when(F.col("tag") == 0, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "asof_click_id",
+        )
+    )
+
+
+ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, event_id, tag,
+         last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click_id
+  FROM tagged
+)
+SELECT user_id, event_id AS purchase_id, asof_click_id
+FROM carried WHERE tag = 1
+"""
+
+
 QUERIES = {
     "stream_tumbling_daily": tumbling_daily,
     "stream_sliding_6h3h": sliding_6h_3h,
     "stream_session_1h": session_windows,
     "stream_hourly_pivot": hourly_type_pivot,
     "events_funnel_1h": funnel_1h,
+    "events_asof_join": asof_join,
 }
 
 ORACLE = {
@@ -280,4 +334,5 @@ ORACLE = {
     "stream_session_1h": SESSION_SQL,
     "stream_hourly_pivot": HOURLY_PIVOT_SQL,
     "events_funnel_1h": FUNNEL_SQL,
+    "events_asof_join": ASOF_SQL,
 }
