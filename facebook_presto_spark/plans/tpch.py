@@ -905,11 +905,15 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
+            # size(collect_set) instead of countDistinct: mixing a DISTINCT
+            # aggregate with the collect_set makes Catalyst plan an Expand
+            # (2 projected rows per input through the shuffle); one
+            # hash-agg of two sets carries the same information
+            F.collect_set("l_suppkey").alias("all_supps"),
             F.collect_set(F.when(late, F.col("l_suppkey"))).alias("late_supps"),
             F.sum(F.when(late, 1).otherwise(0)).alias("n_late_rows"),
         )
-        .filter((F.col("n_supp") >= 2) & (F.size("late_supps") == 1))
+        .filter((F.size("all_supps") >= 2) & (F.size("late_supps") == 1))
         .select(
             F.element_at("late_supps", 1).alias("wait_suppkey"),
             "n_late_rows",
