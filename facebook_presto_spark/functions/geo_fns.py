@@ -366,6 +366,32 @@ def bing_tile_quadkey(tile) -> Column:
     )
 
 
+@register("bing_tiles_around")
+def bing_tiles_around(lat, lng, zoom) -> Column:
+    """bing_tiles_around(lat, lng, zoom) → the tile containing the point
+    plus its (at most 8) in-range neighbors (BingTileFunctions.java:
+    tilesAround).  Pure arithmetic over the center tile."""
+    center = bing_tile_at(lat, lng, zoom)
+    zoom_c = _lit(zoom).cast("int")
+    max_idx = (F.pow(F.lit(2.0), zoom_c) - 1).cast("int")
+    offsets = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    tiles = F.array(
+        *[
+            F.when(
+                (center["x"] + dx).between(0, max_idx)
+                & (center["y"] + dy).between(0, max_idx),
+                F.struct(
+                    (center["x"] + dx).cast("int").alias("x"),
+                    (center["y"] + dy).cast("int").alias("y"),
+                    zoom_c.alias("zoom"),
+                ),
+            )
+            for dx, dy in offsets
+        ]
+    )
+    return F.filter(tiles, lambda t: t.isNotNull())
+
+
 register("bing_tile_zoom_level")(lambda t: _c(t)["zoom"].cast("tinyint"))
 register("bing_tile_coordinates")(
     lambda t: F.struct(_c(t)["x"].alias("x"), _c(t)["y"].alias("y"))

@@ -112,6 +112,18 @@ def test_bing_tiles(spark):
     assert (got["x"], got["y"]) == (1, 1)
 
 
+def test_bing_tiles_around(spark):
+    # interior point → 3x3 neighborhood; corner of the grid → clamped to 4
+    inner = one(spark, F.size(call("bing_tiles_around", F.lit(47.6), F.lit(-122.3), 10)))
+    assert inner == 9
+    corner = one(spark, F.size(call("bing_tiles_around", F.lit(85.0), F.lit(-179.9), 3)))
+    assert corner == 4
+    # the center tile is always a member
+    tiles = call("bing_tiles_around", F.lit(47.6), F.lit(-122.3), 10)
+    center = call("bing_tile_at", F.lit(47.6), F.lit(-122.3), 10)
+    assert one(spark, F.array_contains(tiles, center)) is True
+
+
 def test_bing_tile_polygon(spark):
     # zoom 0: the single tile covers the full Mercator square
     wkt = one(spark, call("bing_tile_polygon", call("bing_tile", 0, 0, 0)))
