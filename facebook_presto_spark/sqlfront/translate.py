@@ -240,6 +240,34 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                 i += 1
                 continue
             type_text = _type_text(inner[as_idx + 1:])
+            value_toks = inner[:as_idx]
+            if type_text.upper().startswith(("ARRAY<", "MAP<", "STRUCT<")):
+                # JSON → complex casts (JsonToArrayCast/JsonToMapCast/
+                # JsonToRowCast): Presto parses the JSON text; Spark's CAST
+                # cannot, so the json_parse(x) composition (and bare string
+                # literals) route through from_json with the DDL schema.
+                # A non-JSON operand (array→array cast etc.) keeps CAST.
+                unwrapped = None
+                if (
+                    len(value_toks) >= 3
+                    and value_toks[0].kind == "ident"
+                    and value_toks[0].text.lower() == "json_parse"
+                    and value_toks[1].text == "("
+                    and find_matching_paren(value_toks, 1) == len(value_toks) - 1
+                ):
+                    unwrapped = value_toks[2:-1]
+                elif len(value_toks) == 1 and value_toks[0].kind == "string":
+                    unwrapped = value_toks
+                if unwrapped is not None:
+                    out.extend(
+                        _call(
+                            "from_json",
+                            _pass_cast_types(unwrapped),
+                            [string_literal(type_text.lower())],
+                        )
+                    )
+                    i = close + 1
+                    continue
             if type_text.upper() == "IPADDRESS":
                 # CAST(x AS IPADDRESS) canonicalizes the address text
                 # (presto-main/.../type/IpAddressType.java); Spark has no

@@ -154,6 +154,17 @@ def test_misc_rewrites():
     assert "LIMIT" not in translate("SELECT * FROM t LIMIT ALL")
 
 
+def test_json_complex_casts():
+    # JsonToArrayCast/JsonToMapCast: json_parse composition → from_json
+    got = translate("SELECT CAST(json_parse('[1,2]') AS ARRAY(BIGINT))")
+    assert "from_json('[1,2]', 'array<bigint>')" in got
+    got = translate("SELECT CAST(json_parse(p) AS MAP(VARCHAR, BIGINT)) FROM t")
+    assert "from_json(p, 'map<string, bigint>')" in got.lower()
+    # a non-JSON operand keeps a plain CAST (array→array conversion)
+    got = translate("SELECT CAST(arr AS ARRAY(DOUBLE)) FROM t")
+    assert "CAST" in got and "from_json" not in got
+
+
 def test_try_shapes():
     assert "try_divide(a, b)" in translate("SELECT try(a / b) FROM t")
     assert "try_cast" in translate("SELECT try(CAST(s AS BIGINT)) FROM t")
