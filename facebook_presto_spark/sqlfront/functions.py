@@ -17,6 +17,7 @@ from facebook_presto_spark.sqlfront.tokens import (
     Tok,
     ident,
     op,
+    split_top_level,
     string_literal,
     string_value,
 )
@@ -49,7 +50,7 @@ RENAME: dict[str, str] = {
     # aggregates (operator/aggregation/)
     "approx_distinct": "approx_count_distinct",
     "arbitrary": "any_value",
-    "array_agg": "collect_list",
+    "format": "format_string",
     "bitwise_and_agg": "bit_and",
     "bitwise_or_agg": "bit_or",
     # math (MathFunctions.java)
@@ -254,6 +255,158 @@ def _digest_binary(spark_name: str):
     def rule(args: Args) -> list[Tok]:
         return _call("unhex", _call(spark_name, args[0]))
     return rule
+
+
+_NULL = [ident("NULL")]
+
+
+def _if_fn(args: Args) -> list[Tok]:
+    # Presto if(cond, x) has an implicit NULL else branch; Spark's if is
+    # strictly ternary
+    if len(args) == 2:
+        args = [*args, _NULL]
+    return _call("if", *args)
+
+
+def _zip(args: Args) -> list[Tok]:
+    """zip(a, b, …) → row(field0, field1, …) per index, padded with NULLs
+    to the longest input (ZipFunction.java).  Spark's arrays_zip truncates
+    differently and names fields after inputs, so build it explicitly."""
+    card = _call("greatest", *[_call("cardinality", a) for a in args]) \
+        if len(args) > 1 else _call("cardinality", args[0])
+    fields: list[Tok] = []
+    for k, a in enumerate(args):
+        if k:
+            fields.append(op(","))
+        fields.extend([string_literal(f"field{k}"), op(",")])
+        fields.extend(_call("element_at", a, [ident("__zi")]))
+    struct = [ident("named_struct"), op("(")] + fields + [op(")")]
+    lam = [ident("__zi"), op("->")] + struct
+    seq = _call("sequence", [Tok("number", "1")], card)
+    return _call("transform", seq, lam)
+
+
+def _json_size(args: Args) -> list[Tok]:
+    # json_size: cardinality of the array/object at path, 0 for scalars,
+    # NULL when the path is missing (JsonFunctions.java)
+    g = _call("get_json_object", args[0], args[1])
+    null_int = [ident("CAST"), op("(")] + _NULL + [ident("AS"), ident("INT"), op(")")]
+    scalar = _call("if", _call("isnotnull", g), [Tok("number", "0")], null_int)
+    obj = _call(
+        "if", _call("startswith", g, [string_literal("{")]),
+        _call("size", _call("json_object_keys", g)), scalar,
+    )
+    return _call(
+        "if", _call("startswith", g, [string_literal("[")]),
+        _call("json_array_length", g), obj,
+    )
+
+
+def _json_array_contains(args: Args) -> list[Tok]:
+    # typed by the probe literal, like the reference's three overloads
+    probe = args[1]
+    if len(probe) == 1 and probe[0].kind == "string":
+        elem_type = "array<string>"
+    elif probe and probe[0].is_kw("TRUE", "FALSE"):
+        elem_type = "array<boolean>"
+    else:
+        elem_type = "array<double>"
+    arr = _call("from_json", args[0], [string_literal(elem_type)])
+    cmp = [ident("__jx"), op("->"), ident("__jx"), op("=")] + (
+        [ident("CAST"), op("(")] + list(probe) + [ident("AS"), ident("DOUBLE"), op(")")]
+        if elem_type == "array<double>" else list(probe)
+    )
+    return _call("exists", arr, cmp)
+
+
+_DURATION_MS_SQL = (
+    ("ns", "0.000001"), ("us", "0.001"), ("ms", "1"), ("s", "1000"),
+    ("m", "60000"), ("h", "3600000"), ("d", "86400000"),
+)
+
+
+def _parse_duration(args: Args) -> list[Tok]:
+    # io.airlift.Duration grammar → interval day to second
+    rx = string_literal(r"^\s*([0-9]*\.?[0-9]+)\s*([a-z]+)\s*$")
+    v = (
+        [ident("CAST"), op("(")]
+        + _call("regexp_extract", args[0], [rx], [Tok("number", "1")])
+        + [ident("AS"), ident("DOUBLE"), op(")")]
+    )
+    unit = _call("regexp_extract", args[0], [rx], [Tok("number", "2")])
+    case: list[Tok] = [ident("CASE")]
+    for u, mult in _DURATION_MS_SQL:
+        case += [ident("WHEN")] + unit + [op("="), string_literal(u), ident("THEN")]
+        case += _paren(v) + [op("*"), Tok("number", mult)]
+    case.append(ident("END"))
+    ms = _paren(case)
+    return _call(
+        "make_dt_interval",
+        [Tok("number", "0")], [Tok("number", "0")], [Tok("number", "0")],
+        ms + [op("/"), Tok("number", "1000.0")],
+    )
+
+
+def _cosine_similarity(args: Args) -> list[Tok]:
+    # sparse-map cosine (MathFunctions.java cosineSimilarity)
+    a, b = args
+    zero = [ident("CAST"), op("(")] + [Tok("number", "0")] + [ident("AS"), ident("DOUBLE"), op(")")]
+
+    def norm(m: Args) -> list[Tok]:
+        lam = [op("("), ident("__na"), op(","), ident("__nv"), op(")"), op("->"),
+               ident("__na"), op("+"), ident("__nv"), op("*"), ident("__nv")]
+        return _call("sqrt", _call("aggregate", _call("map_values", m), zero, lam))
+
+    dot_lam = (
+        [op("("), ident("__da"), op(","), ident("__de"), op(")"), op("->"), ident("__da"), op("+"),
+         ident("__de"), op("."), ident("value"), op("*")]
+        + _call("coalesce", _call("element_at", b, [ident("__de"), op("."), ident("key")]), zero)
+    )
+    dot = _call("aggregate", _call("map_entries", a), zero, dot_lam)
+    return _paren(dot + [op("/")] + _paren(norm(a) + [op("*")] + norm(b)))
+
+
+def _array_agg(args: Args) -> list[Tok]:
+    """array_agg(x [ORDER BY k [ASC|DESC], …]) — ORDER BY inside an
+    aggregation call (SqlBase.g4:287) has no Spark spelling; rewrite to a
+    sorted collect (sort keys packed into a struct ahead of the value,
+    single shuffle, sorted per group after collection)."""
+    toks = list(args[0])
+    depth = 0
+    ob_idx = None
+    for k, t in enumerate(toks):
+        if t.text in "([":
+            depth += 1
+        elif t.text in ")]":
+            depth -= 1
+        elif depth == 0 and t.is_kw("ORDER") and k + 1 < len(toks) and toks[k + 1].is_kw("BY"):
+            ob_idx = k
+            break
+    if ob_idx is None:
+        return _call("collect_list", *args)
+    expr = toks[:ob_idx]
+    keys: list[tuple[list[Tok], bool]] = []
+    for part in split_top_level(toks[ob_idx + 2:]):
+        asc = True
+        if part and part[-1].is_kw("DESC"):
+            asc, part = False, part[:-1]
+        elif part and part[-1].is_kw("ASC"):
+            part = part[:-1]
+        keys.append((part, asc))
+    dirs = {asc for _, asc in keys}
+    if len(dirs) != 1:
+        raise ValueError("array_agg ORDER BY with mixed ASC/DESC is not supported")
+    fields: list[Tok] = []
+    for k, (key, _) in enumerate(keys):
+        fields += [string_literal(f"k{k}"), op(",")] + list(key) + [op(",")]
+    fields += [string_literal("v"), op(",")] + expr
+    struct = [ident("named_struct"), op("(")] + fields + [op(")")]
+    sorted_ = _call(
+        "sort_array", _call("collect_list", struct),
+        [ident("true" if dirs == {True} else "false")],
+    )
+    lam = [ident("__s"), op("->"), ident("__s"), op("."), ident("v")]
+    return _call("transform", sorted_, lam)
 
 
 def _url_extract_port(args: Args) -> list[Tok]:
@@ -504,6 +657,13 @@ RULES: dict[str, object] = {
     "dow": _day_of_week,
     "year_of_week": _year_of_week,
     "yow": _year_of_week,
+    "if": _if_fn,
+    "zip": _zip,
+    "json_size": _json_size,
+    "json_array_contains": _json_array_contains,
+    "parse_duration": _parse_duration,
+    "cosine_similarity": _cosine_similarity,
+    "array_agg": _array_agg,
     "md5": _digest_binary("md5"),
     "sha1": _digest_binary("sha1"),
     "sha256": _sha2("256"),

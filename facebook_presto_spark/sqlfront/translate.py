@@ -22,6 +22,8 @@ int/int truncates; write ``div`` explicitly).
 
 from __future__ import annotations
 
+import re
+
 from facebook_presto_spark.sqlfront.functions import RENAME, RULES, _call
 from facebook_presto_spark.sqlfront.tokens import (
     Tok,
@@ -268,6 +270,23 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                     )
                     i = close + 1
                     continue
+            m_vc = re.fullmatch(r"(VARCHAR|CHAR)\s*\(\s*(\d+)\s*\)", type_text, re.I)
+            if m_vc:
+                # Presto CAST(x AS VARCHAR(n)) truncates to n; CHAR(n) also
+                # pads (spi/type/Chars.java) — Spark's cast does neither
+                n_chars = m_vc.group(2)
+                trunc = _call(
+                    "substring",
+                    [ident("CAST"), op("(")] + _pass_cast_types(value_toks)
+                    + [ident("AS"), ident("STRING"), op(")")],
+                    [Tok("number", "1")],
+                    [Tok("number", n_chars)],
+                )
+                if m_vc.group(1).upper() == "CHAR":
+                    trunc = _call("rpad", trunc, [Tok("number", n_chars)], [string_literal(" ")])
+                out.extend(trunc)
+                i = close + 1
+                continue
             if type_text.upper() == "IPADDRESS":
                 # CAST(x AS IPADDRESS) canonicalizes the address text
                 # (presto-main/.../type/IpAddressType.java); Spark has no

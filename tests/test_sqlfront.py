@@ -392,9 +392,12 @@ def test_cast_type_syntax():
     assert translate("SELECT CAST(b AS VARBINARY)") == "SELECT CAST(b AS BINARY)"
     assert translate("SELECT CAST(t AS TIMESTAMP WITH TIME ZONE)") == \
         "SELECT CAST(t AS TIMESTAMP)"
-    # ROW inside a window frame is untouched; VARCHAR(n) keeps its length
+    # ROW inside a window frame is untouched
     assert "CURRENT ROW" in translate("SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
-    assert "VARCHAR ( 10 )" in translate("SELECT CAST(a AS VARCHAR(10))")
+    # VARCHAR(n)/CHAR(n) casts truncate (and pad) like the reference
+    assert translate("SELECT CAST(a AS VARCHAR(10))") == \
+        "SELECT substring(CAST(a AS STRING), 1, 10)"
+    assert "rpad" in translate("SELECT CAST(a AS CHAR(4))")
 
 
 def test_e2e_row_cast(engine):

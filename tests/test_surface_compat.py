@@ -79,6 +79,44 @@ def test_exists_in_projection(engine):
     assert _one(engine, "SELECT EXISTS (SELECT 1 FROM region)") is True
 
 
+def test_zip_pads_with_nulls(engine):
+    got = _one(engine, "SELECT zip(ARRAY[1,2,3], ARRAY['a','b'])")
+    assert [tuple(r) for r in got] == [(1, "a"), (2, "b"), (3, None)]
+    assert _one(
+        engine,
+        "SELECT transform(zip(ARRAY[1,2], ARRAY[10,20]), r -> r.field0 + r.field1)",
+    ) == [11, 22]
+
+
+def test_json_size_and_contains(engine):
+    assert _one(engine, """SELECT json_size('{"a": [1,2,3]}', '$.a')""") == 3
+    assert _one(engine, """SELECT json_size('{"a": {"b":1}}', '$.a')""") == 1
+    assert _one(engine, """SELECT json_size('{"a": 5}', '$.a')""") == 0
+    assert _one(engine, """SELECT json_size('{"a": 5}', '$.zz')""") is None
+    assert _one(engine, "SELECT json_array_contains('[1,2,3]', 2)") is True
+    assert _one(engine, """SELECT json_array_contains('["x","y"]', 'y')""") is True
+
+
+def test_varchar_char_cast_semantics(engine):
+    assert _one(engine, "SELECT CAST('abcdef' AS VARCHAR(3))") == "abc"
+    assert _one(engine, "SELECT CAST('ab' AS CHAR(4))") == "ab  "
+
+
+def test_array_agg_order_by(engine):
+    assert _one(
+        engine, "SELECT array_agg(x ORDER BY x DESC) FROM (VALUES 3, 1, 2) t(x)"
+    ) == [3, 2, 1]
+    assert _one(
+        engine,
+        "SELECT array_agg(x ORDER BY y) FROM (VALUES ('b', 2), ('a', 1), ('c', 0)) t(x, y)",
+    ) == ["c", "a", "b"]
+
+
+def test_if_two_arg_and_format(engine):
+    assert _one(engine, "SELECT if(1 > 2, 'yes')") is None
+    assert _one(engine, "SELECT format('%s-%d', 'x', 7)") == "x-7"
+
+
 def test_approx_percentile_array_form(engine):
     got = _one(
         engine,
