@@ -409,6 +409,116 @@ def _array_agg(args: Args) -> list[Tok]:
     return _call("transform", sorted_, lam)
 
 
+def _sorted_collect(x: Args, asc: bool) -> list[Tok]:
+    return _call(
+        "sort_array", _call("collect_list", x), [ident("true" if asc else "false")]
+    )
+
+
+def _min_max_n(asc: bool):
+    # min(x, n) / max(x, n) (MinNAggregationFunction / MaxN…, TypedHeap):
+    # the n smallest/largest values as an array
+    def rule(args: Args) -> list[Tok]:
+        if len(args) == 1:
+            return _call("min" if asc else "max", args[0])
+        return _call("slice", _sorted_collect(args[0], asc), [Tok("number", "1")], args[1])
+    return rule
+
+
+def _min_max_by_n(asc: bool):
+    # min_by/max_by(x, y, n) (AbstractMinMaxByNAggregationFunction): x's
+    # for the n smallest/largest y's
+    def rule(args: Args) -> list[Tok]:
+        if len(args) == 2:
+            return _call("min_by" if asc else "max_by", args[0], args[1])
+        pair = (
+            [ident("named_struct"), op("("), string_literal("o"), op(",")]
+            + list(args[1]) + [op(","), string_literal("v"), op(",")]
+            + list(args[0]) + [op(")")]
+        )
+        sorted_pairs = _call(
+            "sort_array", _call("collect_list", pair), [ident("true" if asc else "false")]
+        )
+        lam = [ident("__s"), op("->"), ident("__s"), op("."), ident("v")]
+        return _call("slice", _call("transform", sorted_pairs, lam), [Tok("number", "1")], args[2])
+    return rule
+
+
+def _histogram(args: Args) -> list[Tok]:
+    # histogram(x) (histogram/Histogram.java): map<value, count>
+    vals = _call("collect_list", args[0])
+    keys = _call("array_distinct", vals)
+    count_lam = (
+        [ident("__hk"), op("->"), ident("CAST"), op("(")]
+        + _call("size", _call("filter", vals,
+                              [ident("__hv"), op("->"), ident("__hv"), op("="), ident("__hk")]))
+        + [ident("AS"), ident("BIGINT"), op(")")]
+    )
+    return _call("map_from_arrays", keys, _call("transform", keys, count_lam))
+
+
+def _multimap_agg(args: Args) -> list[Tok]:
+    # multimap_agg(K, V) → map<K, array<V>> (MultimapAggregationFunction)
+    entry = (
+        [ident("named_struct"), op("("), string_literal("key"), op(",")]
+        + list(args[0]) + [op(","), string_literal("value"), op(",")]
+        + list(args[1]) + [op(")")]
+    )
+    entries = _call("collect_list", entry)
+    keys = _call(
+        "array_distinct",
+        _call("transform", entries, [ident("__me"), op("->"), ident("__me"), op("."), ident("key")]),
+    )
+    vals_lam = (
+        [ident("__mk"), op("->")]
+        + _call(
+            "transform",
+            _call("filter", entries,
+                  [ident("__mf"), op("->"), ident("__mf"), op("."), ident("key"),
+                   op("="), ident("__mk")]),
+            [ident("__mv"), op("->"), ident("__mv"), op("."), ident("value")],
+        )
+    )
+    return _call("map_from_arrays", keys, _call("transform", keys, vals_lam))
+
+
+def _map_union(args: Args) -> list[Tok]:
+    # map_union(map) (MapUnionAggregation.java) — last value wins on
+    # duplicate keys, matching the registry's _dedup_entries_to_map
+    entries = _call("flatten", _call("collect_list", _call("map_entries", args[0])))
+    keys = _call(
+        "array_distinct",
+        _call("transform", entries, [ident("__ue"), op("->"), ident("__ue"), op("."), ident("key")]),
+    )
+    last_lam = (
+        [ident("__uk"), op("->")]
+        + _call(
+            "element_at",
+            _call("filter", entries,
+                  [ident("__uf"), op("->"), ident("__uf"), op("."), ident("key"),
+                   op("="), ident("__uk")]),
+            [op("-"), Tok("number", "1")],
+        )
+        + [op("."), ident("value")]
+    )
+    return _call("map_from_arrays", keys, _call("transform", keys, last_lam))
+
+
+def _reduce_agg(args: Args) -> list[Tok]:
+    # reduce_agg(x, s0, inputFn, combineFn) (ReduceAggregationFunction):
+    # fold the collected inputs with the input lambda (combine is the same
+    # fold in a single-state execution)
+    if len(args) != 4:
+        raise ValueError("reduce_agg takes (input, initial, input_fn, combine_fn)")
+    init = list(args[1])
+    if len(init) == 1 and init[0].kind == "number":
+        # Spark's aggregate() types the accumulator from the literal —
+        # widen bare numeric inits so BIGINT/DOUBLE inputs fold cleanly
+        target = "DOUBLE" if "." in init[0].text or "e" in init[0].text.lower() else "BIGINT"
+        init = [ident("CAST"), op("(")] + init + [ident("AS"), ident(target), op(")")]
+    return _call("aggregate", _call("collect_list", args[0]), init, args[2])
+
+
 def _url_extract_port(args: Args) -> list[Tok]:
     # Spark parse_url has no PORT part; pull it off AUTHORITY.  Presto
     # returns NULL when no explicit port (UrlFunctions.java).
@@ -659,6 +769,14 @@ RULES: dict[str, object] = {
     "yow": _year_of_week,
     "if": _if_fn,
     "zip": _zip,
+    "min": _min_max_n(True),
+    "max": _min_max_n(False),
+    "min_by": _min_max_by_n(True),
+    "max_by": _min_max_by_n(False),
+    "histogram": _histogram,
+    "multimap_agg": _multimap_agg,
+    "map_union": _map_union,
+    "reduce_agg": _reduce_agg,
     "json_size": _json_size,
     "json_array_contains": _json_array_contains,
     "parse_duration": _parse_duration,

@@ -85,10 +85,20 @@ def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
         is_comma = (
             t.text == "," and i + 1 < len(tokens) and tokens[i + 1].is_kw("UNNEST")
         )
-        if not (is_cross or is_comma):
+        is_from = (
+            t.is_kw("FROM") and i + 1 < len(tokens) and tokens[i + 1].is_kw("UNNEST")
+        )
+        if not (is_cross or is_comma or is_from):
             out.append(t)
             i += 1
             continue
+        if is_from:
+            # standalone FROM UNNEST(...) (SqlBase.g4:235): LATERAL VIEW
+            # needs a base relation — a one-row dummy supplies it
+            out.extend([
+                ident("FROM"), op("("), ident("SELECT"), Tok("number", "1"),
+                op(")"), ident("__unnest_base"),
+            ])
         u = i + (2 if is_cross else 1)
         open_p = u + 1
         close_p = find_matching_paren(tokens, open_p)

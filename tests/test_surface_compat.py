@@ -117,6 +117,51 @@ def test_if_two_arg_and_format(engine):
     assert _one(engine, "SELECT format('%s-%d', 'x', 7)") == "x-7"
 
 
+def test_n_variant_aggregates(engine):
+    assert _one(engine, "SELECT min(x, 2) FROM (VALUES 5, 1, 3) t(x)") == [1, 3]
+    assert _one(engine, "SELECT max(x, 2) FROM (VALUES 5, 1, 3) t(x)") == [5, 3]
+    assert _one(
+        engine, "SELECT max_by(n, v, 2) FROM (VALUES ('a', 1), ('b', 3), ('c', 2)) t(n, v)"
+    ) == ["b", "c"]
+    assert _one(
+        engine, "SELECT min_by(n, v, 1) FROM (VALUES ('a', 1), ('b', 3)) t(n, v)"
+    ) == ["a"]
+
+
+def test_map_shaped_aggregates(engine):
+    assert _one(
+        engine, "SELECT histogram(x) FROM (VALUES 'a', 'b', 'a') t(x)"
+    ) == {"a": 2, "b": 1}
+    got = _one(
+        engine,
+        "SELECT multimap_agg(k, v) FROM (VALUES ('x', 1), ('x', 2), ('y', 3)) t(k, v)",
+    )
+    assert got == {"x": [1, 2], "y": [3]}
+    got = _one(
+        engine,
+        "SELECT map_union(m) FROM (VALUES map(ARRAY['a'], ARRAY[1]), map(ARRAY['b'], ARRAY[2])) t(m)",
+    )
+    assert got == {"a": 1, "b": 2}
+
+
+def test_reduce_agg(engine):
+    assert _one(
+        engine,
+        "SELECT reduce_agg(x, 0, (a, b) -> a + b, (a, b) -> a + b) FROM (VALUES 1, 2, 3) t(x)",
+    ) == 6
+
+
+def test_standalone_unnest(engine):
+    rows = engine.sql(
+        "SELECT k, v FROM UNNEST(map(ARRAY['a','b'], ARRAY[1,2])) AS t(k, v) ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [("a", 1), ("b", 2)]
+    rows = engine.sql(
+        "SELECT x, i FROM UNNEST(ARRAY['p','q']) WITH ORDINALITY AS t(x, i) ORDER BY 2"
+    ).collect()
+    assert [tuple(r) for r in rows] == [("p", 1), ("q", 2)]
+
+
 def test_approx_percentile_array_form(engine):
     got = _one(
         engine,
