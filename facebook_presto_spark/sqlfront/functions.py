@@ -444,6 +444,29 @@ def _min_max_by_n(asc: bool):
     return rule
 
 
+def _ngrams(args: Args) -> list[Tok]:
+    # ngrams(arr, n) (ArrayNgramsFunction.java): n-element sliding windows;
+    # arrays shorter than n yield [arr]
+    a, n = args
+    count = _paren(
+        _call("cardinality", a) + [op("-")] + _paren(list(n) + [op("-"), Tok("number", "1")])
+    )
+    lam = [ident("__gi"), op("->")] + _call("slice", a, [ident("__gi")], n)
+    windows = _call(
+        "transform",
+        _call("sequence", [Tok("number", "1")],
+              _call("greatest", count, [Tok("number", "1")])),
+        lam,
+    )
+    whole = [ident("array"), op("(")] + list(a) + [op(")")]
+    return _call(
+        "if",
+        _call("cardinality", a) + [op(">=")] + list(n),
+        windows,
+        whole,
+    )
+
+
 def _histogram(args: Args) -> list[Tok]:
     # histogram(x) (histogram/Histogram.java): map<value, count>
     vals = _call("collect_list", args[0])
@@ -774,6 +797,7 @@ RULES: dict[str, object] = {
     "min_by": _min_max_by_n(True),
     "max_by": _min_max_by_n(False),
     "histogram": _histogram,
+    "ngrams": _ngrams,
     "multimap_agg": _multimap_agg,
     "map_union": _map_union,
     "reduce_agg": _reduce_agg,

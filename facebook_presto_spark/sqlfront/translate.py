@@ -674,6 +674,37 @@ def _pass_misc(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+# Presto extract() fields with different Spark spellings: DOW/DAY_OF_WEEK
+# are ISO (Mon=1..Sun=7, DateTimeFunctions.java) — Spark's bare DOW is
+# Sunday-based; YOW is the ISO week-year.
+_EXTRACT_FIELD = {
+    "DOW": "DAYOFWEEK_ISO",
+    "DAY_OF_WEEK": "DAYOFWEEK_ISO",
+    "YOW": "YEAROFWEEK",
+    "YEAR_OF_WEEK": "YEAROFWEEK",
+    "DOY": "DOY",
+}
+
+
+def _pass_extract_fields(tokens: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.is_kw("EXTRACT") and i + 2 < n and tokens[i + 1].text == "("
+            and tokens[i + 2].kind == "ident"
+            and tokens[i + 2].upper in _EXTRACT_FIELD
+        ):
+            out.extend([t, tokens[i + 1], ident(_EXTRACT_FIELD[tokens[i + 2].upper])])
+            i += 3
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_catalog_qualifier(tokens: list[Tok]) -> list[Tok]:
     """Drop the catalog level from three-part table identifiers.
 
@@ -705,6 +736,7 @@ def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark-SQL string."""
     toks = tokenize(sql)
     toks = _pass_catalog_qualifier(toks)
+    toks = _pass_extract_fields(toks)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
     toks = _pass_cast_types(toks)

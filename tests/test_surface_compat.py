@@ -162,6 +162,19 @@ def test_standalone_unnest(engine):
     assert [tuple(r) for r in rows] == [("p", 1), ("q", 2)]
 
 
+def test_extract_iso_fields(engine):
+    # 2024-03-05 is a Tuesday: Presto DOW is ISO (Mon=1) → 2
+    assert _one(engine, "SELECT extract(DOW FROM DATE '2024-03-05')") == 2
+    assert _one(engine, "SELECT extract(DAY_OF_WEEK FROM DATE '2024-03-10')") == 7
+    # 2021-01-01 belongs to ISO week 53 of 2020
+    assert _one(engine, "SELECT extract(YOW FROM DATE '2021-01-01')") == 2020
+
+
+def test_ngrams(engine):
+    assert _one(engine, "SELECT ngrams(ARRAY['a','b','c'], 2)") == [["a", "b"], ["b", "c"]]
+    assert _one(engine, "SELECT ngrams(ARRAY['a'], 3)") == [["a"]]
+
+
 def test_approx_percentile_array_form(engine):
     got = _one(
         engine,
