@@ -33,6 +33,7 @@ from facebook_presto_spark.sqlfront.tokens import (
     render,
     split_top_level,
     string_literal,
+    string_value,
     tokenize,
 )
 
@@ -705,6 +706,65 @@ def _pass_extract_fields(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_create_table_props(tokens: list[Tok]) -> list[Tok]:
+    """CREATE TABLE t WITH (format=…, partitioned_by=…, bucketed_by=…,
+    bucket_count=…) AS — the reference's table-property syntax
+    (HiveTableProperties.java) → Spark's USING / PARTITIONED BY /
+    CLUSTERED BY clauses.  Unknown properties fail loudly."""
+    if not (len(tokens) > 2 and tokens[0].is_kw("CREATE") and tokens[1].is_kw("TABLE")):
+        return tokens
+    i = 2
+    n = len(tokens)
+    while i < n and not tokens[i].is_kw("WITH", "AS", "("):
+        i += 1
+    if i >= n or not tokens[i].is_kw("WITH") or tokens[i + 1].text != "(":
+        return tokens
+    close = find_matching_paren(tokens, i + 1)
+    props: dict[str, list[Tok]] = {}
+    for part in split_top_level(tokens[i + 2:close]):
+        eq = next(k for k, t in enumerate(part) if t.text == "=")
+        props[part[0].text.lower()] = part[eq + 1:]
+    clauses: list[Tok] = []
+    fmt = props.pop("format", None)
+    clauses += [ident("USING"), ident(string_value(fmt[0]) if fmt else "parquet")]
+
+    def cols(v: list[Tok]) -> list[Tok]:
+        # ARRAY['a','b'] → a, b
+        out_c: list[Tok] = []
+        for t in v:
+            if t.kind == "string":
+                if out_c:
+                    out_c.append(op(","))
+                out_c.append(ident(string_value(t)))
+        return out_c
+
+    if "partitioned_by" in props:
+        clauses += [ident("PARTITIONED"), ident("BY"), op("(")] + cols(props.pop("partitioned_by")) + [op(")")]
+    if "bucketed_by" in props:
+        clauses += [ident("CLUSTERED"), ident("BY"), op("(")] + cols(props.pop("bucketed_by")) + [op(")")]
+        count = props.pop("bucket_count", [Tok("number", "8")])
+        clauses += [ident("INTO")] + count + [ident("BUCKETS")]
+    if props:
+        raise ValueError(f"unsupported table properties: {sorted(props)}")
+    return tokens[:i] + clauses + tokens[close + 1:]
+
+
+def _pass_create_view(tokens: list[Tok]) -> list[Tok]:
+    """CREATE [OR REPLACE] VIEW → CREATE OR REPLACE TEMPORARY VIEW: the
+    engine's parquet-dir catalog is session-scoped temp views, and Spark
+    refuses persistent views over temp relations.  (Presto views persist
+    in the metastore — session-scoped is the honest equivalent here.)"""
+    k = 0
+    if len(tokens) > 1 and tokens[0].is_kw("CREATE"):
+        k = 1
+        if len(tokens) > 3 and tokens[1].is_kw("OR") and tokens[2].is_kw("REPLACE"):
+            k = 3
+        if tokens[k].is_kw("VIEW"):
+            return [ident("CREATE"), ident("OR"), ident("REPLACE"),
+                    ident("TEMPORARY"), ident("VIEW")] + tokens[k + 1:]
+    return tokens
+
+
 def _pass_catalog_qualifier(tokens: list[Tok]) -> list[Tok]:
     """Drop the catalog level from three-part table identifiers.
 
@@ -735,6 +795,8 @@ def _pass_catalog_qualifier(tokens: list[Tok]) -> list[Tok]:
 def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark-SQL string."""
     toks = tokenize(sql)
+    toks = _pass_create_table_props(toks)
+    toks = _pass_create_view(toks)
     toks = _pass_catalog_qualifier(toks)
     toks = _pass_extract_fields(toks)
     toks = _pass_typed_literals(toks)

@@ -175,6 +175,29 @@ def test_ngrams(engine):
     assert _one(engine, "SELECT ngrams(ARRAY['a'], 3)") == [["a"]]
 
 
+def test_ctas_with_table_properties(engine):
+    engine.sql(
+        "CREATE TABLE __sc_bkt WITH (format = 'PARQUET', "
+        "bucketed_by = ARRAY['k'], bucket_count = 4, "
+        "partitioned_by = ARRAY['p']) AS "
+        "SELECT n_nationkey AS k, n_name AS v, n_regionkey AS p FROM nation"
+    ).collect()
+    try:
+        assert _one(engine, "SELECT count(*) FROM __sc_bkt") == 25
+        ddl = engine.sql("SHOW CREATE TABLE __sc_bkt").first()[0]
+        assert "CLUSTERED BY (k)" in ddl and "PARTITIONED BY (p)" in ddl
+    finally:
+        engine.sql("DROP TABLE IF EXISTS __sc_bkt").collect()
+
+
+def test_create_view_statement(engine):
+    engine.sql("CREATE VIEW __sc_view AS SELECT count(*) AS c FROM region")
+    try:
+        assert _one(engine, "SELECT c FROM __sc_view") == 5
+    finally:
+        engine.sql("DROP VIEW __sc_view")
+
+
 def test_approx_percentile_array_form(engine):
     got = _one(
         engine,
