@@ -198,6 +198,64 @@ def test_create_view_statement(engine):
         engine.sql("DROP VIEW __sc_view")
 
 
+def test_sql_standard_string_forms(engine):
+    assert _one(engine, "SELECT substring('abcdef' FROM 2 FOR 3)") == "bcd"
+    assert _one(engine, "SELECT trim(BOTH 'x' FROM 'xxaxx')") == "a"
+    assert _one(engine, "SELECT X'1F2A'") == bytearray(b"\x1f*")
+
+
+def test_typed_literals(engine):
+    import decimal
+
+    assert _one(engine, "SELECT DECIMAL '1.23' + 1") == decimal.Decimal("2.23")
+    assert _one(engine, "SELECT date '2024-01-02'") == datetime.date(2024, 1, 2)
+
+
+def test_sequence_over_dates(engine):
+    got = _one(engine, "SELECT sequence(DATE '2024-01-01', DATE '2024-01-03', INTERVAL '1' DAY)")
+    assert got == [datetime.date(2024, 1, d) for d in (1, 2, 3)]
+
+
+def test_array_sort_with_comparator(engine):
+    got = _one(
+        engine,
+        "SELECT array_sort(ARRAY[3,1,2], (x, y) -> CASE WHEN x < y THEN 1 WHEN x > y THEN -1 ELSE 0 END)",
+    )
+    assert got == [3, 2, 1]
+
+
+def test_row_comparison_and_tuple_in(engine):
+    assert _one(engine, "SELECT ROW(1, 'a') = ROW(1, 'a')") is True
+    got = _one(
+        engine,
+        "SELECT count(*) FROM orders WHERE (o_orderkey, o_custkey) IN "
+        "(SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 10)",
+    )
+    assert got == 10
+
+
+def test_in_list_null_semantics(engine):
+    assert _one(engine, "SELECT 3 IN (1, 2, NULL)") is None
+    assert _one(engine, "SELECT 1 IN (1, NULL)") is True
+
+
+def test_distinct_agg_with_filter(engine):
+    got = _one(
+        engine,
+        "SELECT count(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000) FROM orders",
+    )
+    assert got > 0
+
+
+def test_lateral_subquery(engine):
+    rows = engine.sql(
+        "SELECT r_name, t.c FROM region, LATERAL "
+        "(SELECT count(*) AS c FROM nation WHERE n_regionkey = r_regionkey) t "
+        "ORDER BY r_name"
+    ).collect()
+    assert len(rows) == 5 and all(r.c == 5 for r in rows)
+
+
 def test_approx_percentile_array_form(engine):
     got = _one(
         engine,
