@@ -51,6 +51,9 @@ RENAME: dict[str, str] = {
     "approx_distinct": "approx_count_distinct",
     "arbitrary": "any_value",
     "format": "format_string",
+    # Joda-pattern formatting ≈ JDK DateTimeFormatter for the shared
+    # token subset (yyyy/MM/dd/HH/mm/ss…)
+    "format_datetime": "date_format",
     "bitwise_and_agg": "bit_and",
     "bitwise_or_agg": "bit_or",
     # math (MathFunctions.java)
@@ -542,6 +545,37 @@ def _reduce_agg(args: Args) -> list[Tok]:
     return _call("aggregate", _call("collect_list", args[0]), init, args[2])
 
 
+def _extract_part(field: str, x: Args) -> list[Tok]:
+    return [ident("extract"), op("("), ident(field), ident("FROM")] + list(x) + [op(")")]
+
+
+def _to_milliseconds(args: Args) -> list[Tok]:
+    # to_milliseconds(interval day to second) (DateTimeFunctions.java) —
+    # widen to the full DAY TO SECOND range first: Spark only extracts
+    # fields inside the interval's declared start..end precision
+    x = (
+        [ident("CAST"), op("(")] + list(args[0])
+        + [ident("AS"), ident("INTERVAL"), ident("DAY"), ident("TO"), ident("SECOND"), op(")")]
+    )
+    total = (
+        _extract_part("DAY", x) + [op("*"), Tok("number", "86400000"), op("+")]
+        + _extract_part("HOUR", x) + [op("*"), Tok("number", "3600000"), op("+")]
+        + _extract_part("MINUTE", x) + [op("*"), Tok("number", "60000"), op("+")]
+        + [ident("CAST"), op("(")] + _extract_part("SECOND", x)
+        + [op("*"), Tok("number", "1000"), ident("AS"), ident("BIGINT"), op(")")]
+    )
+    return [ident("CAST"), op("(")] + _paren(total) + [ident("AS"), ident("BIGINT"), op(")")]
+
+
+def _millisecond(args: Args) -> list[Tok]:
+    # millisecond(timestamp) — the fractional-second millis component
+    sec_ms = (
+        [ident("CAST"), op("(")] + _extract_part("SECOND", args[0])
+        + [op("*"), Tok("number", "1000"), ident("AS"), ident("BIGINT"), op(")")]
+    )
+    return _paren(sec_ms + [op("%"), Tok("number", "1000")])
+
+
 def _url_extract_port(args: Args) -> list[Tok]:
     # Spark parse_url has no PORT part; pull it off AUTHORITY.  Presto
     # returns NULL when no explicit port (UrlFunctions.java).
@@ -798,6 +832,8 @@ RULES: dict[str, object] = {
     "max_by": _min_max_by_n(False),
     "histogram": _histogram,
     "ngrams": _ngrams,
+    "to_milliseconds": _to_milliseconds,
+    "millisecond": _millisecond,
     "multimap_agg": _multimap_agg,
     "map_union": _map_union,
     "reduce_agg": _reduce_agg,

@@ -670,6 +670,11 @@ def _pass_misc(tokens: list[Tok]) -> list[Tok]:
         if t.is_kw("LIMIT") and i + 1 < n and tokens[i + 1].is_kw("ALL"):
             i += 2
             continue
+        # bare LOCALTIMESTAMP keyword → Spark's function spelling
+        if t.is_kw("LOCALTIMESTAMP") and not (i + 1 < n and tokens[i + 1].text == "("):
+            out.extend([ident("localtimestamp"), op("("), op(")")])
+            i += 1
+            continue
         out.append(t)
         i += 1
     return out
