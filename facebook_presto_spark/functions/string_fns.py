@@ -111,7 +111,18 @@ def _word_stem_udf(col: pd.Series) -> pd.Series:
 
 register("word_stem", slow_path=True)(lambda s: _word_stem_udf(_c(s)))
 
-SQL_UDFS = {"word_stem": _word_stem_udf}
+
+@F.pandas_udf(StringType())
+def _normalize_udf(col: pd.Series, form: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if v is None else unicodedata.normalize(f or "NFC", v)
+            for v, f in zip(col, form)
+        ]
+    )
+
+
+SQL_UDFS = {"word_stem": _word_stem_udf, "presto_normalize": _normalize_udf}
 
 
 # --- regex (Joni-engine semantics ≈ Java regex for the common surface) -----

@@ -576,6 +576,28 @@ def _millisecond(args: Args) -> list[Tok]:
     return _paren(sec_ms + [op("%"), Tok("number", "1000")])
 
 
+def _normalize(args: Args) -> list[Tok]:
+    # normalize(s[, FORM]) — the form is a bare keyword in the grammar
+    # (SqlBase.g4 normalForm); routed to the engine-registered UDF
+    form = [string_literal("NFC")]
+    if len(args) == 2:
+        form = [string_literal(args[1][0].text.upper())]
+    return _call("presto_normalize", args[0], form)
+
+
+def _width_bucket(args: Args) -> list[Tok]:
+    # width_bucket(x, bins_array) 2-arg form: count of sorted bin bounds
+    # ≤ x (MathFunctions.java binary search)
+    if len(args) != 2:
+        return _call("width_bucket", *args)
+    lam = [ident("__wb"), op("->")] + _paren(list(args[0])) + [op(">="), ident("__wb")]
+    return (
+        [ident("CAST"), op("(")]
+        + _call("size", _call("filter", args[1], lam))
+        + [ident("AS"), ident("BIGINT"), op(")")]
+    )
+
+
 def _url_extract_port(args: Args) -> list[Tok]:
     # Spark parse_url has no PORT part; pull it off AUTHORITY.  Presto
     # returns NULL when no explicit port (UrlFunctions.java).
@@ -834,6 +856,8 @@ RULES: dict[str, object] = {
     "ngrams": _ngrams,
     "to_milliseconds": _to_milliseconds,
     "millisecond": _millisecond,
+    "normalize": _normalize,
+    "width_bucket": _width_bucket,
     "multimap_agg": _multimap_agg,
     "map_union": _map_union,
     "reduce_agg": _reduce_agg,
