@@ -256,6 +256,22 @@ def test_lateral_subquery(engine):
     assert len(rows) == 5 and all(r.c == 5 for r in rows)
 
 
+def test_datetime_function_family(engine):
+    assert _one(
+        engine, "SELECT format_datetime(TIMESTAMP '2024-03-05 10:30:00', 'yyyy-MM-dd HH:mm')"
+    ) == "2024-03-05 10:30"
+    assert _one(engine, "SELECT to_milliseconds(INTERVAL '2' MINUTE)") == 120000
+    assert _one(engine, "SELECT millisecond(TIMESTAMP '2024-01-01 00:00:00.123')") == 123
+    assert _one(engine, "SELECT localtimestamp IS NOT NULL") is True
+
+
+def test_normalize_and_width_bucket(engine):
+    # U+212B ANGSTROM SIGN normalizes to U+00C5 under NFC
+    assert _one(engine, "SELECT normalize('Å')") == "Å"
+    assert _one(engine, "SELECT width_bucket(3.5e0, ARRAY[1e0, 2e0, 5e0])") == 2
+    assert _one(engine, "SELECT width_bucket(0.5e0, ARRAY[1e0, 2e0])") == 0
+
+
 def test_approx_percentile_array_form(engine):
     got = _one(
         engine,
