@@ -51,16 +51,21 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load ``events`` with its nanosecond-precision timestamp column.
 
-    The driver's events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects outright; the legacy flag reads
-    it as nanos-since-epoch BIGINT and we rebuild a (microsecond) timestamp
-    — the same truncation DuckDB applies when reading the file.
+    The driver's events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS).
+    Spark 4 reads that natively as a micro-truncated TIMESTAMP_NTZ — the
+    same truncation DuckDB applies.  But parquet schema inference is cached
+    per path AND the streaming mirror sets the session-global
+    ``nanosAsLong`` legacy flag (its readStream path needs a fixed LONG
+    schema), so depending on what ran first in the session the same read
+    can come back BIGINT (nanos-since-epoch).  Dispatch on the observed
+    dtype rather than assuming either.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 _REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
@@ -84,13 +89,18 @@ def register_schema(spark: SparkSession, schema: str, sf_dir: str = DEFAULT_SF_D
         if not os.path.exists(path):
             continue
         if name == "events":
-            # TIMESTAMP(NANOS) physical type: rebuild ts like events_table
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            body = (
-                "SELECT event_id, timestamp_micros(ts div 1000) AS ts, "
-                "user_id, event_type, value, props "
-                f"FROM parquet.`{path}`"
-            )
+            # TIMESTAMP(NANOS) physical type: normalize ts like events_table,
+            # dispatching on whichever dtype the (possibly cached /
+            # legacy-flag) parquet schema yields in this session.
+            probe = spark.read.parquet(path)
+            if dict(probe.dtypes)["ts"] == "bigint":
+                body = (
+                    "SELECT event_id, timestamp_micros(ts div 1000) AS ts, "
+                    "user_id, event_type, value, props "
+                    f"FROM parquet.`{path}`"
+                )
+            else:
+                body = f"SELECT * FROM parquet.`{path}`"
         else:
             body = f"SELECT * FROM parquet.`{path}`"
         spark.sql(f"CREATE OR REPLACE VIEW {schema}.{name} AS {body}")

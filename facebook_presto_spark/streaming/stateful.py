@@ -96,7 +96,10 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     is_new = F.when(
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > gap_us),
+        # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — the cast is
+        # value-preserving under the engine's fixed UTC session zone.
+        | ((F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))) > gap_us),
         1,
     ).otherwise(0)
     return ev.select(

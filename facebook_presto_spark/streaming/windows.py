@@ -146,7 +146,7 @@ GROUP BY 1
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (read via nanosAsLong)
+        T.StructField("ts", T.TimestampNTZType()),  # parquet TIMESTAMP(NANOS), micro-truncated
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -161,10 +161,17 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     FileStreamSource requires a *directory* (new files arriving = new
     micro-batches), while the driver ships a single file — stage a symlink
     directory.  In production this is the landing directory / Kafka topic.
+
+    The declared schema reads the parquet TIMESTAMP(NANOS) column directly
+    as TIMESTAMP_NTZ (micro-truncated by the reader, matching DuckDB and
+    the batch `events_table` path exactly).  Structured Streaming's event
+    time — `withWatermark` — only accepts TIMESTAMP, so the stream carries
+    an LTZ cast of it; under the engine's fixed UTC session zone the cast
+    is value-preserving, keeping stream results row-identical to their
+    zone-less batch twins.
     """
     import hashlib
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     stage = os.path.join(
         "/tmp/fps_stream", hashlib.md5(src.encode()).hexdigest()[:12]
@@ -174,7 +181,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_tumbling_daily(spark: SparkSession, sf_dir: str, watermark: str = "1 day") -> DataFrame:
