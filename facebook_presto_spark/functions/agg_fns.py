@@ -44,7 +44,21 @@ register("stddev")(lambda c: F.stddev_samp(_c(c)))
 register("stddev_samp")(lambda c: F.stddev_samp(_c(c)))
 register("stddev_pop")(lambda c: F.stddev_pop(_c(c)))
 register("skewness")(lambda c: F.skewness(_c(c)))
-register("kurtosis")(lambda c: F.kurtosis(_c(c)))
+
+
+@register("kurtosis")
+def kurtosis(c) -> Column:
+    """Bias-corrected sample excess kurtosis G2, NULL when n < 4
+    (CentralMomentsAggregation.java:71-87).  Spark's built-in is the
+    population g2; G2 = (n-1)*((n+1)*g2 + 6)/((n-2)*(n-3)).  DuckDB's
+    kurtosis uses the same correction, so this is oracle-exact too."""
+    col = _c(c)
+    n = F.count(col).cast("double")
+    return F.when(
+        n >= F.lit(4.0),
+        (n - 1) * ((n + 1) * F.kurtosis(col) + F.lit(6.0))
+        / ((n - 2) * (n - 3)),
+    )
 register("corr")(lambda a, b: F.corr(_c(a), _c(b)))
 register("covar_samp")(lambda a, b: F.covar_samp(_c(a), _c(b)))
 register("covar_pop")(lambda a, b: F.covar_pop(_c(a), _c(b)))

@@ -50,6 +50,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from facebook_presto_spark.functions import agg_fns
 from facebook_presto_spark.plans.tpch import _t, cents, _sql_cents
 
 
@@ -337,7 +338,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("l_quantity"), 4).alias("varp_qty"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
         F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
-        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        # Presto-exact G2 (CentralMomentsAggregation.java) — also DuckDB's
+        # kurtosis, so the oracle comparison is formula-exact rather than
+        # relying on the n→∞ convergence of g2 and G2.
+        F.round(agg_fns.kurtosis("l_quantity"), 4).alias("kurt_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
     )

@@ -20,6 +20,7 @@ from facebook_presto_spark.sqlfront.tokens import (
     split_top_level,
     string_literal,
     string_value,
+    tokenize,
 )
 
 Args = list[list[Tok]]
@@ -229,6 +230,68 @@ def _approx_percentile(args: Args) -> list[Tok]:
     if len(args) in (3, 4):
         return _call("percentile", args[0], args[2], args[1])
     raise ValueError("approx_percentile takes 2-4 arguments")
+
+
+def _sql(template: str, **parts: list[Tok]) -> list[Tok]:
+    """Build tokens from a SQL template with ``{name}`` token-list holes."""
+    out: list[Tok] = []
+    for piece in re.split(r"(\{\w+\})", template):
+        if piece.startswith("{") and piece.endswith("}"):
+            out.extend(parts[piece[1:-1]])
+        elif piece.strip():
+            out.extend(tokenize(piece))
+    return out
+
+
+def _kurtosis(args: Args) -> list[Tok]:
+    # CentralMomentsAggregation.java:71-87: Presto's kurtosis is the
+    # bias-corrected sample excess kurtosis G2 (NULL when n < 4); Spark's
+    # built-in is the population g2.  Identity:
+    # G2 = (n-1) * ((n+1)*g2 + 6) / ((n-2)*(n-3)).
+    x = args[0]
+    return _sql(
+        "(CASE WHEN count({x}) >= 4 THEN"
+        " (count({x}) - 1) * ((count({x}) + 1) * kurtosis({x}) + 6)"
+        " / ((count({x}) - 2) * (count({x}) - 3)) END)",
+        x=x,
+    )
+
+
+def _strip_at_time_zone(arg: list[Tok]) -> tuple[list[Tok], Tok | None]:
+    """Split trailing ``AT TIME ZONE <zone>`` off an operand, if present.
+
+    The AT TIME ZONE pass runs after function rules, so inside a function
+    argument the construct is still in source form.
+    """
+    if (
+        len(arg) >= 5
+        and arg[-4].is_kw("AT") and arg[-3].is_kw("TIME")
+        and arg[-2].is_kw("ZONE")
+    ):
+        return arg[:-4], arg[-1]
+    return arg, None
+
+
+def _timezone_part(args: Args, *, minute: bool) -> list[Tok]:
+    # DateTimeFunctions.java timezone_hour/timezone_minute: the signed
+    # hour/minute component of the zone offset carried by a
+    # timestamp-with-time-zone.  Our zone-less timestamps are UTC instants
+    # (session.py), so with an explicit AT TIME ZONE the offset is
+    # observable: from_utc_timestamp re-renders the instant as z's wall
+    # clock, and the unix_timestamp delta of the two renderings IS the
+    # offset.  `div` truncates toward zero and % keeps the dividend's
+    # sign, matching Presto for negative offsets (-4:30 → -4, -30).
+    x, zone = _strip_at_time_zone(args[0])
+    if zone is None:
+        return tokenize("CAST(0 AS BIGINT)")  # session zone is UTC
+    off = _sql(
+        "(unix_timestamp(from_utc_timestamp(CAST({x} AS TIMESTAMP), {z}))"
+        " - unix_timestamp(CAST({x} AS TIMESTAMP)))",
+        x=x, z=[zone],
+    )
+    if minute:
+        return _sql("(({off} div 60) % 60)", off=off)
+    return _sql("({off} div 3600)", off=off)
 
 
 def _to_unixtime(args: Args) -> list[Tok]:
@@ -836,6 +899,9 @@ RULES: dict[str, object] = {
     "to_iso8601": _to_iso8601,
     "hamming_distance": _hamming_distance,
     "approx_percentile": _approx_percentile,
+    "kurtosis": _kurtosis,
+    "timezone_hour": lambda args: _timezone_part(args, minute=False),
+    "timezone_minute": lambda args: _timezone_part(args, minute=True),
     "date_add": _date_add,
     "date_diff": _date_diff,
     "date_format": _date_format,

@@ -643,6 +643,48 @@ def _pass_at_time_zone(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_time_arith(tokens: list[Tok]) -> list[Tok]:
+    """``TIME 'x' ± INTERVAL 'n' unit`` with midnight wrap-around.
+
+    Presto's TIME arithmetic is modulo 24h (TimeOperators.java — the packed
+    millis-of-day wraps), while Spark's TIME + interval raises
+    DATETIME_OVERFLOW when the result leaves [00:00, 24:00).  Rewriting the
+    literal onto an anchor date and casting back to TIME reproduces the
+    wrap: the cast keeps only the time-of-day portion.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.is_kw("TIME") and i + 5 < n
+            and tokens[i + 1].kind == "string"
+            and tokens[i + 2].text in ("+", "-")
+            and tokens[i + 3].is_kw("INTERVAL")
+            and tokens[i + 4].kind == "string"
+        ):
+            lit = string_value(tokens[i + 1])
+            # Spark has no TIMESTAMP→TIME cast; slice the time-of-day off
+            # the text rendering (micros-preserving).  Only passthrough
+            # function names here — this pass runs before the dialect
+            # function rules, which would reinterpret e.g. date_format's
+            # format string as MySQL-style.
+            out.extend([
+                ident("to_time"), op("("), ident("substring"), op("("),
+                ident("CAST"), op("("), op("("),
+                ident("TIMESTAMP"), string_literal(f"1970-01-01 {lit}"),
+                tokens[i + 2], tokens[i + 3], tokens[i + 4], tokens[i + 5],
+                op(")"), ident("AS"), ident("STRING"), op(")"), op(","),
+                Tok("number", "12"), op(")"), op(")"),
+            ])
+            i += 6
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_misc(tokens: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -804,6 +846,7 @@ def translate(sql: str) -> str:
     toks = _pass_create_view(toks)
     toks = _pass_catalog_qualifier(toks)
     toks = _pass_extract_fields(toks)
+    toks = _pass_time_arith(toks)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
     toks = _pass_cast_types(toks)
