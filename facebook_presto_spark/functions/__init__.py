@@ -23,6 +23,7 @@ from facebook_presto_spark.functions import (  # noqa: F401  (registration side 
     ml_fns,
     sketch_fns,
     string_fns,
+    teradata_fns,
     window_fns,
 )
 from facebook_presto_spark.functions.registry import REGISTRY, SLOW_PATH, call, names

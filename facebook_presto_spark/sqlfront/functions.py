@@ -243,6 +243,20 @@ def _sql(template: str, **parts: list[Tok]) -> list[Tok]:
     return out
 
 
+def _teradata_dt(spark_fn: str, args: Args, *, fmt_last: bool) -> list[Tok]:
+    # Teradata plugin to_char/to_date/to_timestamp
+    # (TeradataDateFunctions.java:61-105): the Teradata format tokens are
+    # translated to a Spark pattern at rewrite time.
+    from facebook_presto_spark.functions.teradata_fns import (
+        teradata_format_to_java,
+    )
+
+    if len(args) != 2 or args[1][0].kind != "string":
+        raise ValueError(f"{spark_fn}: expected (value, 'literal format')")
+    java = teradata_format_to_java(string_value(args[1][0]))
+    return _call(spark_fn, args[0], [string_literal(java)])
+
+
 def _kurtosis(args: Args) -> list[Tok]:
     # CentralMomentsAggregation.java:71-87: Presto's kurtosis is the
     # bias-corrected sample excess kurtosis G2 (NULL when n < 4); Spark's
@@ -900,6 +914,15 @@ RULES: dict[str, object] = {
     "hamming_distance": _hamming_distance,
     "approx_percentile": _approx_percentile,
     "kurtosis": _kurtosis,
+    # Teradata plugin (presto-teradata-functions): literal format strings
+    # translate to Spark patterns at rewrite time.
+    "to_char": lambda args: _teradata_dt("date_format", args, fmt_last=True),
+    "to_date": lambda args: _teradata_dt("to_date", args, fmt_last=True),
+    "to_timestamp": lambda args: _teradata_dt("to_timestamp", args, fmt_last=True),
+    "index": lambda args: _sql(
+        "CAST(instr({a}, {b}) AS BIGINT)", a=args[0], b=args[1]),
+    "char2hexint": lambda args: _sql(
+        "upper(hex(encode({x}, 'UTF-16BE')))", x=args[0]),
     "timezone_hour": lambda args: _timezone_part(args, minute=False),
     "timezone_minute": lambda args: _timezone_part(args, minute=True),
     "date_add": _date_add,

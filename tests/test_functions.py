@@ -356,3 +356,33 @@ def test_window_registry_names(spark):
     rows = df.collect()
     assert [r["rn"] for r in rows] == [1, 2, 3]
     assert [r["lg"] for r in rows] == [None, 0, 1]
+
+
+def test_teradata_functions(spark):
+    # presto-teradata-functions plugin: TeradataStringFunctions.java,
+    # TeradataDateFunctions.java (+ dateformat/DateFormatParser.java)
+    assert one(spark, call("index", F.lit("chip"), F.lit("ip"))) == 3
+    assert one(spark, call("index", F.lit("chip"), F.lit("zz"))) == 0
+    assert one(spark, call("char2hexint", F.lit("AB"))) == "00410042"
+    assert one(spark, call(
+        "to_char", F.expr("TIMESTAMP '2001-08-22 03:04:05'"),
+        "YYYY-MM-DD HH24:MI:SS")) == "2001-08-22 03:04:05"
+    import datetime as dt
+    assert one(spark, call("to_date", F.lit("1988/04/08"), "YYYY/MM/DD")) \
+        == dt.date(1988, 4, 8)
+    assert one(spark, call(
+        "to_timestamp", F.lit("1988/04/08 02:03:04"),
+        "YYYY/MM/DD HH24:MI:SS")) == dt.datetime(1988, 4, 8, 2, 3, 4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        call("to_char", F.lit("x"), "QQ")
+
+
+def test_teradata_sql_path(spark):
+    from facebook_presto_spark.sqlfront.translate import translate
+
+    out = spark.sql(translate(
+        "SELECT to_char(TIMESTAMP '2001-08-22 03:04:05', 'YYYY/MM/DD') AS a, "
+        "index('chip', 'ip') AS b, char2hexint('A') AS c"
+    )).collect()[0]
+    assert (out["a"], out["b"], out["c"]) == ("2001/08/22", 3, "0041")
