@@ -613,13 +613,18 @@ def _reduce_agg(args: Args) -> list[Tok]:
     # fold in a single-state execution)
     if len(args) != 4:
         raise ValueError("reduce_agg takes (input, initial, input_fn, combine_fn)")
-    init = list(args[1])
-    if len(init) == 1 and init[0].kind == "number":
-        # Spark's aggregate() types the accumulator from the literal —
-        # widen bare numeric inits so BIGINT/DOUBLE inputs fold cleanly
-        target = "DOUBLE" if "." in init[0].text or "e" in init[0].text.lower() else "BIGINT"
-        init = [ident("CAST"), op("(")] + init + [ident("AS"), ident(target), op(")")]
-    return _call("aggregate", _call("collect_list", args[0]), init, args[2])
+    arr = _call("collect_list", args[0])
+    # Spark's aggregate() requires the accumulator type to equal the zero
+    # literal's type exactly (no coercion against the element type), so
+    # coerce the zero to the element type arithmetically: adding
+    # 0 * first-element is the numeric identity and lets Catalyst find the
+    # common type.  Non-numeric folds fail analysis loudly, matching the
+    # reference's signature (ReduceAggregationFunction only binds
+    # bigint/double states).
+    init = (_paren(list(args[1]) + [op("+")]
+                   + _call("element_at", arr, [Tok("number", "1")])
+                   + [op("*"), Tok("number", "0")]))
+    return _call("aggregate", arr, init, args[2])
 
 
 def _extract_part(field: str, x: Args) -> list[Tok]:
@@ -830,27 +835,33 @@ def _try(args: Args) -> list[Tok]:
     inner = args[0]
     from facebook_presto_spark.sqlfront.tokens import split_top_level
 
-    # try(a op b) → try_divide/try_multiply/try_add/try_subtract(a, b)
-    for op_text, fn in (("/", "try_divide"), ("*", "try_multiply"),
-                        ("+", "try_add"), ("-", "try_subtract")):
-        halves = split_top_level(inner, op_text)
-        if len(halves) == 2 and all(halves):
-            return _call(fn, halves[0], halves[1])
-    if inner and inner[0].is_kw("CAST"):
-        return [ident("try_cast")] + inner[1:]
-    # try(fn(...)) where Spark has a try_ twin (element_at → NULL instead
-    # of error on bad subscript, etc.)
-    if (
-        len(inner) >= 3
-        and inner[0].kind == "ident"
-        and inner[1].text == "("
-        and _TRY_FN.get(inner[0].text.lower())
-    ):
-        return [ident(_TRY_FN[inner[0].text.lower()])] + inner[1:]
-    raise ValueError(
-        "try() supported for +,-,*,/ arithmetic, CAST, and "
-        f"{sorted(k for k, v in _TRY_FN.items() if v)} shapes"
+    has_comparison = any(
+        t.text in ("=", "!=", "<>", "<", ">", "<=", ">=") for t in inner
     )
+    if not has_comparison:
+        # try(a op b) → try_divide/try_multiply/try_add/try_subtract(a, b)
+        for op_text, fn in (("/", "try_divide"), ("*", "try_multiply"),
+                            ("+", "try_add"), ("-", "try_subtract")):
+            halves = split_top_level(inner, op_text)
+            if len(halves) == 2 and all(halves):
+                return _call(fn, halves[0], halves[1])
+        if inner and inner[0].is_kw("CAST"):
+            return [ident("try_cast")] + inner[1:]
+        # try(fn(...)) where Spark has a try_ twin (element_at → NULL
+        # instead of error on bad subscript, etc.)
+        if (
+            len(inner) >= 3
+            and inner[0].kind == "ident"
+            and inner[1].text == "("
+            and _TRY_FN.get(inner[0].text.lower())
+        ):
+            return [ident(_TRY_FN[inner[0].text.lower()])] + inner[1:]
+    # Everything else: evaluate the expression directly.  The session runs
+    # with ANSI off, so the error classes Presto's TRY suppresses
+    # (division by zero inside comparisons, malformed JSON, bad radixes)
+    # already yield NULL in Spark; genuinely unsuppressable errors surface
+    # loudly rather than silently diverging.
+    return _paren(inner)
 
 
 def _bitwise(op_text: str):
@@ -914,6 +925,22 @@ RULES: dict[str, object] = {
     "hamming_distance": _hamming_distance,
     "approx_percentile": _approx_percentile,
     "kurtosis": _kurtosis,
+    # apply(x, f) (ApplyFunction.java, reg FunctionRegistry.java:644):
+    # invoke a lambda on a scalar — Spark only applies lambdas through
+    # higher-order array functions, so route through a 1-element array.
+    "apply": lambda args: _call(
+        "element_at", _call("transform", _call("array", args[0]), args[1]),
+        [Tok("number", "1")]),
+    # grouping(c1, …, cn) returns the standard bitmask; Spark spells the
+    # n-ary form grouping_id (GroupingOperationRewriter.java semantics
+    # match: first column = most significant bit).
+    "grouping": lambda args: _call(
+        "grouping_id" if len(args) > 1 else "grouping", *args),
+    # count() with no arguments is count(*) (CountAggregation.java binds a
+    # zero-arg signature).
+    "count": lambda args: (
+        [ident("count"), op("("), op("*"), op(")")] if not any(args)
+        else _call("count", *args)),
     # Teradata plugin (presto-teradata-functions): literal format strings
     # translate to Spark patterns at rewrite time.
     "to_char": lambda args: _teradata_dt("date_format", args, fmt_last=True),
@@ -976,7 +1003,11 @@ RULES: dict[str, object] = {
     "from_base": _from_base,
     "geometric_mean": _geometric_mean,
     "json_array_get": _json_array_get,
-    "json_parse": lambda args: list(args[0]),      # JSON stays a string
+    # JSON is carried as a string; json_parse validates (NULL on malformed,
+    # the TRY-suppressed error path) and canonicalizes whitespace like the
+    # reference's JsonFunctions.jsonParse.
+    "json_parse": lambda args: _call(
+        "to_json", _call("try_parse_json", args[0])),
     "json_format": lambda args: list(args[0]),
     "try": _try,
 }

@@ -65,12 +65,25 @@ def _pass_typed_literals(tokens: list[Tok]) -> list[Tok]:
                 i += 2
                 continue
             if u == "JSON":
-                out.append(nxt)
+                # validate + canonicalize like json_parse (NULL on
+                # malformed text — the error Presto's TRY suppresses)
+                out.extend([ident("to_json"), op("("),
+                            ident("try_parse_json"), op("("), nxt,
+                            op(")"), op(")")])
                 i += 2
                 continue
         out.append(t)
         i += 1
     return out
+
+
+# keywords that can directly follow an UNNEST(...) relation and therefore
+# must not be mistaken for its alias
+_UNNEST_ALIAS_STOP = (
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "JOIN", "CROSS", "LEFT",
+    "RIGHT", "INNER", "FULL", "LATERAL", "ON", "USING", "UNION", "EXCEPT",
+    "INTERSECT", "WITH", "OFFSET", "FETCH", "TABLESAMPLE", "AS", "SELECT",
+)
 
 
 def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
@@ -104,20 +117,60 @@ def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
         open_p = u + 1
         close_p = find_matching_paren(tokens, open_p)
         exprs = split_top_level(tokens[open_p + 1:close_p])
-        if len(exprs) != 1:
-            raise NotImplementedError("UNNEST of multiple arrays is not supported")
         j = close_p + 1
         with_ord = False
         if j + 1 < len(tokens) and tokens[j].is_kw("WITH") and tokens[j + 1].is_kw("ORDINALITY"):
             with_ord = True
             j += 2
-        if not (j < len(tokens) and tokens[j].is_kw("AS")):
-            raise NotImplementedError("UNNEST requires AS alias(column, ...)")
-        alias = tokens[j + 1].text
-        cols_open = j + 2
-        cols_close = find_matching_paren(tokens, cols_open)
-        cols = [g[0].text for g in split_top_level(tokens[cols_open + 1:cols_close])]
-        i = cols_close + 1
+        # alias is optional ("UNNEST(a) t(x)", "UNNEST(a)" bare) and the AS
+        # keyword itself is optional before it (SqlBase.g4 aliasedRelation)
+        if j < len(tokens) and tokens[j].is_kw("AS"):
+            j += 1
+        if (
+            j < len(tokens) and tokens[j].kind in ("ident", "qident")
+            and not tokens[j].is_kw(*_UNNEST_ALIAS_STOP)
+        ):
+            alias = tokens[j].text
+            if j + 1 < len(tokens) and tokens[j + 1].text == "(":
+                cols_open = j + 1
+                cols_close = find_matching_paren(tokens, cols_open)
+                cols = [g[0].text
+                        for g in split_top_level(tokens[cols_open + 1:cols_close])]
+                i = cols_close + 1
+            else:
+                cols = [f"__uc{u}"] + ([f"__uord{u}"] if with_ord else [])
+                i = j + 1
+        else:
+            # synthetic alias — single value column (arrays; an unaliased
+            # MAP unnest would need two, which the corpus never does)
+            alias = f"__unnest{u}"
+            cols = [f"__uc{u}"] + ([f"__uord{u}"] if with_ord else [])
+            i = j
+
+        if len(exprs) > 1:
+            if with_ord:
+                raise NotImplementedError(
+                    "UNNEST of multiple arrays WITH ORDINALITY is not supported"
+                )
+            # UNNEST(a1, a2, …) zips the arrays positionally
+            # (UnnestOperator.java NULL-pads the shorter ones — exactly
+            # arrays_zip + inline semantics).
+            zipped: list[Tok] = [ident("arrays_zip"), op("(")]
+            for k, e in enumerate(exprs):
+                if k:
+                    zipped.append(op(","))
+                zipped.extend(e)
+            zipped.append(op(")"))
+            out.extend([ident("LATERAL"), ident("VIEW")])
+            out.extend(_call("inline", zipped))
+            out.append(ident(alias))
+            if len(cols) == len(exprs):  # user-specified column list
+                out.append(ident("AS"))
+                for k, c in enumerate(cols):
+                    if k:
+                        out.append(op(","))
+                    out.append(ident(c))
+            continue
 
         out.append(ident("LATERAL"))
         out.append(ident("VIEW"))
@@ -222,6 +275,48 @@ def _type_text(toks: list[Tok]) -> str:
     return " ".join(out)
 
 
+def _row_as_json(row_toks: list[Tok]) -> list[Tok]:
+    """ROW(a, b, …) → its Presto JSON-array rendering as string tokens.
+
+    Each scalar field is serialized by to_json through a single-field
+    struct (ignoreNullFields off so NULL renders as JSON null) and the
+    ``{"x":`` / ``}`` wrapper is sliced away; nested ROW constructors
+    recurse into nested arrays (RowToJsonCast.java).
+    """
+    parts: list[list[Tok]] = []
+    for a in split_top_level(row_toks[2:-1]):
+        a = _pass_cast_types(a)
+        if (
+            len(a) >= 3 and a[0].kind == "ident" and a[0].upper == "ROW"
+            and a[1].text == "(" and find_matching_paren(a, 1) == len(a) - 1
+        ):
+            parts.append(_row_as_json(a))
+            continue
+        # to_json drops null fields (→ "{}" → empty slice), so a NULL
+        # field resurfaces as the JSON literal through coalesce(nullif(…)).
+        tj = (
+            [ident("to_json"), op("("), ident("named_struct"), op("("),
+             string_literal("x"), op(",")] + a + [op(")"), op(")")]
+        )
+        sliced = (
+            [ident("substring"), op("(")] + tj
+            + [op(","), Tok("number", "6"), op(","), ident("length"),
+               op("(")] + tj + [op(")"), op("-"), Tok("number", "6"),
+                                op(")")]
+        )
+        parts.append(
+            [ident("coalesce"), op("("), ident("nullif"), op("(")] + sliced
+            + [op(","), string_literal(""), op(")"), op(","),
+               string_literal("null"), op(")")]
+        )
+    out = [ident("concat"), op("("), string_literal("["), op(","),
+           ident("concat_ws"), op("("), string_literal(",")]
+    for p in parts:
+        out += [op(",")] + p
+    out += [op(")"), op(","), string_literal("]"), op(")")]
+    return out
+
+
 def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
     """Rewrite the type operand of CAST/TRY_CAST from Presto to Spark syntax.
 
@@ -254,6 +349,21 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                 continue
             type_text = _type_text(inner[as_idx + 1:])
             value_toks = inner[:as_idx]
+            raw_type = inner[as_idx + 1:]
+            if (
+                len(raw_type) == 1 and raw_type[0].upper == "JSON"
+                and len(value_toks) >= 3
+                and value_toks[0].kind == "ident"
+                and value_toks[0].upper == "ROW"
+                and value_toks[1].text == "("
+                and find_matching_paren(value_toks, 1) == len(value_toks) - 1
+            ):
+                # Presto renders CAST(ROW(…) AS JSON) as a JSON *array*
+                # (RowToJsonCast.java), recursively; Spark's to_json
+                # renders structs as objects with field names.
+                out.extend(_row_as_json(value_toks))
+                i = close + 1
+                continue
             if type_text.upper().startswith(("ARRAY<", "MAP<", "STRUCT<")):
                 # JSON → complex casts (JsonToArrayCast/JsonToMapCast/
                 # JsonToRowCast): Presto parses the JSON text; Spark's CAST
@@ -269,6 +379,17 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                     and find_matching_paren(value_toks, 1) == len(value_toks) - 1
                 ):
                     unwrapped = value_toks[2:-1]
+                elif (
+                    # the JSON literal / json_parse forms after the typed-
+                    # literal pass: to_json(try_parse_json(X))
+                    len(value_toks) >= 6
+                    and value_toks[0].kind == "ident"
+                    and value_toks[0].text.lower() == "to_json"
+                    and value_toks[2].kind == "ident"
+                    and value_toks[2].text.lower() == "try_parse_json"
+                    and find_matching_paren(value_toks, 1) == len(value_toks) - 1
+                ):
+                    unwrapped = value_toks[4:-2]
                 elif len(value_toks) == 1 and value_toks[0].kind == "string":
                     unwrapped = value_toks
                 if unwrapped is not None:
@@ -310,9 +431,34 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                 out.append(op(")"))
                 i = close + 1
                 continue
+            value_out = _pass_cast_types(inner[:as_idx])
+            if type_text.upper() in ("BIGINT", "INTEGER", "INT", "SMALLINT",
+                                     "TINYINT"):
+                # Presto CAST(x AS integer-type) ROUNDS to nearest; Spark
+                # truncates toward zero.  Two rounding paths by runtime
+                # type (typeof is constant-folded per column):
+                # - double/real: floor(x + 0.5) is exactly
+                #   DoubleOperators.castToLong's Math.round — Spark's own
+                #   round() diverges on values like 12854.49999999 whose
+                #   shortest decimal repr is .5 (BigDecimal.valueOf);
+                # - everything else (decimal HALF_UP, integer identity,
+                #   numeric strings): round().
+                v = value_out
+                value_out = (
+                    [ident("CASE"), ident("WHEN"), ident("typeof"), op("(")]
+                    + v + [op(")"), ident("IN"), op("("),
+                           string_literal("double"), op(","),
+                           string_literal("float"), op(")"),
+                           ident("THEN")]
+                    + _call("floor",
+                            [op("("), ident("CAST"), op("(")] + v
+                            + [ident("AS"), ident("DOUBLE"), op(")"),
+                               op("+"), Tok("number", "0.5"), op(")")])
+                    + [ident("ELSE")] + _call("round", v) + [ident("END")]
+                )
             out.append(t)
             out.append(op("("))
-            out.extend(_pass_cast_types(inner[:as_idx]))
+            out.extend(value_out)
             out.extend([ident("AS"), ident(type_text), op(")")])
             i = close + 1
             continue
@@ -347,10 +493,32 @@ def _pop_operand(out: list[Tok]) -> list[Tok]:
         del out[k:]
         return operand
     operand = [out.pop()]
-    while len(out) >= 2 and out[-1].text == "." \
-            and out[-2].kind in ("ident", "qident"):
-        operand.insert(0, out.pop())
-        operand.insert(0, out.pop())
+    while len(out) >= 2 and out[-1].text == ".":
+        if out[-2].kind in ("ident", "qident"):
+            operand.insert(0, out.pop())
+            operand.insert(0, out.pop())
+            continue
+        if out[-2].text == ")":
+            # field deref on a parenthesized/call result:
+            # CAST(... AS row(...)).bb[1]
+            operand.insert(0, out.pop())
+            depth = 0
+            k = len(out) - 1
+            while k >= 0:
+                if out[k].text == ")":
+                    depth += 1
+                elif out[k].text == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k > 0 and out[k - 1].kind in ("ident", "qident") \
+                    and out[k - 1].upper not in _STRUCTURAL_KWS:
+                k -= 1
+            operand[0:0] = out[k:]
+            del out[k:]
+            continue
+        break
     return operand
 
 
@@ -685,6 +853,96 @@ def _pass_time_arith(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_in_values(tokens: list[Tok]) -> list[Tok]:
+    """``x IN (VALUES …)`` → ``x IN (SELECT * FROM (VALUES …))``.
+
+    Presto treats the VALUES rows as a subquery relation
+    (SqlBase.g4 inPredicate → query); Spark's IN-list parser sees
+    ``VALUES`` as a function call.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.is_kw("IN") and i + 2 < n and tokens[i + 1].text == "("
+            and tokens[i + 2].is_kw("VALUES")
+        ):
+            close = find_matching_paren(tokens, i + 1)
+            body = _pass_in_values(tokens[i + 2:close])
+            out.extend([ident("IN"), op("("), ident("SELECT"), op("*"),
+                        ident("FROM"), op("(")] + body
+                       + [op(")"), ident("__in_values"), op(")")])
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_GROUP_LIST_STOP = ("HAVING", "ORDER", "LIMIT", "UNION", "EXCEPT",
+                    "INTERSECT", "WINDOW", "OFFSET", "FETCH")
+
+
+def _pass_grouping_sets_for_grouping_fn(tokens: list[Tok]) -> list[Tok]:
+    """Wrap plain ``GROUP BY c1, c2`` in ``GROUPING SETS ((c1, c2))`` when
+    the statement uses grouping()/grouping_id().
+
+    Presto's grouping() is defined for any GROUP BY (returning 0 bits,
+    GroupingOperationRewriter.java); Spark only resolves it when the plan
+    has an Expand.  The single-set wrap is the identity grouping.  Lists
+    containing bare ordinals are left alone — inside GROUPING SETS Spark
+    would read them as literals.
+    """
+    has_grouping = any(
+        t.kind == "ident" and t.upper in ("GROUPING", "GROUPING_ID")
+        and i + 1 < len(tokens) and tokens[i + 1].text == "("
+        for i, t in enumerate(tokens)
+    )
+    if not has_grouping:
+        return tokens
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        out.append(t)
+        if t.is_kw("GROUP") and i + 1 < n and tokens[i + 1].is_kw("BY") \
+                and not (i + 2 < n and tokens[i + 2].is_kw(
+                    "GROUPING", "CUBE", "ROLLUP")):
+            # find the end of the grouping list at this nesting depth
+            j = i + 2
+            depth = 0
+            while j < n:
+                tj = tokens[j]
+                if tj.text == "(":
+                    depth += 1
+                elif tj.text == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and tj.kind == "ident" \
+                        and tj.upper in _GROUP_LIST_STOP:
+                    break
+                j += 1
+            group_list = tokens[i + 2:j]
+            items = split_top_level(group_list)
+            has_ordinal = any(
+                len(it) == 1 and it[0].kind == "number" for it in items
+            )
+            if has_ordinal or not group_list:
+                out.extend([ident("BY")] + group_list)
+            else:
+                out.extend([ident("BY"), ident("GROUPING"), ident("SETS"),
+                            op("("), op("(")] + group_list
+                           + [op(")"), op(")")])
+            i = j
+            continue
+        i += 1
+    return out
+
+
 def _pass_misc(tokens: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -852,6 +1110,8 @@ def translate(sql: str) -> str:
     toks = _pass_cast_types(toks)
     toks = _pass_subscript(toks)
     toks = _pass_quantified(toks)
+    toks = _pass_in_values(toks)
+    toks = _pass_grouping_sets_for_grouping_fn(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)
     toks = _pass_misc(toks)

@@ -31,7 +31,9 @@ def test_typed_literals():
     assert translate("SELECT DOUBLE '1.5'") == "SELECT CAST('1.5' AS DOUBLE)"
     assert translate("SELECT REAL '1.5'") == "SELECT CAST('1.5' AS DOUBLE)"
     assert "CAST('1.25' AS DECIMAL(3,2))" in translate("SELECT DECIMAL '1.25'")
-    assert translate("SELECT JSON '[1,2]'") == "SELECT '[1,2]'"
+    # JSON literals validate + canonicalize (NULL on malformed text)
+    assert translate("SELECT JSON '[1,2]'") \
+        == "SELECT to_json(try_parse_json('[1,2]'))"
 
 
 def test_function_renames():
