@@ -24,6 +24,15 @@ ABSTRACT_TEST_QUERIES = (
     "AbstractTestQueries.java"
 )
 
+# sibling suites sharing the same assertQuery protocol
+SOURCES = (
+    ABSTRACT_TEST_QUERIES,
+    ABSTRACT_TEST_QUERIES.replace(
+        "AbstractTestQueries", "AbstractTestAggregations"),
+    ABSTRACT_TEST_QUERIES.replace(
+        "AbstractTestQueries", "AbstractTestIntegrationSmokeTest"),
+)
+
 
 @dataclass
 class DiffCase:
@@ -121,6 +130,23 @@ CONNECTOR_VIEWS: dict[str, str] = {
               "n_regionkey AS regionkey FROM {src}",
     "region": "SELECT r_regionkey AS regionkey, r_name AS name FROM {src}",
 }
+
+
+def extract_all() -> list[DiffCase]:
+    """Extract every suite in SOURCES, case ids prefixed by suite name."""
+    import os
+
+    out: list[DiffCase] = []
+    for path in SOURCES:
+        if not os.path.exists(path):
+            continue
+        prefix = os.path.basename(path).removesuffix(".java") \
+            .removeprefix("AbstractTest").lower()
+        for c in extract(path):
+            c.case_id = f"{prefix}:{c.case_id}" if prefix != "queries" \
+                else c.case_id
+            out.append(c)
+    return out
 
 
 def extract(path: str = ABSTRACT_TEST_QUERIES) -> list[DiffCase]:
