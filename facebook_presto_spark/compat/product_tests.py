@@ -22,7 +22,7 @@ import os
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 REFERENCE_SQL_TESTS = (
     "/root/reference/presto-product-tests/src/main/resources/sql-tests"
@@ -291,6 +291,22 @@ def load_fixtures(spark: SparkSession) -> dict[str, DataFrame]:
         data = os.path.join(ds, f"{name}.data")
         if os.path.exists(ddl):
             out[name] = _load_delimited(spark, ddl, data)
+
+    # the remaining TPC-H tables as tempto's Hive fixtures: real tiny data
+    # (dbgen), prefixed column names, DOUBLE money columns
+    from facebook_presto_spark.compat import tpch_tiny
+
+    stage = tpch_tiny.generate()
+    for name in ("customer", "supplier", "part", "partsupp", "orders",
+                 "lineitem"):
+        path = os.path.join(stage, f"{name}.parquet")
+        cols = tpch_tiny.columns_of(name)
+        exprs = [
+            (F.col(c).cast("double") if c in tpch_tiny._DOUBLE_COLS
+             else F.col(c)).alias(c)
+            for c in cols
+        ]
+        out[name] = spark.read.parquet(path).select(*exprs)
     return out
 
 
@@ -299,19 +315,31 @@ def register_tiny_schema(spark: SparkSession, fixtures: dict[str, DataFrame]) ->
     the in-process TPCH connector as ``tpch.tiny.t`` (TpchMetadata.java:86-93;
     connector columns are unprefixed: nationkey, name, …).  Persistent views
     can't reference temp views, so the fixtures are staged as parquet."""
-    import tempfile
+    from facebook_presto_spark.compat import tpch_tiny
 
-    stage = os.path.join(tempfile.gettempdir(), "fps_product_fixtures")
-    os.makedirs(stage, exist_ok=True)
+    stage = tpch_tiny.generate()
     spark.sql("CREATE DATABASE IF NOT EXISTS tiny")
-    for name in ("nation", "region"):
+    for name in tpch_tiny.TABLES:
+        if name == "nation":
+            # DuckDB's dbgen reproduces the official numeric streams but
+            # not the official COMMENT text; the nation fixture
+            # (table-results/presto-nation.result) carries the canonical
+            # text the comment-ordering goldens assume.
+            p = os.path.join(stage, "nation_official.parquet")
+            df = fixtures["nation"]
+            df.select(*[
+                df[c].alias(c.split("_", 1)[1]) for c in df.columns
+            ]).write.mode("overwrite").parquet(p)
+            spark.sql(
+                f"CREATE OR REPLACE VIEW tiny.nation AS "
+                f"SELECT * FROM parquet.`{p}`"
+            )
+            continue
         p = os.path.join(stage, f"{name}.parquet")
-        df = fixtures[name]
-        df.select(*[
-            df[c].alias(c.split("_", 1)[1]) for c in df.columns
-        ]).write.mode("overwrite").parquet(p)
         spark.sql(
-            f"CREATE OR REPLACE VIEW tiny.{name} AS SELECT * FROM parquet.`{p}`"
+            f"CREATE OR REPLACE VIEW tiny.{name} AS "
+            + tpch_tiny.unprefixed_select(
+                name, tpch_tiny.columns_of(name), f"parquet.`{p}`")
         )
 
 
@@ -335,7 +363,9 @@ def _canon_actual(v, trim: bool):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return format(v, ".9g")
+        # 8 significant digits: goldens print floats with at most 9, and the
+        # last can sit one ulp off across engines (double vs exact paths)
+        return format(v, ".8g")
     if isinstance(v, decimal.Decimal):
         return _canon_decimal(v)
     if isinstance(v, dt.datetime):
@@ -360,7 +390,7 @@ def _canon_expected(raw: str, sample, trim: bool):
         return s.strip().lower()
     if isinstance(sample, float):
         try:
-            return format(float(s), ".9g")
+            return format(float(s), ".8g")
         except ValueError:
             return s
     if isinstance(sample, decimal.Decimal):

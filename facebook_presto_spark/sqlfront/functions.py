@@ -257,6 +257,25 @@ def _teradata_dt(spark_fn: str, args: Args, *, fmt_last: bool) -> list[Tok]:
     return _call(spark_fn, args[0], [string_literal(java)])
 
 
+def _grouping(args: Args) -> list[Tok]:
+    # grouping(c1..cn) = Σ grouping(ci) · 2^(n-1-i) — bit i of the Presto
+    # bitmask, independent of the GROUP BY column order (which Spark's
+    # n-ary grouping_id insists on matching).
+    if len(args) == 1:
+        return _call("grouping", args[0])
+    out: list[Tok] = [op("(")]
+    n = len(args)
+    for i, a in enumerate(args):
+        if i:
+            out.append(op("+"))
+        out.extend(_call("grouping", a))
+        weight = 1 << (n - 1 - i)
+        if weight > 1:
+            out.extend([op("*"), Tok("number", str(weight))])
+    out.append(op(")"))
+    return out
+
+
 def _kurtosis(args: Args) -> list[Tok]:
     # CentralMomentsAggregation.java:71-87: Presto's kurtosis is the
     # bias-corrected sample excess kurtosis G2 (NULL when n < 4); Spark's
@@ -931,11 +950,12 @@ RULES: dict[str, object] = {
     "apply": lambda args: _call(
         "element_at", _call("transform", _call("array", args[0]), args[1]),
         [Tok("number", "1")]),
-    # grouping(c1, …, cn) returns the standard bitmask; Spark spells the
-    # n-ary form grouping_id (GroupingOperationRewriter.java semantics
-    # match: first column = most significant bit).
-    "grouping": lambda args: _call(
-        "grouping_id" if len(args) > 1 else "grouping", *args),
+    # grouping(c1, …, cn) returns the bitmask over ITS argument list
+    # (first = most significant bit, GroupingOperationRewriter.java) for
+    # any subset/order of the grouped columns.  Spark's grouping_id
+    # requires the exact GROUP BY column order, so compose from
+    # single-column grouping() bits instead.
+    "grouping": _grouping,
     # count() with no arguments is count(*) (CountAggregation.java binds a
     # zero-arg signature).
     "count": lambda args: (

@@ -853,6 +853,67 @@ def _pass_time_arith(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+_RANKING_FNS = {"rank", "dense_rank", "row_number", "percent_rank",
+                "cume_dist", "ntile"}
+_FRAME_IGNORING_FNS = _RANKING_FNS | {"lead", "lag"}
+
+
+def _pass_window_compat(tokens: list[Tok]) -> list[Tok]:
+    """Window-spec shapes Presto accepts but Spark rejects.
+
+    - ranking functions with an explicit frame: the reference ignores the
+      frame for rank/dense_rank/… and lead/lag (WindowOperator evaluates
+      them positionally); Spark refuses the specification → strip it.
+    - ranking functions with no ORDER BY: every row is a peer in Presto
+      (rank()=1); Spark demands an ordered spec → order by a constant,
+      which makes all rows peers, reproducing the semantics.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.kind == "ident" and t.text.lower() in _FRAME_IGNORING_FNS
+            and i + 1 < n and tokens[i + 1].text == "("
+        ):
+            args_close = find_matching_paren(tokens, i + 1)
+            if (
+                args_close + 2 < n and tokens[args_close + 1].is_kw("OVER")
+                and tokens[args_close + 2].text == "("
+            ):
+                spec_close = find_matching_paren(tokens, args_close + 2)
+                spec = tokens[args_close + 3:spec_close]
+                # strip a top-level frame clause (always spec-final)
+                depth = 0
+                frame_at = None
+                has_order = False
+                for k, tok in enumerate(spec):
+                    if tok.text == "(":
+                        depth += 1
+                    elif tok.text == ")":
+                        depth -= 1
+                    elif depth == 0 and tok.is_kw("ROWS", "RANGE", "GROUPS"):
+                        frame_at = k
+                        break
+                    elif depth == 0 and tok.is_kw("ORDER"):
+                        has_order = True
+                if frame_at is not None:
+                    spec = spec[:frame_at]
+                if not has_order and t.text.lower() in _RANKING_FNS:
+                    spec = spec + [ident("ORDER"), ident("BY"),
+                                   string_literal("x")]
+                out.extend(tokens[i:args_close + 2])
+                out.append(op("("))
+                out.extend(_pass_window_compat(spec))
+                out.append(op(")"))
+                i = spec_close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_in_values(tokens: list[Tok]) -> list[Tok]:
     """``x IN (VALUES …)`` → ``x IN (SELECT * FROM (VALUES …))``.
 
@@ -1110,6 +1171,7 @@ def translate(sql: str) -> str:
     toks = _pass_cast_types(toks)
     toks = _pass_subscript(toks)
     toks = _pass_quantified(toks)
+    toks = _pass_window_compat(toks)
     toks = _pass_in_values(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)
     toks = _pass_functions(toks)
