@@ -435,26 +435,33 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
             if type_text.upper() in ("BIGINT", "INTEGER", "INT", "SMALLINT",
                                      "TINYINT"):
                 # Presto CAST(x AS integer-type) ROUNDS to nearest; Spark
-                # truncates toward zero.  Two rounding paths by runtime
-                # type (typeof is constant-folded per column):
-                # - double/real: floor(x + 0.5) is exactly
-                #   DoubleOperators.castToLong's Math.round — Spark's own
-                #   round() diverges on values like 12854.49999999 whose
-                #   shortest decimal repr is .5 (BigDecimal.valueOf);
-                # - everything else (decimal HALF_UP, integer identity,
-                #   numeric strings): round().
+                # truncates toward zero.  Dispatch on the runtime type
+                # (typeof is constant-folded per column): integer-family
+                # and boolean keep the plain cast (identity / 0-1);
+                # everything else goes through floor(x + 0.5) in DOUBLE,
+                # which is bit-for-bit DoubleOperators.castToLong's
+                # Math.round — Spark's own round() diverges on doubles
+                # like 12854.49999999 whose shortest decimal repr is .5
+                # (BigDecimal.valueOf), and round() does not analyze at
+                # all for boolean inputs.  Both branches are BIGINT, so
+                # every source type Presto's cast accepts analyzes.
                 v = value_out
                 value_out = (
                     [ident("CASE"), ident("WHEN"), ident("typeof"), op("(")]
                     + v + [op(")"), ident("IN"), op("("),
-                           string_literal("double"), op(","),
-                           string_literal("float"), op(")"),
-                           ident("THEN")]
+                           string_literal("tinyint"), op(","),
+                           string_literal("smallint"), op(","),
+                           string_literal("int"), op(","),
+                           string_literal("bigint"), op(","),
+                           string_literal("boolean"), op(")"),
+                           ident("THEN"), ident("CAST"), op("(")] + v
+                    + [ident("AS"), ident("BIGINT"), op(")"),
+                       ident("ELSE"), ident("CAST"), op("(")]
                     + _call("floor",
                             [op("("), ident("CAST"), op("(")] + v
                             + [ident("AS"), ident("DOUBLE"), op(")"),
                                op("+"), Tok("number", "0.5"), op(")")])
-                    + [ident("ELSE")] + _call("round", v) + [ident("END")]
+                    + [ident("AS"), ident("BIGINT"), op(")"), ident("END")]
                 )
             out.append(t)
             out.append(op("("))
@@ -1010,6 +1017,58 @@ def _pass_misc(tokens: list[Tok]) -> list[Tok]:
     n = len(tokens)
     while i < n:
         t = tokens[i]
+        # GROUP BY () — the empty grouping (global aggregation): drop the
+        # clause (SqlBase.g4 groupingElement '()'; Spark has no spelling)
+        if (
+            t.is_kw("GROUP") and i + 3 < n and tokens[i + 1].is_kw("BY")
+            and tokens[i + 2].text == "(" and tokens[i + 3].text == ")"
+        ):
+            i += 4
+            continue
+        # GROUP BY DISTINCT [GROUPING SETS (...)] — deduplicate the sets
+        # (Presto's setQuantifier on GROUP BY; Spark has none)
+        if (
+            t.is_kw("GROUP") and i + 2 < n and tokens[i + 1].is_kw("BY")
+            and tokens[i + 2].is_kw("DISTINCT")
+        ):
+            out.extend([ident("GROUP"), ident("BY")])
+            j = i + 3
+            if (
+                j + 2 < n and tokens[j].is_kw("GROUPING")
+                and tokens[j + 1].is_kw("SETS") and tokens[j + 2].text == "("
+            ):
+                close = find_matching_paren(tokens, j + 2)
+                sets = split_top_level(tokens[j + 3:close])
+                seen, uniq = set(), []
+                for s in sets:
+                    key = " ".join(tok.text for tok in s)
+                    if key not in seen:
+                        seen.add(key)
+                        uniq.append(s)
+                out.extend([ident("GROUPING"), ident("SETS"), op("(")])
+                for k, s in enumerate(uniq):
+                    if k:
+                        out.append(op(","))
+                    out.extend(s)
+                out.append(op(")"))
+                i = close + 1
+            else:
+                i = j
+            continue
+        # WHERE NULL / HAVING NULL — an untyped NULL predicate is FALSE in
+        # the reference; Spark rejects the untyped literal as a filter
+        if (
+            t.is_kw("WHERE", "HAVING") and i + 1 < n
+            and tokens[i + 1].is_kw("NULL")
+            and (i + 2 >= n or tokens[i + 2].kind == "ident"
+                 or tokens[i + 2].text in (")", ";"))
+            and not (i + 2 < n and tokens[i + 2].is_kw("IS", "IN", "AND",
+                                                       "OR", "NOT"))
+        ):
+            out.extend([t, ident("CAST"), op("("), ident("NULL"),
+                        ident("AS"), ident("BOOLEAN"), op(")")])
+            i += 2
+            continue
         # TABLESAMPLE BERNOULLI(p) / SYSTEM(p) → TABLESAMPLE (p PERCENT)
         if (
             t.is_kw("TABLESAMPLE") and i + 1 < n

@@ -89,6 +89,70 @@ KNOWN_DIVERGENCES = {
         "raising, so TRY has no error to suppress",
     "testLambdaInSubqueryContext#1": "Spark does not support subqueries "
         "inside higher-order-function lambdas",
+    # Catalyst decorrelation (RewriteCorrelatedScalarSubquery /
+    # RewritePredicateSubquery) rejects shapes the reference decorrelates
+    # through its ApplyNode rule set (TransformCorrelatedScalarAggregation
+    # ToJoin, PlanNodeDecorrelator): non-aggregated correlated scalars,
+    # correlations inside join conditions, EXISTS in projection position,
+    # and >1-level-deep correlated references.
+    "testExistsSubquery#19": "EXISTS in projection position",
+    "testExistsSubquery#20": "EXISTS in projection position",
+    "testCorrelatedScalarSubqueries#3": "non-aggregated correlated scalar",
+    "testCorrelatedScalarSubqueries#4": "correlated scalar under aggregate",
+    "testCorrelatedScalarSubqueries#6": "correlated scalar must aggregate",
+    "testCorrelatedScalarSubqueries#7": "non-aggregated correlated scalar",
+    "testCorrelatedScalarSubqueries#9": "2-level-deep correlated reference",
+    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#2":
+        "correlated scalar shape",
+    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#5":
+        "correlated scalar under aggregate",
+    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#7":
+        "correlated scalar must aggregate",
+    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#8":
+        "correlated scalar shape",
+    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#9":
+        "2-level-deep correlated reference",
+    "testCorrelatedScalarSubqueriesWithScalarAggregation#3":
+        "correlated scalar under aggregate",
+    "testCorrelatedScalarSubqueriesWithScalarAggregation#5":
+        "correlated scalar must aggregate",
+    "testCorrelatedScalarSubqueriesWithScalarAggregation#6":
+        "correlated scalar shape",
+    "testCorrelatedExistsSubqueriesWithPrunedCorrelationSymbols#2":
+        "EXISTS in projection position",
+    "testCorrelatedExistsSubqueriesWithPrunedCorrelationSymbols#6":
+        "correlation inside join condition",
+    "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere#3":
+        "EXISTS in projection position",
+    "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere#10":
+        "correlation inside join condition",
+    "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere#11":
+        "2-level-deep correlated reference",
+    "testCorrelatedExistsSubqueries#5": "EXISTS in projection position",
+    "testCorrelatedExistsSubqueries#12": "correlation inside join condition",
+    # projected IN-subquery NULL semantics (ExistenceJoin) — same class as
+    # testSemiJoinNullHandling above
+    "testSemiJoinUnionNullHandling": "projected IN NULL vs ExistenceJoin",
+    "testSemiJoinAggregationNullHandling": "projected IN NULL vs ExistenceJoin",
+    "testSemiJoinUnionAggregationNullHandling":
+        "projected IN NULL vs ExistenceJoin",
+    "testSemiJoinAggregationUnionNullHandling":
+        "projected IN NULL vs ExistenceJoin",
+    "testSameInPredicateInProjectionAndFilter":
+        "projected IN NULL vs ExistenceJoin",
+    "testCorrelatedInPredicateSubqueries#2":
+        "projected correlated IN NULL vs ExistenceJoin",
+    # grouping sets over empty input: the reference emits the global ()
+    # set's aggregation row, Spark's Expand+HashAggregate emits nothing
+    "aggregations:testGroupingSetsWithGlobalAggregationNoInput":
+        "global grouping set over empty input",
+    "aggregations:testGroupingSetsRepeatedSetsAllNoInput":
+        "global grouping set over empty input",
+    "aggregations:testGroupingSetsMultipleGrandTotalSetsNoInput":
+        "global grouping set over empty input",
+    "aggregations:testCubeNoInput": "global grouping set over empty input",
+    "integrationsmoketest:testSelectInformationSchema":
+        "no information_schema catalog",
     "testGrouping#0": "ORDER BY grouping(b) where b is aliased away in the "
         "SELECT list: Spark resolves post-aggregate ORDER BY against the "
         "output scope only; Presto also sees the source scope",
@@ -190,20 +254,47 @@ def _match(spark_rows, duck_rows, ordered: bool) -> bool:
     return True
 
 
+class _Oracle:
+    """DuckDB runner that survives connection poisoning.
+
+    Certain corpus queries leave the long-lived connection refusing all
+    further statements ("unsuccessful or closed pending query") even from
+    fresh cursors; rebuild the connection and retry once when that
+    happens.
+    """
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._con = None
+        self._rebuild()
+
+    def _rebuild(self):
+        import duckdb
+
+        from facebook_presto_spark.compat import tpch_tiny
+
+        self._con = duckdb.connect()
+        tpch_tiny.register_connector_views(self._spark, self._con)
+
+    def run(self, sql: str):
+        try:
+            return self._con.cursor().execute(sql).fetchall()
+        except Exception as e:
+            if "pending" not in str(e):
+                raise
+            self._rebuild()
+            return self._con.cursor().execute(sql).fetchall()
+
+
 @pytest.fixture(scope="module")
 def diff_env(spark, sf_dir):
-    import duckdb
-
-    from facebook_presto_spark.compat import tpch_tiny
     from facebook_presto_spark.engine import PrestoSparkEngine
 
     engine = PrestoSparkEngine.for_dir(SF_DIR, spark=spark)
-    con = duckdb.connect()
     # the REAL TPC-H tiny dataset (dbgen sf0.01) under connector column
     # names — the exact relations the reference's hardcoded expected rows
     # were computed on
-    tpch_tiny.register_connector_views(spark, con)
-    yield engine, con
+    yield engine, _Oracle(spark)
     from facebook_presto_spark import catalog
 
     for name, df in catalog.register_views(spark, SF_DIR).items():
@@ -229,9 +320,7 @@ def test_abstract_queries_differential(diff_env):
         # computed from.
         oracle_sql = ORACLE_OVERRIDES.get(case.case_id) or case.oracle or case.sql
         try:
-            # fresh cursor per query — a failed execute leaves the shared
-            # connection's pending-query state unusable
-            duck = con.cursor().execute(oracle_sql).fetchall()
+            duck = con.run(oracle_sql)
         except Exception:
             # DuckDB can't stand in for H2 on this text — still require
             # the ENGINE to run the Presto query (execution smoke): every
