@@ -33,13 +33,20 @@ def _modules():
         tpch,
     )
     from facebook_presto_spark import ddl, sources
-    from facebook_presto_spark.pipeline import dedup, ml, multimodal, similarity, text
+    from facebook_presto_spark.pipeline import (
+        curation,
+        dedup,
+        ml,
+        multimodal,
+        similarity,
+        text,
+    )
     from facebook_presto_spark.streaming import windows as stream_windows
 
     return (
         tpch, presto_sql, relational, aggregates, functions_showcase, ddl,
-        sources, dedup, similarity, text, multimodal, stream_windows,
-        geospatial, ml,
+        sources, dedup, similarity, text, curation, multimodal,
+        stream_windows, geospatial, ml,
     )
 
 
