@@ -665,6 +665,369 @@ def _pass_quantified(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_exists_no_from(tokens: list[Tok]) -> list[Tok]:
+    """EXISTS over a FROM-less subquery → plain boolean expression.
+
+    Presto's FROM-less SELECT is a one-row relation, so
+    ``EXISTS(SELECT e)`` is TRUE and ``EXISTS(SELECT e WHERE p)`` is
+    ``p IS TRUE`` — evaluable without any subquery at all.  The reference
+    reaches the same result through TransformExistsApplyToLateralNode's
+    count(*) rewrite; folding it at translation time additionally unlocks
+    positions Catalyst refuses correlated EXISTS in (projection and
+    ORDER BY — e.g. ``ORDER BY EXISTS(SELECT 1 WHERE o.orderkey = 0)``),
+    since the emitted expression is just ``coalesce(p, FALSE)``.
+    Subqueries with FROM / GROUP BY / HAVING / set operators / LIMIT are
+    left for Catalyst's native EXISTS support.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.is_kw("EXISTS") and i + 2 < n and tokens[i + 1].text == "("
+            and tokens[i + 2].is_kw("SELECT")
+        ):
+            close = find_matching_paren(tokens, i + 1)
+            subq = _pass_exists_no_from(tokens[i + 2:close])
+            # depth-0 clause scan of the subquery
+            kw_at: dict[str, int] = {}
+            depth = 0
+            bail = False
+            for j, s in enumerate(subq):
+                if s.text == "(":
+                    depth += 1
+                elif s.text == ")":
+                    depth -= 1
+                elif depth == 0 and s.kind == "ident":
+                    u = s.upper
+                    if u in ("FROM", "GROUP", "HAVING", "LIMIT", "UNION",
+                             "INTERSECT", "EXCEPT"):
+                        bail = True
+                    elif u == "WHERE":
+                        kw_at["WHERE"] = j
+            if not bail:
+                if "WHERE" in kw_at:
+                    pred = subq[kw_at["WHERE"] + 1:]
+                    out.extend(
+                        _call("coalesce",
+                              [op("(")] + pred + [op(")")],
+                              [ident("FALSE")])
+                    )
+                else:
+                    out.append(ident("TRUE"))
+                i = close + 1
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+_AGG_NAMES = {
+    "COUNT", "SUM", "AVG", "MIN", "MAX", "ARRAY_AGG", "MAP_AGG", "BOOL_AND",
+    "BOOL_OR", "EVERY", "ARBITRARY", "ANY_VALUE", "APPROX_DISTINCT",
+    "APPROX_PERCENTILE", "APPROX_SET", "CHECKSUM", "COUNT_IF",
+    "GEOMETRIC_MEAN", "MAX_BY", "MIN_BY", "STDDEV", "STDDEV_POP",
+    "STDDEV_SAMP", "VARIANCE", "VAR_POP", "VAR_SAMP", "SKEWNESS", "KURTOSIS",
+    "CORR", "COVAR_POP", "COVAR_SAMP", "MULTIMAP_AGG", "MAP_UNION",
+    "HISTOGRAM", "NUMERIC_HISTOGRAM", "REDUCE_AGG", "SET_AGG", "SET_UNION",
+    "BITWISE_AND_AGG", "BITWISE_OR_AGG", "LISTAGG",
+}
+
+# a `( SELECT` group right after one of these is a relation / handled
+# elsewhere, never a foldable scalar
+_NO_FOLD_PREV = ("IN", "FROM", "JOIN", "AS", "EXISTS", "UNION", "INTERSECT",
+                 "EXCEPT", "ALL", "ANY", "SOME", "LATERAL", "TABLE")
+
+
+def _pass_scalar_no_from(tokens: list[Tok], clause: str = "init") -> list[Tok]:
+    """Correlated scalar subqueries over FROM-less bodies → expressions.
+
+    Presto plans ``(SELECT e)`` / ``(SELECT e WHERE p)`` (one-row
+    relation, possibly referencing outer columns) through its Apply
+    decorrelation rules; Catalyst rejects most of these shapes
+    (non-aggregated correlated scalars, correlation in join conditions,
+    ORDER BY position).  But FROM-less bodies need no subquery at all:
+
+    - ``(SELECT e)``                → ``(e)``
+    - ``(SELECT e WHERE p)``        → ``CASE WHEN coalesce(p, FALSE)
+                                        THEN e ELSE NULL END``
+    - ``(SELECT count(*) WHERE p)`` → ``CASE … THEN 1 ELSE 0 END``
+      (count over the 0/1-row relation; count(e) also checks e IS NOT
+      NULL; min/max are identity on one row)
+
+    Other aggregates (sum/avg re-type their argument) and bodies with
+    FROM / GROUP BY / set ops are left for Catalyst.  Clause tracking
+    keeps relation positions (FROM lists, set-op operands, WITH bodies)
+    untouched.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == "ident":
+            u = t.upper
+            if u == "SELECT":
+                clause = "select"
+            elif u in ("FROM", "JOIN"):
+                clause = "from"
+            elif u in ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "ON",
+                       "USING"):
+                clause = "expr"
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            inner = tokens[i + 1:close]
+            starts_select = bool(inner) and inner[0].is_kw("SELECT")
+            prev_blocks = bool(out) and out[-1].is_kw(*_NO_FOLD_PREV)
+            nxt = tokens[close + 1] if close + 1 < n else None
+            nxt_setop = nxt is not None and nxt.is_kw(
+                "UNION", "INTERSECT", "EXCEPT"
+            )
+            inner_done = _pass_scalar_no_from(
+                inner, "init" if starts_select else clause
+            )
+            folded: list[Tok] | None = None
+            if (starts_select and clause in ("select", "expr")
+                    and not prev_blocks and not nxt_setop):
+                folded = _try_fold_scalar(inner_done)
+            if folded is not None:
+                out.extend(folded)
+            else:
+                out += [t] + inner_done + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _try_fold_scalar(body: list[Tok]) -> list[Tok] | None:
+    """Fold ``SELECT <expr> [WHERE <pred>]`` tokens to an expression, or
+    None if the body is not a qualifying FROM-less single-item select."""
+    depth = 0
+    where_at = None
+    for j, s in enumerate(body):
+        if s.text == "(":
+            depth += 1
+        elif s.text == ")":
+            depth -= 1
+        elif depth == 0:
+            if s.text == "," or s.is_kw(
+                "FROM", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION",
+                "INTERSECT", "EXCEPT", "AS", "DISTINCT",
+            ):
+                return None
+            if s.is_kw("WHERE") and where_at is None:
+                where_at = j
+    expr = body[1:where_at] if where_at is not None else body[1:]
+    pred = body[where_at + 1:] if where_at is not None else None
+    if not expr:
+        return None
+
+    def agg_call(toks: list[Tok]) -> str | None:
+        d = 0
+        for j, s in enumerate(toks):
+            if s.text == "(":
+                d += 1
+            elif s.text == ")":
+                d -= 1
+            elif d == 0 and s.kind == "ident" and s.upper in _AGG_NAMES \
+                    and j + 1 < len(toks) and toks[j + 1].text == "(":
+                return s.upper
+        return None
+
+    agg = agg_call(expr)
+    cond = (
+        _call("coalesce", [op("(")] + pred + [op(")")], [ident("FALSE")])
+        if pred is not None else [ident("TRUE")]
+    )
+    one = [ident("CAST"), op("("), Tok("number", "1"), ident("AS"),
+           ident("BIGINT"), op(")")]
+    zero = [ident("CAST"), op("("), Tok("number", "0"), ident("AS"),
+            ident("BIGINT"), op(")")]
+    if agg is None:
+        if pred is None:
+            return [op("(")] + expr + [op(")")]
+        return ([op("("), ident("CASE"), ident("WHEN")] + cond
+                + [ident("THEN")] + expr
+                + [ident("ELSE"), ident("NULL"), ident("END"), op(")")])
+    # whole expression must be exactly one aggregate call: agg ( ... )
+    if not (expr[0].kind == "ident" and expr[0].upper == agg
+            and len(expr) >= 3 and expr[1].text == "("
+            and find_matching_paren(expr, 1) == len(expr) - 1):
+        return None
+    arg = expr[2:-1]
+    if agg == "COUNT":
+        if len(arg) == 1 and (arg[0].text == "*" or arg[0].kind in
+                              ("number", "string")):
+            return ([op("("), ident("CASE"), ident("WHEN")] + cond
+                    + [ident("THEN")] + one + [ident("ELSE")] + zero
+                    + [ident("END"), op(")")])
+        if agg_call(arg) is None and arg and not arg[0].is_kw("DISTINCT"):
+            return ([op("("), ident("CASE"), ident("WHEN")] + cond
+                    + [ident("AND"), op("(")] + arg + [op(")"),
+                       ident("IS"), ident("NOT"), ident("NULL"),
+                       ident("THEN")] + one + [ident("ELSE")] + zero
+                    + [ident("END"), op(")")])
+        return None
+    if agg in ("MIN", "MAX") and agg_call(arg) is None and arg \
+            and not arg[0].is_kw("DISTINCT"):
+        # identity over the 0/1-row relation
+        if pred is None:
+            return [op("(")] + arg + [op(")")]
+        return ([op("("), ident("CASE"), ident("WHEN")] + cond
+                + [ident("THEN")] + arg
+                + [ident("ELSE"), ident("NULL"), ident("END"), op(")")])
+    return None
+
+
+_IN_NULL_BOOL = [ident("CAST"), op("("), ident("NULL"), ident("AS"),
+                 ident("BOOLEAN"), op(")")]
+
+
+def _is_query(toks: list[Tok]) -> bool:
+    """Is this paren body a query expression (SELECT/WITH, possibly a
+    parenthesized set-operation chain like ``(SELECT 1) UNION ALL …``)?"""
+    if not toks:
+        return False
+    if toks[0].is_kw("SELECT", "WITH"):
+        return True
+    if toks[0].text == "(":
+        close = find_matching_paren(toks, 0)
+        if close == len(toks) - 1:
+            return _is_query(toks[1:close])
+        nxt = toks[close + 1] if close + 1 < len(toks) else None
+        return nxt is not None and nxt.is_kw("UNION", "INTERSECT", "EXCEPT")
+    return False
+
+
+def _count_sq(subq: list[Tok], alias: str, where: list[Tok] | None) -> list[Tok]:
+    """``(SELECT count(*) FROM (<subq>) <alias>[(__v)] [WHERE <where>])``."""
+    toks = ([op("("), ident("SELECT"), ident("count"), op("("), op("*"),
+             op(")"), ident("FROM"), op("(")] + list(subq) + [op(")"),
+            ident(alias)])
+    if where is not None:
+        toks += [op("("), ident("__v"), op(")"), ident("WHERE")] + where
+    toks.append(op(")"))
+    return toks
+
+
+def _pass_projected_in(tokens: list[Tok], clause: str = "other",
+                       _ctr: list[int] | None = None) -> list[Tok]:
+    """Three-valued ``x [NOT] IN (subquery)`` in output position.
+
+    In WHERE/HAVING position Spark's null-aware semi join matches Presto
+    exactly (a NULL verdict drops the row either way).  But *projected*
+    IN-subqueries are planned as ExistenceJoin, which collapses NULL to
+    FALSE — Presto (SemiJoinOperator / LookupSymbolResolver) keeps the
+    SQL three-valued result: NULL when the lhs is NULL and the subquery
+    is non-empty, or when no element matches but a NULL element exists.
+
+    Rewrite (projection and ORDER BY context only):
+
+        CASE WHEN (SELECT count(*) FROM (subq) a) = 0          THEN FALSE
+             WHEN x IS NULL                                    THEN NULL
+             WHEN (SELECT count(*) FROM (subq) b(__v)
+                   WHERE __v = x) > 0                          THEN TRUE
+             WHEN (SELECT count(*) FROM (subq) c(__v)
+                   WHERE __v IS NULL) > 0                      THEN NULL
+             ELSE FALSE END
+
+    All three scalar subqueries decorrelate (equality-only correlation
+    added outside the derived table; any pre-existing correlation stays
+    inside it), so the plan is still joins + aggregates — the same shape
+    the reference's TransformUncorrelatedInPredicateSubqueryToSemiJoin
+    family produces, with the null-test legs its semi-join operator
+    evaluates inline.  NOT IN wraps the CASE in NOT (three-valued).
+
+    Two guards keep the rewrite out of positions it would break:
+    aggregate-call arguments (scalar subqueries inside agg functions mix
+    outer/local references), and any block with a depth-0 GROUP BY —
+    there a projected IN must stay *textually identical* to its GROUP BY
+    twin (testSemiJoin#17 groups by the same IN expression it projects),
+    so those keep Catalyst's native ExistenceJoin planning.
+    """
+    if _ctr is None:
+        _ctr = [0]
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    depth0_group = False
+    d = 0
+    for s in tokens:
+        if s.text == "(":
+            d += 1
+        elif s.text == ")":
+            d -= 1
+        elif d == 0 and s.is_kw("GROUP"):
+            depth0_group = True
+    while i < n:
+        t = tokens[i]
+        if t.kind == "ident":
+            u = t.upper
+            if u == "SELECT":
+                clause = "select"
+            elif u in ("FROM", "WHERE", "GROUP", "HAVING", "LIMIT", "ON",
+                       "ORDER"):
+                # ORDER BY keeps Catalyst's native IN planning: a
+                # correlated scalar subquery (the rewrite's match leg) is
+                # not allowed in sort expressions, and the reference's own
+                # corpus only exercises null-edge INs in the SELECT list.
+                clause = "other"
+        if (
+            clause == "select" and not depth0_group
+            and t.is_kw("IN") and i + 2 < n
+            and tokens[i + 1].text == "("
+            and _is_query(tokens[i + 2:find_matching_paren(tokens, i + 1)])
+        ):
+            close = find_matching_paren(tokens, i + 1)
+            subq = _pass_projected_in(tokens[i + 2:close], "other", _ctr)
+            negate = bool(out) and out[-1].is_kw("NOT")
+            if negate:
+                out.pop()
+            lhs = [op("(")] + _pop_operand(out) + [op(")")]
+            _ctr[0] += 1
+            k = _ctr[0]
+            case = (
+                [ident("CASE"),
+                 ident("WHEN")] + _count_sq(subq, f"__pin{k}a", None)
+                + [op("="), Tok("number", "0"), ident("THEN"), ident("FALSE"),
+                   ident("WHEN")] + lhs + [ident("IS"), ident("NULL"),
+                   ident("THEN")] + _IN_NULL_BOOL
+                + [ident("WHEN")] + _count_sq(
+                    subq, f"__pin{k}b", [ident("__v"), op("=")] + lhs)
+                + [op(">"), Tok("number", "0"), ident("THEN"), ident("TRUE"),
+                   ident("WHEN")] + _count_sq(
+                    subq, f"__pin{k}c",
+                    [ident("__v"), ident("IS"), ident("NULL")])
+                + [op(">"), Tok("number", "0"), ident("THEN")] + _IN_NULL_BOOL
+                + [ident("ELSE"), ident("FALSE"), ident("END")]
+            )
+            if negate:
+                out += [op("("), ident("NOT"), op("(")] + case + [op(")"), op(")")]
+            else:
+                out += [op("(")] + case + [op(")")]
+            i = close + 1
+            continue
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            inner = tokens[i + 1:close]
+            if _is_query(inner) or (
+                out and out[-1].kind == "ident"
+                and out[-1].upper in _AGG_NAMES
+            ):
+                sub_clause = "other"
+            else:
+                sub_clause = clause
+            out += [t] + _pass_projected_in(inner, sub_clause, _ctr) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_functions(tokens: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -1230,6 +1593,9 @@ def translate(sql: str) -> str:
     toks = _pass_cast_types(toks)
     toks = _pass_subscript(toks)
     toks = _pass_quantified(toks)
+    toks = _pass_exists_no_from(toks)
+    toks = _pass_scalar_no_from(toks)
+    toks = _pass_projected_in(toks)
     toks = _pass_window_compat(toks)
     toks = _pass_in_values(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)

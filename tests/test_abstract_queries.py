@@ -59,13 +59,10 @@ KNOWN_DIVERGENCES = {
     "testInformationSchema": "no information_schema catalog (SHOW/DESCRIBE "
                              "cover the metadata surface)",
     "testSelectColumnOfNulls": "information_schema reference",
-    "testSemiJoinNullHandling": "Spark plans projected IN-subqueries as "
-        "ExistenceJoin, collapsing NULL to FALSE; filter positions are "
-        "unaffected",
-    "testNullOnLhsOfInPredicateAllowed": "projected IN-subquery NULL "
-        "semantics (ExistenceJoin) as above",
-    "testSemiJoin#16": "projected IN-subquery inside SELECT * requires "
-        "Spark's lateral-join support, not IN/EXISTS predicates",
+    "testSemiJoin#16": "IN-subqueries compared inside a join ON clause "
+        "(o1.orderkey IN (…) = o2.orderkey IN (…)) have no Spark planning "
+        "path; projected/ORDER-BY INs alone are handled by the "
+        "_pass_projected_in rewrite",
     "testInUncorrelatedSubquery#1": "Spark cannot compare MAP types",
     "testLambdaInValuesAndUnnest#1": "Spark inline tables (VALUES) cannot "
         "hold lambda expressions",
@@ -92,56 +89,21 @@ KNOWN_DIVERGENCES = {
     # Catalyst decorrelation (RewriteCorrelatedScalarSubquery /
     # RewritePredicateSubquery) rejects shapes the reference decorrelates
     # through its ApplyNode rule set (TransformCorrelatedScalarAggregation
-    # ToJoin, PlanNodeDecorrelator): non-aggregated correlated scalars,
-    # correlations inside join conditions, EXISTS in projection position,
-    # and >1-level-deep correlated references.
-    "testExistsSubquery#19": "EXISTS in projection position",
-    "testExistsSubquery#20": "EXISTS in projection position",
-    "testCorrelatedScalarSubqueries#3": "non-aggregated correlated scalar",
-    "testCorrelatedScalarSubqueries#4": "correlated scalar under aggregate",
-    "testCorrelatedScalarSubqueries#6": "correlated scalar must aggregate",
-    "testCorrelatedScalarSubqueries#7": "non-aggregated correlated scalar",
-    "testCorrelatedScalarSubqueries#9": "2-level-deep correlated reference",
-    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#2":
-        "correlated scalar shape",
-    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#5":
-        "correlated scalar under aggregate",
-    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#7":
-        "correlated scalar must aggregate",
-    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#8":
-        "correlated scalar shape",
-    "testCorrelatedScalarSubqueriesWithScalarAggregationAndEqualityPredicatesInWhere#9":
-        "2-level-deep correlated reference",
+    # ToJoin, PlanNodeDecorrelator).  The FROM-less shapes are folded at
+    # translation time (_pass_exists_no_from / _pass_scalar_no_from /
+    # _pass_projected_in); what remains needs a real correlated relation
+    # in a position Catalyst refuses (join conditions, GROUP BY keys).
     "testCorrelatedScalarSubqueriesWithScalarAggregation#3":
-        "correlated scalar under aggregate",
+        "correlated scalar aggregate over a real relation in projection "
+        "position mixed with outer aggregation",
     "testCorrelatedScalarSubqueriesWithScalarAggregation#5":
-        "correlated scalar must aggregate",
+        "correlated scalar aggregate over a real relation as GROUP BY key",
     "testCorrelatedScalarSubqueriesWithScalarAggregation#6":
-        "correlated scalar shape",
-    "testCorrelatedExistsSubqueriesWithPrunedCorrelationSymbols#2":
-        "EXISTS in projection position",
-    "testCorrelatedExistsSubqueriesWithPrunedCorrelationSymbols#6":
-        "correlation inside join condition",
-    "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere#3":
-        "EXISTS in projection position",
-    "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere#10":
-        "correlation inside join condition",
-    "testCorrelatedExistsSubqueriesWithEqualityPredicatesInWhere#11":
-        "2-level-deep correlated reference",
-    "testCorrelatedExistsSubqueries#5": "EXISTS in projection position",
-    "testCorrelatedExistsSubqueries#12": "correlation inside join condition",
-    # projected IN-subquery NULL semantics (ExistenceJoin) — same class as
-    # testSemiJoinNullHandling above
-    "testSemiJoinUnionNullHandling": "projected IN NULL vs ExistenceJoin",
-    "testSemiJoinAggregationNullHandling": "projected IN NULL vs ExistenceJoin",
-    "testSemiJoinUnionAggregationNullHandling":
-        "projected IN NULL vs ExistenceJoin",
-    "testSemiJoinAggregationUnionNullHandling":
-        "projected IN NULL vs ExistenceJoin",
-    "testSameInPredicateInProjectionAndFilter":
-        "projected IN NULL vs ExistenceJoin",
-    "testCorrelatedInPredicateSubqueries#2":
-        "projected correlated IN NULL vs ExistenceJoin",
+        "correlated scalar aggregate over a real relation in a join "
+        "condition",
+    "testCorrelatedExistsSubqueries#12": "correlated EXISTS with FROM "
+        "inside a join condition (non-foldable; Catalyst rejects "
+        "correlation in join conditions)",
     # grouping sets over empty input: the reference emits the global ()
     # set's aggregation row, Spark's Expand+HashAggregate emits nothing
     "aggregations:testGroupingSetsWithGlobalAggregationNoInput":
@@ -171,6 +133,9 @@ KNOWN_DIVERGENCES = {
 # in IEEE.  These oracles spell out the Java semantics so DuckDB computes
 # what the reference computes.
 ORACLE_OVERRIDES = {
+    # H2 renders BOOLEAN as 0/1; the reference's assertQuery coerces —
+    # spell the boolean literal so DuckDB produces what Presto produces
+    "testSameInPredicateInProjectionAndFilter#0": "SELECT TRUE",
     "testCast#1": "SELECT CAST(floor(totalprice + 0.5) AS BIGINT) FROM orders",
     "testCast#6": "SELECT CAST(floor(totalprice + 0.5) AS BIGINT) FROM orders",
     "testTry#0": "SELECT linenumber, sum(100/(CAST(floor(tax*10 + 0.5) AS "

@@ -438,3 +438,49 @@ def test_e2e_subscripts(engine):
 def test_double_precision_type():
     assert translate("SELECT CAST('1.5' AS DOUBLE PRECISION)") == \
         "SELECT CAST('1.5' AS DOUBLE)"
+
+
+def test_exists_no_from_folds_to_boolean():
+    # EXISTS over a FROM-less one-row subquery is a plain boolean
+    assert translate("SELECT 1 FROM t ORDER BY EXISTS(SELECT 2)") == \
+        "SELECT 1 FROM t ORDER BY TRUE NULLS LAST"
+    correlated = translate(
+        "SELECT * FROM orders o ORDER BY EXISTS(SELECT 1 WHERE o.orderkey = 0)"
+    )
+    assert "coalesce" in correlated and "EXISTS" not in correlated
+    # with FROM: left for Catalyst's native EXISTS
+    assert "EXISTS" in translate("SELECT 1 FROM t WHERE EXISTS(SELECT 1 FROM u)")
+
+
+def test_projected_in_three_valued_rewrite():
+    # SELECT-list IN-subquery becomes the count-based CASE
+    out = translate("SELECT x IN (SELECT y FROM s) FROM t")
+    assert "CASE WHEN" in out and "count" in out and "__pin1" in out
+    # WHERE position untouched (native null-aware semi join)
+    out2 = translate("SELECT x FROM t WHERE x IN (SELECT y FROM s)")
+    assert "CASE WHEN" not in out2 and "IN(SELECT" in out2.replace(" ", "")
+    # NOT IN wraps in three-valued NOT
+    out3 = translate("SELECT x NOT IN (SELECT y FROM s) FROM t")
+    assert "NOT" in out3 and "__pin" in out3
+    # IN over a values list untouched (Spark handles 3VL natively)
+    out4 = translate("SELECT x IN (1, 2) FROM t")
+    assert "CASE WHEN" not in out4
+
+
+def test_scalar_no_from_folds():
+    # bare correlated scalar → its expression
+    assert translate("SELECT a, (SELECT n.nationkey) FROM nation n") == \
+        "SELECT a, (n.nationkey) FROM nation n"
+    # WHERE-guarded count over the one-row relation → 0/1 CASE
+    out = translate("SELECT (SELECT count(*) WHERE o.k = 0) FROM o")
+    assert "CASE WHEN coalesce((o.k = 0), FALSE)" in out and "SELECT count" not in out
+    # nested FROM-less scalars collapse fully
+    assert translate("SELECT * FROM n WHERE 2 = (SELECT (SELECT 2 * n.k))") == \
+        "SELECT * FROM n WHERE 2 = ((2 * n.k))"
+    # relations are untouched: FROM list, WITH body, set-op operands
+    assert translate("SELECT x FROM (SELECT 1) t") == "SELECT x FROM(SELECT 1) t"
+    assert "AS(SELECT 1" in translate("WITH w AS (SELECT 1 AS a) SELECT a FROM w")
+    assert translate("(SELECT 1) UNION ALL (SELECT 2)") == \
+        "(SELECT 1) UNION ALL(SELECT 2)"
+    # aggregates over a real FROM stay subqueries
+    assert "SELECT max(x) FROM s" in translate("SELECT (SELECT max(x) FROM s) FROM t")

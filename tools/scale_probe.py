@@ -74,6 +74,9 @@ def main() -> None:
         else [
             "tpch_q01", "tpch_q03", "tpch_q05", "tpch_q06", "tpch_q09",
             "tpch_q18", "dedup_exact", "dedup_minhash_lsh", "text_quality_score",
+            "curation_gopher_repetition", "curation_mixture_sample",
+            "curation_pack_sequences", "curation_segment_dedup",
+            "curation_pii_scrub",
         ]
     )
     spark = get_spark("scale_probe")
