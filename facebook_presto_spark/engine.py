@@ -138,6 +138,13 @@ class PrestoSparkEngine:
         prepared = self._dispatch_prepared(presto_sql)
         if prepared is not None:
             return prepared
+        from facebook_presto_spark import infoschema
+
+        if infoschema.references_information_schema(presto_sql):
+            # the reference populates information_schema from connector
+            # metadata at query time (InformationSchemaPageSourceProvider);
+            # rebuild the views from the live catalog — metadata-only
+            infoschema.refresh(self.spark)
         return self.spark.sql(translate(presto_sql))
 
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------

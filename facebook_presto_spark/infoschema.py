@@ -1,0 +1,205 @@
+"""information_schema — the reference's metadata connector.
+
+Presto exposes a synthetic ``information_schema`` schema in every catalog
+(presto-main/.../connector/informationSchema/InformationSchemaMetadata.java:72-118):
+``columns``, ``tables``, ``views``, ``schemata``, ``table_privileges``,
+populated from connector metadata at query time
+(InformationSchemaPageSourceProvider.java).
+
+Spark twin: a real ``information_schema`` database whose members are
+CREATE OR REPLACE VIEWs over literal VALUES rebuilt from the session
+catalog immediately before any query that references the schema runs.
+This keeps the semantics (always-current metadata, filterable with
+ordinary predicates) while staying metadata-only — no table data is ever
+scanned, so the cost is independent of data volume (the same property the
+reference gets from serving these tables out of the metastore).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+
+CATALOG_NAME = "spark"
+
+# Schema-qualified members, columns in reference declaration order
+# (InformationSchemaMetadata.java:79-118).
+TABLE_SCHEMAS = {
+    "columns": (
+        "table_catalog string, table_schema string, table_name string, "
+        "column_name string, ordinal_position bigint, column_default string, "
+        "is_nullable string, data_type string, comment string, extra_info string"
+    ),
+    "tables": (
+        "table_catalog string, table_schema string, table_name string, "
+        "table_type string"
+    ),
+    "views": (
+        "table_catalog string, table_schema string, table_name string, "
+        "view_definition string"
+    ),
+    "schemata": "catalog_name string, schema_name string",
+    "table_privileges": (
+        "grantor string, grantee string, table_catalog string, "
+        "table_schema string, table_name string, privilege_type string, "
+        "is_grantable boolean, with_hierarchy boolean"
+    ),
+}
+
+_REFERENCES_RE = re.compile(r"\binformation_schema\s*\.", re.I)
+
+
+def references_information_schema(sql: str) -> bool:
+    return bool(_REFERENCES_RE.search(sql))
+
+
+def presto_type_name(spark_type: str) -> str:
+    """Spark ``simpleString`` → the Presto type name the reference renders
+    in information_schema.columns.data_type (StandardTypes.java:18-45)."""
+    t = spark_type.strip()
+    low = t.lower()
+    simple = {
+        "string": "varchar",
+        "int": "integer",
+        "float": "real",
+        "binary": "varbinary",
+        "timestamp_ntz": "timestamp",
+        "timestamp": "timestamp with time zone",
+        "time": "time",
+    }
+    if low in simple:
+        return simple[low]
+    m = re.fullmatch(r"array<(.+)>", low)
+    if m:
+        return f"array({presto_type_name(m.group(1))})"
+    m = re.fullmatch(r"map<(.+)>", low)
+    if m:
+        # split key,value at top nesting level
+        inner, depth, cut = m.group(1), 0, None
+        for i, ch in enumerate(inner):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                cut = i
+                break
+        if cut is not None:
+            return (
+                f"map({presto_type_name(inner[:cut])}, "
+                f"{presto_type_name(inner[cut + 1:])})"
+            )
+    m = re.fullmatch(r"struct<(.+)>", low)
+    if m:
+        fields, depth, start, parts = m.group(1), 0, 0, []
+        for i, ch in enumerate(fields):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(fields[start:i])
+                start = i + 1
+        parts.append(fields[start:])
+        rendered = []
+        for p in parts:
+            name, _, ftype = p.partition(":")
+            rendered.append(f"{name} {presto_type_name(ftype)}")
+        return f"row({', '.join(rendered)})"
+    return low  # bigint, double, boolean, date, decimal(p,s), …
+
+
+def _q(value) -> str:
+    """Render one Python value as a SQL literal for a VALUES row."""
+    if value is None:
+        return "CAST(NULL AS STRING)"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, int):
+        return f"CAST({value} AS BIGINT)"
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def _values_view(spark: SparkSession, name: str, rows: list[tuple]) -> None:
+    schema = TABLE_SCHEMAS[name]
+    cols = [f.split()[0] for f in schema.split(", ")]
+    types = [f.split()[1] for f in schema.split(", ")]
+    if rows:
+        values = ", ".join(
+            "(" + ", ".join(_q(v) for v in row) + ")" for row in rows
+        )
+        body = f"SELECT * FROM (VALUES {values}) AS t({', '.join(cols)})"
+    else:
+        nulls = ", ".join(
+            f"CAST(NULL AS {t}) AS {c}" for c, t in zip(cols, types)
+        )
+        body = f"SELECT {nulls} WHERE FALSE"
+    spark.sql(f"CREATE OR REPLACE VIEW information_schema.{name} AS {body}")
+
+
+def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME) -> None:
+    """(Re)build the information_schema views from the live session catalog.
+
+    Metadata-only: listDatabases/listTables/listColumns — no data reads.
+    Temp views (how the engine registers parquet tables) surface under the
+    current database, mirroring how the reference resolves unqualified
+    names against the session schema.
+    """
+    spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+
+    current_db = spark.catalog.currentDatabase()
+    databases = [d.name for d in spark.catalog.listDatabases()]
+
+    schemata = [(catalog_name, d) for d in sorted(set(databases))]
+
+    tables_rows: list[tuple] = []
+    columns_rows: list[tuple] = []
+    seen: set[tuple[str, str]] = set()
+
+    def add_table(db: str, table: str, is_temp: bool) -> None:
+        if (db, table) in seen:
+            return
+        seen.add((db, table))
+        tables_rows.append((catalog_name, db, table, "BASE TABLE"))
+        try:
+            cols = spark.catalog.listColumns(
+                table if is_temp else f"{db}.{table}"
+            )
+        except Exception:
+            return
+        for pos, c in enumerate(cols, start=1):
+            columns_rows.append((
+                catalog_name, db, table, c.name, pos, None,
+                "YES" if c.nullable else "NO",
+                presto_type_name(c.dataType), None, None,
+            ))
+
+    for t in spark.catalog.listTables():
+        # skip our own members when the current database is information_schema
+        if (t.database or current_db) == "information_schema":
+            continue
+        if t.tableType == "TEMPORARY" or not t.database:
+            add_table(current_db, t.name, is_temp=True)
+        else:
+            add_table(t.database, t.name, is_temp=False)
+    for db in databases:
+        if db in ("information_schema",):
+            continue
+        try:
+            listed = spark.catalog.listTables(db)
+        except Exception:
+            continue
+        for t in listed:
+            if t.tableType == "TEMPORARY" or not t.database:
+                continue
+            add_table(db, t.name, is_temp=False)
+
+    _values_view(spark, "schemata", schemata)
+    _values_view(spark, "tables", tables_rows)
+    _values_view(spark, "columns", columns_rows)
+    # the engine's CREATE VIEW surface is session-scoped temp views, which
+    # register as BASE TABLE rows above; persistent-view introspection and
+    # the privilege model are out of scope (no GRANT surface — COVERAGE.md)
+    _values_view(spark, "views", [])
+    _values_view(spark, "table_privileges", [])

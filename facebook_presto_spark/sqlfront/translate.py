@@ -913,6 +913,410 @@ def _count_sq(subq: list[Tok], alias: str, where: list[Tok] | None) -> list[Tok]
     return toks
 
 
+_JOIN_KWS = ("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL")
+_CLAUSE_KWS = ("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW")
+_SETOP_KWS = ("UNION", "INTERSECT", "EXCEPT")
+
+
+def _has_subquery(toks: list[Tok]) -> bool:
+    return any(
+        t.text == "(" and j + 1 < len(toks)
+        and toks[j + 1].is_kw("SELECT", "WITH")
+        for j, t in enumerate(toks)
+    )
+
+
+def _skip_parens(tokens: list[Tok], j: int) -> int:
+    """Index after token j, jumping over a paren group if j opens one."""
+    if tokens[j].text == "(":
+        return find_matching_paren(tokens, j) + 1
+    return j + 1
+
+
+def _pass_join_on_subquery(tokens: list[Tok]) -> list[Tok]:
+    """Inner-join ON conditions containing subqueries → CROSS JOIN + WHERE.
+
+    Presto decorrelates subqueries in inner-join criteria through its
+    Apply rules (TransformCorrelatedScalarAggregationToJoin et al. run
+    after the criteria land in a filter); Catalyst rejects any subquery
+    inside a join condition outright.  For INNER joins the ON predicate
+    is equivalent to a WHERE conjunct, so hoisting it restores Catalyst's
+    native subquery planning (scalar/EXISTS/IN in WHERE position).  The
+    reference itself rejects the outer-join form
+    (testCorrelatedScalarSubqueriesWithScalarAggregation: "Correlated
+    subquery in given context is not supported"), so only plain/INNER
+    JOIN is rewritten.  Equi-conditions hoisted this way are recovered
+    as join criteria by Catalyst's cross-join elimination, so plans for
+    ordinary joins are unchanged — the rewrite only fires when the ON
+    clause contains a subquery.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_join_on_subquery(tokens[i + 1:close]) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+    while True:
+        rewritten = _rewrite_one_join_on(tokens)
+        if rewritten is None:
+            return tokens
+        tokens = rewritten
+
+
+def _rewrite_one_join_on(tokens: list[Tok]) -> list[Tok] | None:
+    n = len(tokens)
+    i = 0
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            i = find_matching_paren(tokens, i) + 1
+            continue
+        if not t.is_kw("JOIN"):
+            i += 1
+            continue
+        prev = tokens[i - 1] if i else None
+        if prev is not None and prev.is_kw(
+            "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "OUTER", "SEMI", "ANTI"
+        ):
+            i += 1
+            continue
+        # locate this join's ON keyword
+        j, on_idx = i + 1, None
+        while j < n:
+            s = tokens[j]
+            if s.text == "(":
+                j = find_matching_paren(tokens, j) + 1
+                continue
+            if s.is_kw("ON"):
+                on_idx = j
+                break
+            if s.is_kw(*_JOIN_KWS, *_CLAUSE_KWS, *_SETOP_KWS) or s.text in (",", ";"):
+                break
+            j += 1
+        if on_idx is None:
+            i += 1
+            continue
+        j = on_idx + 1
+        while j < n:
+            s = tokens[j]
+            if s.text == "(":
+                j = find_matching_paren(tokens, j) + 1
+                continue
+            if s.is_kw(*_JOIN_KWS, *_CLAUSE_KWS, *_SETOP_KWS) or s.text in (",", ";"):
+                break
+            j += 1
+        cond_end = j
+        cond = tokens[on_idx + 1:cond_end]
+        if not _has_subquery(cond):
+            i = cond_end
+            continue
+        join_start = i - 1 if (prev is not None and prev.is_kw("INNER")) else i
+        head = (
+            tokens[:join_start] + [ident("CROSS"), ident("JOIN")]
+            + tokens[i + 1:on_idx]
+        )
+        tail = tokens[cond_end:]
+        return head + _conjoin_where(tail, cond)
+    return None
+
+
+def _conjoin_where(tail: list[Tok], cond: list[Tok]) -> list[Tok]:
+    """AND ``cond`` into the (possibly absent) WHERE clause at the head
+    of ``tail``, staying within the current query block."""
+    m = len(tail)
+    j = 0
+    where_idx = None
+    insert_at = m
+    while j < m:
+        s = tail[j]
+        if s.text == "(":
+            j = find_matching_paren(tail, j) + 1
+            continue
+        if s.is_kw("WHERE"):
+            where_idx = j
+            break
+        if s.is_kw(*_CLAUSE_KWS, *_SETOP_KWS) or s.text == ";":
+            insert_at = j
+            break
+        j += 1
+    wrapped = [op("(")] + cond + [op(")")]
+    if where_idx is None:
+        return (
+            tail[:insert_at] + [ident("WHERE")] + wrapped + tail[insert_at:]
+        )
+    j = where_idx + 1
+    while j < m:
+        s = tail[j]
+        if s.text == "(":
+            j = find_matching_paren(tail, j) + 1
+            continue
+        if s.is_kw(*_CLAUSE_KWS, *_SETOP_KWS) or s.text == ";":
+            break
+        j += 1
+    old = tail[where_idx + 1:j]
+    return (
+        tail[:where_idx] + [ident("WHERE")] + wrapped + [ident("AND"),
+        op("(")] + old + [op(")")] + tail[j:]
+    )
+
+
+def _pass_hoist_grouped_csq(tokens: list[Tok], _ctr: list[int] | None = None) -> list[Tok]:
+    """Correlated scalar subqueries in grouped SELECT / GROUP BY position
+    → computed pre-aggregation in a derived table.
+
+    Presto plans ``SELECT agg(x), k, (SELECT … o.k …) FROM t o GROUP BY k``
+    and ``GROUP BY k, (SELECT … o.k …)`` through
+    TransformCorrelatedScalarAggregationToJoin; Catalyst refuses
+    correlated scalar subqueries mixed with outer aggregation or used as
+    grouping keys.  Since the reference's analyzer only admits these when
+    the subquery's outer references are group keys, hoisting is sound:
+
+        SELECT max(o.d), o.k, (SELECT … o.k …) FROM t o [WHERE w] GROUP BY o.k
+        → SELECT max(o.d), o.k, __csq1
+          FROM (SELECT o.*, (SELECT … o.k …) AS __csq1 FROM t o [WHERE w]) AS o
+          GROUP BY o.k, __csq1
+
+    Scope guard: single-relation FROM (table/CTE with optional alias),
+    plain GROUP BY list, subquery correlation detected as an
+    ``alias.``-qualified reference.  Everything else is left to Catalyst.
+    """
+    if _ctr is None:
+        _ctr = [0]
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_hoist_grouped_csq(tokens[i + 1:close], _ctr) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return _hoist_one_block(out, _ctr)
+
+
+def _hoist_one_block(tokens: list[Tok], _ctr: list[int]) -> list[Tok]:
+    n = len(tokens)
+    # depth-0 clause map (first occurrence after the main SELECT)
+    idx: dict[str, int] = {}
+    j = 0
+    while j < n:
+        s = tokens[j]
+        if s.text == "(":
+            j = find_matching_paren(tokens, j) + 1
+            continue
+        u = s.upper if s.kind == "ident" else None
+        if u in ("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER",
+                 "LIMIT") and u not in idx:
+            idx[u] = j
+        if u in _SETOP_KWS:
+            return tokens  # set-op chain: leave to Catalyst
+        j += 1
+    if "SELECT" not in idx or "FROM" not in idx or "GROUP" not in idx:
+        return tokens
+    sel_i, from_i, group_i = idx["SELECT"], idx["FROM"], idx["GROUP"]
+    if not (sel_i < from_i < group_i):
+        return tokens
+    where_i = idx.get("WHERE")
+    if where_i is not None and not (from_i < where_i < group_i):
+        return tokens
+    from_end = where_i if where_i is not None else group_i
+    from_seg = tokens[from_i + 1:from_end]
+    alias = _single_relation_alias(from_seg)
+    if alias is None:
+        return tokens
+    group_end = min(
+        [v for k, v in idx.items() if k in ("HAVING", "ORDER", "LIMIT")]
+        or [n]
+    )
+    group_seg = tokens[group_i + 2:group_end]
+    if tokens[group_i + 1].upper != "BY" or not group_seg or group_seg[0].is_kw(
+        "GROUPING", "CUBE", "ROLLUP"
+    ):
+        return tokens
+    select_seg = tokens[sel_i + 1:from_i]
+
+    hoisted: dict[str, tuple[str, list[Tok]]] = {}  # rendered → (var, toks)
+
+    def replace(seg: list[Tok], in_group: bool) -> tuple[list[Tok], list[str], list[str]]:
+        res: list[Tok] = []
+        plain_vars: list[str] = []  # bare (non-agg-arg) SELECT occurrences
+        group_vars: list[str] = []
+        k = 0
+        agg_depth_stack: list[int] = []
+        depth = 0
+        while k < len(seg):
+            s = seg[k]
+            if s.text == "(" and k + 1 < len(seg) and seg[k + 1].is_kw("SELECT", "WITH"):
+                close = find_matching_paren(seg, k)
+                sub = seg[k + 1:close]
+                if _is_correlated(sub, alias):
+                    key = render(sub)
+                    if key not in hoisted:
+                        _ctr[0] += 1
+                        hoisted[key] = (f"__csq{_ctr[0]}", sub)
+                    var = hoisted[key][0]
+                    res.append(ident(var))
+                    if in_group:
+                        group_vars.append(var)
+                    elif not agg_depth_stack:
+                        plain_vars.append(var)
+                    k = close + 1
+                    continue
+                res += seg[k:close + 1]
+                k = close + 1
+                continue
+            if s.text == "(":
+                if res and res[-1].kind == "ident" and res[-1].upper in _AGG_NAMES:
+                    agg_depth_stack.append(depth)
+                depth += 1
+            elif s.text == ")":
+                depth -= 1
+                if agg_depth_stack and agg_depth_stack[-1] == depth:
+                    agg_depth_stack.pop()
+            res.append(s)
+            k += 1
+        return res, plain_vars, group_vars
+
+    new_select, plain_vars, _ = replace(select_seg, in_group=False)
+    new_group, _, group_vars = replace(group_seg, in_group=True)
+    if not hoisted:
+        return tokens
+    derived: list[Tok] = [
+        op("("), ident("SELECT"), ident(alias), op("."), op("*"),
+    ]
+    for var, sub in hoisted.values():
+        derived += [op(","), op("(")] + sub + [op(")"), ident("AS"), ident(var)]
+    derived += [ident("FROM")] + from_seg
+    if where_i is not None:
+        derived += [ident("WHERE")] + tokens[where_i + 1:group_i]
+    derived += [op(")"), ident("AS"), ident(alias)]
+    extra = [v for v in plain_vars if v not in group_vars]
+    group_suffix: list[Tok] = []
+    for v in dict.fromkeys(extra):
+        group_suffix += [op(","), ident(v)]
+    return (
+        tokens[:sel_i] + [ident("SELECT")] + new_select
+        + [ident("FROM")] + derived
+        + [ident("GROUP"), ident("BY")] + new_group + group_suffix
+        + tokens[group_end:]
+    )
+
+
+def _single_relation_alias(from_seg: list[Tok]) -> str | None:
+    """Alias of a single-relation FROM (``t``, ``s.t``, ``t a``,
+    ``t AS a``), or None if the FROM is anything more complex."""
+    toks = [t for t in from_seg if not t.is_kw("AS")]
+    if not toks or any(
+        t.kind not in ("ident", "qident") and t.text != "." for t in toks
+    ):
+        return None
+    if any(t.is_kw(*_JOIN_KWS, "UNNEST", "LATERAL", "TABLESAMPLE")
+           or t.text == "," for t in toks):
+        return None
+    # trailing ident not preceded by a dot = alias; else last name part
+    if len(toks) >= 2 and toks[-1].kind == "ident" and toks[-2].text != ".":
+        return toks[-1].text
+    if toks[-1].kind in ("ident", "qident"):
+        return toks[-1].text.strip('"')
+    return None
+
+
+def _is_correlated(sub: list[Tok], alias: str) -> bool:
+    up = alias.upper()
+    return any(
+        t.kind == "ident" and t.upper == up
+        and j + 1 < len(sub) and sub[j + 1].text == "."
+        for j, t in enumerate(sub)
+    )
+
+
+def _pass_using_wildcard(tokens: list[Tok]) -> list[Tok]:
+    """Qualified wildcards after a USING join exclude the join columns.
+
+    ``SELECT a.*, b.* FROM x a JOIN y b USING (k)`` yields ``a.partkey,
+    b.custkey`` in the reference (StatementAnalyzer USING scope: the
+    common columns belong to neither side's qualified star), while Spark
+    keeps them in both stars.  Rewrite ``alias.*`` → ``alias.* EXCEPT
+    (k, …)`` (Spark 3.4+ star-except).  Applied only when the block has
+    exactly one depth-0 USING clause — with several, the per-alias
+    column ownership isn't known syntactically.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_using_wildcard(tokens[i + 1:close]) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+    using_cols: list[list[Tok]] | None = None
+    n = len(tokens)
+    j = 0
+    count = 0
+    while j < n:
+        s = tokens[j]
+        if s.text == "(":
+            j = find_matching_paren(tokens, j) + 1
+            continue
+        if s.is_kw("USING") and j + 1 < n and tokens[j + 1].text == "(":
+            close = find_matching_paren(tokens, j + 1)
+            using_cols = split_top_level(tokens[j + 2:close])
+            count += 1
+            j = close + 1
+            continue
+        j += 1
+    if count != 1 or not using_cols:
+        return tokens
+    # rewrite alias.* in the depth-0 SELECT list
+    res: list[Tok] = []
+    j = 0
+    clause = "init"
+    while j < n:
+        s = tokens[j]
+        if s.kind == "ident":
+            u = s.upper
+            if u == "SELECT":
+                clause = "select"
+            elif u == "FROM":
+                clause = "other"
+        if s.text == "(":
+            close = find_matching_paren(tokens, j)
+            res += tokens[j:close + 1]
+            j = close + 1
+            continue
+        if (
+            clause == "select" and s.text == "."
+            and j + 1 < n and tokens[j + 1].text == "*"
+            and res and res[-1].kind in ("ident", "qident")
+        ):
+            res += [s, tokens[j + 1], ident("EXCEPT"), op("(")]
+            for k, c in enumerate(using_cols):
+                if k:
+                    res.append(op(","))
+                res += c
+            res.append(op(")"))
+            j += 2
+            continue
+        res.append(s)
+        j += 1
+    return res
+
+
 def _pass_projected_in(tokens: list[Tok], clause: str = "other",
                        _ctr: list[int] | None = None) -> list[Tok]:
     """Three-valued ``x [NOT] IN (subquery)`` in output position.
@@ -1595,6 +1999,9 @@ def translate(sql: str) -> str:
     toks = _pass_quantified(toks)
     toks = _pass_exists_no_from(toks)
     toks = _pass_scalar_no_from(toks)
+    toks = _pass_join_on_subquery(toks)
+    toks = _pass_hoist_grouped_csq(toks)
+    toks = _pass_using_wildcard(toks)
     toks = _pass_projected_in(toks)
     toks = _pass_window_compat(toks)
     toks = _pass_in_values(toks)

@@ -56,13 +56,6 @@ TABLE_WORD = re.compile(
 # Cases with a documented engine divergence or Spark limitation; every
 # entry names its reason (matched on case-id prefix).
 KNOWN_DIVERGENCES = {
-    "testInformationSchema": "no information_schema catalog (SHOW/DESCRIBE "
-                             "cover the metadata surface)",
-    "testSelectColumnOfNulls": "information_schema reference",
-    "testSemiJoin#16": "IN-subqueries compared inside a join ON clause "
-        "(o1.orderkey IN (…) = o2.orderkey IN (…)) have no Spark planning "
-        "path; projected/ORDER-BY INs alone are handled by the "
-        "_pass_projected_in rewrite",
     "testInUncorrelatedSubquery#1": "Spark cannot compare MAP types",
     "testLambdaInValuesAndUnnest#1": "Spark inline tables (VALUES) cannot "
         "hold lambda expressions",
@@ -77,8 +70,6 @@ KNOWN_DIVERGENCES = {
         "double",
     "testJoinWithCanonicalizedConstantTrueExpressionWithCoercion":
         "REAL = DECIMAL comparison coercion as above",
-    "testQualifiedWildcardFromJoin": "qualified wildcard after USING join: "
-        "Presto/H2 exclude the join columns, Spark includes them",
     "testRows#3": "struct-typed COLUMN nested in a ROW cast renders as a "
         "JSON object; only syntactic ROW(…) nesting array-izes (needs "
         "runtime schema introspection)",
@@ -93,17 +84,6 @@ KNOWN_DIVERGENCES = {
     # translation time (_pass_exists_no_from / _pass_scalar_no_from /
     # _pass_projected_in); what remains needs a real correlated relation
     # in a position Catalyst refuses (join conditions, GROUP BY keys).
-    "testCorrelatedScalarSubqueriesWithScalarAggregation#3":
-        "correlated scalar aggregate over a real relation in projection "
-        "position mixed with outer aggregation",
-    "testCorrelatedScalarSubqueriesWithScalarAggregation#5":
-        "correlated scalar aggregate over a real relation as GROUP BY key",
-    "testCorrelatedScalarSubqueriesWithScalarAggregation#6":
-        "correlated scalar aggregate over a real relation in a join "
-        "condition",
-    "testCorrelatedExistsSubqueries#12": "correlated EXISTS with FROM "
-        "inside a join condition (non-foldable; Catalyst rejects "
-        "correlation in join conditions)",
     # grouping sets over empty input: the reference emits the global ()
     # set's aggregation row, Spark's Expand+HashAggregate emits nothing
     "aggregations:testGroupingSetsWithGlobalAggregationNoInput":
@@ -113,8 +93,6 @@ KNOWN_DIVERGENCES = {
     "aggregations:testGroupingSetsMultipleGrandTotalSetsNoInput":
         "global grouping set over empty input",
     "aggregations:testCubeNoInput": "global grouping set over empty input",
-    "integrationsmoketest:testSelectInformationSchema":
-        "no information_schema catalog",
     "testGrouping#0": "ORDER BY grouping(b) where b is aliased away in the "
         "SELECT list: Spark resolves post-aggregate ORDER BY against the "
         "output scope only; Presto also sees the source scope",
