@@ -753,7 +753,23 @@ def _url_extract_parameter(args: Args) -> list[Tok]:
 
 
 def _contains(args: Args) -> list[Tok]:
-    # array contains(arr, x); Spark's `contains` is string-only
+    # array contains(arr, x); Spark's `contains` is string-only.
+    # A ROW(…) needle goes through the equality lambda instead:
+    # array_contains matches struct field *names* (row elements from
+    # array_agg(ROW(a, b)) are named a,b; the literal ROW is col1,col2),
+    # while `=` compares structs positionally like the reference's row
+    # equality operator (RowEqualOperator).
+    if (
+        len(args) == 2 and len(args[1]) >= 3
+        and args[1][0].kind == "ident"
+        and args[1][0].upper in ("ROW", "STRUCT")  # pre/post rename
+        and args[1][1].text == "("
+    ):
+        return (
+            [ident("exists"), op("(")] + args[0]
+            + [op(","), ident("__e"), op("->"), ident("__e"), op("=")]
+            + args[1] + [op(")")]
+        )
     return _call("array_contains", *args)
 
 

@@ -364,6 +364,35 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                 out.extend(_row_as_json(value_toks))
                 i = close + 1
                 continue
+            if (
+                len(raw_type) == 1 and raw_type[0].upper == "JSON"
+                and len(value_toks) >= 6
+                and value_toks[0].is_kw("ARRAY_AGG")
+                and value_toks[1].text == "("
+                and find_matching_paren(value_toks, 1) == len(value_toks) - 1
+                and value_toks[2].kind == "ident"
+                and value_toks[2].upper == "ROW"
+                and value_toks[3].text == "("
+                and find_matching_paren(value_toks, 3) == len(value_toks) - 2
+            ):
+                # CAST(array_agg(ROW(…)) AS JSON): the element schema is
+                # visible syntactically, so each row renders through the
+                # same RowToJsonCast rule and the aggregate assembles the
+                # JSON array text directly (ArrayToJsonCast.java over
+                # array(row(…)) — per-element row-as-array).
+                row_json = _pass_cast_types(_row_as_json(value_toks[2:-1]))
+                out.extend(
+                    _call(
+                        "concat", [string_literal("[")],
+                        _call(
+                            "concat_ws", [string_literal(",")],
+                            _call("array_agg", row_json),
+                        ),
+                        [string_literal("]")],
+                    )
+                )
+                i = close + 1
+                continue
             if type_text.upper().startswith(("ARRAY<", "MAP<", "STRUCT<")):
                 # JSON → complex casts (JsonToArrayCast/JsonToMapCast/
                 # JsonToRowCast): Presto parses the JSON text; Spark's CAST
@@ -1159,7 +1188,12 @@ def _hoist_one_block(tokens: list[Tok], _ctr: list[int]) -> list[Tok]:
             if s.text == "(" and k + 1 < len(seg) and seg[k + 1].is_kw("SELECT", "WITH"):
                 close = find_matching_paren(seg, k)
                 sub = seg[k + 1:close]
-                if _is_correlated(sub, alias):
+                # only *scalar* subqueries hoist; EXISTS(…)/IN(…) operand
+                # subqueries are predicate arguments Catalyst plans natively
+                is_scalar = not (
+                    res and res[-1].is_kw("EXISTS", "IN", "ALL", "ANY", "SOME")
+                )
+                if is_scalar and _is_correlated(sub, alias):
                     key = render(sub)
                     if key not in hoisted:
                         _ctr[0] += 1
@@ -1720,6 +1754,156 @@ _GROUP_LIST_STOP = ("HAVING", "ORDER", "LIMIT", "UNION", "EXCEPT",
                     "INTERSECT", "WINDOW", "OFFSET", "FETCH")
 
 
+def _pass_order_by_grouping(tokens: list[Tok], _ctr: list[int] | None = None) -> list[Tok]:
+    """``ORDER BY grouping(…)`` on a grouped query → hoisted sort column.
+
+    Presto resolves grouping() in ORDER BY against the source scope
+    (GroupingOperationRewriter); Spark's Sort runs above the Aggregate
+    and cannot resolve grouping() there at all.  Rewrite
+
+        SELECT <list> FROM … GROUP BY … ORDER BY grouping(b), x
+
+    to
+
+        SELECT * EXCEPT (__ord1) FROM
+          (SELECT <list>, grouping(b) AS __ord1 FROM … GROUP BY …) __obg
+        ORDER BY __ord1, x
+
+    so the grouping() lands inside the Aggregate where Spark computes it.
+    Runs before the grouping()-composition pass, which then rewrites the
+    hoisted call against the inner GROUP BY like any other occurrence.
+    """
+    if _ctr is None:
+        _ctr = [0]
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_order_by_grouping(tokens[i + 1:close], _ctr) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+    n = len(tokens)
+    idx: dict[str, int] = {}
+    j = 0
+    while j < n:
+        s = tokens[j]
+        if s.text == "(":
+            j = find_matching_paren(tokens, j) + 1
+            continue
+        if s.kind == "ident":
+            u = s.upper
+            if u in ("SELECT", "FROM", "GROUP", "ORDER", "LIMIT") and u not in idx:
+                idx[u] = j
+            if u in _SETOP_KWS:
+                return tokens
+        j += 1
+    if not {"SELECT", "FROM", "ORDER"} <= idx.keys():
+        return tokens
+    sel_i, from_i, order_i = idx["SELECT"], idx["FROM"], idx["ORDER"]
+    if not (sel_i < from_i < order_i):
+        return tokens
+    group_i = idx.get("GROUP")
+    if group_i is not None and not (from_i < group_i < order_i):
+        return tokens
+    if sel_i + 1 < n and tokens[sel_i + 1].is_kw("DISTINCT"):
+        # DISTINCT requires ORDER BY expressions from the select list
+        # (the reference rejects anything else), so nothing to hoist
+        return tokens
+    limit_i = idx.get("LIMIT", n)
+    if order_i + 1 >= n or tokens[order_i + 1].upper != "BY":
+        return tokens
+    items = split_top_level(tokens[order_i + 2:limit_i])
+    hoists: list[tuple[str, list[Tok]]] = []
+    new_items: list[list[Tok]] = []
+    for item in items:
+        has_grouping = group_i is not None and any(
+            tok.is_kw("GROUPING") and k + 1 < len(item)
+            and item[k + 1].text == "(" for k, tok in enumerate(item)
+        )
+        # window functions in ORDER BY: Spark's Sort cannot evaluate
+        # OVER at all; Presto resolves them against the source scope —
+        # which is exactly what a select-list position provides
+        has_window = any(tok.is_kw("OVER") for tok in item)
+        # IN (subquery) / EXISTS in ORDER BY: Catalyst allows predicate
+        # subqueries in projections but not in Sort — same hoist
+        has_subq = _has_subquery(item)
+        if not has_grouping and not has_window and not has_subq:
+            new_items.append(item)
+            continue
+        # split off the ASC/DESC/NULLS FIRST|LAST suffix
+        end = len(item)
+        while end > 0 and item[end - 1].is_kw(
+            "ASC", "DESC", "NULLS", "FIRST", "LAST"
+        ):
+            end -= 1
+        expr = item[:end]
+        if has_window:
+            # Presto resolves ORDER BY expressions against the output
+            # scope first (StatementAnalyzer orderBy scope: aliases
+            # shadow source columns); the hoisted select-list position
+            # resolves source-first, so inline the output aliases
+            expr = _substitute_aliases(expr, tokens[sel_i + 1:from_i])
+        _ctr[0] += 1
+        var = f"__ord{_ctr[0]}"
+        hoists.append((var, expr))
+        new_items.append([ident(var)] + item[end:])
+    if not hoists:
+        return tokens
+    inner = list(tokens[sel_i:from_i])
+    for var, expr in hoists:
+        inner += [op(","), op("(")] + expr + [op(")"), ident("AS"), ident(var)]
+    inner += tokens[from_i:order_i]
+    res: list[Tok] = tokens[:sel_i] + [
+        ident("SELECT"), op("*"), ident("EXCEPT"), op("("),
+    ]
+    for k, (var, _) in enumerate(hoists):
+        if k:
+            res.append(op(","))
+        res.append(ident(var))
+    res += [op(")"), ident("FROM"), op("(")] + inner + [
+        op(")"), ident("__obg"), ident("ORDER"), ident("BY"),
+    ]
+    for k, item in enumerate(new_items):
+        if k:
+            res.append(op(","))
+        res += item
+    res += tokens[limit_i:]
+    return res
+
+
+def _substitute_aliases(expr: list[Tok], select_seg: list[Tok]) -> list[Tok]:
+    """Inline ``<e> AS <alias>`` select-list aliases into ``expr`` —
+    bare identifier references only (qualified ``t.alias`` stays a source
+    reference, mirroring the reference's ORDER BY scoping)."""
+    aliases: dict[str, list[Tok]] = {}
+    for item in split_top_level(select_seg):
+        if (
+            len(item) >= 3 and item[-2].is_kw("AS")
+            and item[-1].kind == "ident"
+        ):
+            aliases[item[-1].upper] = item[:-2]
+    if not aliases:
+        return expr
+    out: list[Tok] = []
+    for k, t in enumerate(expr):
+        nxt = expr[k + 1] if k + 1 < len(expr) else None
+        if (
+            t.kind == "ident" and t.upper in aliases
+            and not (out and out[-1].text == ".")
+            and (nxt is None or nxt.text not in (".", "("))
+        ):
+            out += [op("(")] + aliases[t.upper] + [op(")")]
+        else:
+            out.append(t)
+    return out
+
+
 def _pass_grouping_sets_for_grouping_fn(tokens: list[Tok]) -> list[Tok]:
     """Wrap plain ``GROUP BY c1, c2`` in ``GROUPING SETS ((c1, c2))`` when
     the statement uses grouping()/grouping_id().
@@ -2005,6 +2189,7 @@ def translate(sql: str) -> str:
     toks = _pass_projected_in(toks)
     toks = _pass_window_compat(toks)
     toks = _pass_in_values(toks)
+    toks = _pass_order_by_grouping(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)

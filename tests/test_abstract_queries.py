@@ -59,12 +59,6 @@ KNOWN_DIVERGENCES = {
     "testInUncorrelatedSubquery#1": "Spark cannot compare MAP types",
     "testLambdaInValuesAndUnnest#1": "Spark inline tables (VALUES) cannot "
         "hold lambda expressions",
-    "testOrderByWithOutputColumnReference#41": "window functions are not "
-        "allowed in Spark ORDER BY",
-    "testRows#4": "CAST(array_agg(ROW) AS JSON): runtime struct→JSON-array "
-        "needs schema introspection (top-level ROW casts are supported)",
-    "testRows#6": "CAST(array_agg(ROW) AS JSON) as above",
-    "testRows#5": "Spark array_contains on structs is field-name sensitive",
     "testJoinWithConstantTrueExpressionWithCoercion": "REAL = DECIMAL "
         "comparison: Presto coerces decimal→real, Spark widens both to "
         "double",
@@ -93,9 +87,6 @@ KNOWN_DIVERGENCES = {
     "aggregations:testGroupingSetsMultipleGrandTotalSetsNoInput":
         "global grouping set over empty input",
     "aggregations:testCubeNoInput": "global grouping set over empty input",
-    "testGrouping#0": "ORDER BY grouping(b) where b is aliased away in the "
-        "SELECT list: Spark resolves post-aggregate ORDER BY against the "
-        "output scope only; Presto also sees the source scope",
     "testCustomAdd": "custom_add is a test-harness plugin UDF "
         "(presto-tests/.../CustomAdd.java), not an engine function",
     "aggregations:testSumDataSizeForStats": "$internal$ ANALYZE-only "

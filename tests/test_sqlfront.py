@@ -484,3 +484,78 @@ def test_scalar_no_from_folds():
         "(SELECT 1) UNION ALL(SELECT 2)"
     # aggregates over a real FROM stay subqueries
     assert "SELECT max(x) FROM s" in translate("SELECT (SELECT max(x) FROM s) FROM t")
+
+
+def test_join_on_subquery_hoists_to_where():
+    # inner-join ON with a subquery → CROSS JOIN + WHERE conjunct
+    out = translate(
+        "SELECT count(*) FROM a JOIN b ON NOT 1 = "
+        "(SELECT avg(i.k) FROM i WHERE a.k < b.k)"
+    )
+    assert "CROSS JOIN" in out and "WHERE" in out and "ON" not in out
+    # existing WHERE is AND-conjoined with parens preserved
+    out2 = translate(
+        "SELECT * FROM a JOIN b ON EXISTS(SELECT 1 FROM i WHERE i.k = a.k) "
+        "WHERE a.x = 1 OR a.y = 2"
+    )
+    assert "AND(a.x = 1 OR a.y = 2)" in out2.replace("  ", " ")
+    # outer joins keep their ON (reference rejects subqueries there too)
+    out3 = translate("SELECT * FROM a LEFT JOIN b ON a.k = b.k")
+    assert "LEFT JOIN" in out3 and "ON a.k = b.k" in out3
+    # ordinary equi-joins untouched
+    assert "ON o.k = l.k" in translate(
+        "SELECT * FROM o JOIN l ON o.k = l.k WHERE o.k < 5"
+    )
+
+
+def test_hoist_grouped_correlated_scalar_subquery():
+    out = translate(
+        "SELECT max(o.d), o.k, (SELECT avg(i.k) FROM i WHERE o.k < i.k) "
+        "FROM orders o GROUP BY o.k"
+    )
+    assert "__csq1" in out and "o.* " in out.replace(".*,", ".* ,")
+    assert "GROUP BY o.k, __csq1" in out
+    # GROUP BY key position: replaced in place, not duplicated
+    out2 = translate(
+        "SELECT max(o.d), o.k FROM orders o "
+        "GROUP BY o.k, (SELECT avg(i.k) FROM i WHERE o.k < i.k)"
+    )
+    assert out2.count("__csq") >= 2 and "GROUP BY o.k, __csq" in out2
+    # uncorrelated scalar subqueries stay where they are
+    out3 = translate("SELECT max(d), (SELECT max(x) FROM s) FROM t GROUP BY k")
+    assert "__csq" not in out3
+
+
+def test_using_join_qualified_wildcard_excludes_join_columns():
+    out = translate("SELECT a.*, b.* FROM x a JOIN y b USING (k)")
+    assert out.count("EXCEPT(k)") == 2
+    # unqualified star untouched; no USING → untouched
+    assert "EXCEPT" not in translate("SELECT * FROM x a JOIN y b USING (k)")
+    assert "EXCEPT" not in translate("SELECT a.* FROM x a JOIN y b ON a.k = b.k")
+
+
+def test_order_by_grouping_and_window_hoist():
+    out = translate(
+        "SELECT a, b AS t, sum(c) FROM v t(a, b, c) "
+        "GROUP BY GROUPING SETS ((a), (b)) ORDER BY grouping(b) ASC"
+    )
+    assert "__ord1" in out and "EXCEPT(__ord1)" in out
+    out2 = translate(
+        "SELECT -a AS a FROM v t(a) "
+        "ORDER BY first_value(a) OVER (ORDER BY a ROWS 0 PRECEDING)"
+    )
+    # output alias a = -a is inlined into the hoisted window expression
+    assert "__ord" in out2 and "first_value((- a))" in out2
+    # plain ORDER BY untouched
+    assert "__ord" not in translate("SELECT k FROM t GROUP BY k ORDER BY k")
+
+
+def test_contains_row_needle_compares_positionally():
+    out = translate("SELECT CONTAINS(ARRAY_AGG(ROW(a, b)), ROW(1, 2)) FROM t")
+    assert "exists(" in out and "__e = struct(1, 2)" in out
+    assert "array_contains" in translate("SELECT contains(ARRAY[1,2], 2)")
+
+
+def test_cast_array_agg_row_as_json():
+    out = translate("SELECT JSON_FORMAT(CAST(ARRAY_AGG(ROW(a, b)) AS JSON)) FROM t")
+    assert "concat_ws" in out and "collect_list" in out and "CAST" not in out
