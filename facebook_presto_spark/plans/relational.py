@@ -906,7 +906,48 @@ SELECT count(*) AS n_rows, count(*) AS n_ids, true AS ids_unique FROM orders
 """
 
 
+_META_TABLES = (
+    "'customer','lineitem','nation','orders','part','region','supplier',"
+    "'documents','embeddings'"
+)
+
+_META_INFOSCHEMA_SQL = f"""
+SELECT table_name, column_name, ordinal_position, data_type
+FROM information_schema.columns
+WHERE table_name IN ({_META_TABLES}) AND table_schema = 'default'
+ORDER BY table_name, ordinal_position
+"""
+
+
+def meta_information_schema(spark, sf_dir: str):
+    """information_schema.columns over the registered star schema
+    (InformationSchemaMetadata.java:79-90) — metadata-only, rebuilt from
+    the live catalog at query time.  The DuckDB oracle runs the SAME
+    query against ITS information_schema over the same parquet views, so
+    the type-name rendering (StandardTypes spellings) is cross-checked,
+    not just row plumbing.  ``events`` is excluded: its TIMESTAMP(NANOS)
+    physical type reads as NTZ or (after the streaming mirror's legacy
+    flag) micros-from-long, so its rendered name is session-dependent.
+    """
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    return eng.sql(_META_INFOSCHEMA_SQL)
+
+
+META_INFOSCHEMA_ORACLE = f"""
+SELECT table_name, column_name,
+       CAST(ordinal_position AS BIGINT) AS ordinal_position,
+       CASE lower(data_type) WHEN 'float[]' THEN 'array(real)'
+            ELSE lower(data_type) END AS data_type
+FROM information_schema.columns
+WHERE table_name IN ({_META_TABLES}) AND table_schema = 'main'
+ORDER BY table_name, ordinal_position
+"""
+
+
 QUERIES = {
+    "meta_information_schema": meta_information_schema,
     "lateral_topk": lateral_topk,
     "assign_unique_id": assign_unique_id,
     "window_rank": window_rank,
@@ -988,4 +1029,5 @@ ORACLE = {
     "distinct_limit": DISTINCT_LIMIT_SQL,
     "topn_orders": TOPN_SQL,
     "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
+    "meta_information_schema": META_INFOSCHEMA_ORACLE,
 }
