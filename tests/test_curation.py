@@ -141,3 +141,21 @@ def test_gopher_plan_has_no_codegen_fallback(spark, patch_t):
     # '*(n)' prefixes mark whole-stage-codegen'd operators in the final
     # adaptive plan; the n-gram projection must carry one
     assert "*(" in plan
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, patch_t):
+    # doc 2 shares an 8-token span with the benchmark doc; doc 3 doesn't
+    span = "a b c d e f g h"
+    df = _docs(
+        spark,
+        [
+            (1, f"bench prefix {span} bench suffix", "en", curation.BENCH_SOURCE, 0),
+            (2, f"train start {span} train end", "en", "srcX", 0),
+            (3, "totally different words with no overlap at all here now", "en", "srcX", 0),
+        ],
+    )
+    patch_t(df)
+    rows = {r["doc_id"]: r for r in curation.decontaminate(spark, "unused").collect()}
+    assert set(rows) == {2, 3}  # benchmark doc excluded from output
+    assert rows[2]["contaminated"] and rows[2]["n_contaminated_ngrams"] >= 1
+    assert not rows[3]["contaminated"] and rows[3]["n_contaminated_ngrams"] == 0

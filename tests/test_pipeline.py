@@ -92,3 +92,21 @@ def test_exact_dedup_collapses_duplicates(spark, tmp_path):
     out = dedup.exact_dedup(spark, str(tmp_path)).collect()
     groups = {r.keep_doc_id: r.group_size for r in out}
     assert groups == {0: 2, 2: 1}  # case-insensitive collapse keeps doc 0
+
+
+def test_connected_components_chain(spark, monkeypatch):
+    """A chain a-b-c plus an isolated pair d-e: min-label propagation must
+    traverse the chain (multiple rounds) and keep the pair separate."""
+    from facebook_presto_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (10, 11, 1.0)],
+        "doc_a bigint, doc_b bigint, est_jaccard double",
+    )
+    monkeypatch.setattr(dedup, "minhash_lsh_pairs", lambda s, d: pairs)
+    rows = {r["doc_id"]: (r["component"], r["comp_size"])
+            for r in dedup.connected_components(spark, "unused").collect()}
+    assert rows == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 2), 11: (10, 2),
+    }
