@@ -368,8 +368,87 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+CONTAM_N = 8         # token n-gram length for overlap detection (13 for
+                     # real corpora; 8 fits the synthetic ~50-token docs)
+BENCH_SOURCE = "src0"  # stand-in benchmark/eval source
+
+# overlapping token-aligned 8-gram as a single codegen'd regex scan
+# (lookahead capture; cf. dedup._SHINGLE_RX for the rationale)
+_CONTAM_RX = r"(?<=^|\s)(?=(" + r" ".join([r"\S+"] * CONTAM_N) + r"))"
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/benchmark overlap detection (decontamination): flag training
+    documents sharing any token 8-gram with the benchmark source.
+
+    The standard eval-leakage gate (GPT-3 appendix C / PaLM: 13-gram
+    overlap against test sets).  Scale shape: the benchmark set is tiny
+    relative to the corpus, so its distinct n-gram hashes BROADCAST — the
+    training corpus is scanned once, map-side hash-probed, and only the
+    per-doc hit counts aggregate (shuffle keyed by doc_id).  The 100 TB
+    corpus is never shuffled on n-grams.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.regexp_extract_all(F.col("text"), F.lit(_CONTAM_RX), 1)
+    bench_grams = (
+        docs.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode(grams).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    train = docs.filter(F.col("source") != BENCH_SOURCE)
+    train_grams = train.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("g")
+    ).select("doc_id", F.md5("g").alias("gh"))
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_contaminated_ngrams", F.lit(0)).alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - {CONTAM_N - 1}),
+           i -> array_to_string(t[i:i+{CONTAM_N - 1}], ' ')))) AS g
+  FROM toks WHERE len(t) >= {CONTAM_N}
+), bench AS (
+  SELECT DISTINCT md5(g) AS gh FROM grams WHERE source = '{BENCH_SOURCE}'
+), train_grams AS (
+  SELECT doc_id, md5(g) AS gh FROM grams WHERE source <> '{BENCH_SOURCE}'
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM train_grams JOIN bench USING (gh)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       COALESCE(h.n, 0) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.source <> '{BENCH_SOURCE}'
+"""
+
+
 QUERIES = {
     "curation_gopher_repetition": gopher_repetition,
+    "curation_decontaminate": decontaminate,
     "curation_mixture_sample": mixture_sample,
     "curation_pack_sequences": pack_sequences,
     "curation_segment_dedup": segment_dedup,
@@ -378,6 +457,7 @@ QUERIES = {
 
 ORACLE = {
     "curation_gopher_repetition": GOPHER_REPETITION_SQL,
+    "curation_decontaminate": DECONTAMINATE_SQL,
     "curation_mixture_sample": MIXTURE_SAMPLE_SQL,
     "curation_pack_sequences": PACK_SEQUENCES_SQL,
     "curation_segment_dedup": SEGMENT_DEDUP_SQL,

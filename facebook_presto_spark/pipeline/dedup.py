@@ -496,9 +496,111 @@ WHERE CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
 """
 
 
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the LSH
+    near-duplicate pair graph, by iterative min-label propagation.
+
+    The pair list from MinHash-LSH is a *graph*; production dedup keeps
+    one canonical document per connected component, not per pair.  Labels
+    start as each vertex's own id; each round every vertex takes the min
+    of its label and its neighbors' labels; at fixpoint the label is the
+    component's minimum doc_id — a deterministic canonical
+    representative.
+
+    Scale shape: each round is ONE shuffle (edges ⋈ labels, groupBy
+    min) and converges in O(graph diameter) rounds — near-dup graphs are
+    unions of small cliques, so diameter is tiny; the loop is bounded and
+    exits early via an aggregated changed-count (never collects data to
+    the driver).  Labels persist per round and unpersist after, keeping
+    lineage flat.  (The alternating large-star/small-star variant halves
+    rounds on adversarial chains; unnecessary for clique-like graphs.)
+    """
+    pairs = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(20):
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("doc_b"), F.col("comp").alias("nb_comp")
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nb_comp").alias("nb_min"))
+            .select(F.col("doc_a").alias("id"), "nb_min")
+        )
+        new_labels = (
+            labels.join(nb_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nb_min", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        # labels only ever decrease, so the label sum is strictly
+        # monotone until fixpoint — one aggregate action per round
+        # instead of a self-join diff
+        new_sum = new_labels.agg(F.sum("comp")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("comp_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("component"), "comp_size")
+    )
+
+
+CONNECTED_COMPONENTS_SQL = (
+    # the trailing `reach` CTE is recursive; DuckDB requires the WITH
+    # chain to be declared RECURSIVE up front
+    _SIG_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _MINHASH_BODY
+    + ", cand AS ("
+    + _MINHASH_SELECT
+    + """
+), fpairs AS (
+  SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= 0.5
+), edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM fpairs
+  UNION SELECT doc_b, doc_a FROM fpairs
+), verts AS (
+  SELECT DISTINCT s AS id FROM edges
+), reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), sizes AS (
+  SELECT component, count(*) AS comp_size FROM comp GROUP BY component
+)
+SELECT c.doc_id, c.component, s.comp_size
+FROM comp c JOIN sizes s USING (component)
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_connected_components": connected_components,
     "dedup_lsh_verified": lsh_verified_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_simhash": simhash64,
@@ -508,6 +610,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_lsh_verified": LSH_VERIFIED_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_simhash": _simhash_oracle_sql(),
