@@ -155,6 +155,58 @@ def histogram(c) -> Column:
     )
 
 
+@register("numeric_histogram")
+def numeric_histogram(b, c, w=None) -> Column:
+    """numeric_histogram(buckets, x[, weight]) (NumericHistogram.java /
+    DoubleHistogramAggregation.java): map<double,double> of bucket key →
+    total weight.  The reference's sketch is an adaptive V-optimal merge
+    with engine-defined bucket boundaries; this is the deterministic
+    equi-width construction over [min, max] keyed by bucket midpoint —
+    same shape and arity, reproducible cross-engine.  Bounded-cardinality
+    (collect_list) like reduce_agg; for unbounded groups pre-bucket with
+    width_bucket + groupBy (the scale path, cf. plans/aggregates.py).
+    """
+    nb = F.lit(int(b)) if isinstance(b, int) else _c(b).cast("int")
+    pairs = F.collect_list(
+        F.struct(
+            _c(c).cast("double").alias("v"),
+            (F.lit(1.0) if w is None else _c(w).cast("double")).alias("w"),
+        )
+    )
+    vs = F.transform(pairs, lambda p: p.getField("v"))
+    lo, hi = F.array_min(vs), F.array_max(vs)
+    width = F.when(hi == lo, F.lit(1.0)).otherwise((hi - lo) / nb.cast("double"))
+
+    def bucket(v: Column) -> Column:
+        return F.least(nb - 1, F.floor((v - lo) / width).cast("int"))
+
+    general = F.map_from_entries(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.struct(
+                    (lo + (i.cast("double") + 0.5) * width).alias("key"),
+                    F.aggregate(
+                        F.filter(pairs, lambda p: bucket(p.getField("v")) == i),
+                        F.lit(0.0),
+                        lambda acc, p: acc + p.getField("w"),
+                    ).alias("value"),
+                ),
+            ),
+            lambda e: e.getField("value") > 0,
+        )
+    )
+    single = F.map_from_arrays(
+        F.array(lo),
+        F.array(F.aggregate(pairs, F.lit(0.0), lambda a, p: a + p.getField("w"))),
+    )
+    return (
+        F.when(F.size(pairs) == 0, F.lit(None))
+        .when(hi == lo, single)
+        .otherwise(general)
+    )
+
+
 def max_n(c, n: int) -> Column:
     """max(x, n) (MaxNAggregationFunction, TypedHeap): n largest values."""
     return F.slice(F.sort_array(F.collect_list(_c(c)), asc=False), 1, n)

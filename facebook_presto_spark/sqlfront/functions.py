@@ -752,6 +752,49 @@ def _url_extract_parameter(args: Args) -> list[Tok]:
     return _call("parse_url", args[0], [string_literal("QUERY")], args[1])
 
 
+def _numeric_histogram(args: Args) -> list[Tok]:
+    """numeric_histogram(buckets, x[, w]) → map<double,double>.
+
+    Deterministic equi-width twin of the reference's adaptive sketch
+    (NumericHistogram.java — engine-defined boundaries, so an exact
+    reimplementation has no spec to match); mirrors the Column-API
+    builder in functions/agg_fns.py.  Identical collect_list aggregates
+    are deduplicated by Catalyst, so the repeated spelling costs one
+    aggregation.
+    """
+    if len(args) not in (2, 3):
+        raise ValueError("numeric_histogram takes 2-3 arguments")
+    from facebook_presto_spark.sqlfront.tokens import render
+
+    b = f"CAST(({render(args[0])}) AS INT)"
+    x = render(args[1])
+    wt = render(args[2]) if len(args) == 3 else "1.0"
+    pairs = (
+        f"collect_list(named_struct('v', CAST(({x}) AS DOUBLE), "
+        f"'w', CAST(({wt}) AS DOUBLE)))"
+    )
+    lo = f"array_min(transform({pairs}, __p -> __p.v))"
+    hi = f"array_max(transform({pairs}, __p -> __p.v))"
+    width = (
+        f"(CASE WHEN {hi} = {lo} THEN CAST(1.0 AS DOUBLE) "
+        f"ELSE ({hi} - {lo}) / CAST({b} AS DOUBLE) END)"
+    )
+    bucket = f"least({b} - 1, CAST(floor((__p.v - {lo}) / {width}) AS INT))"
+    total = f"aggregate({pairs}, CAST(0.0 AS DOUBLE), (__a, __p) -> __a + __p.w)"
+    sql = f"""
+    CASE WHEN size({pairs}) = 0 THEN NULL
+         WHEN {hi} = {lo} THEN map({lo}, {total})
+         ELSE map_from_entries(filter(transform(
+                sequence(0, {b} - 1),
+                __i -> struct(
+                  {lo} + (CAST(__i AS DOUBLE) + 0.5) * {width},
+                  aggregate(filter({pairs}, __p -> {bucket} = __i),
+                            CAST(0.0 AS DOUBLE), (__a, __p) -> __a + __p.w))),
+              __e -> __e.col2 > 0))
+    END"""
+    return [op("(")] + tokenize(sql) + [op(")")]
+
+
 def _contains(args: Args) -> list[Tok]:
     # array contains(arr, x); Spark's `contains` is string-only.
     # A ROW(…) needle goes through the equality lambda instead:
@@ -1029,6 +1072,7 @@ RULES: dict[str, object] = {
     "regexp_split": lambda args: _call("split", *args),
     "url_extract_parameter": _url_extract_parameter,
     "contains": _contains,
+    "numeric_histogram": _numeric_histogram,
     "map_agg": _map_agg,
     "checksum": _checksum,
     "truncate": _truncate,

@@ -386,3 +386,26 @@ def test_teradata_sql_path(spark):
         "index('chip', 'ip') AS b, char2hexint('A') AS c"
     )).collect()[0]
     assert (out["a"], out["b"], out["c"]) == ("2001/08/22", 3, "0041")
+
+
+def test_numeric_histogram(spark):
+    """numeric_histogram(b, x[, w]) — deterministic equi-width twin of
+    NumericHistogram.java; both the Column builder and the SQL path."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+    from facebook_presto_spark.functions.registry import call
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "x double")
+    (h,) = df.agg(call("numeric_histogram", 4, "x").alias("h")).collect()[0]
+    assert h == {2.125: 3.0, 8.875: 1.0}
+
+    eng = PrestoSparkEngine(spark)
+    (hw,) = eng.sql(
+        "SELECT numeric_histogram(4, x, w) AS h "
+        "FROM (VALUES (1.0, 2.0),(2.0, 1.0),(10.0, 3.0)) t(x, w)"
+    ).collect()[0]
+    assert hw == {2.125: 3.0, 8.875: 3.0}
+    # degenerate single-value group: one bucket keyed at the value
+    (h1,) = eng.sql(
+        "SELECT numeric_histogram(4, x) AS h FROM (VALUES (5.0),(5.0)) t(x)"
+    ).collect()[0]
+    assert h1 == {5.0: 2.0}
