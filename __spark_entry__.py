@@ -30,6 +30,7 @@ def _modules():
         geospatial,
         presto_sql,
         relational,
+        skew,
         tpch,
     )
     from facebook_presto_spark import ddl, sources
@@ -46,7 +47,7 @@ def _modules():
     return (
         tpch, presto_sql, relational, aggregates, functions_showcase, ddl,
         sources, dedup, similarity, text, curation, multimodal,
-        stream_windows, geospatial, ml,
+        stream_windows, geospatial, ml, skew,
     )
 
 
