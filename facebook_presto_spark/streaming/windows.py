@@ -198,6 +198,32 @@ def stream_tumbling_daily(spark: SparkSession, sf_dir: str, watermark: str = "1 
     )
 
 
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming dedup: one row per (user_id, event_type)
+    with first timestamp and duplicate count — the deterministic form of
+    ``dropDuplicates`` (which keeps an arbitrary member per key)."""
+    ev = events_table(spark, sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+DEDUP_FIRST_SQL = """
+SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n_dups
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps one
+    row per (user_id, event_type), expiring key state once the watermark
+    passes — bounded state on an unbounded stream (the streaming form of
+    dedup_exact; at 100 TB the key is the content hash)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> None:
     """Drain an availableNow stream into a memory sink (test harness)."""
     q = (
@@ -327,6 +353,7 @@ FROM carried WHERE tag = 1
 
 
 QUERIES = {
+    "events_dedup_first": dedup_first_event,
     "stream_tumbling_daily": tumbling_daily,
     "stream_sliding_6h3h": sliding_6h_3h,
     "stream_session_1h": session_windows,
@@ -336,6 +363,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_dedup_first": DEDUP_FIRST_SQL,
     "stream_tumbling_daily": TUMBLING_SQL,
     "stream_sliding_6h3h": SLIDING_SQL,
     "stream_session_1h": SESSION_SQL,

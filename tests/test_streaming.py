@@ -85,3 +85,24 @@ def test_stream_watermark_drops_late_rows(spark, sf_dir, tmp_path):
     # append mode emits only windows older than the watermark: strictly fewer
     # than the batch window count (the last open window is withheld).
     assert 0 < finalized < total_windows + 1
+
+
+def test_stream_dedup_one_row_per_key(spark, sf_dir):
+    """dropDuplicatesWithinWatermark keeps exactly one row per
+    (user_id, event_type); the surviving key set equals the batch
+    dedup twin's (which member survives is arbitrary, like the batch
+    dropDuplicates contract)."""
+    stream_df = windows.stream_dedup(spark, sf_dir)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT user_id, event_type FROM t_dedup")
+    batch_keys = windows.dedup_first_event(spark, sf_dir).select(
+        "user_id", "event_type"
+    )
+    assert _rows(streamed) == _rows(batch_keys)
