@@ -17,7 +17,8 @@ from pyspark.sql import SparkSession
 
 def _set_conf(key: str, transform: Callable[[str], str] = str):
     def apply(spark: SparkSession, value: str) -> None:
-        spark.conf.set(key, transform(value))
+        # SET SESSION values arrive as SQL literals — unquote strings
+        spark.conf.set(key, transform(value.strip().strip("'\"")))
 
     return apply
 
@@ -80,7 +81,49 @@ PROPERTIES: dict[str, Callable[[SparkSession, str], None]] = {
     # execution knobs with direct Spark twins
     "task_concurrency": _set_conf("spark.sql.shuffle.partitions"),
     "execution_policy": _noop,
+    "join_max_broadcast_table_size": _set_conf(
+        "spark.sql.autoBroadcastJoinThreshold"
+    ),
+    "max_reordered_joins": _set_conf("spark.sql.cbo.joinReorder.dp.threshold"),
+    "enable_stats_calculator": _set_conf("spark.sql.cbo.enabled"),
+    "optimize_metadata_queries": _set_conf("spark.sql.optimizer.metadataOnly"),
+    # row_number() <= k heap pushdown (WindowFilterPushDown.java ↔ Spark's
+    # InferWindowGroupLimit): false disables via threshold -1
+    "optimize_top_n_row_number": lambda s, v: s.conf.set(
+        "spark.sql.optimizer.windowGroupLimitThreshold",
+        "1000" if v.strip().strip("'\"").lower() in ("true", "1") else "-1",
+    ),
 }
+
+# The remainder of SystemSessionProperties.java (lines 58-112): behaviors
+# Spark subsumes (its optimizer always applies the rewrite, its scheduler
+# / memory manager owns the resource), validation-only limits, or legacy
+# toggles with no Spark analogue.  Accepted as no-ops so reference
+# workloads run unchanged — same contract as the spill/pushdown no-ops
+# above; unknown names still raise.
+_SUBSUMED = (
+    "distributed_index_join", "grouped_execution_for_aggregation",
+    "dynamic_schedule_for_grouped_execution", "prefer_streaming_operators",
+    "task_writer_count", "task_share_index_loading", "resource_overcommit",
+    "query_max_cpu_time", "query_max_stage_count", "writer_min_size",
+    "push_table_write_through_union", "plan_with_table_node_partitioning",
+    "spatial_join", "spatial_partitioning_table_name",
+    "concurrent_lifespans_per_task", "initial_splits_per_node",
+    "split_concurrency_adjustment_interval", "query_priority",
+    "aggregation_operator_unspill_memory_limit",
+    "optimize_mixed_distinct_aggregations", "legacy_row_field_ordinal_access",
+    "iterative_optimizer_enabled", "iterative_optimizer_timeout",
+    "exchange_compression", "legacy_timestamp",
+    "enable_intermediate_aggregations", "parse_decimal_literals_as_double",
+    "force_single_node_output", "filter_and_project_min_output_page_size",
+    "filter_and_project_min_output_page_row_count", "distributed_sort",
+    "use_mark_distinct", "prefer_partial_aggregation", "max_grouping_sets",
+    "legacy_unnest", "statistics_cpu_timer_enabled",
+    "ignore_stats_calculator_failures", "max_drivers_per_task",
+    "default_filter_factor_enabled",
+)
+for _name in _SUBSUMED:
+    PROPERTIES[_name] = _noop
 
 
 # Spark confs each property may have touched, for RESET SESSION
@@ -94,6 +137,13 @@ _PROPERTY_CONFS: dict[str, tuple[str, ...]] = {
     ),
     "reorder_joins": (
         "spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+    ),
+    "join_max_broadcast_table_size": ("spark.sql.autoBroadcastJoinThreshold",),
+    "max_reordered_joins": ("spark.sql.cbo.joinReorder.dp.threshold",),
+    "enable_stats_calculator": ("spark.sql.cbo.enabled",),
+    "optimize_metadata_queries": ("spark.sql.optimizer.metadataOnly",),
+    "optimize_top_n_row_number": (
+        "spark.sql.optimizer.windowGroupLimitThreshold",
     ),
 }
 

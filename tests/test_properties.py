@@ -62,3 +62,30 @@ def test_partitioned_join_still_correct(spark, sf_dir):
         eng.sql("SET SESSION join_distribution_type = 'AUTOMATIC'")
     rows_auto = tpch.q05(spark, sf_dir).collect()
     assert sorted(map(tuple, rows_part)) == sorted(map(tuple, rows_auto))
+
+
+def test_full_reference_property_surface(spark):
+    """Every name in SystemSessionProperties.java is accepted (mapped or
+    subsumed no-op); mapped ones move the Spark conf and RESET restores."""
+    import re
+
+    from facebook_presto_spark.properties import (
+        PROPERTIES,
+        reset_session_property,
+        set_session_property,
+    )
+
+    src = open(
+        "/root/reference/presto-main/src/main/java/com/facebook/presto/"
+        "SystemSessionProperties.java"
+    ).read()
+    names = re.findall(r'public static final String [A-Z_]+ = "([a-z_]+)"', src)
+    assert names and all(n in PROPERTIES for n in names)
+
+    set_session_property(spark, "join_max_broadcast_table_size", "'48MB'")
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "48MB"
+    reset_session_property(spark, "join_max_broadcast_table_size")
+
+    set_session_property(spark, "optimize_top_n_row_number", "false")
+    assert spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold") == "-1"
+    reset_session_property(spark, "optimize_top_n_row_number")
