@@ -58,6 +58,26 @@ _USE_RE = re.compile(
 _EXPLAIN_OPTS_RE = re.compile(r"^\s*EXPLAIN\s*\(([^)]*)\)\s*(.+)$", re.I | re.S)
 
 
+def _split_filters(text: str) -> list[str]:
+    """Split a PushedFilters list on top-level commas (filter arguments
+    contain commas of their own: ``LessThan(x, 10)``)."""
+    out, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return [f for f in out if f]
+
+
 class PrestoSparkEngine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -185,13 +205,17 @@ class PrestoSparkEngine:
             )
         m = _EXPLAIN_OPTS_RE.match(presto_sql)
         if m:
-            # EXPLAIN (TYPE LOGICAL|DISTRIBUTED|VALIDATE, FORMAT TEXT …):
-            # VALIDATE just analyzes; other options map to Spark's formatted
-            # plan (fragmenting is Catalyst's, so one plan form serves all)
+            # EXPLAIN (TYPE LOGICAL|DISTRIBUTED|IO|VALIDATE, FORMAT TEXT …):
+            # VALIDATE just analyzes; IO reports the scan surface
+            # (IOPlanPrinter.java shape); other options map to Spark's
+            # formatted plan (fragmenting is Catalyst's, so one plan form
+            # serves all)
             opts, body = m.group(1).upper(), m.group(2)
             if "VALIDATE" in opts:
                 self.sql(body).schema  # analysis errors propagate
                 return self.spark.sql("SELECT true AS valid")
+            if "IO" in opts.replace("FORMAT", ""):
+                return self._explain_io(body)
             return self.spark.sql("EXPLAIN EXTENDED " + translate(body))
         if _SHOW_SESSION_RE.match(presto_sql):
             # SHOW SESSION (ShowQueriesRewrite) — the accepted property
@@ -241,6 +265,60 @@ class PrestoSparkEngine:
                 "column_name string, type string",
             )
         return None
+
+    def _explain_io(self, body: str) -> DataFrame:
+        """EXPLAIN (TYPE IO): the scan surface as one JSON row —
+        IOPlanPrinter.java's shape (inputTableColumnInfos → table /
+        columnConstraints with Presto type names, outputTable null for
+        queries).  Derived from the physical plan's parquet scans, so
+        what it reports IS what executes: the read schema after column
+        pruning and the filters actually pushed to the reader."""
+        import contextlib
+        import io as _io
+        import json
+        import re as _re
+
+        from facebook_presto_spark.infoschema import presto_type_name
+
+        df = self.spark.sql(translate(body))
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        text = buf.getvalue()
+        infos = []
+        for scan in _re.finditer(
+            r"Scan parquet ?(?P<tbl>[\w.]*)\n(?P<body>(?:.+\n)*?)(?:\n|$)", text
+        ):
+            seg = scan.group("body")
+            loc = _re.search(r"Location: \S+ \[[^\]]*?([^/\[\]]+)\.parquet", seg)
+            table = scan.group("tbl") or (loc.group(1) if loc else "?")
+            filters = _re.search(r"PushedFilters: \[([^\]]*)\]", seg)
+            schema = _re.search(r"ReadSchema: struct<([^\n]*)>", seg)
+            cols = []
+            if schema and schema.group(1):
+                for f in schema.group(1).split(","):
+                    name, _, dtype = f.partition(":")
+                    cols.append({
+                        "columnName": name,
+                        "typeSignature": presto_type_name(dtype),
+                    })
+            infos.append({
+                "table": {
+                    "catalog": "spark",
+                    "schemaTable": {"schema": "default",
+                                    "table": table.split(".")[-1]},
+                },
+                "columnConstraints": cols,
+                # extension: the reader-pushed predicate list (the
+                # reference renders constraints as TupleDomain ranges)
+                "pushedFilters": _split_filters(
+                    filters.group(1) if filters else ""
+                ),
+            })
+        payload = json.dumps(
+            {"inputTableColumnInfos": infos, "outputTable": None}
+        )
+        return self.spark.createDataFrame([(payload,)], "query_plan string")
 
     def _show_stats(self, table: str) -> DataFrame:
         """SHOW STATS FOR <table> (SqlBase.g4:82, MetadataManager table

@@ -93,3 +93,27 @@ def test_alter_table_statements(spark, sf_dir):
     assert spark.table("alter_t2").count() == 3
     assert not spark.catalog.tableExists("alter_t")
     spark.catalog.dropTempView("alter_t2")
+
+
+def test_explain_type_io(spark, sf_dir):
+    """EXPLAIN (TYPE IO) reports the executed scan surface in the
+    IOPlanPrinter JSON shape: tables, pruned read columns with Presto
+    type names, and the reader-pushed filters."""
+    import json
+
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    row = eng.sql(
+        "EXPLAIN (TYPE IO) SELECT l_quantity FROM lineitem "
+        "WHERE l_orderkey > 100"
+    ).collect()[0]
+    d = json.loads(row[0])
+    (info,) = d["inputTableColumnInfos"]
+    assert info["table"]["schemaTable"]["table"] == "lineitem"
+    cols = {c["columnName"]: c["typeSignature"] for c in info["columnConstraints"]}
+    # column pruning reached the scan: only the referenced columns read
+    assert set(cols) == {"l_quantity", "l_orderkey"}
+    assert cols["l_orderkey"] == "bigint"
+    assert any(f.startswith("GreaterThan(l_orderkey") for f in info["pushedFilters"])
+    assert d["outputTable"] is None
