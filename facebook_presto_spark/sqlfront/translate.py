@@ -769,6 +769,64 @@ _NO_FOLD_PREV = ("IN", "FROM", "JOIN", "AS", "EXISTS", "UNION", "INTERSECT",
                  "EXCEPT", "ALL", "ANY", "SOME", "LATERAL", "TABLE")
 
 
+def _pass_collapse_trivial_derived(tokens: list[Tok]) -> list[Tok]:
+    """``SELECT * FROM (SELECT <items>) [alias]`` with a FROM-less inner
+    select → ``SELECT <items>``.
+
+    The reference plans these "subrelation" wrappers around correlated
+    scalars (AbstractTestQueries testCorrelatedScalarSubqueriesWith
+    ScalarAggregation's subrelation cases) through decorrelation; Spark
+    cannot resolve a correlation through the extra derived level.  The
+    wrapper adds nothing — no filter, no projection change — so peeling
+    it restores the one-level shape `_pass_scalar_no_from` / Catalyst
+    handle.  Applied only to the exact bare shape (outer list is ``*``,
+    no trailing clauses, inner has no FROM at depth 0).
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_collapse_trivial_derived(tokens[i + 1:close]) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+    n = len(tokens)
+    if not (
+        n >= 5 and tokens[0].is_kw("SELECT") and tokens[1].text == "*"
+        and tokens[2].is_kw("FROM") and tokens[3].text == "("
+    ):
+        return tokens
+    close = find_matching_paren(tokens, 3)
+    rest = tokens[close + 1:]
+    # optional bare alias ([AS] ident), nothing else after
+    if rest and rest[0].is_kw("AS"):
+        rest = rest[1:]
+    if rest and rest[0].kind in ("ident", "qident") and not rest[0].is_kw(
+        "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "UNION", "INTERSECT",
+        "EXCEPT", "JOIN", "CROSS", "INNER", "LEFT", "RIGHT", "FULL",
+    ):
+        rest = rest[1:]
+    if rest:
+        return tokens
+    inner = tokens[4:close]
+    if not inner or not inner[0].is_kw("SELECT"):
+        return tokens
+    depth = 0
+    for s in inner:
+        if s.text == "(":
+            depth += 1
+        elif s.text == ")":
+            depth -= 1
+        elif depth == 0 and s.is_kw("FROM", "UNION", "INTERSECT", "EXCEPT"):
+            return tokens
+    return inner
+
+
 def _pass_scalar_no_from(tokens: list[Tok], clause: str = "init") -> list[Tok]:
     """Correlated scalar subqueries over FROM-less bodies → expressions.
 
@@ -2182,6 +2240,7 @@ def translate(sql: str) -> str:
     toks = _pass_subscript(toks)
     toks = _pass_quantified(toks)
     toks = _pass_exists_no_from(toks)
+    toks = _pass_collapse_trivial_derived(toks)
     toks = _pass_scalar_no_from(toks)
     toks = _pass_join_on_subquery(toks)
     toks = _pass_hoist_grouped_csq(toks)

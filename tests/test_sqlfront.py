@@ -559,3 +559,15 @@ def test_contains_row_needle_compares_positionally():
 def test_cast_array_agg_row_as_json():
     out = translate("SELECT JSON_FORMAT(CAST(ARRAY_AGG(ROW(a, b)) AS JSON)) FROM t")
     assert "concat_ws" in out and "collect_list" in out and "CAST" not in out
+
+
+def test_collapse_trivial_derived_wrapper():
+    # subrelation wrapper around a FROM-less select peels away
+    out = translate("SELECT x FROM t WHERE 1 < (SELECT * FROM (SELECT (SELECT avg(k) FROM s WHERE s.k < t.k)))")
+    assert "SELECT *" not in out
+    # real derived tables keep their wrapper
+    out2 = translate("SELECT count(*) FROM (SELECT * FROM (SELECT k FROM o) t1) t2")
+    assert "SELECT * FROM(SELECT k FROM o)" in out2
+    # trailing clauses block the rewrite
+    out3 = translate("SELECT * FROM (SELECT 1 AS a) w WHERE a = 1")
+    assert "FROM(SELECT 1" in out3
