@@ -1962,6 +1962,158 @@ def _substitute_aliases(expr: list[Tok], select_seg: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_gs_empty_global(tokens: list[Tok]) -> list[Tok]:
+    """Explicit ``()`` sets in GROUPING SETS → separate global-agg arms.
+
+    Over empty input the reference emits one row per global ``()`` set
+    (ImplementIntersectAndExceptAsUnion-adjacent semantics: a global
+    aggregation always yields a row); Spark's Expand emits nothing.
+    Splitting each explicit ``()`` into a ``UNION ALL SELECT <aggs,
+    NULL keys> FROM …`` arm is semantically identical for empty AND
+    non-empty input, so no count guard is needed.  CUBE/ROLLUP (whose
+    implicit global set is the common perf-sensitive spelling) keep
+    Spark's single-scan Expand — their empty-input divergence stays
+    documented; the extra scan is only paid where the user literally
+    wrote ``()``.
+
+    Guards: plain SELECT…FROM…GROUP BY GROUPING SETS(…) block, no
+    HAVING/ORDER/DISTINCT/grouping(); select items must be pure
+    aggregates (kept) or aggregate-free (→ NULL keys) — a mixed item
+    aborts the rewrite.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_gs_empty_global(tokens[i + 1:close]) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+    n = len(tokens)
+    idx: dict[str, int] = {}
+    j = 0
+    while j < n:
+        s = tokens[j]
+        if s.text == "(":
+            j = find_matching_paren(tokens, j) + 1
+            continue
+        if s.kind == "ident":
+            u = s.upper
+            if u in ("SELECT", "FROM", "GROUP", "HAVING", "ORDER",
+                     "LIMIT") and u not in idx:
+                idx[u] = j
+            if u in _SETOP_KWS:
+                return tokens
+        j += 1
+    if not {"SELECT", "FROM", "GROUP"} <= idx.keys() or "HAVING" in idx or "ORDER" in idx:
+        return tokens
+    sel_i, from_i, group_i = idx["SELECT"], idx["FROM"], idx["GROUP"]
+    if not (sel_i < from_i < group_i):
+        return tokens
+    if not (
+        group_i + 4 < n and tokens[group_i + 1].upper == "BY"
+        and tokens[group_i + 2].is_kw("GROUPING")
+        and tokens[group_i + 3].upper == "SETS"
+        and tokens[group_i + 4].text == "("
+    ):
+        return tokens
+    close = find_matching_paren(tokens, group_i + 4)
+    limit_i = idx.get("LIMIT", n)
+    if any(tok.kind == "ident" for tok in tokens[close + 1:limit_i]):
+        return tokens  # extra grouping keys after the sets list
+    sets = split_top_level(tokens[group_i + 5:close])
+    empty_count = sum(
+        1 for s in sets
+        if len(s) == 2 and s[0].text == "(" and s[1].text == ")"
+    )
+    if empty_count == 0:
+        return tokens
+    remaining = [
+        s for s in sets
+        if not (len(s) == 2 and s[0].text == "(" and s[1].text == ")")
+    ]
+    select_seg = tokens[sel_i + 1:from_i]
+    if select_seg and select_seg[0].is_kw("DISTINCT"):
+        return tokens
+    if any(tok.is_kw("GROUPING") for tok in select_seg):
+        return tokens
+    arm_items: list[list[Tok]] = []
+    for item in split_top_level(select_seg):
+        alias_toks: list[Tok] = []
+        core = item
+        if len(item) >= 3 and item[-2].is_kw("AS") and item[-1].kind == "ident":
+            alias_toks = item[-2:]
+            core = item[:-2]
+        has_agg, bare_ref = _classify_item(core)
+        if has_agg and bare_ref:
+            return tokens
+        arm_items.append((core if has_agg else [ident("NULL")]) + alias_toks)
+    arm: list[Tok] = [ident("SELECT")]
+    for k, it in enumerate(arm_items):
+        if k:
+            arm.append(op(","))
+        arm += it
+    arm += tokens[from_i:group_i]
+    res: list[Tok]
+    if remaining:
+        res = tokens[:group_i] + [
+            ident("GROUP"), ident("BY"), ident("GROUPING"), ident("SETS"), op("("),
+        ]
+        for k, s in enumerate(remaining):
+            if k:
+                res.append(op(","))
+            res += s
+        res.append(op(")"))
+        arms = empty_count
+    else:
+        res = list(arm)
+        arms = empty_count - 1
+    for _ in range(arms):
+        res += [ident("UNION"), ident("ALL")] + arm
+    return res + tokens[limit_i:]
+
+
+def _classify_item(core: list[Tok]) -> tuple[bool, bool]:
+    """(contains an aggregate call, contains a bare column reference
+    outside every aggregate call) — scanned linearly with agg spans
+    tracked by paren depth."""
+    has_agg = False
+    bare_ref = False
+    agg_stack: list[int] = []
+    depth = 0
+    for k, t in enumerate(core):
+        nxt = core[k + 1] if k + 1 < len(core) else None
+        prev = core[k - 1] if k else None
+        if t.text == "(":
+            if prev is not None and prev.kind == "ident" and prev.upper in _AGG_NAMES:
+                agg_stack.append(depth)
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if agg_stack and agg_stack[-1] == depth:
+                agg_stack.pop()
+        elif t.kind == "ident":
+            if t.upper in _AGG_NAMES and nxt is not None and nxt.text == "(":
+                has_agg = True
+            elif not agg_stack:
+                if (
+                    (nxt is None or nxt.text != "(")
+                    and not t.is_kw(
+                        "NULL", "TRUE", "FALSE", "AS", "AND", "OR", "NOT",
+                        "IS", "CASE", "WHEN", "THEN", "ELSE", "END",
+                        "INTERVAL", "DISTINCT",
+                    )
+                    and not (prev is not None and prev.is_kw("AS"))
+                ):
+                    bare_ref = True
+    return has_agg, bare_ref
+
+
 def _pass_grouping_sets_for_grouping_fn(tokens: list[Tok]) -> list[Tok]:
     """Wrap plain ``GROUP BY c1, c2`` in ``GROUPING SETS ((c1, c2))`` when
     the statement uses grouping()/grouping_id().
@@ -2249,6 +2401,7 @@ def translate(sql: str) -> str:
     toks = _pass_window_compat(toks)
     toks = _pass_in_values(toks)
     toks = _pass_order_by_grouping(toks)
+    toks = _pass_gs_empty_global(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)

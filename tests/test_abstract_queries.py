@@ -80,13 +80,11 @@ KNOWN_DIVERGENCES = {
     # in a position Catalyst refuses (join conditions, GROUP BY keys).
     # grouping sets over empty input: the reference emits the global ()
     # set's aggregation row, Spark's Expand+HashAggregate emits nothing
-    "aggregations:testGroupingSetsWithGlobalAggregationNoInput":
-        "global grouping set over empty input",
-    "aggregations:testGroupingSetsRepeatedSetsAllNoInput":
-        "global grouping set over empty input",
-    "aggregations:testGroupingSetsMultipleGrandTotalSetsNoInput":
-        "global grouping set over empty input",
-    "aggregations:testCubeNoInput": "global grouping set over empty input",
+    "aggregations:testCubeNoInput": "global set over empty input: explicit "
+        "GROUPING SETS () splits into a union arm (translate._pass_gs_"
+        "empty_global), but CUBE/ROLLUP keep the single-scan Expand — "
+        "the compensating arm would re-scan the source for every "
+        "rollup at 100 TB to serve an empty-input edge case",
     "testCustomAdd": "custom_add is a test-harness plugin UDF "
         "(presto-tests/.../CustomAdd.java), not an engine function",
     "aggregations:testSumDataSizeForStats": "$internal$ ANALYZE-only "

@@ -571,3 +571,24 @@ def test_collapse_trivial_derived_wrapper():
     # trailing clauses block the rewrite
     out3 = translate("SELECT * FROM (SELECT 1 AS a) w WHERE a = 1")
     assert "FROM(SELECT 1" in out3
+
+
+def test_grouping_sets_empty_global_split():
+    # explicit () sets become global-aggregation union arms
+    out = translate(
+        "SELECT k, sum(v) FROM t GROUP BY GROUPING SETS ((k), ())"
+    )
+    assert "UNION ALL" in out and "NULL" in out
+    assert out.count("GROUPING SETS") == 1  # the (k) set stays
+    # pure global sets: no GROUPING SETS remains, one arm per ()
+    out2 = translate("SELECT sum(v) FROM t GROUP BY GROUPING SETS ((), ())")
+    assert "GROUPING SETS" not in out2 and out2.count("UNION ALL") == 1
+    # CUBE/ROLLUP and grouping() users keep the single-scan path
+    assert "UNION ALL" not in translate("SELECT k, sum(v) FROM t GROUP BY CUBE (k)")
+    assert "UNION ALL" not in translate(
+        "SELECT k, grouping(k) FROM t GROUP BY GROUPING SETS ((k), ())"
+    )
+    # mixed key+aggregate item aborts the split
+    assert "UNION ALL" not in translate(
+        "SELECT k + sum(v) FROM t GROUP BY GROUPING SETS ((k), ())"
+    )
