@@ -20,9 +20,10 @@ Two paths, as a large-scale ANN system would have:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from facebook_presto_spark.plans.tpch import _t
@@ -30,64 +31,102 @@ from facebook_presto_spark.plans.tpch import _t
 N_QUERIES = 10  # vec_id < 10 are the probe set
 TOP_K = 5
 
+VEC_SCALE = 1_000_000  # fixed-point scale shared by bucketing AND scoring
 
 
-def _dot_int(a: Column, b: Column) -> Column:
-    """Order-independent fixed-point dot product (see pipeline/dedup.py)."""
-    prods = F.zip_with(
-        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(1e12))
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v).cast("long")
+def _fixed_point(X: np.ndarray) -> np.ndarray:
+    """round-half-away-from-zero(x · VEC_SCALE) as exact int64 — DuckDB's
+    round(), bit-reproducible regardless of batch split or matmul order
+    (every subsequent dot product is exact integer arithmetic)."""
+    S = X.astype(np.float64) * VEC_SCALE
+    return np.where(S >= 0, np.floor(S + 0.5), np.ceil(S - 0.5)).astype(np.int64)
 
 
-def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for each probe vector (vec_id < 10)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        "embedding",
-        _dot_int(F.col("embedding"), F.col("embedding")).alias("norm_int"),
+def _collect_queries(emb: DataFrame):
+    """Driver-side probe set (tiny by construction — the 100 TB pattern is
+    exactly this: query vectors broadcast, corpus never shuffled).
+    Returns (q_ids int64[Q], QI int64[Q×dim], q_norm float64[Q])."""
+    rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
     )
-    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm_int").alias("q_norm"),
-    )
-    cands = base.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm_int").alias("c_norm"),
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(cands, F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            (
-                _dot_int(F.col("q_emb"), F.col("c_emb"))
-                / (F.sqrt(F.col("q_norm")) * F.sqrt(F.col("c_norm")))
-            ).alias("cosine"),
-        )
-    )
+    q_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    QI = _fixed_point(np.stack([np.asarray(r["embedding"]) for r in rows]))
+    q_norm = np.sqrt((QI * QI).sum(axis=1).astype(np.float64))
+    return q_ids, QI, q_norm
+
+
+def _topk(scored: DataFrame) -> DataFrame:
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", "c_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
     )
 
 
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each probe vector (vec_id < 10).
+
+    One corpus scan through an Arrow ``mapInPandas``: each batch is a
+    single int64 matmul (B×dim @ dim×Q) against the broadcast query
+    matrix — the same kernel the LSH bucketing uses — emitting only
+    (q_id, c_id, cosine) triples.  No pair join, no corpus shuffle, no
+    CodegenFallback HOFs; the only shuffle is the final per-query top-k
+    (InferWindowGroupLimit keeps it O(k) per partition).  The reference's
+    equivalent hot loop is TopNRowNumberOperator.java:38 over a scored
+    cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q_ids, QI, q_norm = _collect_queries(emb)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            XI = _fixed_point(np.stack(pdf["embedding"].to_numpy()))
+            dots = XI @ QI.T                              # B×Q, exact int64
+            c_norm = np.sqrt((XI * XI).sum(axis=1).astype(np.float64))
+            B, Q = dots.shape
+            yield pd.DataFrame({
+                "q_id": np.tile(q_ids, B),
+                "c_id": np.repeat(pdf["vec_id"].to_numpy(), Q),
+                "cosine": (
+                    dots.astype(np.float64)
+                    / (q_norm[None, :] * c_norm[:, None])
+                ).ravel(),
+            })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, c_id long, cosine double"
+    )
+    return _topk(scored)
+
+
+def _fixed_point_sql() -> str:
+    """DuckDB twin of _fixed_point: embedding → int64 list."""
+    return (
+        "list_transform(embedding, x -> "
+        f"CAST(round(CAST(x AS DOUBLE) * {VEC_SCALE}) AS BIGINT))"
+    )
+
+
+_EI_CTES = f"""ei AS (
+  SELECT vec_id, {_fixed_point_sql()} AS xi FROM embeddings
+), e AS (
+  SELECT vec_id, xi,
+         CAST(list_sum(list_transform(xi, v -> v * v)) AS BIGINT) AS norm_int
+  FROM ei
+)"""
+
+
 COSINE_TOPK_SQL = f"""
-WITH e AS (
-  SELECT vec_id, embedding,
-         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
-              i -> round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e12))) AS BIGINT) AS norm_int
-  FROM embeddings
-), scored AS (
+WITH {_EI_CTES}, scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-         CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
-              i -> round(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
+         CAST(list_sum(list_transform(generate_series(1, len(q.xi)),
+              i -> q.xi[i] * c.xi[i])) AS BIGINT)
            / (sqrt(q.norm_int) * sqrt(c.norm_int)) AS cosine
   FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
 )
@@ -104,9 +143,6 @@ WHERE rank <= {TOP_K}
 N_TABLES = 8   # LSH hash tables (union of candidates — classic multi-table LSH)
 PLANES_PER_TABLE = 4  # sign bits per table → 16 buckets/table
 _EMB_DIM = 64  # embedding dimensionality (embeddings.parquet)
-
-
-VEC_SCALE = 1_000_000  # fixed-point scale for plane-projection signs
 
 
 def _plane_rows() -> list[tuple[int, int, int]]:
@@ -139,8 +175,6 @@ def _bands(emb: DataFrame) -> DataFrame:
     exact integer, so batch order cannot perturb the bucket bits and the
     oracle reproduces them bit-for-bit.
     """
-    import numpy as np
-
     M = np.array(
         [[ci for _, _, ci in _plane_rows()[p * _EMB_DIM:(p + 1) * _EMB_DIM]]
          for p in range(N_TABLES * PLANES_PER_TABLE)],
@@ -150,8 +184,7 @@ def _bands(emb: DataFrame) -> DataFrame:
 
     @F.pandas_udf("array<long>")
     def buckets(col: pd.Series) -> pd.Series:
-        X = np.stack(col.to_numpy()).astype(np.float64) * VEC_SCALE
-        XI = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(np.int64)
+        XI = _fixed_point(np.stack(col.to_numpy()))
         bits = (XI @ M.T > 0).astype(np.int64)  # (B, 32)
         b8 = (bits.reshape(len(XI), N_TABLES, PLANES_PER_TABLE) * weights).sum(axis=2)
         return pd.Series(list(b8))
@@ -159,19 +192,37 @@ def _bands(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", F.posexplode(buckets("embedding")).alias("t", "bucket"))
 
 
+def _cosine_vs_queries_udf(q_ids: np.ndarray, QI: np.ndarray,
+                           q_norm: np.ndarray):
+    """Scalar Arrow UDF (q_id, embedding) → cosine against the broadcast
+    query matrix: per batch one fancy-indexed elementwise int64 product —
+    no per-pair HOF folds, candidate embeddings cross Arrow exactly once."""
+    qindex = {int(q): i for i, q in enumerate(q_ids)}
+
+    @F.pandas_udf("double")
+    def cos(qid: pd.Series, emb: pd.Series) -> pd.Series:
+        if not len(qid):
+            return pd.Series([], dtype="float64")
+        XI = _fixed_point(np.stack(emb.to_numpy()))
+        idx = qid.map(qindex).to_numpy(dtype=np.int64)
+        dots = (XI * QI[idx]).sum(axis=1)             # exact int64
+        c_norm = np.sqrt((XI * XI).sum(axis=1).astype(np.float64))
+        return pd.Series(dots.astype(np.float64) / (q_norm[idx] * c_norm))
+
+    return cos
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors via multi-table sign-LSH: a candidate is
     any vector sharing ≥1 of the probe's ``N_TABLES`` 4-bit buckets; exact
     cosine re-ranks the candidates.  Plan shape: one narrow band pass, one
-    equi-join on (table, bucket), distinct, re-rank — nothing quadratic,
-    and the only shuffles carry (table, bucket, id) triples.
+    equi-join on (table, bucket), distinct, then candidate-only re-rank
+    through one Arrow scoring pass — nothing quadratic, the shuffles carry
+    (table, bucket, id) triples, and scoring shares the bucketing kernel
+    (int64 fixed-point products, no CodegenFallback HOFs).
     """
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        "embedding",
-        _dot_int(F.col("embedding"), F.col("embedding")).alias("norm_int"),
-    )
+    q_ids, QI, q_norm = _collect_queries(emb)
     bands = _bands(emb)
     # probe-side bands from the (tiny) probe subset — referencing `bands`
     # twice would run the full-corpus band pass once per join branch
@@ -185,34 +236,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
         .distinct()
     )
-    q_side = base.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm_int").alias("q_norm"),
+    c_side = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
     )
-    c_side = base.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm_int").alias("c_norm"),
-    )
+    cos = _cosine_vs_queries_udf(q_ids, QI, q_norm)
     scored = (
-        pairs.join(F.broadcast(q_side), "q_id")
-        .join(c_side, "c_id")
-        .select(
-            "q_id",
-            "c_id",
-            (
-                _dot_int(F.col("q_emb"), F.col("c_emb"))
-                / (F.sqrt(F.col("q_norm")) * F.sqrt(F.col("c_norm")))
-            ).alias("cosine"),
-        )
+        pairs.join(c_side, "c_id")
+        .select("q_id", "c_id", cos("q_id", "c_emb").alias("cosine"))
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "c_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
-    )
+    return _topk(scored)
 
 
 N_LISTS = 16   # IVF: coarse-quantizer list count
@@ -241,85 +273,61 @@ def _centroid_rows() -> list[tuple[int, int, int]]:
     return rows
 
 
-def _nearest_lists_udf(n: int):
-    """pandas UDF: embedding → n nearest coarse-list ids (by projection).
-
-    The relational form (16 centroids × 64 components as Catalyst
-    expressions) builds a codegen tree too large to JIT well; one Arrow
-    batch matmul (B×64 @ 64×16) does the assignment three orders of
-    magnitude faster and stays fully vectorized.  Exact int64 arithmetic
-    (fixed-point vectors × integer centroids, ≤1.4e17 per dot) makes the
-    assignment bit-reproducible in the DuckDB oracle; ties break by list
-    id via the stable argsort.
-    """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    cents = np.array(
+def _centroid_matrix() -> np.ndarray:
+    """dim × N_LISTS int64 centroid matrix (columns = coarse lists)."""
+    return np.array(
         [[ci for _, _, ci in _centroid_rows()[c * _DIM:(c + 1) * _DIM]]
          for c in range(N_LISTS)],
         dtype=np.int64,
-    ).T  # 64×16
-
-    # no parameter annotations: `from __future__ import annotations` turns
-    # them into strings pandas_udf can't resolve — returnType says it all
-    def nearest(emb):
-        mat = np.stack(emb.to_numpy()).astype("float64") * VEC_SCALE  # B×64
-        xi = np.where(mat >= 0, np.floor(mat + 0.5), np.ceil(mat - 0.5)).astype(np.int64)
-        dots = xi @ cents                        # B×16, exact int64
-        order = np.argsort(-dots, axis=1, kind="stable")[:, :n]
-        return pd.Series(list(order.astype("int32")))
-
-    return pandas_udf(nearest, "array<int>")
+    ).T
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: corpus vectors live in their single nearest
     coarse list; each probe searches its N_PROBE nearest lists and
-    re-ranks exactly.  At 100 TB the corpus is *partitioned by list id*
-    (one narrow assignment map, no corpus shuffle afterward) and probes
-    broadcast — the FAISS IVF-Flat layout expressed relationally."""
+    re-ranks exactly.
+
+    One corpus pass does everything: per Arrow batch, assign each vector
+    to its list (B×dim @ dim×16 exact-int64 matmul — ties to the lowest
+    list id, the quantizer of FAISS IVF-Flat), score the batch against
+    the broadcast probe matrix (a second int64 matmul), and emit only the
+    (probe, candidate) pairs whose list is among that probe's N_PROBE
+    probed lists.  No joins, no corpus shuffle, no repeated assignment
+    UDF; the only shuffle is the final top-k window.  At 100 TB the
+    corpus is *partitioned by list id*, so the probed-lists mask becomes
+    partition pruning — the same plan with the scan narrowed."""
     emb = _t(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        "embedding",
-        _dot_int(F.col("embedding"), F.col("embedding")).alias("norm_int"),
+    q_ids, QI, q_norm = _collect_queries(emb)
+    cents = _centroid_matrix()                       # dim×16
+    q_dots = QI @ cents                              # Q×16, exact int64
+    probe_lists = np.argsort(-q_dots, axis=1, kind="stable")[:, :N_PROBE]
+    allowed = np.zeros((len(q_ids), N_LISTS), dtype=bool)
+    for qi, lists in enumerate(probe_lists):
+        allowed[qi, lists] = True                    # Q×16 probe mask
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            XI = _fixed_point(np.stack(pdf["embedding"].to_numpy()))
+            list_id = np.argmax(XI @ cents, axis=1)  # first max = lowest id
+            keep = allowed[:, list_id].T             # B×Q pair mask
+            b_idx, q_idx = np.nonzero(keep)
+            if not len(b_idx):
+                continue
+            dots = (XI[b_idx] * QI[q_idx]).sum(axis=1)   # exact int64
+            c_norm = np.sqrt((XI * XI).sum(axis=1).astype(np.float64))
+            yield pd.DataFrame({
+                "q_id": q_ids[q_idx],
+                "c_id": pdf["vec_id"].to_numpy()[b_idx],
+                "cosine": dots.astype(np.float64)
+                / (q_norm[q_idx] * c_norm[b_idx]),
+            })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, c_id long, cosine double"
     )
-    cands = base.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm_int").alias("c_norm"),
-        F.element_at(_nearest_lists_udf(1)(F.col("embedding")), 1).alias("list_id"),
-    )
-    queries = (
-        base.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("norm_int").alias("q_norm"),
-            F.explode(_nearest_lists_udf(N_PROBE)(F.col("embedding"))).alias("list_id"),
-        )
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(cands, ["list_id"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id",
-            "c_id",
-            (
-                _dot_int(F.col("q_emb"), F.col("c_emb"))
-                / (F.sqrt(F.col("q_norm")) * F.sqrt(F.col("c_norm")))
-            ).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "c_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
-    )
+    return _topk(scored)
 
 
 def _ann_lsh_oracle_sql() -> str:
@@ -347,15 +355,10 @@ WITH planes(p, pos, ci) AS (
   SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
   FROM bands q JOIN bands c ON q.t = c.t AND q.bucket = c.bucket
   WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
-), e AS (
-  SELECT vec_id, embedding,
-         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
-              i -> round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e12))) AS BIGINT) AS norm_int
-  FROM embeddings
-), scored AS (
+), {_EI_CTES}, scored AS (
   SELECT p.q_id, p.c_id,
-         CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
-              i -> round(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
+         CAST(list_sum(list_transform(generate_series(1, len(q.xi)),
+              i -> q.xi[i] * c.xi[i])) AS BIGINT)
            / (sqrt(q.norm_int) * sqrt(c.norm_int)) AS cosine
   FROM pairs p JOIN e q ON p.q_id = q.vec_id JOIN e c ON p.c_id = c.vec_id
 )
@@ -393,15 +396,10 @@ WITH cents(c, pos, ci) AS (
 ), probe_list AS (
   SELECT vec_id AS q_id, c AS list_id FROM ranked
   WHERE rk <= {N_PROBE} AND vec_id < {N_QUERIES}
-), e AS (
-  SELECT vec_id, embedding,
-         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
-              i -> round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e12))) AS BIGINT) AS norm_int
-  FROM embeddings
-), scored AS (
+), {_EI_CTES}, scored AS (
   SELECT p.q_id, cl.c_id,
-         CAST(list_sum(list_transform(generate_series(1, len(q.embedding)),
-              i -> round(CAST(q.embedding[i] AS DOUBLE)*CAST(c.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
+         CAST(list_sum(list_transform(generate_series(1, len(q.xi)),
+              i -> q.xi[i] * c.xi[i])) AS BIGINT)
            / (sqrt(q.norm_int) * sqrt(c.norm_int)) AS cosine
   FROM probe_list p JOIN cand_list cl USING (list_id)
   JOIN e q ON p.q_id = q.vec_id JOIN e c ON cl.c_id = c.vec_id

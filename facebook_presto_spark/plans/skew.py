@@ -68,7 +68,22 @@ def replicated_skew_join(
     """Join ``probe`` (large, possibly key-skewed) to ``build`` (small
     enough to replicate ``salt``×) on ``key`` without broadcasting and
     without a hot partition: probe rows salt deterministically, build
-    rows replicate across every salt value."""
+    rows replicate across every salt value.
+
+    Only probe-side-preserving join types are expressible: the build
+    side is replicated ``salt``×, so a right/full outer join would emit
+    every unmatched build row once per salt value.  Those types need a
+    different scheme (AQE skew-join handles them) — raise loudly."""
+    allowed = {"inner", "cross", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi", "anti", "leftanti",
+               "left_anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"replicated_skew_join: join type {how!r} is not supported — "
+            "the replicated build side cannot preserve right/full outer "
+            "semantics (each unmatched build row would appear once per "
+            "salt value); use AQE skew-join handling instead"
+        )
     salted_probe = probe.withColumn(
         "__salt", _salt_of(*[F.col(c) for c in probe.columns], salt=salt)
     )

@@ -148,6 +148,34 @@ _PROPERTY_CONFS: dict[str, tuple[str, ...]] = {
 }
 
 
+def snapshot_confs(spark: SparkSession, names) -> dict[str, str | None]:
+    """Current values (None = unset) of every Spark conf the given
+    session-property names may touch — taken BEFORE applying them, so a
+    statement-scoped property can be rolled back (the reference applies
+    X-Presto-Session per request: Session.java builds a fresh session
+    from headers for each statement, nothing leaks across clients)."""
+    snap: dict[str, str | None] = {}
+    for name in names:
+        for conf in _PROPERTY_CONFS.get(name.strip().lower(), ()):
+            if conf not in snap:
+                try:
+                    snap[conf] = spark.conf.get(conf)
+                except Exception:
+                    snap[conf] = None
+    return snap
+
+
+def restore_confs(spark: SparkSession, snap: dict[str, str | None]) -> None:
+    for conf, value in snap.items():
+        try:
+            if value is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, value)
+        except Exception:
+            pass
+
+
 def set_session_property(spark: SparkSession, name: str, value: str) -> None:
     key = name.strip().lower()
     if key not in PROPERTIES:

@@ -60,10 +60,43 @@ def _json_cell(v):
 
 
 class _Query:
-    def __init__(self, qid: str, columns, rows):
+    """Streaming paging state: rows are pulled lazily from
+    ``df.toLocalIterator()`` one page at a time, like the reference's
+    root-stage page flow (StatementResource.java:84 streams pages from
+    the output buffer — it never materializes the result).  Only the
+    most recently produced page is retained (for idempotent client
+    retries of the current nextUri); older pages are gone, matching the
+    reference's consume-once buffer."""
+
+    def __init__(self, qid: str, columns, row_iter):
         self.id = qid
         self.columns = columns
-        self.rows = rows
+        self._it = row_iter
+        self._lock = threading.Lock()
+        self._page_no = -1      # index of the buffered page
+        self._page: list = []
+        self._exhausted = False
+
+    def page(self, page_no: int):
+        """(chunk, has_next) for ``page_no``; None if the page is no
+        longer (or not yet) available."""
+        with self._lock:
+            while self._page_no < page_no and not (
+                self._exhausted and self._page_no >= 0
+            ):
+                chunk = []
+                try:
+                    while len(chunk) < PAGE_SIZE:
+                        row = next(self._it)
+                        chunk.append([_json_cell(c) for c in row])
+                except StopIteration:
+                    self._exhausted = True
+                self._page_no += 1
+                self._page = chunk
+            if page_no != self._page_no:
+                return None
+            has_next = not self._exhausted
+            return self._page, has_next
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -86,22 +119,43 @@ class _Handler(BaseHTTPRequestHandler):
         host = self.headers.get("Host") or f"localhost:{self.server.server_port}"
         return f"http://{host}"
 
-    def _page_payload(self, q: _Query, page: int) -> dict:
-        start, end = page * PAGE_SIZE, (page + 1) * PAGE_SIZE
-        chunk = q.rows[start:end]
-        done = end >= len(q.rows)
+    def _page_payload(self, q: _Query, page: int) -> dict | None:
+        try:
+            got = q.page(page)
+        except Exception as e:  # runtime failure while streaming a page
+            self.server.queries.pop(q.id, None)
+            return {
+                "id": q.id,
+                "infoUri": f"{self._base()}/v1/query/{q.id}",
+                "columns": q.columns,
+                "stats": {"state": "FAILED"},
+                "error": {
+                    "message": str(e).split("\n")[0][:1000],
+                    "errorCode": 1,
+                    "errorName": "GENERIC_USER_ERROR",
+                    "errorType": "USER_ERROR",
+                },
+            }
+        if got is None:
+            return None
+        chunk, has_next = got
         out = {
             "id": q.id,
             "infoUri": f"{self._base()}/v1/query/{q.id}",
             "columns": q.columns,
             "data": chunk or None,
-            "stats": {"state": "FINISHED" if done else "RUNNING"},
+            "stats": {"state": "RUNNING" if has_next else "FINISHED"},
             "error": None,
             "updateType": None,
             "updateCount": None,
         }
-        if not done:
+        if has_next:
             out["nextUri"] = f"{self._base()}/v1/statement/{q.id}/{page + 1}"
+        else:
+            # last page served — evict; the normal client loop (GET until
+            # nextUri disappears) never sends DELETE, so this is the
+            # only path that frees the paging state
+            self.server.queries.pop(q.id, None)
         if not chunk:
             out.pop("data")
         return out
@@ -116,16 +170,28 @@ class _Handler(BaseHTTPRequestHandler):
         sql = self.rfile.read(length).decode()
         qid = f"{dt.date.today():%Y%m%d}_{uuid.uuid4().hex[:12]}"
         engine = self.server.engine
+        snap = {}
         try:
-            for prop in (self.headers.get("X-Presto-Session") or "").split(","):
-                if "=" in prop:
-                    from facebook_presto_spark.properties import set_session_property
+            props = [
+                prop.partition("=")
+                for prop in (self.headers.get("X-Presto-Session") or "").split(",")
+                if "=" in prop
+            ]
+            if props:
+                from facebook_presto_spark.properties import (
+                    set_session_property, snapshot_confs,
+                )
 
-                    name, _, value = prop.partition("=")
+                # statement-scoped, like the reference (Session built from
+                # headers per request) — snapshot first, restore in finally
+                snap = snapshot_confs(engine.spark, [n for n, _, _ in props])
+                for name, _, value in props:
                     set_session_property(engine.spark, name.strip(), value.strip())
             df = engine.sql(sql)
             schema = df.schema
-            rows = [[_json_cell(c) for c in r] for r in df.collect()]
+            # toLocalIterator streams partition-by-partition: the driver
+            # holds at most one partition + one page, never the result
+            rows = df.toLocalIterator()
             columns = [
                 {"name": f.name, "type": presto_type_name(f.dataType.simpleString())}
                 for f in schema.fields
@@ -144,9 +210,15 @@ class _Handler(BaseHTTPRequestHandler):
                 },
             })
             return
+        finally:
+            if snap:
+                from facebook_presto_spark.properties import restore_confs
+
+                restore_confs(engine.spark, snap)
         q = _Query(qid, columns, rows)
         self.server.queries[qid] = q
-        self._reply(self._page_payload(q, 0))
+        payload = self._page_payload(q, 0)
+        self._reply(payload)
 
     def do_GET(self) -> None:
         parts = self.path.strip("/").split("/")
@@ -155,7 +227,11 @@ class _Handler(BaseHTTPRequestHandler):
             if q is None:
                 self._reply({"error": {"message": "query not found"}}, 404)
                 return
-            self._reply(self._page_payload(q, int(parts[3])))
+            payload = self._page_payload(q, int(parts[3]))
+            if payload is None:
+                self._reply({"error": {"message": "page no longer available"}}, 410)
+                return
+            self._reply(payload)
             return
         self._reply({"error": {"message": "not found"}}, 404)
 

@@ -1096,10 +1096,19 @@ def _rewrite_one_join_on(tokens: list[Tok]) -> list[Tok] | None:
             if s.text == "(":
                 j = find_matching_paren(tokens, j) + 1
                 continue
-            if s.is_kw(*_JOIN_KWS, *_CLAUSE_KWS, *_SETOP_KWS) or s.text in (",", ";"):
+            if (s.is_kw(*_JOIN_KWS, *_CLAUSE_KWS, *_SETOP_KWS, "ON", "USING")
+                    or s.text in (",", ";")):
                 break
             j += 1
         cond_end = j
+        # A second ON/USING right after this condition means this join is
+        # the right operand of an enclosing join tree written without
+        # parens (``a LEFT JOIN b JOIN c ON p ON q``).  Hoisting p to
+        # WHERE would cross the enclosing (possibly outer) join, so the
+        # rewrite is unsound there — leave the tree alone.
+        if cond_end < n and tokens[cond_end].is_kw("ON", "USING"):
+            i = cond_end + 1
+            continue
         cond = tokens[on_idx + 1:cond_end]
         if not _has_subquery(cond):
             i = cond_end
@@ -1332,6 +1341,94 @@ def _is_correlated(sub: list[Tok], alias: str) -> bool:
     )
 
 
+def _trailing_relation_alias(seg: list[Tok]) -> str | None:
+    """Visible alias (or bare table name) of a relation reference: the
+    trailing identifier of ``t`` / ``s.t`` / ``t a`` / ``t AS a`` /
+    ``(subq) a``."""
+    seg = [t for t in seg if not t.is_kw("AS")]
+    if not seg:
+        return None
+    last = seg[-1]
+    if last.kind in ("ident", "qident"):
+        return last.text.strip('"')
+    return None
+
+
+def _using_join_aliases(tokens: list[Tok], using_pos: int) -> set[str]:
+    """Aliases of the relations that are operands of the join tree
+    containing the USING clause at ``using_pos`` — i.e. the
+    comma-delimited FROM segment the USING belongs to.  Relations in
+    other FROM segments (``…USING (k), z c``) are NOT operands of the
+    USING join, and their qualified stars keep all columns in the
+    reference (StatementAnalyzer USING scope is per-join)."""
+    n = len(tokens)
+    from_idx = None
+    j = 0
+    while j < n:
+        s = tokens[j]
+        if s.text == "(":
+            j = find_matching_paren(tokens, j) + 1
+            continue
+        if s.is_kw("FROM") and j < using_pos:
+            from_idx = j
+        if s.is_kw(*_CLAUSE_KWS, *_SETOP_KWS) and j > using_pos:
+            break
+        j += 1
+    if from_idx is None:
+        return set()
+    end = j if j <= n else n
+    # split the FROM clause on depth-0 commas; keep the segment holding USING
+    seg_start = from_idx + 1
+    seg: list[Tok] | None = None
+    k = seg_start
+    while k <= end:
+        if k == end or tokens[k].text == ",":
+            if seg_start <= using_pos < k:
+                seg = tokens[seg_start:k]
+                break
+            seg_start = k + 1
+            k += 1
+            continue
+        if tokens[k].text == "(":
+            k = find_matching_paren(tokens, k) + 1
+            continue
+        k += 1
+    if seg is None:
+        return set()
+    # split the segment on depth-0 JOIN keywords → relation operands
+    aliases: set[str] = set()
+    piece: list[Tok] = []
+    pieces: list[list[Tok]] = []
+    k = 0
+    while k < len(seg):
+        t = seg[k]
+        if t.text == "(":
+            close = find_matching_paren(seg, k)
+            piece += seg[k:close + 1]
+            k = close + 1
+            continue
+        if t.is_kw("JOIN"):
+            pieces.append(piece)
+            piece = []
+            k += 1
+            continue
+        piece.append(t)
+        k += 1
+    pieces.append(piece)
+    for p in pieces:
+        while p and p[-1].is_kw("INNER", "LEFT", "RIGHT", "FULL", "OUTER",
+                                "CROSS", "NATURAL", "SEMI", "ANTI"):
+            p = p[:-1]
+        for m, t in enumerate(p):
+            if t.is_kw("ON") or t.is_kw("USING"):
+                p = p[:m]
+                break
+        a = _trailing_relation_alias(p)
+        if a:
+            aliases.add(a.upper())
+    return aliases
+
+
 def _pass_using_wildcard(tokens: list[Tok]) -> list[Tok]:
     """Qualified wildcards after a USING join exclude the join columns.
 
@@ -1357,6 +1454,7 @@ def _pass_using_wildcard(tokens: list[Tok]) -> list[Tok]:
         i += 1
     tokens = out
     using_cols: list[list[Tok]] | None = None
+    using_pos = -1
     n = len(tokens)
     j = 0
     count = 0
@@ -1368,11 +1466,15 @@ def _pass_using_wildcard(tokens: list[Tok]) -> list[Tok]:
         if s.is_kw("USING") and j + 1 < n and tokens[j + 1].text == "(":
             close = find_matching_paren(tokens, j + 1)
             using_cols = split_top_level(tokens[j + 2:close])
+            using_pos = j
             count += 1
             j = close + 1
             continue
         j += 1
     if count != 1 or not using_cols:
+        return tokens
+    join_aliases = _using_join_aliases(tokens, using_pos)
+    if not join_aliases:
         return tokens
     # rewrite alias.* in the depth-0 SELECT list
     res: list[Tok] = []
@@ -1395,6 +1497,7 @@ def _pass_using_wildcard(tokens: list[Tok]) -> list[Tok]:
             clause == "select" and s.text == "."
             and j + 1 < n and tokens[j + 1].text == "*"
             and res and res[-1].kind in ("ident", "qident")
+            and res[-1].text.strip('"').upper() in join_aliases
         ):
             res += [s, tokens[j + 1], ident("EXCEPT"), op("(")]
             for k, c in enumerate(using_cols):
@@ -1913,6 +2016,31 @@ def _pass_order_by_grouping(tokens: list[Tok], _ctr: list[int] | None = None) ->
         new_items.append([ident(var)] + item[end:])
     if not hoists:
         return tokens
+    # The wrap hides source/group-key columns from ORDER BY: a plain item
+    # referencing a column absent from the SELECT list (Presto's
+    # source-scope fallback, e.g. ``SELECT count(*) … GROUP BY GROUPING
+    # SETS ((a),(b)) ORDER BY grouping(a), a``) would not resolve against
+    # __obg.  Hoist those items into the inner select as __ordN too.
+    out_names = _select_output_names(tokens[sel_i + 1:from_i])
+    if out_names is not None:
+        for k, item in enumerate(new_items):
+            if any(tok.kind == "ident" and tok.text.startswith("__ord")
+                   for tok in item):
+                continue
+            end = len(item)
+            while end > 0 and item[end - 1].is_kw(
+                "ASC", "DESC", "NULLS", "FIRST", "LAST"
+            ):
+                end -= 1
+            expr = item[:end]
+            if _order_item_resolves(expr, out_names):
+                continue
+            _ctr[0] += 1
+            var = f"__ord{_ctr[0]}"
+            hoists.append(
+                (var, _substitute_aliases(expr, tokens[sel_i + 1:from_i]))
+            )
+            new_items[k] = [ident(var)] + item[end:]
     inner = list(tokens[sel_i:from_i])
     for var, expr in hoists:
         inner += [op(","), op("(")] + expr + [op(")"), ident("AS"), ident(var)]
@@ -1960,6 +2088,91 @@ def _substitute_aliases(expr: list[Tok], select_seg: list[Tok]) -> list[Tok]:
         else:
             out.append(t)
     return out
+
+
+_NON_COLUMN_KWS = frozenset((
+    "AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE", "END", "IS",
+    "NULL", "TRUE", "FALSE", "BETWEEN", "IN", "LIKE", "ESCAPE", "CAST",
+    "TRY_CAST", "AS", "DISTINCT", "ASC", "DESC", "NULLS", "FIRST",
+    "LAST", "INTERVAL", "DATE", "TIME", "TIMESTAMP", "ROW", "ARRAY",
+    "MAP", "EXISTS", "ALL", "ANY", "SOME", "OVER", "PARTITION", "BY",
+    "ORDER", "ROWS", "RANGE", "CURRENT", "PRECEDING", "FOLLOWING",
+    "UNBOUNDED", "CURRENT_DATE", "CURRENT_TIME", "CURRENT_TIMESTAMP",
+    "LOCALTIME", "LOCALTIMESTAMP", "AT", "ZONE",
+))
+
+
+def _select_output_names(select_seg: list[Tok]) -> set[str] | None:
+    """Upper-cased output column names of a SELECT list, or None when a
+    star makes the output indeterminable syntactically.  Anonymous
+    expression items contribute nothing (their reference names are
+    synthesized and unreferenceable)."""
+    names: set[str] = set()
+    for item in split_top_level(select_seg):
+        if any(t.text == "*" for t in _depth0(item)):
+            return None
+        toks = item
+        # explicit AS alias at depth 0
+        alias = None
+        for k in range(len(toks) - 1, -1, -1):
+            if toks[k].is_kw("AS"):
+                alias = toks[k + 1] if k + 1 < len(toks) else None
+                break
+            if toks[k].text == ")":
+                break
+        if alias is not None and alias.kind in ("ident", "qident"):
+            names.add(alias.text.strip('"').upper())
+            continue
+        last = toks[-1]
+        if last.kind not in ("ident", "qident"):
+            continue
+        if len(toks) == 1 or toks[-2].text == ".":
+            names.add(last.text.strip('"').upper())  # bare / qualified col
+        elif toks[-2].kind in ("ident", "qident") or toks[-2].text == ")":
+            names.add(last.text.strip('"').upper())  # implicit alias
+    return names
+
+
+def _depth0(item: list[Tok]):
+    d = 0
+    for t in item:
+        if t.text == "(":
+            d += 1
+        elif t.text == ")":
+            d -= 1
+        elif d == 0:
+            yield t
+
+
+def _order_item_resolves(expr: list[Tok], out_names: set[str]) -> bool:
+    """Whether an ORDER BY expression references only columns available
+    in the wrapped query's output (``out_names``).  Qualified references
+    and unknown bare columns do not resolve against the derived table."""
+    n = len(expr)
+    for j, t in enumerate(expr):
+        if t.kind == "number" or t.kind == "string" or t.kind == "op":
+            continue
+        if t.kind == "qident":
+            if j + 1 < n and expr[j + 1].text == ".":
+                return False  # qualifier — breaks under the wrap
+            if j > 0 and expr[j - 1].text == ".":
+                continue
+            if t.text.strip('"').upper() not in out_names:
+                return False
+            continue
+        if t.is_kw(*_NON_COLUMN_KWS):
+            continue
+        if j + 1 < n and expr[j + 1].text in ("(", "."):
+            if expr[j + 1].text == ".":
+                return False  # qualified reference
+            continue  # function call
+        if j > 0 and expr[j - 1].text == ".":
+            continue
+        if j > 0 and expr[j - 1].is_kw("AS", "INTERVAL"):
+            continue  # CAST target type / interval unit
+        if t.upper not in out_names:
+            return False
+    return True
 
 
 def _pass_gs_empty_global(tokens: list[Tok]) -> list[Tok]:

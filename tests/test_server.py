@@ -99,3 +99,52 @@ def test_delete_cancels(server):
 def test_session_property_header(server):
     res = _post(server, "SELECT 1 AS x")  # header-less baseline works
     assert res["error"] is None
+
+
+def test_large_result_streams_pages(server):
+    """Pages are produced lazily from toLocalIterator — the server never
+    holds the whole result.  Asserted structurally: the paging state
+    retains only the current page, and draining still sees every row."""
+    res = _post(server, "SELECT l_orderkey, l_partkey FROM lineitem")
+    qid = res["id"]
+    q = server.queries[qid]
+    # after the POST only page 0 is buffered
+    assert q._page_no == 0 and len(q._page) <= 1000
+    rows = _drain(server, res)
+    assert len(rows) > 5000  # crossed many page boundaries
+    # the streaming buffer never grew past one page
+    assert len(q._page) <= 1000
+
+
+def test_finished_query_is_evicted(server):
+    """The normal client loop (GET until nextUri disappears) frees the
+    paging state without a DELETE."""
+    res = _post(server, "SELECT o_orderkey FROM orders")
+    qid = res["id"]
+    assert qid in server.queries  # multi-page: alive after page 0
+    _drain(server, res)
+    assert qid not in server.queries
+    # single-page results are evicted on the POST response itself
+    res = _post(server, "SELECT 1 AS x")
+    assert "nextUri" not in res and res["id"] not in server.queries
+
+
+def test_session_property_scoped_to_statement(server):
+    """X-Presto-Session applies to its statement only — the shared
+    SparkSession's conf is restored afterwards (the reference builds a
+    per-request Session from headers; nothing leaks across clients)."""
+    spark_conf = server.engine.spark.conf
+    before = spark_conf.get("spark.sql.shuffle.partitions")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.server_port}/v1/statement",
+        data=b"SELECT count(*) AS c FROM nation",
+        method="POST",
+        headers={
+            "X-Presto-User": "test",
+            "X-Presto-Session": "hash_partition_count=7",
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        res = json.load(r)
+    assert res["error"] is None
+    assert spark_conf.get("spark.sql.shuffle.partitions") == before

@@ -57,3 +57,29 @@ def test_replicated_skew_join_matches_plain_join(spark, skewed):
         .collect()
     )
     assert salted == plain
+
+
+def test_replicated_skew_join_left_outer_matches(spark, skewed):
+    dims = spark.createDataFrame(
+        [(k, f"name{k}") for k in range(5)], "k int, name string"
+    )
+    plain = sorted(
+        tuple(r)
+        for r in skewed.join(dims, "k", "left").select("k", "v", "name").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in skew.replicated_skew_join(skewed, dims, "k", salt=4, how="left")
+        .select("k", "v", "name")
+        .collect()
+    )
+    assert salted == plain
+
+
+def test_replicated_skew_join_rejects_build_preserving_types(spark, skewed):
+    import pytest
+
+    dims = spark.createDataFrame([(1, "a")], "k int, name string")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="not supported"):
+            skew.replicated_skew_join(skewed, dims, "k", how=how)
