@@ -19,16 +19,22 @@ Scale design (the point of each construction):
 - **SimHash**: 64 independent bit-weight sums per doc — a single groupBy,
   no joins until the (cheap) bucket comparison.
 - **n-gram Jaccard**: exact verification for *candidate pairs only* —
-  at scale you run it after LSH; here it's blocked by ``source`` so the
-  oracle stays O(pairs-within-block).
-- **embedding near-dup**: blocked by ``label`` (at 100 TB: by coarse
-  IVF/LSH bucket) so the pair join is within-partition.
+  the default entry point consumes a candidate-pair DataFrame (MinHash-
+  LSH pairs unless the caller provides one); the quadratic
+  blocked-by-``source`` spelling survives only as the oracle twin
+  (ngram_jaccard_blocked).
+- **embedding near-dup**: the default consumes sign-LSH bucket
+  candidates whose bit width scales with corpus size (bucket occupancy
+  stays O(1), so candidate pairs grow linearly); the
+  blocked-by-``label`` all-pairs spelling survives only as the oracle
+  twin (embedding_neardup_blocked).
 
 Cross-engine determinism: hashes are md5 hex strings (identical in any
 engine); MinHash takes the *lexicographic* min over md5 strings — no
 integer conversion, no float arithmetic.  Cosine similarity is computed
-on fixed-point integers (round(x·y·1e12)), making sums order-independent
-whole numbers; see plans/tpch.py for the rationale.
+on fixed-point integers (inputs rounded to round(x·1e6), so every dot
+product is exact int64 — the same kernel pipeline/similarity.py scores
+with); see plans/tpch.py for the rationale.
 """
 
 from __future__ import annotations
@@ -261,35 +267,46 @@ JOIN sig sb ON pairs.doc_b = sb.doc_id
 MINHASH_LSH_SQL = _SIG_CTE + _MINHASH_BODY + _MINHASH_SELECT
 
 
-def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full production dedup pipeline: MinHash-LSH candidate pairs →
-    exact shingle-Jaccard verification on the candidates only.
-
-    This is the composition the other operators exist for: the band join
-    bounds the candidate set (nothing quadratic), and the exact check —
-    O(shingles) per candidate pair via array_intersect on the two
-    (small) shingle sets — runs on candidates alone, never all pairs.
-    At 100 TB this is one signature pass, one narrow band shuffle, and a
-    candidate-sized join back to the shingle relation.
-    """
-    docs = _t(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(spark, sf_dir)
+def exact_jaccard_for_pairs(
+    docs: DataFrame, pairs: DataFrame, threshold: float,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact shingle-Jaccard for an explicit candidate-pair set — the
+    O(candidates) verification primitive every blocking scheme feeds.
+    ``pairs`` needs (doc_a, doc_b); extra columns named in ``keep`` pass
+    through.  O(shingles) per pair via array_intersect on the two
+    (small) shingle sets; the joins are candidate-sized, never corpus²."""
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.join(a, "doc_a")
+        pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            "est_jaccard",
+            *keep,
             (inter.cast("double") / union).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline: MinHash-LSH candidate pairs →
+    exact shingle-Jaccard verification on the candidates only.
+
+    This is the composition the other operators exist for: the band join
+    bounds the candidate set (nothing quadratic), and the exact check
+    runs on candidates alone, never all pairs.  At 100 TB this is one
+    signature pass, one narrow band shuffle, and a candidate-sized join
+    back to the shingle relation.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    return exact_jaccard_for_pairs(docs, cand, 0.6, keep=("est_jaccard",))
 
 
 LSH_VERIFIED_SQL = (
@@ -316,12 +333,33 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard for pairs blocked by ``source``.
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str,
+    candidates: DataFrame | None = None, threshold: float = 0.1,
+) -> DataFrame:
+    """Exact 3-gram Jaccard over a candidate-pair set.
+
+    The default candidate set is MinHash-LSH banding — the composition a
+    100 TB corpus requires (nothing quadratic anywhere); pass
+    ``candidates`` (doc_a, doc_b) to verify pairs from any other
+    blocking scheme.  The all-pairs-within-``source`` spelling this
+    operator used to default to lives on as ngram_jaccard_blocked, the
+    O(block²) oracle twin.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    if candidates is None:
+        candidates = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return exact_jaccard_for_pairs(docs, candidates, threshold)
+
+
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for pairs blocked by ``source`` — the oracle
+    twin of ngram_jaccard_pairs (O(pairs-within-block): verification
+    semantics stated without LSH recall, at a cost only test scale can
+    afford).
 
     |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B| — set sizes are
-    exact integers so the similarity is cross-engine deterministic.  At
-    100 TB the block key is the LSH candidate set, not ``source``.
+    exact integers so the similarity is cross-engine deterministic.
     """
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
@@ -371,6 +409,30 @@ FROM inter
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.1
+"""
+)
+
+
+NGRAM_LSH_VERIFIED_SQL = (
+    _SIG_CTE
+    + _MINHASH_BODY
+    + ", cand AS ("
+    + _MINHASH_SELECT
+    + """
+), shset AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= 3
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM cand c
+JOIN shset a ON c.doc_a = a.doc_id
+JOIN shset b ON c.doc_b = b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
 """
 )
 
@@ -440,59 +502,144 @@ SELECT doc_id, simhash, simhash >> {SIMHASH_BITS - 16} AS bucket16 FROM fp
 """
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates, blocked by ``label`` (stand-in for
-    an IVF/LSH coarse bucket at scale).  Fixed-point integer dot products
-    (round(x·y·1e12)) keep sums order-independent and cross-engine exact."""
-    emb = _t(spark, sf_dir, "embeddings")
+def cosine_for_pairs(
+    emb: DataFrame, pairs: DataFrame, threshold: float,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact fixed-point cosine for an explicit candidate-pair set — the
+    O(candidates) verification primitive every embedding blocking scheme
+    feeds.  ``pairs`` needs (vec_a, vec_b); extra columns in ``keep``
+    pass through.  Scoring is one Arrow batch of elementwise int64
+    products per partition (the pipeline/similarity.py kernel) — no
+    CodegenFallback HOFs, candidate embeddings cross Arrow once."""
+    import numpy as np
+    import pandas as pd
 
-    def dot_int(a: Column, b: Column) -> Column:
-        prods = F.zip_with(
-            a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(1e12))
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v).cast("long")
+    from facebook_presto_spark.pipeline.similarity import _fixed_point
 
-    with_norm = emb.select(
-        "vec_id", "label", "embedding", dot_int(F.col("embedding"), F.col("embedding")).alias("norm_int")
-    )
-    a = with_norm.select(
-        F.col("vec_id").alias("vec_a"), F.col("label").alias("label_a"),
-        F.col("embedding").alias("emb_a"), F.col("norm_int").alias("norm_a"),
-    )
-    b = with_norm.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"), F.col("norm_int").alias("norm_b"),
-    )
+    # no annotations: `from __future__ import annotations` turns them
+    # into strings pandas_udf can't resolve — returnType says it all
+    @F.pandas_udf("double")
+    def cos(ea, eb):
+        if not len(ea):
+            return pd.Series([], dtype="float64")
+        XA = _fixed_point(np.stack(ea.to_numpy()))
+        XB = _fixed_point(np.stack(eb.to_numpy()))
+        dots = (XA * XB).sum(axis=1)                # exact int64
+        na = np.sqrt((XA * XA).sum(axis=1).astype(np.float64))
+        nb = np.sqrt((XB * XB).sum(axis=1).astype(np.float64))
+        return pd.Series(dots.astype(np.float64) / (na * nb))
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        a.join(b, (F.col("label_a") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.col("label_a").alias("label"),
-            (
-                dot_int(F.col("emb_a"), F.col("emb_b"))
-                / (F.sqrt(F.col("norm_a")) * F.sqrt(F.col("norm_b")))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.25)
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", *keep, cos("emb_a", "emb_b").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
-EMBEDDING_NEARDUP_SQL = """
-WITH e AS (
-  SELECT vec_id, label, embedding,
-         CAST(list_sum(list_transform(generate_series(1, len(embedding)),
-              i -> round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e12))) AS BIGINT) AS norm_int
+EMB_DEDUP_TABLES = 6       # sign-LSH hash tables for corpus-wide near-dup
+EMB_NEARDUP_THRESHOLD = 0.4
+
+
+def _lsh_bits(n_rows: int) -> int:
+    """Sign bits per hash table for corpus size ``n_rows``: enough that
+    expected bucket occupancy stays ~8, so candidate pairs per row are
+    O(1) and total candidates grow *linearly* with the corpus (a fixed
+    width goes quadratic as buckets saturate — the 10× scale probe
+    catches exactly that)."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(2.0, n_rows / 8))))
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str,
+    candidates: DataFrame | None = None,
+    threshold: float = EMB_NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates over a candidate-pair set.
+
+    The default candidate set is corpus-wide sign-LSH: bands whose bit
+    width scales with corpus size (see _lsh_bits), self-joined on
+    (table, bucket) — candidates grow linearly, never corpus².  Pass
+    ``candidates`` (vec_a, vec_b) to verify pairs from any other
+    blocking scheme (IVF lists, an ANN index, …).  The all-pairs-within-
+    ``label`` spelling this operator used to default to lives on as
+    embedding_neardup_blocked, the O(block²) oracle twin."""
+    from facebook_presto_spark.pipeline.similarity import sign_lsh_bands
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if candidates is None:
+        bits = _lsh_bits(emb.count())
+        bands = sign_lsh_bands(emb, EMB_DEDUP_TABLES, bits)
+        a = bands.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+        b = bands.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+        candidates = (
+            a.join(b, ["t", "bucket"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .distinct()
+        )
+    return cosine_for_pairs(emb, candidates, threshold)
+
+
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, all pairs within a ``label``
+    block — the oracle twin of embedding_neardup_pairs (exact semantics
+    without LSH recall, at a cost only test scale can afford)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"))
+    pairs = (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "label")
+    )
+    return cosine_for_pairs(emb, pairs, 0.25, keep=("label",))
+
+
+_EMB_NORM_CTES = f"""ei AS (
+  SELECT vec_id, label, list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
   FROM embeddings
-)
+), e AS (
+  SELECT vec_id, label, xi,
+         CAST(list_sum(list_transform(xi, v -> v * v)) AS BIGINT) AS norm_int
+  FROM ei
+)"""
+
+_PAIR_COSINE = """CAST(list_sum(list_transform(generate_series(1, len(a.xi)),
+            i -> a.xi[i] * b.xi[i])) AS BIGINT)
+         / (sqrt(a.norm_int) * sqrt(b.norm_int))"""
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH {_EMB_NORM_CTES}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
-            i -> round(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
-         / (sqrt(a.norm_int) * sqrt(b.norm_int)) AS cosine
+       {_PAIR_COSINE} AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE CAST(list_sum(list_transform(generate_series(1, len(a.embedding)),
-            i -> round(CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)*1e12))) AS BIGINT)
-         / (sqrt(a.norm_int) * sqrt(b.norm_int)) >= 0.25
+WHERE {_PAIR_COSINE} >= 0.25
+"""
+
+
+def _embedding_lsh_oracle_sql() -> str:
+    """Mirror of embedding_neardup_pairs' default path at the driver's
+    sf0.01 corpus size (n=500 → _lsh_bits=6); the literal hyperplane
+    family is shared with pipeline/similarity.py."""
+    from facebook_presto_spark.pipeline.similarity import sign_lsh_bands_sql
+
+    bits = _lsh_bits(500)
+    return f"""
+WITH {sign_lsh_bands_sql(EMB_DEDUP_TABLES, bits)}, pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), {_EMB_NORM_CTES}
+SELECT p.vec_a, p.vec_b, {_PAIR_COSINE} AS cosine
+FROM pairs p JOIN e a ON p.vec_a = a.vec_id JOIN e b ON p.vec_b = b.vec_id
+WHERE {_PAIR_COSINE} >= {EMB_NEARDUP_THRESHOLD}
 """
 
 
@@ -602,9 +749,11 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_connected_components": connected_components,
     "dedup_lsh_verified": lsh_verified_pairs,
-    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_ngram_jaccard": ngram_jaccard_blocked,
+    "dedup_ngram_lsh_verified": ngram_jaccard_pairs,
     "dedup_simhash": simhash64,
-    "dedup_embedding_cosine": embedding_neardup_pairs,
+    "dedup_embedding_cosine": embedding_neardup_blocked,
+    "dedup_embedding_lsh_verified": embedding_neardup_pairs,
 }
 
 ORACLE = {
@@ -613,6 +762,8 @@ ORACLE = {
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_lsh_verified": LSH_VERIFIED_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_ngram_lsh_verified": NGRAM_LSH_VERIFIED_SQL,
     "dedup_simhash": _simhash_oracle_sql(),
     "dedup_embedding_cosine": EMBEDDING_NEARDUP_SQL,
+    "dedup_embedding_lsh_verified": _embedding_lsh_oracle_sql(),
 }

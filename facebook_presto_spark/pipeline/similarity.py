@@ -145,7 +145,7 @@ PLANES_PER_TABLE = 4  # sign bits per table → 16 buckets/table
 _EMB_DIM = 64  # embedding dimensionality (embeddings.parquet)
 
 
-def _plane_rows() -> list[tuple[int, int, int]]:
+def _plane_rows(n_planes: int | None = None) -> list[tuple[int, int, int]]:
     """Deterministic hyperplane table: (plane p, 1-based dim pos, component).
 
     Component (p, j) is the first 15 md5 hex chars of ``"p_j"`` read as an
@@ -156,11 +156,67 @@ def _plane_rows() -> list[tuple[int, int, int]]:
     import hashlib
 
     rows = []
-    for p in range(N_TABLES * PLANES_PER_TABLE):
+    for p in range(n_planes if n_planes is not None
+                   else N_TABLES * PLANES_PER_TABLE):
         for j in range(1, _EMB_DIM + 1):
             hv = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:15], 16)
             rows.append((p, j, hv % 1000 - 500))
     return rows
+
+
+def plane_matrix(n_planes: int) -> np.ndarray:
+    """n_planes × dim int64 hyperplane matrix from the md5 family."""
+    return np.array(
+        [[ci for _, _, ci in _plane_rows(n_planes)[p * _EMB_DIM:(p + 1) * _EMB_DIM]]
+         for p in range(n_planes)],
+        dtype=np.int64,
+    )
+
+
+def sign_lsh_bands(emb: DataFrame, n_tables: int, planes_per_table: int,
+                   id_col: str = "vec_id") -> DataFrame:
+    """id → one (t, bucket) row per sign-LSH hash table, with
+    configurable width: ``planes_per_table`` sign bits per table.  Fixed
+    parameters suit query-time ANN; corpus-wide dedup scales the bit
+    width with corpus size (see dedup.embedding_lsh_verified) so bucket
+    occupancy — and with it candidate-pair count per row — stays O(1)."""
+    n_planes = n_tables * planes_per_table
+    M = plane_matrix(n_planes)
+    weights = np.array([2 ** r for r in range(planes_per_table)], dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="object")
+        XI = _fixed_point(np.stack(col.to_numpy()))
+        bits = (XI @ M.T > 0).astype(np.int64)  # (B, n_planes)
+        bk = (bits.reshape(len(XI), n_tables, planes_per_table) * weights).sum(axis=2)
+        return pd.Series(list(bk))
+
+    return emb.select(id_col, F.posexplode(buckets("embedding")).alias("t", "bucket"))
+
+
+def sign_lsh_bands_sql(n_tables: int, planes_per_table: int) -> str:
+    """DuckDB CTE chain (planes → ve → dots → bands) mirroring
+    sign_lsh_bands for arbitrary width — embed before a pairs CTE."""
+    n_planes = n_tables * planes_per_table
+    values = ", ".join(f"({p}, {j}, {ci})" for p, j, ci in _plane_rows(n_planes))
+    return f"""planes(p, pos, ci) AS (
+  VALUES {values}
+), ve AS (
+  SELECT vec_id, t.j AS pos,
+         CAST(round(CAST(embedding[t.j] AS DOUBLE) * {VEC_SCALE}) AS BIGINT) AS xi
+  FROM embeddings, generate_series(1, {_EMB_DIM}) t(j)
+), dots AS (
+  SELECT vec_id, p.p, sum(xi * p.ci) AS doti
+  FROM ve JOIN planes p ON p.pos = ve.pos
+  GROUP BY vec_id, p.p
+), bands AS (
+  SELECT vec_id, p // {planes_per_table} AS t,
+         CAST(sum(CASE WHEN doti > 0
+              THEN 1 << (p % {planes_per_table}) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, p // {planes_per_table}
+)"""
 
 
 def _bands(emb: DataFrame) -> DataFrame:
@@ -175,21 +231,7 @@ def _bands(emb: DataFrame) -> DataFrame:
     exact integer, so batch order cannot perturb the bucket bits and the
     oracle reproduces them bit-for-bit.
     """
-    M = np.array(
-        [[ci for _, _, ci in _plane_rows()[p * _EMB_DIM:(p + 1) * _EMB_DIM]]
-         for p in range(N_TABLES * PLANES_PER_TABLE)],
-        dtype=np.int64,
-    )  # (32, 64)
-    weights = np.array([2 ** r for r in range(PLANES_PER_TABLE)], dtype=np.int64)
-
-    @F.pandas_udf("array<long>")
-    def buckets(col: pd.Series) -> pd.Series:
-        XI = _fixed_point(np.stack(col.to_numpy()))
-        bits = (XI @ M.T > 0).astype(np.int64)  # (B, 32)
-        b8 = (bits.reshape(len(XI), N_TABLES, PLANES_PER_TABLE) * weights).sum(axis=2)
-        return pd.Series(list(b8))
-
-    return emb.select("vec_id", F.posexplode(buckets("embedding")).alias("t", "bucket"))
+    return sign_lsh_bands(emb, N_TABLES, PLANES_PER_TABLE)
 
 
 def _cosine_vs_queries_udf(q_ids: np.ndarray, QI: np.ndarray,
