@@ -26,17 +26,34 @@ Supported subset (documented limits):
   to the boundary segments)
 - ST_Contains / ST_Within (polygon ⊇ point via ray casting; boundary
   points count as outside — same as the reference's Esri ``contains``)
-- ST_Intersects (point-in-polygon exact; polygon↔polygon via envelope
-  overlap — a documented approximation; the reference uses full Esri
-  topology)
+- relation predicates via segment-orientation kernels, exact for simple
+  single geometries: ST_Intersects, ST_Disjoint, ST_Touches, ST_Crosses,
+  ST_Overlaps (polygon/polygon), ST_Equals (vertex-set equality)
+- accessors: ST_StartPoint/ST_EndPoint/ST_PointN, ST_ExteriorRing,
+  ST_Boundary, ST_IsRing/ST_IsSimple/ST_IsValid (self-crossing test),
+  ST_IsEmpty, ST_Dimension/ST_CoordinateDimension, line_locate_point
+- great_circle_distance (the reference's atan2 spelling, bit-for-bit),
+  ST_ConvexHull (monotone chain, Arrow-batched — inherently sequential)
 - bing_tile, bing_tile_at, bing_tile_quadkey, bing_tile_zoom_level,
-  bing_tile_coordinates, bing_tile_polygon (BingTileFunctions.java:
-  Mercator quadtree math, exact integer semantics)
+  bing_tile_coordinates, bing_tile_polygon, geometry_to_bing_tiles
+  (BingTileFunctions.java: Mercator quadtree math, exact integer
+  semantics; geometry_to_bing_tiles covers the envelope — the per-tile
+  disjoint refinement for non-rectangles needs the overlay kernel)
 
-Geometries with interior rings, multi-geometries, and the full
-relate/overlay family (ST_Union, ST_Intersection, ST_Buffer, …) are NOT
-implemented — they need a real computational-geometry kernel (Sedona/JTS
-when available).
+Known costs/limits:
+
+- the relation-predicate Column trees are large (thousands of expression
+  nodes): driver-side *construction* costs seconds per predicate
+  instance — constant in data size, amortized at scale, but don't build
+  them in a per-row loop.  Execution is fine (codegen/interp over
+  parsed coordinate arrays).
+- interior rings and multi-geometries parse their first ring/part only;
+  two collinear lines sharing a run are reported as touching.
+- the overlay family (ST_Union, ST_Intersection, ST_Difference,
+  ST_SymDifference, ST_Buffer, ST_Relate, simplify_geometry,
+  geometry_union) raises NotImplementedError loudly — building new
+  geometry needs a real computational-geometry kernel (Sedona/JTS);
+  permanent scope, see COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -275,18 +292,85 @@ def st_contains(outer, inner) -> Column:
 register("ST_Within")(lambda inner, outer: st_contains(outer, inner))
 
 
+def _orient(ax, ay, bx, by, cx, cy) -> Column:
+    """Orientation sign of (a→b, a→c): +1 left turn, −1 right, 0 collinear."""
+    return F.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+
+def _between(v, a, b) -> Column:
+    return (v >= F.least(a, b)) & (v <= F.greatest(a, b))
+
+
+def _on_segment(px, py, p1, p2) -> Column:
+    """Point (px,py) lies ON segment p1–p2 (collinearity + bbox)."""
+    return (
+        (_orient(p1["x"], p1["y"], p2["x"], p2["y"], px, py) == 0)
+        & _between(px, p1["x"], p2["x"])
+        & _between(py, p1["y"], p2["y"])
+    )
+
+
+def _point_on_boundary(px: Column, py: Column, c: Column) -> Column:
+    """Point lies on any segment of the coordinate chain ``c``."""
+    n = F.size(c)
+    return F.exists(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: _on_segment(px, py, F.element_at(c, i), F.element_at(c, i + 1)),
+    )
+
+
+def _seg_pair_test(ca: Column, cb: Column, i, j, proper: bool) -> Column:
+    p1, p2 = F.element_at(ca, i), F.element_at(ca, i + 1)
+    p3, p4 = F.element_at(cb, j), F.element_at(cb, j + 1)
+    o1 = _orient(p1["x"], p1["y"], p2["x"], p2["y"], p3["x"], p3["y"])
+    o2 = _orient(p1["x"], p1["y"], p2["x"], p2["y"], p4["x"], p4["y"])
+    o3 = _orient(p3["x"], p3["y"], p4["x"], p4["y"], p1["x"], p1["y"])
+    o4 = _orient(p3["x"], p3["y"], p4["x"], p4["y"], p2["x"], p2["y"])
+    if proper:
+        return (o1 * o2 < 0) & (o3 * o4 < 0)
+    general = (o1 != o2) & (o3 != o4)
+    return (
+        general
+        | ((o1 == 0) & _on_segment(p3["x"], p3["y"], p1, p2))
+        | ((o2 == 0) & _on_segment(p4["x"], p4["y"], p1, p2))
+        | ((o3 == 0) & _on_segment(p1["x"], p1["y"], p3, p4))
+        | ((o4 == 0) & _on_segment(p2["x"], p2["y"], p3, p4))
+    )
+
+
+def _segments_intersect(ca: Column, cb: Column, proper: bool = False) -> Column:
+    """Any segment of chain a meets any segment of chain b.  ``proper``
+    restricts to transversal crossings (shared interior point, no
+    touch/collinear contact) — the classic orientation test."""
+    na, nb = F.size(ca), F.size(cb)
+    return F.exists(
+        F.sequence(F.lit(1), na - 1),
+        lambda i: F.exists(
+            F.sequence(F.lit(1), nb - 1),
+            lambda j: _seg_pair_test(ca, cb, i, j, proper),
+        ),
+    )
+
+
+def _typ(g: Column) -> Column:
+    return F.regexp_extract(g, r"^(\w+)", 1)
+
+
+def _strictly_inside(px, py, ring) -> Column:
+    return _point_in_ring(px, py, ring) & ~_point_on_boundary(px, py, ring)
+
+
 @register("ST_Intersects")
 def st_intersects(a, b) -> Column:
-    """point↔polygon exact (ray cast); otherwise envelope-overlap test
-    (superset approximation of true intersection)."""
+    """Exact for simple point/linestring/polygon pairs: segment-pair
+    orientation tests (incl. collinear touches) plus containment probes
+    (GeoFunctions.java stIntersects; same truth table as Esri's
+    ``intersects`` for single simple geometries).  An envelope pre-test
+    keeps the common join case a cheap reject."""
     ga, gb = _c(a), _c(b)
-    ta = F.regexp_extract(ga, r"^(\w+)", 1)
-    tb = F.regexp_extract(gb, r"^(\w+)", 1)
+    ta, tb = _typ(ga), _typ(gb)
     ca, cb = _coords(ga), _coords(gb)
     pa, pb = F.element_at(ca, 1), F.element_at(cb, 1)
-    point_poly = F.when(ta == "POINT", _point_in_ring(pa["x"], pa["y"], cb)).otherwise(
-        _point_in_ring(pb["x"], pb["y"], ca)
-    )
     xs = lambda c: F.transform(c, lambda p: p["x"])  # noqa: E731
     ys = lambda c: F.transform(c, lambda p: p["y"])  # noqa: E731
     env = (
@@ -295,7 +379,132 @@ def st_intersects(a, b) -> Column:
         & (F.array_min(ys(ca)) <= F.array_max(ys(cb)))
         & (F.array_min(ys(cb)) <= F.array_max(ys(ca)))
     )
-    return F.when((ta == "POINT") | (tb == "POINT"), point_poly).otherwise(env)
+    pt_test = lambda p, c, t: F.when(  # noqa: E731
+        t == "POLYGON", _point_in_ring(p["x"], p["y"], c) | _point_on_boundary(p["x"], p["y"], c)
+    ).otherwise(_point_on_boundary(p["x"], p["y"], c))
+    both = (
+        _segments_intersect(ca, cb)
+        | ((tb == "POLYGON") & _point_in_ring(pa["x"], pa["y"], cb))
+        | ((ta == "POLYGON") & _point_in_ring(pb["x"], pb["y"], ca))
+    )
+    point_point = (pa["x"] == pb["x"]) & (pa["y"] == pb["y"])
+    return env & (
+        F.when((ta == "POINT") & (tb == "POINT"), point_point)
+        .when(ta == "POINT", pt_test(pa, cb, tb))
+        .when(tb == "POINT", pt_test(pb, ca, ta))
+        .otherwise(both)
+    )
+
+
+@register("ST_Disjoint")
+def st_disjoint(a, b) -> Column:
+    """GeoFunctions.java stDisjoint — the negation of ST_Intersects."""
+    return ~st_intersects(a, b)
+
+
+def _interiors_overlap(ga, gb, ca, cb, ta, tb) -> Column:
+    """Interior∩interior non-empty, for the touch/cross/overlap family:
+    a transversal segment crossing, or a vertex of one strictly inside
+    the other polygon."""
+    return (
+        _segments_intersect(ca, cb, proper=True)
+        | ((tb == "POLYGON") & F.exists(
+            ca, lambda p: _strictly_inside(p["x"], p["y"], cb)))
+        | ((ta == "POLYGON") & F.exists(
+            cb, lambda p: _strictly_inside(p["x"], p["y"], ca)))
+    )
+
+
+@register("ST_Touches")
+def st_touches(a, b) -> Column:
+    """Boundaries meet, interiors don't (GeoFunctions.java stTouches).
+    Exact for the polygon/polygon, line/polygon and point cases; two
+    collinear lines sharing an interior run are reported as touching
+    (a documented simplification — full DE-9IM needs an overlay kernel)."""
+    ga, gb = _c(a), _c(b)
+    ta, tb = _typ(ga), _typ(gb)
+    ca, cb = _coords(ga), _coords(gb)
+    pa, pb = F.element_at(ca, 1), F.element_at(cb, 1)
+    point_case = lambda p, c, t: F.when(  # noqa: E731
+        t == "POLYGON", _point_on_boundary(p["x"], p["y"], c)
+    ).otherwise(
+        # boundary of a linestring = its endpoints
+        ((p["x"] == F.element_at(c, 1)["x"]) & (p["y"] == F.element_at(c, 1)["y"]))
+        | ((p["x"] == F.element_at(c, -1)["x"]) & (p["y"] == F.element_at(c, -1)["y"]))
+    )
+    return (
+        F.when((ta == "POINT") & (tb == "POINT"), F.lit(False))
+        .when(ta == "POINT", point_case(pa, cb, tb))
+        .when(tb == "POINT", point_case(pb, ca, ta))
+        .otherwise(
+            st_intersects(ga, gb) & ~_interiors_overlap(ga, gb, ca, cb, ta, tb)
+        )
+    )
+
+
+@register("ST_Crosses")
+def st_crosses(a, b) -> Column:
+    """GeoFunctions.java stCrosses: interiors intersect and each geometry
+    has interior points outside the other.  line/line = a transversal
+    crossing; line/polygon = the line passes strictly inside AND outside;
+    point/* and polygon/polygon are false by the DE-9IM dimension rules."""
+    ga, gb = _c(a), _c(b)
+    ta, tb = _typ(ga), _typ(gb)
+    ca, cb = _coords(ga), _coords(gb)
+
+    def line_poly(line_c, poly_c):
+        some_in = F.exists(line_c, lambda p: _strictly_inside(p["x"], p["y"], poly_c))
+        some_out = F.exists(
+            line_c,
+            lambda p: ~_point_in_ring(p["x"], p["y"], poly_c)
+            & ~_point_on_boundary(p["x"], p["y"], poly_c),
+        )
+        crossing = _segments_intersect(line_c, poly_c, proper=True)
+        # a transversal ring crossing alone already implies interior
+        # points on both sides of the boundary
+        return (some_in & some_out) | crossing
+
+    return (
+        F.when((ta == "POINT") | (tb == "POINT"), F.lit(False))
+        .when((ta == "POLYGON") & (tb == "POLYGON"), F.lit(False))
+        .when((ta != "POLYGON") & (tb == "POLYGON"), line_poly(ca, cb))
+        .when((ta == "POLYGON") & (tb != "POLYGON"), line_poly(cb, ca))
+        .otherwise(_segments_intersect(ca, cb, proper=True))
+    )
+
+
+@register("ST_Overlaps")
+def st_overlaps(a, b) -> Column:
+    """GeoFunctions.java stOverlaps: same dimension, interiors intersect,
+    neither contains the other.  Exact for polygon/polygon (the join
+    case); collinear line/line overlap needs an overlay kernel and
+    reports false (documented)."""
+    ga, gb = _c(a), _c(b)
+    ta, tb = _typ(ga), _typ(gb)
+    ca, cb = _coords(ga), _coords(gb)
+    poly_poly = (
+        _interiors_overlap(ga, gb, ca, cb, ta, tb)
+        & ~st_contains(ga, gb)
+        & ~st_contains(gb, ga)
+    )
+    return F.when((ta == "POLYGON") & (tb == "POLYGON"), poly_poly).otherwise(
+        F.lit(False)
+    )
+
+
+@register("ST_Equals")
+def st_equals(a, b) -> Column:
+    """GeoFunctions.java stEquals, as coordinate-set equality: same type
+    and the same vertex set (order/orientation-insensitive) — exact for
+    points and for rings/lines with identical vertex spellings."""
+    ga, gb = _c(a), _c(b)
+    key = lambda g: F.array_sort(  # noqa: E731
+        F.transform(
+            _coords(g),
+            lambda p: F.concat(p["x"].cast("string"), F.lit(":"), p["y"].cast("string")),
+        )
+    )
+    return (_typ(ga) == _typ(gb)) & (key(ga) == key(gb))
 
 
 # --- Bing tiles (BingTileFunctions.java — Mercator quadtree) ---------------
@@ -423,3 +632,320 @@ def bing_tile_polygon(tile) -> Column:
         pt(lng_e, lat_n), F.lit(", "), pt(lng_w, lat_n), F.lit(", "),
         pt(lng_w, lat_s), F.lit("))"),
     )
+
+
+# --- accessors / predicates on a single geometry ---------------------------
+
+def _fmt_point(x, y) -> Column:
+    return F.concat(F.lit("POINT ("), _fmt_coord(x), F.lit(" "), _fmt_coord(y), F.lit(")"))
+
+
+@register("ST_StartPoint")
+def st_start_point(g) -> Column:
+    """First vertex of a linestring (GeoFunctions.java stStartPoint)."""
+    p = F.element_at(_coords(g), 1)
+    return F.when(_typ(_c(g)) == "LINESTRING", _fmt_point(p["x"], p["y"]))
+
+
+@register("ST_EndPoint")
+def st_end_point(g) -> Column:
+    p = F.element_at(_coords(g), -1)
+    return F.when(_typ(_c(g)) == "LINESTRING", _fmt_point(p["x"], p["y"]))
+
+
+@register("ST_PointN")
+def st_point_n(g, n) -> Column:
+    """1-based vertex accessor (GeoFunctions.java stPointN); NULL out of
+    range, like the reference."""
+    c = _coords(g)
+    idx = _lit(n).cast("int")
+    p = F.when((idx >= 1) & (idx <= F.size(c)), F.element_at(c, idx))
+    return F.when(p.isNotNull(), _fmt_point(p["x"], p["y"]))
+
+
+def _self_proper_cross(c: Column) -> Column:
+    """Any transversal crossing between non-adjacent segments of one
+    chain — the cheap core of simplicity/validity checks."""
+    n = F.size(c)
+    return F.exists(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.exists(
+            F.sequence(F.lit(1), n - 1),
+            lambda j: (j > i + 1) & _seg_pair_test(c, c, i, j, True),
+        ),
+    )
+
+
+@register("ST_IsRing")
+def st_is_ring(g) -> Column:
+    """Closed + no self-crossing linestring (GeoFunctions.java stIsRing)."""
+    return F.when(
+        _typ(_c(g)) == "LINESTRING", st_is_closed(g) & ~_self_proper_cross(_coords(g))
+    )
+
+
+@register("ST_IsSimple")
+def st_is_simple(g) -> Column:
+    """No transversal self-intersection (points are always simple)."""
+    return F.when(_typ(_c(g)) == "POINT", F.lit(True)).otherwise(
+        ~_self_proper_cross(_coords(g))
+    )
+
+
+@register("ST_IsValid")
+def st_is_valid(g) -> Column:
+    """Ring/chain validity as absence of self-crossing — the dominant
+    invalidity class; full OGC validity needs an overlay kernel."""
+    return st_is_simple(g)
+
+
+@register("ST_IsEmpty")
+def st_is_empty(g) -> Column:
+    return _c(g).rlike(" EMPTY$")
+
+
+@register("ST_Dimension")
+def st_dimension(g) -> Column:
+    t = _typ(_c(g))
+    return (
+        F.when(t.isin("POINT", "MULTIPOINT"), F.lit(0))
+        .when(t.isin("LINESTRING", "MULTILINESTRING"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("bigint")
+    )
+
+
+register("ST_CoordinateDimension")(lambda g: F.lit(2).cast("bigint"))
+
+
+def _chain_wkt(c: Column) -> Column:
+    """array<struct<x,y>> → "x y, x y, …" body text."""
+    return F.array_join(
+        F.transform(c, lambda p: F.concat(_fmt_coord(p["x"]), F.lit(" "), _fmt_coord(p["y"]))),
+        ", ",
+    )
+
+
+@register("ST_ExteriorRing")
+def st_exterior_ring(g) -> Column:
+    """Polygon exterior ring as a LINESTRING (GeoFunctions.java
+    stExteriorRing)."""
+    return F.when(
+        _typ(_c(g)) == "POLYGON",
+        F.concat(F.lit("LINESTRING ("), _chain_wkt(_coords(g)), F.lit(")")),
+    )
+
+
+@register("ST_Boundary")
+def st_boundary(g) -> Column:
+    """Topological boundary (GeoFunctions.java stBoundary): polygon →
+    MULTILINESTRING of its (closed) ring, linestring → MULTIPOINT of its
+    endpoints, point → MULTIPOINT EMPTY — the reference's WKT shapes."""
+    gc = _c(g)
+    t = _typ(gc)
+    c = _coords(gc)
+    first, last = F.element_at(c, 1), F.element_at(c, -1)
+    closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
+    ring = F.when(closed, c).otherwise(F.concat(c, F.array(first)))
+    pt = lambda p: F.concat(  # noqa: E731
+        F.lit("("), _fmt_coord(p["x"]), F.lit(" "), _fmt_coord(p["y"]), F.lit(")")
+    )
+    return (
+        F.when(t == "POINT", F.lit("MULTIPOINT EMPTY"))
+        .when(
+            t == "LINESTRING",
+            F.concat(F.lit("MULTIPOINT ("), pt(first), F.lit(", "), pt(last), F.lit(")")),
+        )
+        .when(
+            t == "POLYGON",
+            F.concat(F.lit("MULTILINESTRING (("), _chain_wkt(ring), F.lit("))")),
+        )
+    )
+
+
+@register("line_locate_point")
+def line_locate_point(line, point) -> Column:
+    """Fraction of the line's length at the nearest point to ``point``
+    (GeoFunctions.java lineLocatePoint).  Per segment: clamped projection
+    parameter + distance; the argmin comes from array_sort on
+    (distance, fraction) structs — struct ordering sorts by distance
+    first, so element 1 is the closest segment's fraction."""
+    lc, pc = _c(line), _c(point)
+    c = _coords(lc)
+    p = F.element_at(_coords(pc), 1)
+    n = F.size(c)
+    seg_len = lambda i: F.sqrt(  # noqa: E731
+        F.pow(F.element_at(c, i + 1)["x"] - F.element_at(c, i)["x"], 2)
+        + F.pow(F.element_at(c, i + 1)["y"] - F.element_at(c, i)["y"], 2)
+    )
+    total = F.aggregate(F.sequence(F.lit(1), n - 1), F.lit(0.0), lambda a, i: a + seg_len(i))
+    prefix = lambda i: F.aggregate(  # noqa: E731
+        F.sequence(F.lit(1), i), F.lit(0.0),
+        lambda a, j: a + F.when(j < i, seg_len(j)).otherwise(0.0),
+    )
+
+    def seg_entry(i):
+        p1, p2 = F.element_at(c, i), F.element_at(c, i + 1)
+        dx, dy = p2["x"] - p1["x"], p2["y"] - p1["y"]
+        len2 = dx * dx + dy * dy
+        t_raw = ((p["x"] - p1["x"]) * dx + (p["y"] - p1["y"]) * dy) / len2
+        t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+            F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        )
+        qx, qy = p1["x"] + t * dx, p1["y"] + t * dy
+        dist = F.sqrt(F.pow(p["x"] - qx, 2) + F.pow(p["y"] - qy, 2))
+        frac = (prefix(i) + t * seg_len(i)) / total
+        return F.struct(dist.alias("d"), frac.alias("f"))
+
+    best = F.element_at(
+        F.array_sort(F.transform(F.sequence(F.lit(1), n - 1), seg_entry)), 1
+    )
+    return F.when(
+        (_typ(lc) == "LINESTRING") & (_typ(pc) == "POINT") & ~lc.rlike(" EMPTY$")
+        & ~pc.rlike(" EMPTY$"),
+        best["f"],
+    )
+
+
+# --- great-circle distance (GeoFunctions.java greatCircleDistance) ---------
+
+_EARTH_RADIUS_KM = 6371.01
+
+
+@register("great_circle_distance")
+def great_circle_distance(lat1, lng1, lat2, lng2) -> Column:
+    """Distance in km on the WGS84 sphere — the reference's Vincenty-form
+    atan2 spelling (GeoFunctions.java:1202, EARTH_RADIUS_KM 6371.01),
+    reproduced operation-for-operation so results agree bitwise."""
+    rlat1, rlat2 = F.radians(_c(lat1).cast("double")), F.radians(_c(lat2).cast("double"))
+    sin1, cos1 = F.sin(rlat1), F.cos(rlat1)
+    sin2, cos2 = F.sin(rlat2), F.cos(rlat2)
+    dlng = F.radians(_c(lng1).cast("double")) - F.radians(_c(lng2).cast("double"))
+    cos_dlng = F.cos(dlng)
+    t1 = cos2 * F.sin(dlng)
+    t2 = cos1 * sin2 - sin1 * cos2 * cos_dlng
+    t3 = sin1 * sin2 + cos1 * cos2 * cos_dlng
+    return F.atan2(F.sqrt(t1 * t1 + t2 * t2), t3) * _EARTH_RADIUS_KM
+
+
+# --- convex hull (GeoFunctions.java stConvexHull) --------------------------
+
+@register("ST_ConvexHull")
+def st_convex_hull(g) -> Column:
+    """Andrew's monotone chain over the vertex set, as an Arrow-batched
+    pandas UDF (vertex counts are tiny; hull construction is inherently
+    sequential, so a Catalyst HOF spelling buys nothing).  Degenerate
+    hulls collapse like the reference: 1 unique point → POINT, collinear
+    → LINESTRING, else a closed CCW POLYGON starting at the
+    lowest-leftmost vertex."""
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def hull(col):
+        import re
+
+        def fmt(v):
+            return str(int(v)) if float(v).is_integer() else repr(v)
+
+        out = []
+        for wkt in col:
+            if wkt is None:
+                out.append(None)
+                continue
+            pts = sorted({
+                (float(a), float(b))
+                for a, b in re.findall(r"(-?[\d.]+)\s+(-?[\d.]+)", wkt)
+            })
+            if len(pts) == 1:
+                out.append(f"POINT ({fmt(pts[0][0])} {fmt(pts[0][1])})")
+                continue
+
+            def half(seq):
+                h = []
+                for pt in seq:
+                    while len(h) >= 2 and (
+                        (h[-1][0] - h[-2][0]) * (pt[1] - h[-2][1])
+                        - (h[-1][1] - h[-2][1]) * (pt[0] - h[-2][0])
+                    ) <= 0:
+                        h.pop()
+                    h.append(pt)
+                return h
+
+            lower, upper = half(pts), half(reversed(pts))
+            ring = lower[:-1] + upper[:-1]
+            if len(ring) < 3:
+                a, b = pts[0], pts[-1]
+                out.append(
+                    f"LINESTRING ({fmt(a[0])} {fmt(a[1])}, {fmt(b[0])} {fmt(b[1])})"
+                )
+                continue
+            ring.append(ring[0])
+            body = ", ".join(f"{fmt(x)} {fmt(y)}" for x, y in ring)
+            out.append(f"POLYGON (({body}))")
+        return pd.Series(out)
+
+    return hull(_c(g))
+
+
+# --- geometry_to_bing_tiles (BingTileFunctions.java:349) -------------------
+
+@register("geometry_to_bing_tiles")
+def geometry_to_bing_tiles(g, zoom) -> Column:
+    """Tiles covering the geometry's envelope at ``zoom``
+    (BingTileFunctions.geometryToBingTiles).  Envelope cover exactly like
+    the reference's bounding-box walk, including the shift-left/up when
+    the lower-right corner only touches a tile border; the reference's
+    extra per-tile disjoint() refinement for non-rectangles is a
+    documented approximation gap (it needs the overlay kernel)."""
+    gc = _c(g)
+    c = _coords(gc)
+    xmin = F.array_min(F.transform(c, lambda p: p["x"]))
+    xmax = F.array_max(F.transform(c, lambda p: p["x"]))
+    ymin = F.array_min(F.transform(c, lambda p: p["y"]))
+    ymax = F.array_max(F.transform(c, lambda p: p["y"]))
+    zoom_c = _lit(zoom).cast("int")
+    ul = bing_tile_at(ymax, xmin, zoom)
+    lr0 = bing_tile_at(ymin, xmax, zoom)
+    map_size = F.pow(F.lit(2.0), zoom_c)
+    # upper-left corner of the lower-right tile, in lat/lng
+    import math as _math
+
+    lr_west = lr0["x"] / map_size * 360.0 - 180.0
+    fy = 0.5 - lr0["y"] / map_size
+    lr_north = 90.0 - 360.0 * F.atan(F.exp(-fy * 2 * _math.pi)) / _math.pi
+    lr_x = F.when((lr_west == xmax) & (lr0["x"] > ul["x"]), lr0["x"] - 1).otherwise(lr0["x"])
+    lr_y = F.when((lr_north == ymin) & (lr0["y"] > ul["y"]), lr0["y"] - 1).otherwise(lr0["y"])
+    return F.flatten(
+        F.transform(
+            F.sequence(ul["x"], lr_x),
+            lambda tx: F.transform(
+                F.sequence(ul["y"], lr_y),
+                lambda ty: F.struct(
+                    tx.cast("int").alias("x"), ty.cast("int").alias("y"), zoom_c.alias("zoom")
+                ),
+            ),
+        )
+    )
+
+
+# --- overlay family: loud failure (VERDICT #9 — permanent scope) -----------
+
+def _needs_geometry_kernel(name: str):
+    ref = "presto-geospatial/.../GeoFunctions.java"
+
+    @register(name)
+    def _raise(*_args):
+        raise NotImplementedError(
+            f"{name} builds new geometry from set-theoretic overlays and "
+            f"needs a computational-geometry kernel (JTS/Esri — see {ref}); "
+            "not implementable as Catalyst expressions. Use Apache Sedona "
+            "alongside this engine for overlay workloads."
+        )
+
+    return _raise
+
+
+for _name in ("ST_Union", "ST_Intersection", "ST_Difference",
+              "ST_SymDifference", "ST_Buffer", "ST_Relate",
+              "simplify_geometry", "geometry_union"):
+    _needs_geometry_kernel(_name)

@@ -86,7 +86,8 @@ def test_intersects(spark):
     assert one(
         spark, call("ST_Intersects", F.lit("POINT (9 9)"), F.lit(PENTAGON))
     ) is False
-    # polygon↔polygon: envelope overlap
+    # polygon↔polygon is exact now: this square overlaps the pentagon's
+    # envelope but NOT the pentagon itself (the envelope test got it wrong)
     assert one(
         spark,
         call(
@@ -94,7 +95,189 @@ def test_intersects(spark):
             F.lit("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"),
             F.lit(PENTAGON),
         ),
+    ) is False
+    # a square that genuinely pokes into the pentagon
+    assert one(
+        spark,
+        call(
+            "ST_Intersects",
+            F.lit("POLYGON ((3 2, 6 2, 6 4, 3 4, 3 2))"),
+            F.lit(PENTAGON),
+        ),
     ) is True
+    # containment without boundary contact (no segment crossings)
+    assert one(
+        spark,
+        call(
+            "ST_Intersects",
+            F.lit("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+            F.lit(PENTAGON),
+        ),
+    ) is True
+    # line crossing a polygon edge
+    assert one(
+        spark,
+        call("ST_Intersects", F.lit("LINESTRING (-2 1, 1 1)"), F.lit(PENTAGON)),
+    ) is True
+    # disjoint lines
+    assert one(
+        spark,
+        call(
+            "ST_Intersects",
+            F.lit("LINESTRING (0 0, 1 0)"),
+            F.lit("LINESTRING (0 1, 1 1)"),
+        ),
+    ) is False
+
+
+def test_disjoint_touches_crosses(spark):
+    sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    # share exactly the edge x=2 → touches, not disjoint, not crosses
+    sq_right = "POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))"
+    sq_far = "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"
+    assert one(spark, call("ST_Disjoint", F.lit(sq), F.lit(sq_far))) is True
+    assert one(spark, call("ST_Disjoint", F.lit(sq), F.lit(sq_right))) is False
+    assert one(spark, call("ST_Touches", F.lit(sq), F.lit(sq_right))) is True
+    # overlapping interiors: not touches
+    sq_overlap = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert one(spark, call("ST_Touches", F.lit(sq), F.lit(sq_overlap))) is False
+    # corner-point contact only
+    sq_corner = "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"
+    assert one(spark, call("ST_Touches", F.lit(sq), F.lit(sq_corner))) is True
+    # point on the boundary touches; point inside does not
+    assert one(spark, call("ST_Touches", F.lit("POINT (2 1)"), F.lit(sq))) is True
+    assert one(spark, call("ST_Touches", F.lit("POINT (1 1)"), F.lit(sq))) is False
+    # transversal line crossings
+    assert one(
+        spark,
+        call(
+            "ST_Crosses",
+            F.lit("LINESTRING (0 0, 2 2)"),
+            F.lit("LINESTRING (0 2, 2 0)"),
+        ),
+    ) is True
+    # line passing through the square crosses it; polygon/polygon never does
+    assert one(
+        spark, call("ST_Crosses", F.lit("LINESTRING (-1 1, 3 1)"), F.lit(sq))
+    ) is True
+    assert one(spark, call("ST_Crosses", F.lit(sq), F.lit(sq_overlap))) is False
+
+
+def test_overlaps_equals(spark):
+    sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    sq_overlap = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    inner = "POLYGON ((0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))"
+    assert one(spark, call("ST_Overlaps", F.lit(sq), F.lit(sq_overlap))) is True
+    assert one(spark, call("ST_Overlaps", F.lit(sq), F.lit(inner))) is False
+    assert one(spark, call("ST_Equals", F.lit(sq), F.lit(sq))) is True
+    assert one(spark, call("ST_Equals", F.lit(sq), F.lit(sq_overlap))) is False
+
+
+def test_accessors(spark):
+    line = "LINESTRING (8 4, 4 8, 5 6)"
+    assert one(spark, call("ST_StartPoint", F.lit(line))) == "POINT (8 4)"
+    assert one(spark, call("ST_EndPoint", F.lit(line))) == "POINT (5 6)"
+    assert one(spark, call("ST_PointN", F.lit(line), 2)) == "POINT (4 8)"
+    assert one(spark, call("ST_PointN", F.lit(line), 9)) is None
+    assert one(spark, call("ST_IsRing", F.lit("LINESTRING (8 4, 4 8)"))) is False
+    assert one(
+        spark, call("ST_IsRing", F.lit("LINESTRING (0 0, 1 1, 0 2, 0 0)"))
+    ) is True
+    assert one(spark, call("ST_Dimension", F.lit(PENTAGON))) == 2
+    assert one(spark, call("ST_Dimension", F.lit(line))) == 1
+    assert one(spark, call("ST_IsEmpty", F.lit("POINT EMPTY"))) is True
+    assert one(spark, call("ST_IsEmpty", F.lit(line))) is False
+    assert (
+        one(spark, call("ST_ExteriorRing", F.lit("POLYGON ((1 1, 4 1, 1 4, 1 1))")))
+        == "LINESTRING (1 1, 4 1, 1 4, 1 1)"
+    )
+    # TestGeoFunctions.testSTBoundary shapes
+    assert one(spark, call("ST_Boundary", F.lit("POINT (1 2)"))) == "MULTIPOINT EMPTY"
+    assert (
+        one(spark, call("ST_Boundary", F.lit("LINESTRING (8 4, 5 7)")))
+        == "MULTIPOINT ((8 4), (5 7))"
+    )
+    assert (
+        one(spark, call("ST_Boundary", F.lit("POLYGON ((1 1, 4 1, 1 4))")))
+        == "MULTILINESTRING ((1 1, 4 1, 1 4, 1 1))"
+    )
+
+
+def test_line_locate_point(spark):
+    # TestGeoFunctions.testLineLocatePoint values
+    cases = [
+        ("LINESTRING (0 0, 0 1)", "POINT (0 0.2)", 0.2),
+        ("LINESTRING (0 0, 0 1)", "POINT (0 0)", 0.0),
+        ("LINESTRING (0 0, 0 1)", "POINT (0 -1)", 0.0),
+        ("LINESTRING (0 0, 0 1)", "POINT (0 1)", 1.0),
+        ("LINESTRING (0 0, 0 1)", "POINT (0 2)", 1.0),
+        ("LINESTRING (0 0, 0 1, 2 1)", "POINT (0 0.2)", 0.06666666666666667),
+        ("LINESTRING (0 0, 0 1, 2 1)", "POINT (0.9 1)", 0.6333333333333333),
+        ("LINESTRING (1 3, 5 4)", "POINT (1 3)", 0.0),
+        ("LINESTRING (1 3, 5 4)", "POINT (2 3)", 0.23529411764705882),
+        ("LINESTRING (1 3, 5 4)", "POINT (5 4)", 1.0),
+    ]
+    for line, pt, expect in cases:
+        got = one(spark, call("line_locate_point", F.lit(line), F.lit(pt)))
+        assert abs(got - expect) < 1e-12, (line, pt, got)
+
+
+def test_great_circle_distance(spark):
+    # TestGeoFunctions: New York ↔ Tokyo ≈ 10768.99 km
+    d = one(
+        spark,
+        call(
+            "great_circle_distance",
+            F.lit(36.12), F.lit(-86.67), F.lit(33.94), F.lit(-118.40),
+        ),
+    )
+    assert abs(d - 2886.448973436703) < 1e-9
+    assert one(
+        spark,
+        call("great_circle_distance", F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+    ) == 0.0
+
+
+def test_convex_hull(spark):
+    got = one(
+        spark,
+        call("ST_ConvexHull", F.lit("MULTIPOINT (0 0, 2 0, 1 1, 2 2, 0 2, 1 0.5)")),
+    )
+    assert got == "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert one(spark, call("ST_ConvexHull", F.lit("POINT (3 4)"))) == "POINT (3 4)"
+    assert (
+        one(spark, call("ST_ConvexHull", F.lit("LINESTRING (0 0, 1 1, 2 2)")))
+        == "LINESTRING (0 0, 2 2)"
+    )
+
+
+def test_geometry_to_bing_tiles(spark):
+    # a point maps to exactly its containing tile
+    tiles = one(
+        spark, call("geometry_to_bing_tiles", F.lit("POINT (-122.3 47.6)"), 10)
+    )
+    at = one(spark, call("bing_tile_at", F.lit(47.6), F.lit(-122.3), 10))
+    assert len(tiles) == 1 and (tiles[0]["x"], tiles[0]["y"]) == (at["x"], at["y"])
+    # an envelope spanning several tiles is fully covered
+    tiles = one(
+        spark,
+        call(
+            "geometry_to_bing_tiles",
+            F.lit("POLYGON ((-122.4 47.5, -122.0 47.5, -122.0 47.8, -122.4 47.8, -122.4 47.5))"),
+            10,
+        ),
+    )
+    xs = {t["x"] for t in tiles}
+    ys = {t["y"] for t in tiles}
+    assert len(tiles) == len(xs) * len(ys) >= 2
+
+
+def test_overlay_family_raises_loudly(spark):
+    import pytest
+
+    for fn in ("ST_Union", "ST_Intersection", "ST_Buffer", "ST_Relate"):
+        with pytest.raises(NotImplementedError, match="geometry kernel"):
+            call(fn, F.lit("POINT (0 0)"), F.lit("POINT (1 1)"))
 
 
 def test_bing_tiles(spark):
