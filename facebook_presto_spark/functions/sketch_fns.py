@@ -33,12 +33,14 @@ For 100 TB groups use :func:`bottom_k_hashes` — a two-level plan (distinct →
 per-group window top-k) that Spark 4 executes with per-group heaps
 (InferWindowGroupLimit), never materializing a full group in memory.
 
-The quantile digest is represented as the 101-point percentile grid
-(array<double> of p0, p1 … p100) computed by Spark's exact ``percentile`` —
-a strict-accuracy superset of the reference's qdigest estimate (same
-precedent as approx_percentile_weighted in agg_fns.py).  ``value_at_quantile``
-indexes the grid; accuracy is ±0.5 percentile rank, far inside the
-reference's default qdigest error bound.
+The quantile digest is a MERGEABLE deterministic sketch: a bucket-count
+map keyed by the value truncated to its top 8 significant bits (bounded
+cardinality, exact key-wise merge, ≤2^-7 relative value error — see the
+section comment below).  ``value_at_quantile`` walks the sorted buckets
+to the requested rank; ``merge_qdigest`` combines digests losslessly,
+giving the distributed-combine semantics the reference's merge() exists
+for (verified by the agg_qdigest_merge oracle: merge(parts) ≡
+digest(whole)).
 """
 
 from __future__ import annotations
@@ -163,24 +165,116 @@ def hash_counts(d) -> Column:
 
 
 # --------------------------------------------------------------------------
-# Quantile digest
+# Quantile digest — a MERGEABLE deterministic sketch
+#
+# The reference's qdigest (QuantileDigestAggregationFunction.java:58,
+# spi QuantileDigest) is a compressed counting tree over the int64
+# domain: bounded size, lossless merge.  The twin here keeps those two
+# properties with a simpler, oracle-reproducible structure: a bucket
+# count map keyed by the value truncated to its top QDIGEST_BITS
+# significant bits.  Bucket cardinality is bounded by construction
+# (≤ 64·2^8 keys over the whole int64 domain), merging two
+# digests is exact key-wise count addition (associative, commutative,
+# deterministic — merge(per-group digests) ≡ digest(union), which the
+# agg_qdigest_merge oracle verifies by computing the union directly),
+# and the value error is ≤ 2^-(QDIGEST_BITS-1) relative (≈0.8%), the same
+# headline accuracy as the reference's default maxError 0.01 (whose
+# bound is rank-based — a documented semantic substitution, COVERAGE.md).
+# Not Presto-serializable binary, also documented.
 
-QDIGEST_GRID = [i / 100.0 for i in range(101)]
+QDIGEST_BITS = 8  # top significant bits → ≤2^-(8-1) ≈ 0.8% value error
+
+
+@register("qdigest_bucket")
+def qdigest_bucket(v: Column) -> Column:
+    """Value → its bucket floor (top QDIGEST_BITS significant bits kept).
+    Registered as the scale-path primitive: pre-aggregate with
+    ``groupBy(key, qdigest_bucket(x)).count`` then merge_qdigest.
+
+    Exact integer arithmetic only: bit length via bin() string length
+    (log2 on doubles is off-by-ulp near powers of two and would split
+    buckets differently per engine), 2^shift via pow (exact for powers
+    of two), truncation via modulo."""
+    v = _c(v)
+    a = F.abs(v)
+    bitlen = F.when(a == 0, F.lit(0)).otherwise(F.length(F.bin(a)))
+    shift = F.greatest(bitlen - F.lit(QDIGEST_BITS), F.lit(0))
+    p2 = F.pow(F.lit(2.0), shift).cast("long")
+    fl = a - (a % p2)
+    return F.when(v < 0, -fl).otherwise(fl)
+
+
+def _count_map(vals: Column) -> Column:
+    keys = F.array_sort(F.array_distinct(vals))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys, lambda k: F.size(F.filter(vals, lambda v: v == k)).cast("bigint")
+        ),
+    )
 
 
 @register("qdigest_agg")
 def qdigest_agg(c) -> Column:
-    """qdigest(x) aggregate — QuantileDigestAggregationFunction.java:58.
+    """qdigest(x) aggregate → map<bucket,count>.
 
-    101-point exact percentile grid (deterministic superset of the
-    reference's ~1%-error qdigest)."""
-    return F.percentile(_c(c), F.lit(QDIGEST_GRID))
+    Single-expression form folds collect_list like histogram() — bounded
+    by group size.  The 100 TB spelling is the two-level relational
+    pre-aggregation ``groupBy(key, qdigest_bucket(x)).count`` (see
+    plans/aggregates.agg_qdigest_merge), which shuffles only (key,
+    bucket, count) triples and feeds merge_qdigest."""
+    return _count_map(F.collect_list(qdigest_bucket(_c(c).cast("long"))))
+
+
+@register("merge_qdigest")
+def merge_qdigest(qd) -> Column:
+    """merge(qdigest) aggregate — key-wise count addition
+    (QuantileDigestAggregationFunction 'merge' input function).  Exact:
+    merge(digests of parts) == digest of the union."""
+    entries = F.flatten(F.transform(F.collect_list(_c(qd)), F.map_entries))
+    keys = F.array_sort(
+        F.array_distinct(F.transform(entries, lambda e: e["key"]))
+    )
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.aggregate(
+                F.filter(entries, lambda e: e["key"] == k),
+                F.lit(0).cast("bigint"),
+                lambda acc, e: acc + e["value"],
+            ),
+        ),
+    )
 
 
 @register("value_at_quantile")
 def value_at_quantile(qd, q: float) -> Column:
-    """value_at_quantile(qdigest, q) — QuantileDigestFunctions.java:41."""
-    return F.element_at(_c(qd), int(round(q * 100)) + 1)
+    """value_at_quantile(qdigest, q) — QuantileDigestFunctions.java:41.
+
+    The smallest bucket whose cumulative count reaches rank
+    max(1, ceil(q·N)) — a true lower bound within the digest's value
+    error, matching the reference's lower-bound traversal."""
+    entries = F.array_sort(F.map_entries(_c(qd)))  # struct sort: key first
+    n = F.aggregate(
+        entries, F.lit(0).cast("bigint"), lambda acc, e: acc + e["value"]
+    )
+    target = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(float(q)) * n))
+    walk = F.aggregate(
+        entries,
+        F.struct(
+            F.lit(0).cast("bigint").alias("cum"),
+            F.lit(None).cast("bigint").alias("found"),
+        ),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["value"]).alias("cum"),
+            F.when(
+                acc["found"].isNull() & (acc["cum"] + e["value"] >= target),
+                e["key"],
+            ).otherwise(acc["found"]).alias("found"),
+        ),
+    )
+    return walk["found"]
 
 
 @register("values_at_quantiles")
@@ -189,7 +283,3 @@ def values_at_quantiles(qd, qs) -> Column:
     return F.array(*[value_at_quantile(qd, q) for q in qs])
 
 
-# merge(qdigest) is intentionally NOT provided: percentile grids are not
-# losslessly mergeable (unlike the reference's qdigest tree).  Re-aggregate
-# from source values instead — Spark's partial/final split already gives the
-# distributed merge the reference's merge() exists for.

@@ -333,9 +333,45 @@ ORDER BY p1, p2
 
 
 # --------------------------------------------------------------------------
-# Quantile-digest lifecycle: qdigest_agg → value_at_quantile /
-# values_at_quantiles (QuantileDigestFunctions.java:41-91).  The grid is
-# exact percentiles, so DuckDB quantile_cont is an exact oracle.
+# Quantile-digest lifecycle: qdigest_agg → merge_qdigest →
+# value_at_quantile / values_at_quantiles (QuantileDigestFunctions.java:
+# 41-91, QuantileDigestAggregationFunction.java:58).  The digest is a
+# bucket-count map over top-8-significant-bit truncation (sketch_fns.py)
+# — bounded, deterministic, and exactly mergeable, so the DuckDB oracle
+# replays the identical bucket walk.
+
+_QD_BUCKET_SQL = """
+  CASE WHEN x = 0 THEN 0
+       WHEN x < 0 THEN -(abs(x) - (abs(x) % CAST(pow(2, greatest(length(bin(abs(x))) - 8, 0)) AS BIGINT)))
+       ELSE x - (x % CAST(pow(2, greatest(length(bin(x)) - 8, 0)) AS BIGINT)) END
+"""
+
+
+def _qd_oracle(quantiles: dict[str, float]) -> str:
+    picks = ",\n       ".join(
+        f"min(CASE WHEN cum >= greatest(1, CAST(ceil({q} * n) AS BIGINT)) "
+        f"THEN bucket END)/100.0 AS {alias}"
+        for alias, q in quantiles.items()
+    )
+    return f"""
+WITH v AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS x
+  FROM lineitem
+), b AS (
+  SELECT l_returnflag, {_QD_BUCKET_SQL} AS bucket, count(*) AS c
+  FROM v GROUP BY 1, 2
+), w AS (
+  SELECT l_returnflag, bucket,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM b
+)
+SELECT l_returnflag,
+       {picks}
+FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def agg_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from facebook_presto_spark.functions import call
 
@@ -352,19 +388,40 @@ def agg_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-ORACLE_QDIGEST = """
-SELECT l_returnflag,
-       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.5)/100.0 AS p50,
-       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.9)/100.0 AS p90,
-       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.25)/100.0 AS p25,
-       quantile_cont(CAST(round(l_extendedprice*100) AS BIGINT), 0.75)/100.0 AS p75
-FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-"""
+ORACLE_QDIGEST = _qd_oracle({"p50": 0.5, "p90": 0.9, "p25": 0.25, "p75": 0.75})
+
+
+def agg_qdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digests built per (returnflag, linestatus), then merge()d across
+    linestatus — the reference's distributed-combine story
+    (QuantileDigestAggregationFunction merge input function).  The
+    oracle computes the digest over the UNION directly: hash-matching
+    proves merge(parts) ≡ digest(whole) exactly."""
+    from facebook_presto_spark.functions import call
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = li.groupBy("l_returnflag", "l_linestatus").agg(
+        call("qdigest_agg", cents).alias("qd")
+    )
+    merged = per.groupBy("l_returnflag").agg(
+        call("merge_qdigest", F.col("qd")).alias("qd")
+    )
+    return merged.select(
+        "l_returnflag",
+        (call("value_at_quantile", F.col("qd"), 0.1) / 100.0).alias("p10"),
+        (call("value_at_quantile", F.col("qd"), 0.5) / 100.0).alias("p50"),
+        (call("value_at_quantile", F.col("qd"), 0.99) / 100.0).alias("p99"),
+    ).orderBy("l_returnflag")
+
+
+ORACLE_QDIGEST_MERGE = _qd_oracle({"p10": 0.1, "p50": 0.5, "p99": 0.99})
 
 
 QUERIES = {
     "agg_set_digest": agg_set_digest,
     "agg_qdigest": agg_qdigest,
+    "agg_qdigest_merge": agg_qdigest_merge,
     "agg_weighted_percentile": agg_weighted_percentile,
     "agg_map_agg": agg_map_agg,
     "agg_multimap_union": agg_multimap_union,
@@ -377,6 +434,7 @@ QUERIES = {
 ORACLE = {
     "agg_set_digest": ORACLE_SET_DIGEST,
     "agg_qdigest": ORACLE_QDIGEST,
+    "agg_qdigest_merge": ORACLE_QDIGEST_MERGE,
     "agg_weighted_percentile": ORACLE_WEIGHTED_PERCENTILE,
     "agg_map_agg": ORACLE_MAP_AGG,
     "agg_multimap_union": ORACLE_MULTIMAP,

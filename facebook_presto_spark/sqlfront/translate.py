@@ -317,6 +317,132 @@ def _row_as_json(row_toks: list[Tok]) -> list[Tok]:
     return out
 
 
+_CMP_OPS = ("=", "<>", "!=", "<", "<=", ">", ">=")
+
+
+def _cast_group_kind(tokens: list[Tok], start: int) -> tuple[int, str] | None:
+    """If ``tokens[start]`` begins CAST(expr AS <type>), return (close,
+    kind) where kind ∈ {REAL, DECIMAL, other}."""
+    if not (
+        tokens[start].is_kw("CAST", "TRY_CAST")
+        and start + 1 < len(tokens) and tokens[start + 1].text == "("
+    ):
+        return None
+    close = find_matching_paren(tokens, start + 1)
+    inner = tokens[start + 2:close]
+    depth = 0
+    as_idx = None
+    for k, tok in enumerate(inner):
+        if tok.text == "(":
+            depth += 1
+        elif tok.text == ")":
+            depth -= 1
+        elif depth == 0 and tok.is_kw("AS"):
+            as_idx = k
+    if as_idx is None or as_idx + 1 >= len(inner):
+        return close, "other"
+    t = inner[as_idx + 1]
+    if t.is_kw("REAL"):
+        return close, "REAL"
+    if t.is_kw("DECIMAL", "DEC", "NUMERIC"):
+        return close, "DECIMAL"
+    return close, "other"
+
+
+def _pass_real_decimal_coercion(tokens: list[Tok]) -> list[Tok]:
+    """REAL-vs-DECIMAL comparisons coerce the decimal side to REAL.
+
+    Presto's TypeCoercion resolves ``real <cmp> decimal`` to REAL
+    (decimal narrows); Spark widens both sides to DOUBLE, where
+    ``CAST(1.2 AS REAL) = 1.2`` is FALSE because float(1.2) ≠
+    decimal-exact 1.2 under double widening
+    (AbstractTestQueries.testJoinWithConstantTrueExpressionWithCoercion,
+    issue #7520 in the reference).  Wrapping the decimal operand in
+    CAST(… AS REAL) reproduces the reference's resolution.  Detection is
+    syntactic — an explicit CAST(… AS REAL) compared against an explicit
+    DECIMAL cast or an exact-decimal literal; untyped REAL columns can't
+    be recognized without a schema, which matches how the divergence
+    shows up in practice (the reference corpus only spells it with
+    casts).
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_real_decimal_coercion(tokens[i + 1:close]) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+    n = len(tokens)
+
+    def decimal_operand_after(j):
+        """(start, end) of a decimal-typed operand starting at j, else None."""
+        if j < n and tokens[j].kind == "number" and "." in tokens[j].text \
+                and "e" not in tokens[j].text.lower():
+            return j, j
+        g = _cast_group_kind(tokens, j) if j < n else None
+        if g and g[1] == "DECIMAL":
+            return j, g[0]
+        return None
+
+    res: list[Tok] = []
+    i = 0
+    while i < n:
+        g = _cast_group_kind(tokens, i)
+        if g and g[1] == "REAL":
+            close = g[0]
+            # CAST(… AS REAL) <cmp> <decimal operand>
+            if close + 1 < n and tokens[close + 1].text in _CMP_OPS:
+                rhs = decimal_operand_after(close + 2)
+                if rhs:
+                    res += tokens[i:close + 2]
+                    res += [ident("CAST"), op("(")] + tokens[rhs[0]:rhs[1] + 1] \
+                        + [ident("AS"), ident("REAL"), op(")")]
+                    i = rhs[1] + 1
+                    continue
+            # <decimal operand> <cmp> CAST(… AS REAL): check the tail of res
+            if res and res[-1].text in _CMP_OPS:
+                # decimal literal directly before the comparison
+                if len(res) >= 2 and res[-2].kind == "number" \
+                        and "." in res[-2].text and "e" not in res[-2].text.lower():
+                    lit_tok = res[-2]
+                    res[-2:] = [ident("CAST"), op("("), lit_tok,
+                                ident("AS"), ident("REAL"), op(")"), res[-1]]
+                # CAST(… AS DECIMAL …) group directly before the comparison
+                elif len(res) >= 2 and res[-2].text == ")":
+                    depth = 0
+                    k = len(res) - 2
+                    while k >= 0:
+                        if res[k].text == ")":
+                            depth += 1
+                        elif res[k].text == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k -= 1
+                    start = k - 1
+                    if start >= 0 and res[start].is_kw("CAST", "TRY_CAST"):
+                        grp = _cast_group_kind(res, start)
+                        if grp and grp[1] == "DECIMAL":
+                            cmp_tok = res[-1]
+                            group = res[start:-1]
+                            res[start:] = (
+                                [ident("CAST"), op("(")] + group
+                                + [ident("AS"), ident("REAL"), op(")"), cmp_tok]
+                            )
+            res += tokens[i:close + 1]
+            i = close + 1
+            continue
+        res.append(tokens[i])
+        i += 1
+    return res
+
+
 def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
     """Rewrite the type operand of CAST/TRY_CAST from Presto to Spark syntax.
 
@@ -2601,6 +2727,7 @@ def translate(sql: str) -> str:
     toks = _pass_time_arith(toks)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
+    toks = _pass_real_decimal_coercion(toks)
     toks = _pass_cast_types(toks)
     toks = _pass_subscript(toks)
     toks = _pass_quantified(toks)

@@ -59,11 +59,6 @@ KNOWN_DIVERGENCES = {
     "testInUncorrelatedSubquery#1": "Spark cannot compare MAP types",
     "testLambdaInValuesAndUnnest#1": "Spark inline tables (VALUES) cannot "
         "hold lambda expressions",
-    "testJoinWithConstantTrueExpressionWithCoercion": "REAL = DECIMAL "
-        "comparison: Presto coerces decimal→real, Spark widens both to "
-        "double",
-    "testJoinWithCanonicalizedConstantTrueExpressionWithCoercion":
-        "REAL = DECIMAL comparison coercion as above",
     "testRows#3": "struct-typed COLUMN nested in a ROW cast renders as a "
         "JSON object; only syntactic ROW(…) nesting array-izes (needs "
         "runtime schema introspection)",

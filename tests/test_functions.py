@@ -288,8 +288,42 @@ def test_qdigest_value_at_quantile(spark):
         )
         .collect()[0]
     )
-    assert abs(row["p50"] - 50.5) < 1e-9  # linear interpolation, exact grid
-    assert row["ends"] == [1.0, 100.0]
+    # values < 2^8 are exact buckets; rank walk returns the rank-50 value
+    assert row["p50"] == 50
+    assert row["ends"] == [1, 100]
+
+
+def test_qdigest_bucket_error_bound(spark):
+    # large values truncate to their top 8 significant bits: the bucket
+    # floor is within 2^-7 relative error below the value (width
+    # 2^(bitlen-8) over v >= 2^(bitlen-1))
+    df = spark.range(1, 2001).select((F.col("id") * 12345).alias("v"))
+    rows = (
+        df.select("v", call("qdigest_bucket", F.col("v")).alias("b"))
+        .collect()
+    )
+    for r in rows:
+        assert r["b"] <= r["v"] and (r["v"] - r["b"]) <= r["v"] / 128.0
+
+
+def test_qdigest_merge_equals_whole(spark):
+    """merge(per-part digests) is EXACTLY digest(union) — the property the
+    reference's distributed combine relies on."""
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("part"),
+        (F.col("id") * 997 % 100000).alias("v"),
+    )
+    merged = (
+        df.groupBy("part")
+        .agg(call("qdigest_agg", "v").alias("qd"))
+        .agg(call("merge_qdigest", F.col("qd")).alias("qd"))
+    )
+    whole = df.agg(call("qdigest_agg", "v").alias("qd"))
+    got = {
+        name: sorted(frame.collect()[0]["qd"].items())
+        for name, frame in [("merged", merged), ("whole", whole)]
+    }
+    assert got["merged"] == got["whole"]
 
 
 def test_timezone_functions(spark):
