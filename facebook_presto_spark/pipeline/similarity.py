@@ -12,10 +12,12 @@ Two paths, as a large-scale ANN system would have:
 - **LSH-bucketed ANN** — the scale path: multi-table sign-random-
   projection buckets per vector (deterministic md5-derived hyperplanes,
   no RNG state), candidates = union over tables of same-bucket vectors,
-  then exact re-rank.  Bucketing is one narrow map; the candidate join
-  is an equi-join on (table, bucket).  Recall vs brute force is
-  unit-tested (tests/test_pipeline.py) and the whole query hash-matches
-  the DuckDB oracle (literal plane matrix embedded in both plans).
+  then exact re-rank.  The probe set's buckets broadcast as a lookup
+  mask, so bucketing + candidate match + scoring collapse into ONE
+  Arrow pass over the corpus (int64 matmuls, no pair join, no corpus
+  shuffle).  Recall vs brute force is unit-tested
+  (tests/test_pipeline.py) and the whole query hash-matches the DuckDB
+  oracle (literal plane matrix embedded in both plans).
 """
 
 from __future__ import annotations
@@ -219,72 +221,60 @@ def sign_lsh_bands_sql(n_tables: int, planes_per_table: int) -> str:
 )"""
 
 
-def _bands(emb: DataFrame) -> DataFrame:
-    """vec_id → one (t, bucket) row per LSH hash table.
-
-    The 32 plane projections per vector are one dense int64 matmul — an
-    Arrow-batched pandas UDF is the right tool (the zip_with/aggregate
-    HOF spelling of the same math is CodegenFallback and measured ~5×
-    slower; a posexplode+broadcast-join spelling paid seconds of plan
-    compile per run).  Fixed-point (half-away-from-zero round(x·1e6) ×
-    integer component, exactly DuckDB's round) keeps every dot product an
-    exact integer, so batch order cannot perturb the bucket bits and the
-    oracle reproduces them bit-for-bit.
-    """
-    return sign_lsh_bands(emb, N_TABLES, PLANES_PER_TABLE)
-
-
-def _cosine_vs_queries_udf(q_ids: np.ndarray, QI: np.ndarray,
-                           q_norm: np.ndarray):
-    """Scalar Arrow UDF (q_id, embedding) → cosine against the broadcast
-    query matrix: per batch one fancy-indexed elementwise int64 product —
-    no per-pair HOF folds, candidate embeddings cross Arrow exactly once."""
-    qindex = {int(q): i for i, q in enumerate(q_ids)}
-
-    @F.pandas_udf("double")
-    def cos(qid: pd.Series, emb: pd.Series) -> pd.Series:
-        if not len(qid):
-            return pd.Series([], dtype="float64")
-        XI = _fixed_point(np.stack(emb.to_numpy()))
-        idx = qid.map(qindex).to_numpy(dtype=np.int64)
-        dots = (XI * QI[idx]).sum(axis=1)             # exact int64
-        c_norm = np.sqrt((XI * XI).sum(axis=1).astype(np.float64))
-        return pd.Series(dots.astype(np.float64) / (q_norm[idx] * c_norm))
-
-    return cos
-
-
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via multi-table sign-LSH: a candidate is
-    any vector sharing ≥1 of the probe's ``N_TABLES`` 4-bit buckets; exact
-    cosine re-ranks the candidates.  Plan shape: one narrow band pass, one
-    equi-join on (table, bucket), distinct, then candidate-only re-rank
-    through one Arrow scoring pass — nothing quadratic, the shuffles carry
-    (table, bucket, id) triples, and scoring shares the bucketing kernel
-    (int64 fixed-point products, no CodegenFallback HOFs).
-    """
+    """Approximate top-5 neighbors via multi-table sign-LSH: a candidate
+    is any vector sharing ≥1 of the probe's ``N_TABLES`` 4-bit buckets;
+    exact cosine re-ranks the candidates.
+
+    One corpus pass does everything: the probe set's buckets are computed
+    driver-side (tiny) and broadcast as a (table, bucket) → probe-mask
+    lookup; each Arrow batch computes its own buckets (one int64 matmul),
+    masks to same-bucket (probe, candidate) pairs, and scores only those
+    (a second int64 product).  No band relation, no pair join, no
+    distinct — the only shuffle is the final top-k window.  At 100 TB
+    the corpus bands would be *precomputed and bucket-partitioned*; the
+    probe-side lookup stays a broadcast either way."""
     emb = _t(spark, sf_dir, "embeddings")
     q_ids, QI, q_norm = _collect_queries(emb)
-    bands = _bands(emb)
-    # probe-side bands from the (tiny) probe subset — referencing `bands`
-    # twice would run the full-corpus band pass once per join branch
-    q_bands = _bands(emb.filter(F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("q_id"), "t", "bucket"
-    )
-    pairs = (
-        F.broadcast(q_bands)
-        .join(bands.select(F.col("vec_id").alias("c_id"), "t", "bucket"), ["t", "bucket"])
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
-    c_side = emb.select(
-        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
-    )
-    cos = _cosine_vs_queries_udf(q_ids, QI, q_norm)
-    scored = (
-        pairs.join(c_side, "c_id")
-        .select("q_id", "c_id", cos("q_id", "c_emb").alias("cosine"))
+    n_planes = N_TABLES * PLANES_PER_TABLE
+    M = plane_matrix(n_planes)
+    weights = np.array([2 ** r for r in range(PLANES_PER_TABLE)], dtype=np.int64)
+    n_buckets = 2 ** PLANES_PER_TABLE
+    qbits = (QI @ M.T > 0).astype(np.int64)
+    qbuckets = (
+        qbits.reshape(len(q_ids), N_TABLES, PLANES_PER_TABLE) * weights
+    ).sum(axis=2)                                     # Q×T
+    qmask = np.zeros((N_TABLES, n_buckets, len(q_ids)), dtype=bool)
+    for qi in range(len(q_ids)):
+        for t in range(N_TABLES):
+            qmask[t, qbuckets[qi, t], qi] = True
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            XI = _fixed_point(np.stack(pdf["embedding"].to_numpy()))
+            bits = (XI @ M.T > 0).astype(np.int64)
+            cb = (
+                bits.reshape(len(XI), N_TABLES, PLANES_PER_TABLE) * weights
+            ).sum(axis=2)                             # B×T
+            match = np.zeros((len(XI), len(q_ids)), dtype=bool)
+            for t in range(N_TABLES):
+                match |= qmask[t, cb[:, t], :]
+            b_idx, q_idx = np.nonzero(match)
+            if not len(b_idx):
+                continue
+            dots = (XI[b_idx] * QI[q_idx]).sum(axis=1)    # exact int64
+            c_norm = np.sqrt((XI * XI).sum(axis=1).astype(np.float64))
+            yield pd.DataFrame({
+                "q_id": q_ids[q_idx],
+                "c_id": pdf["vec_id"].to_numpy()[b_idx],
+                "cosine": dots.astype(np.float64)
+                / (q_norm[q_idx] * c_norm[b_idx]),
+            })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "q_id long, c_id long, cosine double"
     )
     return _topk(scored)
 

@@ -934,6 +934,22 @@ def _try(args: Args) -> list[Tok]:
             and _TRY_FN.get(inner[0].text.lower())
         ):
             return [ident(_TRY_FN[inner[0].text.lower()])] + inner[1:]
+        # try(abs(x)): the one abs error Presto raises is bigint negation
+        # overflow (AbstractTestQueries testTry#19 — abs(-2^63)); with
+        # ANSI off Spark wraps instead, leaving TRY nothing to suppress.
+        # Guard the exact overflow input; typeof() keeps double/real abs
+        # (which never errors) on the plain path.
+        if (
+            len(inner) >= 3 and inner[0].is_kw("ABS")
+            and inner[1].text == "(" and inner[-1].text == ")"
+        ):
+            arg = inner[2:-1]
+            return _template(
+                "(CASE WHEN typeof(__A__) = 'bigint' AND __A__ = "
+                "CAST('-9223372036854775808' AS BIGINT) "
+                "THEN CAST(NULL AS BIGINT) ELSE abs(__A__) END)",
+                a=arg,
+            )
     # Everything else: evaluate the expression directly.  The session runs
     # with ANSI off, so the error classes Presto's TRY suppresses
     # (division by zero inside comparisons, malformed JSON, bad radixes)

@@ -317,6 +317,145 @@ def _row_as_json(row_toks: list[Tok]) -> list[Tok]:
     return out
 
 
+def _pass_values_lambda(tokens: list[Tok]) -> list[Tok]:
+    """``(VALUES …)`` derived tables holding lambda expressions → UNION
+    ALL of SELECT arms.
+
+    Spark inline tables reject higher-order-function lambdas
+    (AbstractTestQueries testLambdaInValuesAndUnnest); Presto's Values
+    node evaluates arbitrary expressions.  ``(VALUES (e1, e2), (f1, f2))
+    t(a, b)`` rewrites to ``(SELECT e1 AS a, e2 AS b UNION ALL SELECT f1
+    AS a, f2 AS b) t`` — identical rows, and projections are where Spark
+    does allow lambdas.  Applied only when a ``->`` appears among the
+    rows, so ordinary inline tables keep Catalyst's LocalRelation fast
+    path.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            inner = _pass_values_lambda(tokens[i + 1:close])
+            if (
+                inner and inner[0].is_kw("VALUES")
+                and any(tok.text == "->" for tok in inner)
+            ):
+                rows = split_top_level(inner[1:])
+                # optional alias + column list after the close paren
+                j = close + 1
+                if j < n and tokens[j].is_kw("AS"):
+                    j += 1
+                alias: list[Tok] = []
+                cols: list[list[Tok]] = []
+                if j < n and tokens[j].kind in ("ident", "qident") \
+                        and not tokens[j].is_kw(*_JOIN_KWS, *_CLAUSE_KWS,
+                                                *_SETOP_KWS, "ON", "USING"):
+                    alias = [tokens[j]]
+                    j += 1
+                    if j < n and tokens[j].text == "(":
+                        cend = find_matching_paren(tokens, j)
+                        cols = split_top_level(tokens[j + 1:cend])
+                        j = cend + 1
+                arms: list[Tok] = []
+                for r, row in enumerate(rows):
+                    exprs = (
+                        split_top_level(row[1:-1])
+                        if len(row) >= 2 and row[0].text == "("
+                        and find_matching_paren(row, 0) == len(row) - 1
+                        else [row]
+                    )
+                    if r:
+                        arms += [ident("UNION"), ident("ALL")]
+                    arms.append(ident("SELECT"))
+                    for k, e in enumerate(exprs):
+                        if k:
+                            arms.append(op(","))
+                        arms += [op("(")] + e + [op(")")]
+                        if k < len(cols):
+                            arms += [ident("AS")] + cols[k]
+                out += [op("(")] + arms + [op(")")] + alias
+                i = j
+                continue
+            out += [t] + inner + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _entries(expr: list[Tok]) -> list[Tok]:
+    return (
+        [ident("sort_array"), op("("), ident("map_entries"), op("(")]
+        + expr + [op(")"), op(")")]
+    )
+
+
+def _pass_map_in(tokens: list[Tok]) -> list[Tok]:
+    """``MAP(…) [NOT] IN (…)`` → entry-array comparison.
+
+    Spark cannot compare MAP types (no ordering/equality on MapType —
+    AbstractTestQueries testInUncorrelatedSubquery); the reference
+    compares maps structurally.  ``sort_array(map_entries(m))`` is a
+    canonical array<struct<key,value>> that Spark CAN compare, and two
+    maps are equal iff their sorted entry arrays are.  Both sides
+    rewrite: the left MAP constructor, and each element of a literal IN
+    list or the (single-column) subquery's output.  Detection is
+    syntactic on an explicit MAP constructor — bare map-typed columns
+    can't be recognized without a schema.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.is_kw("MAP") and i + 1 < n and tokens[i + 1].text == "("
+        ):
+            close = find_matching_paren(tokens, i + 1)
+            j = close + 1
+            neg = j < n and tokens[j].is_kw("NOT")
+            if neg:
+                j += 1
+            if (
+                j + 1 < n and tokens[j].is_kw("IN")
+                and tokens[j + 1].text == "("
+            ):
+                rhs_close = find_matching_paren(tokens, j + 1)
+                lhs = _pass_map_in(tokens[i:close + 1])
+                rhs = _pass_map_in(tokens[j + 2:rhs_close])
+                out += _entries(lhs)
+                if neg:
+                    out.append(ident("NOT"))
+                out.append(ident("IN"))
+                if rhs and rhs[0].is_kw("SELECT", "VALUES", "WITH"):
+                    out += (
+                        [op("("), ident("SELECT")] + _entries([ident("__mv")])
+                        + [ident("FROM"), op("(")] + rhs
+                        + [op(")"), ident("__mvq"), op("("), ident("__mv"),
+                           op(")"), op(")")]
+                    )
+                else:
+                    out.append(op("("))
+                    for k, el in enumerate(split_top_level(rhs)):
+                        if k:
+                            out.append(op(","))
+                        out += _entries(el)
+                    out.append(op(")"))
+                i = rhs_close + 1
+                continue
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_map_in(tokens[i + 1:close]) + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 _CMP_OPS = ("=", "<>", "!=", "<", "<=", ">", ">=")
 
 
@@ -2727,6 +2866,8 @@ def translate(sql: str) -> str:
     toks = _pass_time_arith(toks)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
+    toks = _pass_values_lambda(toks)
+    toks = _pass_map_in(toks)
     toks = _pass_real_decimal_coercion(toks)
     toks = _pass_cast_types(toks)
     toks = _pass_subscript(toks)

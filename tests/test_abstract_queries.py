@@ -56,14 +56,9 @@ TABLE_WORD = re.compile(
 # Cases with a documented engine divergence or Spark limitation; every
 # entry names its reason (matched on case-id prefix).
 KNOWN_DIVERGENCES = {
-    "testInUncorrelatedSubquery#1": "Spark cannot compare MAP types",
-    "testLambdaInValuesAndUnnest#1": "Spark inline tables (VALUES) cannot "
-        "hold lambda expressions",
     "testRows#3": "struct-typed COLUMN nested in a ROW cast renders as a "
         "JSON object; only syntactic ROW(…) nesting array-izes (needs "
         "runtime schema introspection)",
-    "testTry#19": "abs(min-bigint) overflow: ANSI off wraps instead of "
-        "raising, so TRY has no error to suppress",
     "testLambdaInSubqueryContext#1": "Spark does not support subqueries "
         "inside higher-order-function lambdas",
     # Catalyst decorrelation (RewriteCorrelatedScalarSubquery /
