@@ -19,10 +19,18 @@ aggregation:
   → centroids; ``classify`` broadcasts the tiny model and picks the
   argmin-distance label.  Distances compare as n²·d² integer forms so
   everything stays exact until one final division per (row, label).
+- ``learn_svm`` — the reference's actual model family (linear SVM),
+  trained by deterministic full-batch Pegasos: each iteration is one
+  distributed aggregation of exact int64 subgradient sums; the driver
+  holds only the weight vector.  Margins and final scores are exact
+  integer fixed-point products, and the float weight updates are fixed
+  expressions the DuckDB oracle replays bit-for-bit (ml_svm_classifier
+  hash-matches through all 10 unrolled training iterations).
 
-At 100 TB: training is one shuffle of 6 numbers per group (or one of
-label×dim partial sums); classification joins against a broadcast model —
-nothing quadratic, nothing driver-side.
+At 100 TB: regression/centroid training is one shuffle of a few numbers
+per group; SVM training is T passes each shuffling 65 integers;
+classification joins against a broadcast model — nothing quadratic,
+nothing driver-side but the weights.
 """
 
 from __future__ import annotations
@@ -238,12 +246,165 @@ FROM r WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Linear SVM — the reference's actual model family (presto-ml trains a
+# libsvm SVM inside LearnClassifierAggregation.java).  Training here is
+# deterministic distributed full-batch Pegasos: each iteration is ONE
+# aggregation over the data (exact int64 subgradient sums — order-free),
+# the driver holds only the (dim+1)-float weight vector, and every float
+# update is a fixed arithmetic expression the DuckDB oracle replays
+# bit-for-bit (the oracle unrolls the same iterations as CTEs).  At
+# 100 TB: T passes over the data, each a map-side-combined sum of 65
+# integers — nothing collected but the gradient.
+
+SVM_LAMBDA = 0.01
+SVM_ITERS = 10
+W_SCALE = 1_000_000  # weight quantization for exact integer margins
+_SVM_DIM = 64
+# real margin 1.0 in (VEC_SCALE · W_SCALE) fixed-point units
+_MARGIN_INT = VEC_SCALE * W_SCALE
+
+
+def _wq(w: list[float]) -> list[int]:
+    """Quantize weights half-away-from-zero — the floor(x·S + 0.5)
+    spelling both engines share (Python round() is banker's)."""
+    import math
+
+    return [int(math.floor(x * W_SCALE + 0.5)) for x in w]
+
+
+def _svm_base(df: DataFrame, label: Column, vec: Column) -> DataFrame:
+    """(id, y ∈ {+1,−1}, xi int64[dim+1]) with a constant bias feature."""
+    y = F.when(label % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    xi = F.concat(_quantized(vec), F.array(F.lit(VEC_SCALE).cast("long")))
+    return df.select(F.col("vec_id"), y.alias("y"), xi.alias("xi"))
+
+
+def _margin_udf(wq: list[int]):
+    import numpy as np
+    import pandas as pd
+
+    W = np.array(wq, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def dot(xi):
+        if not len(xi):
+            return pd.Series([], dtype="int64")
+        return pd.Series(np.stack(xi.to_numpy()).astype(np.int64) @ W)
+
+    return dot
+
+
+def learn_svm(df: DataFrame, label: Column, vec: Column,
+              iters: int = SVM_ITERS) -> list[float]:
+    """Full-batch Pegasos: w ← (1 − η_t λ)·w + (η_t/n)·Σ_{margin<1} y·x,
+    η_t = 1/(λt).  Margins compare as exact int64 fixed-point products,
+    so the violator set — and with it every gradient sum — is
+    deterministic regardless of partitioning."""
+    base = _svm_base(df, label, vec)
+    n = base.count()
+    w = [0.0] * (_SVM_DIM + 1)
+    for t in range(1, iters + 1):
+        dot = _margin_udf(_wq(w))
+        viol = base.filter(F.col("y") * dot(F.col("xi")) < F.lit(_MARGIN_INT))
+        g_rows = (
+            viol.select("y", F.posexplode("xi").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("y") * F.col("v")).alias("g"))
+            .collect()
+        )
+        g = [0] * (_SVM_DIM + 1)
+        for r in g_rows:
+            g[r["pos"]] = r["g"]
+        eta = 1.0 / (SVM_LAMBDA * t)
+        w = [
+            (1.0 - eta * SVM_LAMBDA) * w[j] + (eta / n) * (g[j] / VEC_SCALE)
+            for j in range(_SVM_DIM + 1)
+        ]
+    return w
+
+
+def svm_classifier(spark, sf_dir: str) -> DataFrame:
+    """learn_classifier/classify with the reference's model family: train
+    the linear SVM distributively, then classify with exact integer
+    scores (score_int = Σ xi·wq of the final quantized weights)."""
+    from facebook_presto_spark.plans.tpch import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = learn_svm(emb, F.col("label"), F.col("embedding"))
+    base = _svm_base(emb, F.col("label"), F.col("embedding"))
+    dot = _margin_udf(_wq(w))
+    return base.select(
+        "vec_id",
+        "y",
+        dot(F.col("xi")).alias("score_int"),
+        F.when(dot(F.col("xi")) >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("predicted"),
+    ).withColumn("correct", F.col("predicted") == F.col("y"))
+
+
+def _svm_oracle_sql() -> str:
+    """The identical training unrolled as CTEs: per iteration, quantize
+    the weights, find violators by exact integer margin, sum the integer
+    subgradient per dimension, and apply the same float update with the
+    same literal η_t — double arithmetic matches the driver's
+    operation-for-operation."""
+    dim1 = _SVM_DIM + 1
+    parts = [f"""v AS (
+  SELECT vec_id,
+         CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS y,
+         list_append(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * {VEC_SCALE}) AS BIGINT)),
+             CAST({VEC_SCALE} AS BIGINT)) AS xi
+  FROM embeddings
+), nn AS (SELECT count(*) AS n FROM v),
+w0(w) AS MATERIALIZED (SELECT [{", ".join(["0.0"] * dim1)}])"""]
+    for t in range(1, SVM_ITERS + 1):
+        eta = 1.0 / (SVM_LAMBDA * t)
+        coef = 1.0 - eta * SVM_LAMBDA
+        parts.append(f"""wq{t}(wq) AS MATERIALIZED (
+  SELECT list_transform(w, x -> CAST(floor(x * {W_SCALE} + 0.5) AS BIGINT)) FROM w{t - 1}
+), viol{t} AS MATERIALIZED (
+  SELECT v.y, v.xi FROM v, wq{t}
+  WHERE v.y * list_sum(list_transform(generate_series(1, {dim1}),
+        i -> v.xi[i] * wq[i])) < {_MARGIN_INT}
+), g{t}(g) AS MATERIALIZED (
+  SELECT coalesce(list(s ORDER BY pos), list_transform(generate_series(1, {dim1}), i -> CAST(0 AS BIGINT)))
+  FROM (
+    SELECT t.i AS pos, sum(y * xi[t.i]) AS s
+    FROM viol{t}, generate_series(1, {dim1}) t(i)
+    GROUP BY t.i
+  )
+), w{t}(w) AS MATERIALIZED (
+  SELECT list_transform(generate_series(1, {dim1}),
+      i -> {coef!r} * w[i] + ({eta!r} / n) * (g[i] / {VEC_SCALE}))
+  FROM w{t - 1}, g{t}, nn
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+final(wq) AS (
+  SELECT list_transform(w, x -> CAST(floor(x * {W_SCALE} + 0.5) AS BIGINT))
+  FROM w{SVM_ITERS}
+)
+SELECT v.vec_id, v.y,
+       CAST(list_sum(list_transform(generate_series(1, {dim1}),
+            i -> v.xi[i] * wq[i])) AS BIGINT) AS score_int,
+       CASE WHEN list_sum(list_transform(generate_series(1, {dim1}),
+            i -> v.xi[i] * wq[i])) >= 0 THEN 1 ELSE -1 END AS predicted,
+       (CASE WHEN list_sum(list_transform(generate_series(1, {dim1}),
+            i -> v.xi[i] * wq[i])) >= 0 THEN 1 ELSE -1 END)
+         = v.y AS correct
+FROM v, final
+""")
+
+
 QUERIES = {
     "ml_linear_regression": linear_regression,
     "ml_classify_centroid": classify_centroid,
+    "ml_svm_classifier": svm_classifier,
 }
 
 ORACLE = {
     "ml_linear_regression": ML_LINEAR_REGRESSION_SQL,
     "ml_classify_centroid": ML_CLASSIFY_CENTROID_SQL,
+    "ml_svm_classifier": _svm_oracle_sql(),
 }
