@@ -592,3 +592,80 @@ def test_grouping_sets_empty_global_split():
     assert "UNION ALL" not in translate(
         "SELECT k + sum(v) FROM t GROUP BY GROUPING SETS ((k), ())"
     )
+
+
+def test_using_wildcard_scoped_to_join_operands():
+    # EXCEPT(join cols) applies only to the USING join's own aliases —
+    # a comma-joined third relation keeps all its columns (round-3 fix)
+    out = translate("SELECT a.*, c.* FROM x a JOIN y b USING (k), z c")
+    assert "a.* EXCEPT(k)" in out
+    assert "c.* EXCEPT" not in out
+    out2 = translate("SELECT a.*, b.* FROM x a JOIN y b USING (k)")
+    assert out2.count("EXCEPT(k)") == 2
+
+
+def test_join_on_subquery_hoist_skips_right_nested_trees():
+    # a second ON after the condition means the join is the right
+    # operand of an enclosing (possibly outer) join — no rewrite
+    q = ("SELECT * FROM a LEFT JOIN b JOIN c ON c.x = (SELECT max(v) FROM m)"
+         " ON a.id = b.id")
+    assert "CROSS JOIN" not in translate(q)
+    # the plain inner-join hoist still fires
+    q2 = "SELECT * FROM a JOIN b ON b.x = (SELECT max(v) FROM m)"
+    out2 = translate(q2)
+    assert "CROSS JOIN" in out2 and "WHERE" in out2
+
+
+def test_order_by_grouping_hoists_source_columns():
+    # a plain ORDER BY item referencing a column outside the SELECT list
+    # must be hoisted into the wrapper, or it cannot resolve (round 3)
+    out = translate(
+        "SELECT count(*) FROM t GROUP BY GROUPING SETS ((a),(b)) "
+        "ORDER BY grouping(a), a"
+    )
+    assert "(a) AS __ord" in out
+    # output aliases keep resolving against the outer SELECT
+    out2 = translate(
+        "SELECT count(*) AS c FROM t GROUP BY GROUPING SETS ((a),(b)) "
+        "ORDER BY grouping(a), c"
+    )
+    assert "(c) AS __ord" not in out2 and "ORDER BY __ord1 NULLS LAST, c" in out2
+
+
+def test_real_decimal_comparison_coerces_to_real():
+    out = translate("SELECT CAST(1.2 AS real) = CAST(1.2 AS decimal(2,1))")
+    assert out.count("AS FLOAT") == 2  # decimal side wrapped
+    out2 = translate("SELECT 1.2 = CAST(1.2 AS real)")
+    assert "CAST(1.2 AS FLOAT) = CAST(1.2 AS FLOAT)" in out2
+    # non-comparison contexts untouched
+    assert "1.5" in translate("SELECT CAST(x AS real) + 1.5 FROM t") \
+        and translate("SELECT CAST(x AS real) + 1.5 FROM t").count("FLOAT") == 1
+
+
+def test_values_with_lambda_becomes_union_arms():
+    out = translate(
+        "SELECT x[5] FROM (VALUES transform(sequence(1, 5), x -> x * x)) t(x)"
+    )
+    assert "VALUES" not in out and "AS x" in out
+    # plain inline tables keep the VALUES fast path
+    assert "VALUES" in translate("SELECT * FROM (VALUES (1, 2), (3, 4)) t(a, b)")
+
+
+def test_map_in_comparison_uses_entry_arrays():
+    out = translate(
+        "SELECT MAP(ARRAY[1], ARRAY[x]) IN (VALUES MAP(ARRAY[1], ARRAY[2]))"
+    )
+    # both sides wrapped (the projected-IN pass then builds its 3-valued
+    # CASE around the rewritten, comparable arrays)
+    assert out.count("sort_array(map_entries(") >= 2 and "MAP(" not in out
+    out2 = translate(
+        "SELECT MAP(ARRAY[1], ARRAY[2]) NOT IN (MAP(ARRAY[1], ARRAY[3]))"
+    )
+    assert "NOT IN" in out2 and out2.count("sort_array(map_entries(") == 2
+
+
+def test_try_abs_guards_bigint_overflow():
+    out = translate("SELECT TRY(ABS(x)) FROM t")
+    assert "typeof" in out and "-9223372036854775808" in out
+    # try over arithmetic still maps to try_* twins, not the guard
+    assert "try_add" in translate("SELECT TRY(x + y) FROM t")
