@@ -84,6 +84,11 @@ class PrestoSparkEngine:
         # prepared-statement store (QueryPreparer.java:55-85 keeps these in
         # the session; one engine instance = one session)
         self._prepared: dict[str, str] = {}
+        # table-privilege registry (GrantTask.java / SHOW GRANTS — see
+        # access.py); session-scoped like the prepared statements
+        from facebook_presto_spark.access import GrantRegistry
+
+        self.grants = GrantRegistry()
 
     @classmethod
     def for_dir(cls, sf_dir: str = DEFAULT_SF_DIR, spark: SparkSession | None = None) -> "PrestoSparkEngine":
@@ -158,13 +163,19 @@ class PrestoSparkEngine:
         prepared = self._dispatch_prepared(presto_sql)
         if prepared is not None:
             return prepared
+        from facebook_presto_spark import access
+
+        granted = access.dispatch(self, presto_sql)
+        if granted is not None:
+            return granted
+        access.reject_unsupported(presto_sql)
         from facebook_presto_spark import infoschema
 
         if infoschema.references_information_schema(presto_sql):
             # the reference populates information_schema from connector
             # metadata at query time (InformationSchemaPageSourceProvider);
             # rebuild the views from the live catalog — metadata-only
-            infoschema.refresh(self.spark)
+            infoschema.refresh(self.spark, privileges=self.grants.rows())
         return self.spark.sql(translate(presto_sql))
 
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------

@@ -138,7 +138,8 @@ def _values_view(spark: SparkSession, name: str, rows: list[tuple]) -> None:
     spark.sql(f"CREATE OR REPLACE VIEW information_schema.{name} AS {body}")
 
 
-def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME) -> None:
+def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME,
+            privileges: list[tuple] | None = None) -> None:
     """(Re)build the information_schema views from the live session catalog.
 
     Metadata-only: listDatabases/listTables/listColumns — no data reads.
@@ -199,7 +200,9 @@ def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME) -> None:
     _values_view(spark, "tables", tables_rows)
     _values_view(spark, "columns", columns_rows)
     # the engine's CREATE VIEW surface is session-scoped temp views, which
-    # register as BASE TABLE rows above; persistent-view introspection and
-    # the privilege model are out of scope (no GRANT surface — COVERAGE.md)
+    # register as BASE TABLE rows above; persistent-view introspection is
+    # out of scope (COVERAGE.md)
     _values_view(spark, "views", [])
-    _values_view(spark, "table_privileges", [])
+    # fed from the engine's GrantRegistry (access.py) — the reference
+    # populates this from connector grant metadata
+    _values_view(spark, "table_privileges", privileges or [])
