@@ -329,12 +329,17 @@ def _seg_pair_test(ca: Column, cb: Column, i, j, proper: bool) -> Column:
     if proper:
         return (o1 * o2 < 0) & (o3 * o4 < 0)
     general = (o1 != o2) & (o3 != o4)
+    # collinear arms: the orientation is already 0, so on-segment
+    # reduces to the bbox test (no need to re-derive collinearity)
+    on = lambda px, py, a, b: (  # noqa: E731
+        _between(px, a["x"], b["x"]) & _between(py, a["y"], b["y"])
+    )
     return (
         general
-        | ((o1 == 0) & _on_segment(p3["x"], p3["y"], p1, p2))
-        | ((o2 == 0) & _on_segment(p4["x"], p4["y"], p1, p2))
-        | ((o3 == 0) & _on_segment(p1["x"], p1["y"], p3, p4))
-        | ((o4 == 0) & _on_segment(p2["x"], p2["y"], p3, p4))
+        | ((o1 == 0) & on(p3["x"], p3["y"], p1, p2))
+        | ((o2 == 0) & on(p4["x"], p4["y"], p1, p2))
+        | ((o3 == 0) & on(p1["x"], p1["y"], p3, p4))
+        | ((o4 == 0) & on(p2["x"], p2["y"], p3, p4))
     )
 
 
@@ -447,7 +452,10 @@ def st_crosses(a, b) -> Column:
     """GeoFunctions.java stCrosses: interiors intersect and each geometry
     has interior points outside the other.  line/line = a transversal
     crossing; line/polygon = the line passes strictly inside AND outside;
-    point/* and polygon/polygon are false by the DE-9IM dimension rules."""
+    point/* and polygon/polygon are false by the DE-9IM dimension rules.
+    Degenerate crossings that pass EXACTLY through ring vertices with no
+    line vertex strictly inside are reported false (the orientation test
+    sees only touches there) — full robustness needs a geometry kernel."""
     ga, gb = _c(a), _c(b)
     ta, tb = _typ(ga), _typ(gb)
     ca, cb = _coords(ga), _coords(gb)

@@ -72,10 +72,10 @@ def _agg(df: DataFrame) -> DataFrame:
     )
 
 
-def _roundtrip(fmt: str, **options: str):
+def _roundtrip(fmt: str, name: str | None = None, **options: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
-        back = write_read(nation, fmt, _scratch(f"src_{fmt}"), **options)
+        back = write_read(nation, fmt, _scratch(f"src_{name or fmt}"), **options)
         return _agg(back)
 
     return run
@@ -272,6 +272,9 @@ QUERIES = {
     "source_orc_roundtrip": _roundtrip("orc"),
     "source_json_roundtrip": _roundtrip("json"),
     "source_csv_roundtrip": _roundtrip("csv", header="true"),
+    # Hive TEXTFILE (HiveStorageFormat.TEXTFILE — LazySimpleSerDe's ^A
+    # default field delimiter), the reference's text-table format
+    "source_textfile_roundtrip": _roundtrip("csv", name="textfile", sep="\x01"),
     "source_jdbc_roundtrip": source_jdbc_roundtrip,
     "source_kafka_offset_range": source_kafka_offset_range,
 }
@@ -280,6 +283,7 @@ ORACLE = {
     "source_orc_roundtrip": _AGG_SQL,
     "source_json_roundtrip": _AGG_SQL,
     "source_csv_roundtrip": _AGG_SQL,
+    "source_textfile_roundtrip": _AGG_SQL,
     "source_jdbc_roundtrip": _AGG_SQL,
     "source_kafka_offset_range": _KAFKA_RANGE_SQL,
 }
