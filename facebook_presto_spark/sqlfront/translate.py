@@ -43,6 +43,162 @@ _CAST_TYPES = {
 }
 
 
+# field-extraction functions that read the LOCAL datetime of a
+# zone-carrying value (DateTimeFunctions.java evaluates them in the
+# value's zone, not the session zone)
+_LOCAL_FIELD_FNS = (
+    "HOUR", "MINUTE", "SECOND", "MILLISECOND", "DAY", "DAY_OF_MONTH",
+    "MONTH", "YEAR", "QUARTER", "DAY_OF_WEEK", "DOW", "DAY_OF_YEAR",
+    "DOY", "WEEK", "WEEK_OF_YEAR", "YEAR_OF_WEEK", "YOW",
+)
+
+_TZ_LIT_RE = None  # compiled lazily below
+
+
+def _parse_tz_literal(kind: str, body: str):
+    """Parse ``TIMESTAMP/TIME '<local> <zone>'``.  Returns (local_dt_or_t,
+    zone_text, offset_minutes, utc_rendering) or None when the literal
+    carries no zone.  Named zones resolve through tzdata at translation
+    time — deterministic, and Spark never sees a syntax it can't parse."""
+    import datetime as dt
+    import re as _re
+    import zoneinfo
+
+    m = _re.fullmatch(
+        r"\s*(.*?)\s+(([+-]\d{2}:\d{2})|([A-Za-z][\w/+-]*(?:/[\w+-]+)*))\s*",
+        body,
+    )
+    if not m or m.group(2).upper() in ("AM", "PM"):
+        return None
+    local_text, zone_text = m.group(1), m.group(2)
+    try:
+        if kind == "TIMESTAMP":
+            fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in local_text else "%Y-%m-%d %H:%M:%S"
+            if len(local_text) == 10:
+                fmt = "%Y-%m-%d"
+            local = dt.datetime.strptime(local_text, fmt)
+        else:
+            fmt = "%H:%M:%S.%f" if "." in local_text else "%H:%M:%S"
+            local = dt.datetime.strptime("1970-01-01 " + local_text,
+                                         "%Y-%m-%d " + fmt)
+    except ValueError:
+        return None
+    if m.group(3):
+        sign = 1 if zone_text[0] == "+" else -1
+        offset_min = sign * (int(zone_text[1:3]) * 60 + int(zone_text[4:6]))
+    else:
+        try:
+            tz = zoneinfo.ZoneInfo(zone_text)
+        except Exception:
+            return None
+        offset_min = int(
+            local.replace(tzinfo=tz).utcoffset().total_seconds() // 60
+        )
+    utc = local - dt.timedelta(minutes=offset_min)
+    if kind == "TIMESTAMP":
+        utc_text = utc.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+    else:
+        utc_text = utc.strftime("%H:%M:%S.%f")[:-3]
+    return local, zone_text, offset_min, utc_text
+
+
+def _render_presto_tz(kind: str, local, zone_text: str) -> str:
+    """The reference's varchar rendering of a zoned value
+    (DateTimeUtils.printTimestampWithTimeZone): local millis + zone."""
+    if kind == "TIMESTAMP":
+        return local.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3] + " " + zone_text
+    return local.strftime("%H:%M:%S.%f")[:-3] + " " + zone_text
+
+
+def _pass_tz_literals(tokens: list[Tok]) -> list[Tok]:
+    """``TIMESTAMP/TIME '<local> <zone>'`` literals — the packed
+    TIMESTAMP WITH TIME ZONE surface (spi/type/DateTimeEncoding.java
+    packs the zone key next to the instant).
+
+    Spark has a single instant-only timestamp type, so the zone cannot
+    travel with a general value; what CAN be honored exactly is every
+    context where the zone of a *literal* is observable, resolved at
+    translation time (the reference resolves literal zones in the
+    analyzer too):
+
+    - field extraction (``hour(TIMESTAMP '… +05:00')``) reads the LOCAL
+      field → the zone is stripped, keeping the local datetime;
+    - ``timezone_hour/timezone_minute(literal)`` → constant offset
+      (named zones resolved through tzdata at the literal's instant);
+    - ``CAST(literal AS VARCHAR)`` → the reference's rendering with the
+      zone preserved, as a constant;
+    - every other context → the UTC instant (unchanged semantics:
+      comparisons/arithmetic are instant-based in the reference too).
+
+    Zone-typed COLUMNS cannot exist here (no Spark storage type carries
+    a per-value zone) — documented in COVERAGE.md.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.is_kw("TIMESTAMP", "TIME") and i + 1 < n
+            and tokens[i + 1].kind == "string"
+        ):
+            kind = t.upper
+            parsed = _parse_tz_literal(kind, string_value(tokens[i + 1]))
+            if parsed is None:
+                out += [t, tokens[i + 1]]
+                i += 2
+                continue
+            local, zone_text, offset_min, utc_text = parsed
+            prev2 = out[-2] if len(out) >= 2 else None
+            prev1 = out[-1] if out else None
+            nxt = tokens[i + 2] if i + 2 < n else None
+            # fn( literal )  — the zone-observing call contexts
+            if (
+                prev1 is not None and prev1.text == "("
+                and prev2 is not None and prev2.kind == "ident"
+                and nxt is not None and nxt.text == ")"
+            ):
+                fn = prev2.upper
+                if fn in ("TIMEZONE_HOUR", "TIMEZONE_MINUTE"):
+                    # Java integer division truncates toward zero:
+                    # -05:30 → hour -5, minute -30 (DateTimeFunctions)
+                    trunc_h = int(offset_min / 60)
+                    val = (trunc_h if fn == "TIMEZONE_HOUR"
+                           else offset_min - trunc_h * 60)
+                    del out[-2:]
+                    out.append(Tok("number", str(val)))
+                    i += 3
+                    continue
+                if fn in _LOCAL_FIELD_FNS:
+                    local_text = (
+                        local.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
+                        if kind == "TIMESTAMP"
+                        else local.strftime("%H:%M:%S.%f")[:-3]
+                    )
+                    out += [t, string_literal(local_text)]
+                    i += 2
+                    continue
+            # CAST( literal AS VARCHAR )
+            if (
+                prev1 is not None and prev1.text == "("
+                and prev2 is not None and prev2.is_kw("CAST", "TRY_CAST")
+                and nxt is not None and nxt.is_kw("AS")
+                and i + 3 < n and tokens[i + 3].is_kw("VARCHAR")
+                and i + 4 < n and tokens[i + 4].text == ")"
+            ):
+                del out[-2:]
+                out.append(string_literal(_render_presto_tz(kind, local, zone_text)))
+                i += 5
+                continue
+            # default: the UTC instant
+            out += [t, string_literal(utc_text)]
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_typed_literals(tokens: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -2864,6 +3020,7 @@ def translate(sql: str) -> str:
     toks = _pass_catalog_qualifier(toks)
     toks = _pass_extract_fields(toks)
     toks = _pass_time_arith(toks)
+    toks = _pass_tz_literals(toks)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
     toks = _pass_values_lambda(toks)

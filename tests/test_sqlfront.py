@@ -669,3 +669,25 @@ def test_try_abs_guards_bigint_overflow():
     assert "typeof" in out and "-9223372036854775808" in out
     # try over arithmetic still maps to try_* twins, not the guard
     assert "try_add" in translate("SELECT TRY(x + y) FROM t")
+
+
+def test_tz_literals_observe_their_zone():
+    # field extraction reads the LOCAL datetime of the zoned literal
+    out = translate("SELECT hour(TIMESTAMP '2020-01-01 12:00:00 +05:00')")
+    assert "'2020-01-01 12:00:00.000'" in out and "+05:00" not in out
+    # rendering preserves the zone, resolved at translation time
+    out = translate("SELECT CAST(TIMESTAMP '2020-01-01 12:00:00 +05:00' AS VARCHAR)")
+    assert "'2020-01-01 12:00:00.000 +05:00'" in out
+    # timezone_hour/minute fold to constants (Java truncation on negatives)
+    assert "5" in translate("SELECT timezone_hour(TIMESTAMP '2020-01-01 00:00:00 +05:30')")
+    out = translate("SELECT timezone_minute(TIMESTAMP '2020-01-01 00:00:00 -05:30')")
+    assert "-30" in out
+    # any other context gets the UTC instant
+    out = translate("SELECT TIMESTAMP '2020-01-01 12:00:00 +05:00'")
+    assert "'2020-01-01 07:00:00.000'" in out
+    # named zones resolve through tzdata (DST-aware)
+    out = translate("SELECT TIMESTAMP '2020-07-01 12:00:00 America/Los_Angeles'")
+    assert "'2020-07-01 19:00:00.000'" in out
+    # time with time zone now parses; plain literals untouched
+    assert "'05:00:00.000'" in translate("SELECT TIME '10:00:00 +05:00'")
+    assert "'2020-01-01 12:00:00'" in translate("SELECT TIMESTAMP '2020-01-01 12:00:00'")
