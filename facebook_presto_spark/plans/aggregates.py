@@ -253,6 +253,33 @@ ORDER BY o_orderpriority
 """
 
 
+def agg_hll_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_set / merge / cardinality over the Presto/airlift WIRE
+    format (spi/type/HyperLogLogType.java — sketches a real cluster can
+    read back).  65536 buckets keep the sketch in its SPARSE_V2 regime
+    at test cardinalities, where airlift's linear-counting estimate is
+    exact — so the exact-COUNT-DISTINCT oracle is valid, same device as
+    agg_hll_sketch above; at 100 TB you'd use the reference's default
+    4096 and accept the documented ±1.6% error.  The plan pre-aggregates
+    (group, hash-bucket) JVM-side, so at most min(distinct, 2^26) combined
+    rows per group reach the Python packer."""
+    from facebook_presto_spark.functions import presto_hll_spark as hs
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = hs.approx_set_agg(
+        orders, ["o_orderpriority"], "o_custkey", buckets=65536
+    )
+    per_group = sk.select(
+        "o_orderpriority",
+        hs.cardinality_hll("hll").alias("approx_customers"),
+    )
+    merged = sk.agg(hs.merge_hll_agg("hll").alias("m")).select(
+        F.lit("__ALL__").alias("o_orderpriority"),
+        hs.cardinality_hll("m").alias("approx_customers"),
+    )
+    return per_group.unionByName(merged).orderBy("o_orderpriority")
+
+
 # --------------------------------------------------------------------------
 # weighted approx_percentile (x, w, p) — Presto's qdigest-weighted estimate
 # (ApproximateLongPercentileWeightedAggregations); ours is Spark's exact
@@ -429,6 +456,7 @@ QUERIES = {
     "agg_reduce": agg_reduce,
     "agg_numeric_histogram": agg_numeric_histogram,
     "agg_hll_sketch": agg_hll_sketch,
+    "agg_hll_wire": agg_hll_wire,
 }
 
 ORACLE = {
@@ -442,4 +470,5 @@ ORACLE = {
     "agg_reduce": ORACLE_REDUCE,
     "agg_numeric_histogram": ORACLE_NUMERIC_HISTOGRAM,
     "agg_hll_sketch": ORACLE_HLL,
+    "agg_hll_wire": ORACLE_HLL,
 }
