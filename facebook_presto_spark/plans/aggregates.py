@@ -359,6 +359,47 @@ ORDER BY p1, p2
 """
 
 
+def agg_set_digest_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SetDigest over the Presto WIRE format (type/setdigest/
+    SetDigest.java byte layout: version + airlift HLL + bottom-k
+    murmur3 minhash with counts).  In the exact regime (< 8192 distinct
+    per group) cardinality and intersection_cardinality are exact
+    (SetDigest.java:147-157, SetDigestFunctions.java:52-74), so the
+    COUNT-DISTINCT oracle is valid.  jaccard_index is a minhash
+    ESTIMATE even over exact digests (it walks the first min(|A|,|B|)
+    union keys in hash order — SetDigest.java:166-184), so it is
+    covered by unit tests, not this oracle."""
+    from facebook_presto_spark.functions import presto_setdigest as sd
+
+    orders = _t(spark, sf_dir, "orders")
+    d = sd.make_set_digest_agg(orders, ["o_orderpriority"], "o_custkey")
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, F.col("a.o_orderpriority") < F.col("b.o_orderpriority"))
+    return pairs.select(
+        F.col("a.o_orderpriority").alias("p1"),
+        F.col("b.o_orderpriority").alias("p2"),
+        sd.intersection_cardinality_wire(
+            F.col("a.digest"), F.col("b.digest")
+        ).alias("icard"),
+        sd.cardinality_setdigest_wire(F.col("a.digest")).alias("card1"),
+    ).orderBy("p1", "p2")
+
+
+ORACLE_SET_DIGEST_WIRE = """
+WITH s AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+cnt AS (SELECT p, count(*) AS n FROM s GROUP BY p),
+inter AS (
+  SELECT s1.p AS p1, s2.p AS p2, count(*) AS i
+  FROM s s1 JOIN s s2 ON s1.c = s2.c AND s1.p < s2.p
+  GROUP BY s1.p, s2.p
+)
+SELECT i.p1, i.p2, CAST(i.i AS BIGINT) AS icard, CAST(ca.n AS BIGINT) AS card1
+FROM inter i
+JOIN cnt ca ON ca.p = i.p1
+ORDER BY p1, p2
+"""
+
+
 # --------------------------------------------------------------------------
 # Quantile-digest lifecycle: qdigest_agg → merge_qdigest →
 # value_at_quantile / values_at_quantiles (QuantileDigestFunctions.java:
@@ -457,6 +498,7 @@ QUERIES = {
     "agg_numeric_histogram": agg_numeric_histogram,
     "agg_hll_sketch": agg_hll_sketch,
     "agg_hll_wire": agg_hll_wire,
+    "agg_set_digest_wire": agg_set_digest_wire,
 }
 
 ORACLE = {
@@ -471,4 +513,5 @@ ORACLE = {
     "agg_numeric_histogram": ORACLE_NUMERIC_HISTOGRAM,
     "agg_hll_sketch": ORACLE_HLL,
     "agg_hll_wire": ORACLE_HLL,
+    "agg_set_digest_wire": ORACLE_SET_DIGEST_WIRE,
 }
