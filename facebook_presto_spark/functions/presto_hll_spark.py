@@ -200,6 +200,33 @@ def cardinality_hll(c) -> Column:
     return _cardinality_udf()(_c(c))
 
 
+@functools.lru_cache(maxsize=1)
+def _to_p4_udf():
+    @F.pandas_udf("binary")
+    def to_p4(sketches: pd.Series) -> pd.Series:
+        out = []
+        for raw in sketches:
+            if raw is None:
+                out.append(None)
+                continue
+            sk = hll.PrestoHll.deserialize(bytes(raw))
+            out.append(
+                hll.PrestoHll(
+                    sk.p, registers=sk.to_dense_registers()
+                ).serialize()
+            )
+        return pd.Series(out)
+
+    return to_p4
+
+
+def cast_to_p4_hll(c) -> Column:
+    """CAST(hll AS P4HyperLogLog) — HyperLogLogOperators.castToP4Hll
+    (makeDense + reserialize; the P4 type is the dense-only wire form).
+    The reverse cast is the identity (castFromP4Hll)."""
+    return _to_p4_udf()(_c(c))
+
+
 def empty_approx_set() -> bytes:
     """empty_approx_set() — HyperLogLogFunctions.java:39 (an empty
     SPARSE_V2 sketch at approx_set's 4096-bucket precision)."""
@@ -211,3 +238,4 @@ register("approx_set_wire")(approx_set_agg)
 register("merge_hll_wire")(merge_hll_agg)
 register("cardinality_hll_wire")(cardinality_hll)
 register("approx_distinct_wire")(approx_distinct_agg)
+register("cast_to_p4_hll")(cast_to_p4_hll)

@@ -272,3 +272,18 @@ class TestSparkIntegration:
         assert "ArrowEvalPython" in plan
         assert "BatchEvalPython" not in plan
         assert plan.count("HashAggregate") >= 2
+
+    def test_cast_to_p4_forces_dense(self, spark):
+        # HyperLogLogOperators.castToP4Hll: sparse sketch -> dense bytes,
+        # same estimate regime afterwards (dense linear counting)
+        df = spark.createDataFrame([(1, i) for i in range(50)], "g: int, v: long")
+        sk = hs.approx_set_agg(df, ["g"], "v")
+        r = sk.select(
+            F.col("hll"),
+            hs.cast_to_p4_hll("hll").alias("p4"),
+        ).collect()[0]
+        assert r.hll[0] == 2  # sparse
+        assert r.p4[0] == 3 and r.p4[1] == 12  # DENSE_V2, same precision
+        dense = hll.PrestoHll.deserialize(bytes(r.p4))
+        sparse = hll.PrestoHll.deserialize(bytes(r.hll))
+        assert np.array_equal(dense.registers, sparse.to_dense_registers())
