@@ -446,10 +446,58 @@ WHERE d.source <> '{BENCH_SOURCE}'
 """
 
 
+
+STRATIFIED_N = 40
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n-per-stratum deterministic sampling (reservoir semantics).
+
+    Where mixture_sample keeps a RATE per stratum, training-data
+    curation also needs exact COUNTS per stratum ("40 documents per
+    language").  The deterministic spelling of a uniform reservoir:
+    rank every document inside its stratum by a cryptographic hash of
+    its id (md5 hex — order is uniform and engine-independent) and keep
+    the first n.  Spark executes the rank<=n filter as a per-group
+    heap (InferWindowGroupLimit), so memory is O(n) per stratum and the
+    corpus is scanned once — the 100 TB reservoir without an RNG.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRATIFIED_N)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sample_id_sum"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sample_id_sum,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM ranked WHERE rn <= {STRATIFIED_N}
+GROUP BY lang
+ORDER BY lang
+"""
+
 QUERIES = {
     "curation_gopher_repetition": gopher_repetition,
     "curation_decontaminate": decontaminate,
     "curation_mixture_sample": mixture_sample,
+    "curation_stratified_sample": stratified_sample,
     "curation_pack_sequences": pack_sequences,
     "curation_segment_dedup": segment_dedup,
     "curation_pii_scrub": pii_scrub,
@@ -459,6 +507,7 @@ ORACLE = {
     "curation_gopher_repetition": GOPHER_REPETITION_SQL,
     "curation_decontaminate": DECONTAMINATE_SQL,
     "curation_mixture_sample": MIXTURE_SAMPLE_SQL,
+    "curation_stratified_sample": STRATIFIED_SAMPLE_SQL,
     "curation_pack_sequences": PACK_SEQUENCES_SQL,
     "curation_segment_dedup": SEGMENT_DEDUP_SQL,
     "curation_pii_scrub": PII_SCRUB_SQL,

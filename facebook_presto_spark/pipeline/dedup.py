@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from facebook_presto_spark.plans.tpch import _t
 
@@ -744,10 +745,71 @@ FROM comp c JOIN sizes s USING (component)
 )
 
 
+
+def canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup end-game: per near-duplicate cluster, keep the best document.
+
+    Composes the connected-components clusters with the text quality
+    score and picks each component's survivor by (quality DESC, doc_id
+    ASC) — the canonical-selection step a production dedup pipeline runs
+    after cluster resolution (docs outside any cluster survive
+    trivially, so only the graph's components are decided here).
+
+    Scale shape: clusters and scores are both per-doc relations; the
+    pick is a window group-limit (per-group heap), so nothing beyond
+    (doc, component, score) ever shuffles.
+    """
+    from facebook_presto_spark.pipeline.text import quality_score
+
+    comps = connected_components(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        comps.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor"),
+            "comp_size",
+            (F.col("comp_size") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+CANONICAL_PICK_SQL = (
+    CONNECTED_COMPONENTS_SQL.rsplit("SELECT c.doc_id", 1)[0]
+    + """, q AS (
+  SELECT doc_id,
+         0.4 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 1000
+                THEN 1.0 ELSE 0.0 END)
+         + 0.3 * least(CAST(len(list_filter(string_split(text, ' '),
+                    x -> list_contains(['the','a','of','to','and','in','is'], x))) AS DOUBLE)
+                       / len(string_split(text, ' ')) * 5, 1.0)
+         + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' '))) AS quality
+  FROM documents
+), ranked AS (
+  SELECT c.component, c.doc_id, s.comp_size,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN sizes s USING (component) JOIN q USING (doc_id)
+)
+SELECT component, doc_id AS survivor, comp_size,
+       comp_size - 1 AS n_dropped
+FROM ranked WHERE rn = 1
+ORDER BY component
+"""
+)
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_connected_components": connected_components,
+    "dedup_canonical_pick": canonical_pick,
     "dedup_lsh_verified": lsh_verified_pairs,
     "dedup_ngram_jaccard": ngram_jaccard_blocked,
     "dedup_ngram_lsh_verified": ngram_jaccard_pairs,
@@ -760,6 +822,7 @@ ORACLE = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
+    "dedup_canonical_pick": CANONICAL_PICK_SQL,
     "dedup_lsh_verified": LSH_VERIFIED_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_ngram_lsh_verified": NGRAM_LSH_VERIFIED_SQL,

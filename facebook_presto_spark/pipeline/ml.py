@@ -35,6 +35,8 @@ nothing driver-side but the weights.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Quantization scales: inputs are rounded to integers (value·SCALE) so
@@ -397,14 +399,161 @@ FROM v, final
 """)
 
 
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over the embeddings corpus — the clustering step a
+# training-data pipeline runs for corpus curation / diversity balancing
+# (and the unsupervised sibling of classify_centroid above).  Fully
+# deterministic fixed-point Lloyd's:
+#
+# - vectors quantized to int64 (the proven VEC_SCALE spelling);
+# - init = the k lowest vec_ids' vectors (rank order, no RNG);
+# - each iteration: ONE broadcast join (k*dim centroid rows) + argmin
+#   with (dist, cluster) tie-break + ONE groupBy for the floored-mean
+#   update.  The driver holds only k*dim integers between iterations;
+#   empty clusters keep their previous centroid;
+# - every arithmetic step (integer squared distances, floor(sum/n)
+#   means) is replayed bit-for-bit by the unrolled DuckDB oracle.
+#
+# 100 TB shape: per iteration the corpus is scanned once; the shuffle
+# carries (vec_id, cluster, dist) for the argmin window and (cluster, i,
+# partial-sum) for the map-side-combined centroid update — both bounded
+# by k, never by corpus width.
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+_KM_DIM = 64
+
+
+def kmeans_embeddings(spark, sf_dir: str) -> DataFrame:
+    from facebook_presto_spark.plans.tpch import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
+
+    # init: the k lowest vec_ids' vectors, cluster = rank-1
+    init = (
+        q.orderBy("vec_id").limit(KMEANS_K).collect()
+    )
+    cent = np.array([r.qv for r in init], dtype=np.int64)  # k x dim
+
+    # Per iteration ONE Arrow pass computes every point's (cluster,
+    # dist) against the k x dim broadcast matrix — exact int64 squared
+    # distances, argmin ties resolved to the lowest cluster (numpy
+    # argmin picks the first maximum-tie, clusters are row-ordered).
+    # The O(n*dim*k) work stays inside vectorized numpy instead of a
+    # k-way row blowup through a shuffle.
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        def make_assign(c_mat):
+            @F.pandas_udf("struct<cluster: long, dist: long>")
+            def assign_udf(qv: pd.Series) -> pd.DataFrame:
+                if len(qv) == 0:
+                    return pd.DataFrame({"cluster": [], "dist": []})
+                x = np.array(qv.tolist(), dtype=np.int64)  # b x dim
+                # (b, k) exact int64: sum((x - c)^2) per candidate
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2 * (x @ c_mat.T)
+                    + (c_mat * c_mat).sum(axis=1)[None, :]
+                )
+                best = d.argmin(axis=1)
+                return pd.DataFrame(
+                    {"cluster": best, "dist": d[np.arange(len(x)), best]}
+                )
+
+            return assign_udf
+
+        a = q.select("vec_id", "qv", make_assign(cent)("qv").alias("a"))
+        assign = a.select(
+            "vec_id", "qv", F.col("a.cluster").alias("cluster"),
+            F.col("a.dist").alias("dist"),
+        )
+        # floored-mean centroid update: one unpivot of the ASSIGNED rows
+        # (O(n*dim), no k-fan-out), map-side combined
+        newc = (
+            assign.select(
+                "cluster", F.posexplode("qv").alias("i", "val")
+            )
+            .groupBy("cluster", "i")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("cval")
+            )
+            .collect()
+        )
+        nxt = cent.copy()  # empty clusters keep their previous centroid
+        for r in newc:
+            nxt[r.cluster, r.i] = r.cval
+        cent = nxt
+
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("dist").alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    k, dim = KMEANS_K, _KM_DIM
+    sql = f"""
+WITH pts AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         CAST(round(CAST(embedding[i+1] AS DOUBLE) * {VEC_SCALE}) AS BIGINT) AS val
+  FROM embeddings, range({dim}) t(i)
+), init AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+), c0 AS (
+  SELECT init.cluster, pts.i, pts.val AS cval
+  FROM init JOIN pts USING (vec_id)
+)"""
+    prev = "c0"
+    for t in range(KMEANS_ITERS):
+        sql += f""", d{t} AS (
+  SELECT p.vec_id, c.cluster,
+         CAST(sum((p.val - c.cval) * (p.val - c.cval)) AS BIGINT) AS dist
+  FROM pts p JOIN {prev} c USING (i)
+  GROUP BY p.vec_id, c.cluster
+), s{t} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+), cn{t} AS (
+  SELECT s.cluster, p.i,
+         CAST(floor(CAST(sum(p.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+  FROM s{t} s JOIN pts p USING (vec_id)
+  GROUP BY s.cluster, p.i
+), c{t + 1} AS (
+  SELECT c.cluster, c.i, COALESCE(n.cval, c.cval) AS cval
+  FROM {prev} c LEFT JOIN cn{t} n ON n.cluster = c.cluster AND n.i = c.i
+)"""
+        prev = f"c{t + 1}"
+    last = KMEANS_ITERS - 1
+    sql += f"""
+SELECT cluster, count(*) AS n_points, CAST(sum(dist) AS BIGINT) AS inertia
+FROM s{last}
+GROUP BY cluster
+ORDER BY cluster
+"""
+    return sql
+
 QUERIES = {
     "ml_linear_regression": linear_regression,
     "ml_classify_centroid": classify_centroid,
     "ml_svm_classifier": svm_classifier,
+    "ml_kmeans_embeddings": kmeans_embeddings,
 }
 
 ORACLE = {
     "ml_linear_regression": ML_LINEAR_REGRESSION_SQL,
     "ml_classify_centroid": ML_CLASSIFY_CENTROID_SQL,
     "ml_svm_classifier": _svm_oracle_sql(),
+    "ml_kmeans_embeddings": _kmeans_oracle_sql(),
 }

@@ -49,3 +49,17 @@ def test_classifier_separable(spark):
     joined = pred.join(df.select("vec_id", "label"), "vec_id")
     n_wrong = joined.filter(F.col("predicted") != F.col("label")).count()
     assert n_wrong == 0
+
+
+def test_kmeans_partitions_and_converges(spark, sf_dir):
+    from facebook_presto_spark.pipeline.ml import (
+        KMEANS_K, kmeans_embeddings)
+
+    out = kmeans_embeddings(spark, sf_dir).collect()
+    assert 1 <= len(out) <= KMEANS_K
+    n_emb = spark.read.parquet(sf_dir + "/embeddings.parquet").count()
+    assert sum(r.n_points for r in out) == n_emb  # every point assigned once
+    assert all(r.inertia >= 0 for r in out)
+    # deterministic: a second run is identical
+    again = kmeans_embeddings(spark, sf_dir).collect()
+    assert out == again

@@ -110,3 +110,45 @@ def test_connected_components_chain(spark, monkeypatch):
         1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
         10: (10, 2), 11: (10, 2),
     }
+
+
+def test_canonical_pick_survivor_is_best_in_component(spark, sf_dir):
+    from facebook_presto_spark.pipeline.dedup import (
+        canonical_pick, connected_components)
+    from facebook_presto_spark.pipeline.text import quality_score
+
+    picks = canonical_pick(spark, sf_dir)
+    comps = connected_components(spark, sf_dir)
+    quality = quality_score(spark, sf_dir).select("doc_id", "quality")
+    # the survivor's quality is the component max (ties broken by min id)
+    best = (
+        comps.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(F.max("quality").alias("qmax"))
+    )
+    j = (
+        picks.join(quality, picks.survivor == quality.doc_id)
+        .join(best, "component")
+    )
+    assert j.filter(F.col("quality") != F.col("qmax")).count() == 0
+    # one survivor per component, sizes consistent
+    rows = picks.collect()
+    assert len({r.component for r in rows}) == len(rows)
+    assert all(r.n_dropped == r.comp_size - 1 for r in rows)
+
+
+def test_stratified_sample_exact_n_and_deterministic(spark, sf_dir):
+    from facebook_presto_spark.pipeline.curation import (
+        STRATIFIED_N, stratified_sample)
+
+    out = stratified_sample(spark, sf_dir).collect()
+    totals = {
+        r.lang: r.n
+        for r in spark.read.parquet(sf_dir + "/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in out:
+        assert r.n_sampled == min(STRATIFIED_N, totals[r.lang])
+    assert out == stratified_sample(spark, sf_dir).collect()
