@@ -554,51 +554,63 @@ def _correct_bias(raw: float, p: int) -> float:
 # hash helpers for pandas batches
 
 def hash_series_murmur(values, dtype_kind: str) -> np.ndarray:
-    """Murmur3 hash64 of a pandas Series batch (approx_set semantics)."""
+    """Murmur3 hash64 of a pandas Series batch (approx_set semantics).
+
+    Callers filter SQL NULLs JVM-side (``isNotNull`` is true for NaN)
+    BEFORE the Arrow transfer: a float64 NaN reaching this function is
+    therefore a genuine double NaN and hashes as Java's canonical NaN
+    bits (Double.doubleToLongBits), never dropped — SQL NULL and NaN
+    would otherwise be indistinguishable in a float64 batch.
+    """
     import pandas as pd
 
-    mask = values.isna()
     if dtype_kind == "i":  # bigint
         filled = values.fillna(0).to_numpy(dtype=np.int64)
         out = murmur3_hash64_longs(filled)
-    elif dtype_kind == "f":  # double -> doubleToLongBits
-        filled = values.fillna(0.0).to_numpy(dtype=np.float64)
-        out = murmur3_hash64_longs(_double_to_long_bits(filled))
+        mask = values.isna().to_numpy()
+    elif dtype_kind == "f":  # double -> doubleToLongBits, NaN is a value
+        arr = values.to_numpy(dtype=np.float64)
+        out = murmur3_hash64_longs(_double_to_long_bits(arr))
+        mask = np.zeros(len(values), dtype=bool)
     else:  # varchar/varbinary
         out = np.array(
             [
-                0 if pd.isna(v) else murmur3_hash64_bytes(
+                0 if v is None else murmur3_hash64_bytes(
                     v if isinstance(v, bytes) else str(v).encode("utf-8")
                 )
                 for v in values
             ],
             dtype=_U64,
         )
-    return out, mask.to_numpy()
+        mask = np.array([v is None for v in values], dtype=bool)
+    return out, mask
 
 
 def hash_series_xxhash(values, dtype_kind: str) -> np.ndarray:
-    """Seed-0 xxHash64 of a pandas Series batch (approx_distinct semantics)."""
+    """Seed-0 xxHash64 of a pandas Series batch (approx_distinct
+    semantics).  Same NULL-vs-NaN contract as hash_series_murmur."""
     import pandas as pd
 
-    mask = values.isna()
     if dtype_kind == "i":
         filled = values.fillna(0).to_numpy(dtype=np.int64)
         out = xxhash64_longs(filled)
+        mask = values.isna().to_numpy()
     elif dtype_kind == "f":
-        filled = values.fillna(0.0).to_numpy(dtype=np.float64)
-        out = xxhash64_longs(_double_to_long_bits(filled))
+        arr = values.to_numpy(dtype=np.float64)
+        out = xxhash64_longs(_double_to_long_bits(arr))
+        mask = np.zeros(len(values), dtype=bool)
     else:
         out = np.array(
             [
-                0 if pd.isna(v) else xxhash64_bytes(
+                0 if v is None else xxhash64_bytes(
                     v if isinstance(v, bytes) else str(v).encode("utf-8")
                 )
                 for v in values
             ],
             dtype=_U64,
         )
-    return out, mask.to_numpy()
+        mask = np.array([v is None for v in values], dtype=bool)
+    return out, mask
 
 
 def _double_to_long_bits(arr: np.ndarray) -> np.ndarray:

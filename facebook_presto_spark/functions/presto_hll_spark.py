@@ -122,7 +122,10 @@ def approx_set_agg(
     three-stage 100 TB plan.
     """
     p = hll.index_bit_length(buckets)
-    entries = df.select(
+    # NULLs drop JVM-side BEFORE the Arrow transfer: isNotNull is true
+    # for NaN doubles, so a NaN reaching the hasher is a real value
+    # (Presto counts NaN; hash_series_murmur docstring has the contract)
+    entries = df.where(F.col(col).isNotNull()).select(
         *group_cols, sparse_entry(col, hash_fn).alias("__entry")
     ).where(F.col("__entry").isNotNull())
     pre = entries.groupBy(

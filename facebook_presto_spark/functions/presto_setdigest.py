@@ -232,7 +232,9 @@ def make_set_digest_agg(
     hll-bucket) max, then two pack UDFs and a byte-level combine.
     """
     p = hll.index_bit_length(NUMBER_OF_BUCKETS)
-    he = df.select(
+    # NULLs drop JVM-side (isNotNull is true for NaN): a NaN double
+    # reaching the hasher is a real value — see hash_series_murmur
+    he = df.where(_c(col).isNotNull()).select(
         *group_cols, _hash_entry_udf()(_c(col)).alias("__he")
     ).select(
         *group_cols, F.col("__he.h").alias("__h"), F.col("__he.e").alias("__e")

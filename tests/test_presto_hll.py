@@ -287,3 +287,18 @@ class TestSparkIntegration:
         dense = hll.PrestoHll.deserialize(bytes(r.p4))
         sparse = hll.PrestoHll.deserialize(bytes(r.hll))
         assert np.array_equal(dense.registers, sparse.to_dense_registers())
+
+    def test_double_column_distinguishes_signed_zero(self, spark):
+        # Java doubleToLongBits: -0.0 keeps its sign bit, so approx_set
+        # counts 0.0 and -0.0 as TWO values (NaNs canonicalize to one)
+        df = spark.createDataFrame(
+            [(1, 0.0), (1, -0.0), (1, float("nan")), (1, float("nan")), (1, 2.5)],
+            "g: int, v: double",
+        )
+        est = (
+            hs.approx_set_agg(df, ["g"], "v")
+            .select(hs.cardinality_hll("hll").alias("e"))
+            .collect()[0]
+            .e
+        )
+        assert est == 4
