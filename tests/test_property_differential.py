@@ -195,3 +195,103 @@ def test_case_projection_matches(sql_engine, duck, pred, lo):
     got = [tuple(r) for r in sql_engine.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want, sql
+
+
+# -- scalar-expression families (round 3) -----------------------------------
+
+_STR_FNS = ["upper", "lower", "trim", "reverse"]
+
+
+def _str_expr() -> st.SearchStrategy[str]:
+    base = st.sampled_from(
+        ["o_orderpriority", "o_orderstatus"]
+    )
+    wrapped = st.tuples(
+        st.lists(st.sampled_from(_STR_FNS), min_size=0, max_size=3), base
+    ).map(lambda t: _nest(t[1], t[0]))
+    sub = st.tuples(
+        wrapped,
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=1, max_value=8),
+    ).map(lambda t: f"substr({t[0]}, {t[1]}, {t[2]})")
+    rep = wrapped.map(lambda e: f"replace({e}, 'E', '_')")
+    return st.one_of(wrapped, sub, rep)
+
+
+def _nest(base: str, fns: list) -> str:
+    out = base
+    for f in fns:
+        out = f"{f}({out})"
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(expr=_str_expr(), lo=st.integers(min_value=0, max_value=3000))
+def test_string_expression_matches(sql_engine, duck, expr, lo):
+    """Random string-function chains (upper/lower/trim/reverse/substr/
+    replace/||/length) — identical text on both engines."""
+    sql = (
+        f"SELECT o_orderkey, {expr} AS s, length({expr}) AS n, "
+        f"{expr} || '#' AS tagged "
+        f"FROM orders WHERE o_orderkey BETWEEN {lo} AND {lo + 150} "
+        "ORDER BY o_orderkey"
+    )
+    got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+_DT_FIELDS = ["year", "month", "day"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    field=st.sampled_from(_DT_FIELDS),
+    unit=st.sampled_from(["month", "year"]),
+    pred=_predicate(1),
+)
+def test_datetime_expression_matches(sql_engine, duck, field, unit, pred):
+    """extract()/date_trunc() over o_orderdate with a random predicate."""
+    sql = (
+        f"SELECT extract({field} FROM o_orderdate) AS f, "
+        f"CAST(date_trunc('{unit}', o_orderdate) AS DATE) AS t, count(*) AS n "
+        f"FROM orders WHERE {pred} "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p1=_predicate(1),
+    p2=_predicate(1),
+    op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+)
+def test_setop_matches(sql_engine, duck, p1, p2, op):
+    """Random set operations between two filtered projections."""
+    sql = (
+        f"SELECT o_orderpriority FROM orders WHERE {p1} "
+        f"{op} "
+        f"SELECT o_orderpriority FROM orders WHERE {p2} "
+        "ORDER BY o_orderpriority"
+    )
+    got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    if op == "UNION ALL":
+        assert sorted(got) == sorted(want), sql
+    else:
+        assert got == want, sql
