@@ -117,6 +117,11 @@ class PrestoSparkEngine:
         for name, udf in {**binary_fns.SQL_UDFS, **string_fns.SQL_UDFS}.items():
             spark.udf.register(name, udf)
 
+        # declarative SQL UDFs: the SetDigest/qdigest scalar long-tail
+        from facebook_presto_spark.sqlfront import sql_udfs
+
+        sql_udfs.install(spark)
+
     def translate(self, presto_sql: str) -> str:
         """Presto-dialect SQL → the Spark SQL string that will run."""
         return translate(presto_sql)

@@ -50,6 +50,16 @@ RENAME: dict[str, str] = {
     "json_extract_scalar": "get_json_object",
     # aggregates (operator/aggregation/)
     "approx_distinct": "approx_count_distinct",
+    # HyperLogLog surface (ApproximateSetAggregation.java,
+    # MergeHyperLogLogAggregation.java): the SQL path rides Spark's
+    # DataSketches HLL family (sketch values engine-defined, estimates
+    # within the same error class); the Presto-WIRE-format twins live on
+    # the DataFrame path (functions/presto_hll_spark.py).  ``merge`` in
+    # the reference is generic over sketch types; the only sketch type
+    # that reaches the SQL path as a value is HLL, so the HLL reading is
+    # the sound one here.
+    "approx_set": "hll_sketch_agg",
+    "merge": "hll_union_agg",
     "arbitrary": "any_value",
     "format": "format_string",
     # Joda-pattern formatting ≈ JDK DateTimeFormatter for the shared
@@ -1007,6 +1017,80 @@ def _hamming_distance(args: Args) -> list[Tok]:
     )
 
 
+
+def _make_set_digest(args: Args) -> list[Tok]:
+    """make_set_digest(x) (BuildSetDigestAggregation.java) — the bottom-k
+    xxhash64 representation as one aggregate expression
+    (functions/sketch_fns.make_set_digest's tree)."""
+    return _sql(
+        "slice(array_sort(collect_set(xxhash64({x}))), 1, 8192)", x=args[0])
+
+
+def _merge_set_digest(args: Args) -> list[Tok]:
+    """merge_set_digest(d) (MergeSetDigestAggregation.java)."""
+    return _sql(
+        "slice(array_sort(array_distinct(flatten(collect_list({d})))), 1, 8192)",
+        d=args[0])
+
+
+def _qdigest_agg(args: Args) -> list[Tok]:
+    """qdigest_agg(x) (QuantileDigestAggregationFunction.java:58) — the
+    bucket-count map over the SQL-UDF qdigest_bucket (sketch_fns.
+    qdigest_agg's tree; the collect_list repeats, Spark computes one)."""
+    vals = "collect_list(qdigest_bucket(CAST({x} AS BIGINT)))"
+    keys = f"array_sort(array_distinct({vals}))"
+    return _sql(
+        f"map_from_arrays({keys}, transform({keys}, "
+        f"__k -> CAST(size(filter({vals}, __v -> __v = __k)) AS BIGINT)))",
+        x=args[0])
+
+
+def _merge_qdigest(args: Args) -> list[Tok]:
+    """merge(qdigest) — key-wise count addition (sketch_fns.merge_qdigest)."""
+    entries = "flatten(transform(collect_list({d}), __m -> map_entries(__m)))"
+    keys = f"array_sort(array_distinct(transform({entries}, __e -> __e.key)))"
+    return _sql(
+        f"map_from_arrays({keys}, transform({keys}, "
+        f"__k -> aggregate(filter({entries}, __e -> __e.key = __k), "
+        f"CAST(0 AS BIGINT), (__a, __e) -> __a + __e.value)))",
+        d=args[0])
+
+
+def _cardinality(args: Args) -> list[Tok]:
+    """cardinality(x) — arrays/maps keep Spark's cardinality; over an
+    HLL sketch expression (HyperLogLogFunctions.java:31) it becomes
+    hll_sketch_estimate.  Inner calls are already rewritten when this
+    rule runs, so the sketch case is detected by the Spark names (plus
+    the Presto spellings, defensively)."""
+    if len(args) == 1:
+        inner = args[0]
+        for k, t in enumerate(inner):
+            if (
+                t.kind == "ident"
+                and k + 1 < len(inner)
+                and inner[k + 1].text == "("
+                and t.text.lower() in (
+                    "hll_sketch_agg", "hll_union_agg", "approx_set", "merge",
+                )
+            ):
+                return _call("hll_sketch_estimate", inner)
+        # the SetDigest aggregate expansions (rules below) carry the
+        # distinctive bottom-k signature: slice(array_sort(...), 1, 8192)
+        # over an xxhash64 collect / a flatten-distinct merge
+        names = {
+            t.text.lower()
+            for k, t in enumerate(inner)
+            if t.kind == "ident" and k + 1 < len(inner)
+            and inner[k + 1].text == "("
+        }
+        has_8192 = any(t.text == "8192" for t in inner)
+        if has_8192 and "slice" in names and (
+            "xxhash64" in names
+            or {"array_distinct", "flatten", "collect_list"} <= names
+        ):
+            return _call("cardinality_setdigest", inner)
+    return _call("cardinality", *args)
+
 RULES: dict[str, object] = {
     "map": _map_ctor,
     "bitwise_and": _bitwise("&"),
@@ -1064,6 +1148,15 @@ RULES: dict[str, object] = {
     "min_by": _min_max_by_n(True),
     "max_by": _min_max_by_n(False),
     "histogram": _histogram,
+    "cardinality": _cardinality,
+    "make_set_digest": _make_set_digest,
+    "merge_set_digest": _merge_set_digest,
+    "qdigest_agg": _qdigest_agg,
+    "merge_qdigest": _merge_qdigest,
+    # empty_approx_set() (HyperLogLogFunctions.java:39): an empty sketch
+    # literal via an empty-relation aggregate
+    "empty_approx_set": lambda args: _sql(
+        "(SELECT hll_sketch_agg(id) FROM range(0))"),
     "ngrams": _ngrams,
     "to_milliseconds": _to_milliseconds,
     "millisecond": _millisecond,

@@ -75,3 +75,36 @@ def test_reference_query_analyzes(spark, tpch_views, path):
     spark_sql = translate(_load(path))
     df = spark.sql(spark_sql)
     assert len(df.schema.fields) > 0  # full analysis (resolution + typing)
+
+
+def test_sketch_sql_matches_dataframe_twins(spark):
+    """The SQL-path sketch surface and the Column-API twins share one
+    expression tree — same inputs must give identical results."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+    from facebook_presto_spark.functions import call
+    from pyspark.sql import functions as F
+
+    eng = PrestoSparkEngine.for_dir("/root/testdata/sf0.001", spark=spark)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+    sql = eng.sql(
+        "SELECT o_orderpriority AS p, cardinality(make_set_digest(o_custkey)) AS c "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ).collect()
+    dfr = (
+        orders.groupBy(F.col("o_orderpriority").alias("p"))
+        .agg(call("cardinality_setdigest", call("make_set_digest", "o_custkey")).alias("c"))
+        .orderBy("p")
+        .collect()
+    )
+    assert [tuple(r) for r in sql] == [tuple(r) for r in dfr]
+
+    sql_q = eng.sql(
+        "SELECT value_at_quantile(qdigest_agg(o_orderkey), 0.5) AS v FROM orders"
+    ).collect()[0].v
+    dfr_q = (
+        orders.agg(
+            call("value_at_quantile", call("qdigest_agg", "o_orderkey"), 0.5).alias("v")
+        ).collect()[0].v
+    )
+    assert sql_q == dfr_q

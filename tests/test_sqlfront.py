@@ -691,3 +691,32 @@ def test_tz_literals_observe_their_zone():
     # time with time zone now parses; plain literals untouched
     assert "'05:00:00.000'" in translate("SELECT TIME '10:00:00 +05:00'")
     assert "'2020-01-01 12:00:00'" in translate("SELECT TIMESTAMP '2020-01-01 12:00:00'")
+
+
+def test_hll_sql_surface():
+    # approx_set / merge / cardinality / empty_approx_set ride Spark's
+    # HLL family on the SQL path (HyperLogLogFunctions.java surface)
+    out = translate("SELECT cardinality(approx_set(x)) FROM t")
+    assert "hll_sketch_estimate(hll_sketch_agg(x))" in out
+    out = translate("SELECT cardinality(merge(h)) FROM s")
+    assert "hll_sketch_estimate(hll_union_agg(h))" in out
+    # arrays/maps keep plain cardinality
+    out = translate("SELECT cardinality(ARRAY[1,2]) , cardinality(split(s, ','))")
+    assert "hll_sketch_estimate" not in out
+    assert "empty_approx_set" not in translate("SELECT empty_approx_set()")
+
+
+def test_sketch_sql_surface():
+    # SetDigest aggregates expand to the bottom-k expression trees
+    out = translate("SELECT cardinality(make_set_digest(x)) FROM t")
+    assert "cardinality_setdigest" in out and "xxhash64(x)" in out
+    out = translate("SELECT cardinality(merge_set_digest(d)) FROM t")
+    assert "cardinality_setdigest" in out and "flatten(collect_list(d))" in out
+    # qdigest aggregates expand over the qdigest_bucket SQL UDF
+    out = translate("SELECT value_at_quantile(qdigest_agg(x), 0.5) FROM t")
+    assert "qdigest_bucket" in out and "map_from_arrays" in out
+    out = translate("SELECT values_at_quantiles(merge_qdigest(q), ARRAY[0.5]) FROM t")
+    assert "map_entries" in out
+    # plain cardinality over arrays untouched, even slice-shaped ones
+    out = translate("SELECT cardinality(slice(array_distinct(a), 1, 5)) FROM t")
+    assert "cardinality_setdigest" not in out
