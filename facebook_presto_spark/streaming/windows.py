@@ -352,12 +352,63 @@ FROM carried WHERE tag = 1
 """
 
 
+
+def daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_daily_approx_users: per-day approximate
+    distinct users via the mergeable HLL sketch (lgK=21 keeps the
+    sparse representation exact at test cardinalities, so the exact
+    COUNT DISTINCT oracle is valid — the agg_hll_sketch device)."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("window_start"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 21)).alias(
+                "approx_users"
+            )
+        )
+        .orderBy("window_start")
+    )
+
+
+def stream_daily_approx_users(
+    spark: SparkSession, sf_dir: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Sketches under event-time streaming: per-day approx-distinct
+    users with watermark-bounded state.
+
+    The HLL sketch aggregate is mergeable, so Structured Streaming
+    maintains one ~KB sketch per open window regardless of arrival
+    order or cardinality — the production shape for "daily uniques" at
+    100 TB/day, where exact COUNT DISTINCT state would be unbounded.
+    Equivalence with the batch twin is pinned in tests/test_streaming.py.
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", "1 day").start.alias("window_start"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 21)).alias(
+                "approx_users"
+            )
+        )
+    )
+
+
+DAILY_APPROX_USERS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       count(DISTINCT user_id) AS approx_users
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_dedup_first": dedup_first_event,
     "stream_tumbling_daily": tumbling_daily,
     "stream_sliding_6h3h": sliding_6h_3h,
     "stream_session_1h": session_windows,
     "stream_hourly_pivot": hourly_type_pivot,
+    "stream_daily_approx_users": daily_approx_users,
     "events_funnel_1h": funnel_1h,
     "events_asof_join": asof_join,
 }
@@ -368,6 +419,7 @@ ORACLE = {
     "stream_sliding_6h3h": SLIDING_SQL,
     "stream_session_1h": SESSION_SQL,
     "stream_hourly_pivot": HOURLY_PIVOT_SQL,
+    "stream_daily_approx_users": DAILY_APPROX_USERS_SQL,
     "events_funnel_1h": FUNNEL_SQL,
     "events_asof_join": ASOF_SQL,
 }

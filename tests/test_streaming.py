@@ -106,3 +106,16 @@ def test_stream_dedup_one_row_per_key(spark, sf_dir):
         "user_id", "event_type"
     )
     assert _rows(streamed) == _rows(batch_keys)
+
+
+def test_stream_approx_users_equals_batch(spark, sf_dir):
+    """Mergeable HLL sketches under event-time streaming: the streamed
+    per-day approx-distinct estimates must equal the batch twin's (one
+    bounded sketch per open window, order-insensitive merge)."""
+    batch = windows.daily_approx_users(spark, sf_dir)
+    stream_df = windows.stream_daily_approx_users(spark, sf_dir)
+    windows.run_stream_to_memory(stream_df, "t_approx_users")
+    streamed = spark.sql(
+        "SELECT window_start, approx_users FROM t_approx_users"
+    )
+    assert _rows(batch) == _rows(streamed)
