@@ -395,6 +395,15 @@ class PrestoHll:
     def serialize(self) -> bytes:
         if self.is_sparse:
             e = np.sort(self.entries.astype(np.uint32, copy=False))
+            if len(e) > 0xFFFF:
+                # the SPARSE_V2 count field is 16-bit; airlift densifies
+                # long before this point (threshold 2^p/8 with p <= 17
+                # through the public constructors), so reaching here
+                # means a caller built an out-of-contract sparse sketch
+                raise ValueError(
+                    f"sparse HLL with {len(e)} entries exceeds the "
+                    f"16-bit wire count; densify first"
+                )
             return (
                 struct.pack("<BBH", TAG_SPARSE_V2, self.p, len(e))
                 + e.astype("<u4").tobytes()
@@ -463,7 +472,11 @@ class PrestoHll:
                 f"{self.p} vs {other.p}"
             )
         if self.is_sparse and other.is_sparse:
-            both = np.concatenate([self.entries, other.entries])
+            both = np.concatenate(
+                [self.entries, other.entries]
+            ).astype(np.uint32)
+            if len(both) == 0:
+                return PrestoHll(self.p, entries=both)
             b26 = (both >> np.uint32(SPARSE_VALUE_BITS)).astype(np.int64)
             v = (both & np.uint32(SPARSE_VALUE_MASK)).astype(np.int64)
             order = np.lexsort((-v, b26))

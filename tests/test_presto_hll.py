@@ -302,3 +302,15 @@ class TestSparkIntegration:
             .e
         )
         assert est == 4
+
+    def test_empty_and_oversize_sparse_edges(self):
+        empty = hll.PrestoHll(12, entries=np.array([], dtype=np.uint32))
+        assert empty.cardinality() == 0
+        back = hll.PrestoHll.deserialize(empty.serialize())
+        assert back.is_sparse and len(back.entries) == 0
+        merged = empty.merge(empty)
+        assert merged.cardinality() == 0
+        with pytest.raises(ValueError, match="16-bit"):
+            hll.PrestoHll(
+                26, entries=np.arange(70000, dtype=np.uint32)
+            ).serialize()
