@@ -228,7 +228,15 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
     )
-    li = _t(spark, sf_dir, "lineitem")
+    # derived pushdown: the join condition l_shipdate > o_orderdate + 60d
+    # with o_orderdate >= 1997-07-01 implies l_shipdate > 1997-07-01 + 60d,
+    # so the lineitem scan prunes to late shipments (row-group min/max
+    # pruning at scale) before the semi-join shuffle — Presto derives the
+    # same bound through its predicate-inference rewrite
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate")
+        > F.lit("1997-07-01").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+    )
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
