@@ -417,6 +417,15 @@ class PrestoHll:
         overflow_values = deltas[over] - 15
         if len(overflow_buckets) > (1 << 16) - 1:
             raise ValueError("overflow table too large")
+        if len(overflow_buckets) and overflow_buckets.max() > 0xFFFF:
+            # the wire overflow-bucket field is 16-bit; indexes past
+            # 65535 (p >= 17 sketches) would silently wrap — refuse
+            # loudly (overflows need a bucket 15 above baseline, which
+            # at these precisions essentially never happens with real
+            # hash input)
+            raise ValueError(
+                "overflow bucket index exceeds the 16-bit wire field"
+            )
         deltas = np.minimum(deltas, 15).astype(np.uint8)
         packed = (deltas[0::2] << 4) | deltas[1::2]  # even bucket = high nibble
         return (
