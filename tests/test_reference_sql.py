@@ -97,7 +97,8 @@ def test_sketch_sql_matches_dataframe_twins(spark):
         .orderBy("p")
         .collect()
     )
-    assert [tuple(r) for r in sql] == [tuple(r) for r in dfr]
+    got, want = [tuple(r) for r in sql], [tuple(r) for r in dfr]
+    assert got == want, f"SQL path {got} != DataFrame path {want}"
 
     sql_q = eng.sql(
         "SELECT value_at_quantile(qdigest_agg(o_orderkey), 0.5) AS v FROM orders"
@@ -107,4 +108,4 @@ def test_sketch_sql_matches_dataframe_twins(spark):
             call("value_at_quantile", call("qdigest_agg", "o_orderkey"), 0.5).alias("v")
         ).collect()[0].v
     )
-    assert sql_q == dfr_q
+    assert sql_q == dfr_q, f"SQL {sql_q} != DataFrame {dfr_q}"
