@@ -117,10 +117,22 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     key = (id(spark), sf_dir)
     if key in _REGISTERED:
         cached = _REGISTERED[key]
-        # trust the memo only while the views still exist — callers (and
-        # tests) may drop or shadow temp views; catalog lookups are cheap,
-        # re-reading parquet footers is not.
-        if all(spark.catalog.tableExists(name) for name in cached):
+        # trust the memo only while the views still exist AND still carry
+        # the memoized schema — callers (and tests) may drop temp views,
+        # or SHADOW a name with a different relation entirely (the
+        # product-test fixtures register an unprefixed `orders`, for
+        # example); existence alone would silently resolve to the
+        # impostor.  spark.table() resolves against the in-catalog plan,
+        # so this never re-reads parquet footers.
+        try:
+            ok = all(
+                spark.catalog.tableExists(name)
+                and spark.table(name).schema == df.schema
+                for name, df in cached.items()
+            )
+        except Exception:
+            ok = False
+        if ok:
             return cached
         del _REGISTERED[key]
     dfs = load_tables(spark, sf_dir)

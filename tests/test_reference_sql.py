@@ -109,3 +109,20 @@ def test_sketch_sql_matches_dataframe_twins(spark):
         ).collect()[0].v
     )
     assert sql_q == dfr_q, f"SQL {sql_q} != DataFrame {dfr_q}"
+
+
+def test_for_dir_recovers_shadowed_views(spark):
+    """A same-name temp view with a DIFFERENT schema (the product-test
+    fixtures register an unprefixed `orders`) must not survive
+    re-registration — the memo validates schemas, not mere existence.
+    This was a real resolution bug: the full suite's fixture shadowing
+    made a later engine silently read the impostor table."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    PrestoSparkEngine.for_dir("/root/testdata/sf0.001", spark=spark)
+    spark.createDataFrame(
+        [(1, "x")], "orderkey: long, clerk: string"
+    ).createOrReplaceTempView("orders")
+    eng = PrestoSparkEngine.for_dir("/root/testdata/sf0.001", spark=spark)
+    rows = eng.sql("SELECT count(*) AS n FROM orders").collect()
+    assert rows[0].n == 1500  # the sf0.001 table, not the impostor
