@@ -236,69 +236,155 @@ ORDER BY tile_x, tile_y
 """
 
 
+def _relation_flags_udf():
+    """One Arrow scalar UDF computing all four relation flags per point.
+
+    This is the 100-TB plan shape: the pure-Catalyst kernels in
+    ``geo_fns`` (exercised directly by tests/test_geo.py) build
+    multi-MiB expression trees per predicate, which forced the previous
+    version of this query into five separate corpus scans joined at the
+    end (one per aggregate branch, to stay under the JVM JIT
+    method-size limit) and shipped ~18 MiB task binaries.  Here the same
+    segment-orientation math — inclusive/proper segment intersection,
+    convex point-in-polygon half-plane tests, parametric half-plane
+    clipping (GeoFunctions.java stIntersects/stTouches/stDisjoint/
+    stCrosses semantics) — runs vectorized in NumPy behind a single
+    ArrowEvalPython boundary: ONE corpus scan, one aggregation, tiny
+    task binaries.  The DuckDB oracle reduces each relation to interval
+    arithmetic that is provably equivalent for axis-aligned boxes — an
+    independent spelling, not a port."""
+    import numpy as np
+    import pandas as pd
+
+    # fixed center zone, CCW ring
+    ZX = np.array([40.0, 60.0, 60.0, 40.0])
+    ZY = np.array([40.0, 40.0, 60.0, 60.0])
+    # fixed diagonal probe line; the 0.05 offset keeps it off every
+    # square corner (grid step 0.1) so all crossings are transversal
+    AX, AY, BX, BY = 0.0, 0.05, 100.0, 100.05
+
+    def _cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    def _on_seg(px_, py_, ax, ay, bx, by):
+        return (
+            (_cross(ax, ay, bx, by, px_, py_) == 0)
+            & (np.minimum(ax, bx) <= px_) & (px_ <= np.maximum(ax, bx))
+            & (np.minimum(ay, by) <= py_) & (py_ <= np.maximum(ay, by))
+        )
+
+    def _seg_proper(ax, ay, bx, by, cx, cy, dx, dy):
+        d1 = _cross(cx, cy, dx, dy, ax, ay)
+        d2 = _cross(cx, cy, dx, dy, bx, by)
+        d3 = _cross(ax, ay, bx, by, cx, cy)
+        d4 = _cross(ax, ay, bx, by, dx, dy)
+        return (np.sign(d1) * np.sign(d2) < 0) & (np.sign(d3) * np.sign(d4) < 0)
+
+    def _seg_incl(ax, ay, bx, by, cx, cy, dx, dy):
+        return (
+            _seg_proper(ax, ay, bx, by, cx, cy, dx, dy)
+            | _on_seg(ax, ay, cx, cy, dx, dy)
+            | _on_seg(bx, by, cx, cy, dx, dy)
+            | _on_seg(cx, cy, ax, ay, bx, by)
+            | _on_seg(dx, dy, ax, ay, bx, by)
+        )
+
+    @F.pandas_udf("i boolean, t boolean, d boolean, x boolean")
+    def flags(px, py):
+        pxv = px.to_numpy(dtype=np.float64)
+        pyv = py.to_numpy(dtype=np.float64)
+        n = len(pxv)
+        # per-row 2×2 square, CCW ring: (N, 4) vertex arrays
+        sx = np.stack([pxv - 1, pxv + 1, pxv + 1, pxv - 1], axis=1)
+        sy = np.stack([pyv - 1, pyv - 1, pyv + 1, pyv + 1], axis=1)
+
+        def zone_half(qx, qy, strict):
+            # convex CCW half-plane test: inside ⇔ cross ≥ 0 on every edge
+            acc = np.ones(np.shape(qx), dtype=bool)
+            for k in range(4):
+                k2 = (k + 1) % 4
+                c = _cross(ZX[k], ZY[k], ZX[k2], ZY[k2], qx, qy)
+                acc &= (c > 0) if strict else (c >= 0)
+            return acc
+
+        def square_half(qx, qy, strict):
+            acc = np.ones(n, dtype=bool)
+            for k in range(4):
+                k2 = (k + 1) % 4
+                c = _cross(sx[:, k], sy[:, k], sx[:, k2], sy[:, k2], qx, qy)
+                acc &= (c > 0) if strict else (c >= 0)
+            return acc
+
+        # inclusive intersects: vertex-in-or-on either way, or any edge pair
+        inter = np.zeros(n, dtype=bool)
+        overlap = np.zeros(n, dtype=bool)
+        for k in range(4):
+            inter |= zone_half(sx[:, k], sy[:, k], strict=False)
+            overlap |= zone_half(sx[:, k], sy[:, k], strict=True)
+            inter |= square_half(ZX[k], ZY[k], strict=False)
+            overlap |= square_half(ZX[k], ZY[k], strict=True)
+        for a in range(4):
+            a2 = (a + 1) % 4
+            e = (sx[:, a], sy[:, a], sx[:, a2], sy[:, a2])
+            for b in range(4):
+                b2 = (b + 1) % 4
+                z = (ZX[b], ZY[b], ZX[b2], ZY[b2])
+                inter |= _seg_incl(*e, *z)
+                overlap |= _seg_proper(*e, *z)
+
+        # line-crosses-interior: clip the probe segment against the
+        # square's CCW half-planes (parametric Liang–Barsky form);
+        # non-empty open t-interval ⇔ the line enters the interior
+        t_lo = np.zeros(n)
+        t_hi = np.ones(n)
+        alive = np.ones(n, dtype=bool)
+        for k in range(4):
+            k2 = (k + 1) % 4
+            c0 = _cross(sx[:, k], sy[:, k], sx[:, k2], sy[:, k2], AX, AY)
+            c1 = _cross(sx[:, k], sy[:, k], sx[:, k2], sy[:, k2], BX, BY)
+            den = c1 - c0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tstar = np.where(den != 0, -c0 / np.where(den != 0, den, 1.0), 0.0)
+            t_lo = np.where(den > 0, np.maximum(t_lo, tstar), t_lo)
+            t_hi = np.where(den < 0, np.minimum(t_hi, tstar), t_hi)
+            alive &= ~((den == 0) & (c0 <= 0))
+        crossed = alive & (t_lo < t_hi)
+
+        return pd.DataFrame(
+            {"i": inter, "t": inter & ~overlap, "d": ~inter, "x": crossed}
+        )
+
+    return flags
+
+
 def geo_relation_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation-predicate coverage (GeoFunctions.java stIntersects /
     stTouches / stDisjoint / stCrosses + greatCircleDistance) over
     synthetic per-customer squares: each customer owns a 2×2 square
     centered on its point; relations are evaluated against a fixed
-    center zone and a fixed diagonal line.  The geometry kernel runs the
-    general segment-orientation tests; the DuckDB oracle reduces each
-    relation to the interval arithmetic that is provably equivalent for
-    axis-aligned boxes — an independent spelling, not a port."""
+    center zone and a fixed diagonal line.  Single corpus scan: all
+    four flags come from one vectorized Arrow kernel (see
+    ``_relation_flags_udf``), then one hash aggregation."""
     cust = _t(spark, sf_dir, "customer")
     px = ((F.col("c_custkey") * 7919) % 1000) / F.lit(1e1)
     py = ((F.col("c_custkey") * 104729) % 1000) / F.lit(1e1)
-    num = lambda c: c.cast("string")  # noqa: E731
-    pt = lambda x, y: F.concat(num(x), F.lit(" "), num(y))  # noqa: E731
-    sq = F.concat(
-        F.lit("POLYGON (("),
-        pt(px - 1, py - 1), F.lit(", "), pt(px + 1, py - 1), F.lit(", "),
-        pt(px + 1, py + 1), F.lit(", "), pt(px - 1, py + 1), F.lit(", "),
-        pt(px - 1, py - 1), F.lit("))"),
-    )
-    zone = F.lit("POLYGON ((40 40, 60 40, 60 60, 40 60, 40 40))")
-    # offset keeps the line off every square corner (grid step is 0.1),
-    # so all boundary crossings are transversal
-    diag = F.lit("LINESTRING (0 0.05, 100 100.05)")
     gcd = call("great_circle_distance", py - 50, px - 50, F.lit(0.0), F.lit(0.0))
-    # Build each geometry kernel's Column tree ONCE and derive the other
-    # relations from it (disjoint = ¬intersects; touches = intersects ∧
-    # ¬interiors-overlap): the trees are thousands of py4j constructions,
-    # so naive per-predicate calls spend 15s+ of pure driver time.  Each
-    # flag then aggregates in its own branch — one projection holding
-    # every kernel exceeds the JIT method-size limit and drops the whole
-    # stage to interpreted eval (measured 15s vs 3s split).
-    from facebook_presto_spark.functions import geo_fns as G
-
-    inter = G.st_intersects(sq, zone)
-    overlap = G._interiors_overlap(
-        sq, zone, G._coords(sq), G._coords(zone), G._typ(sq), G._typ(zone)
+    flags = _relation_flags_udf()
+    staged = cust.select(
+        "c_nationkey", gcd.alias("gcd"), flags(px, py).alias("f")
     )
-    cross = G.st_crosses(diag, sq)
-    branches = [
-        cust.groupBy("c_nationkey").agg(
+    return (
+        staged.groupBy("c_nationkey")
+        .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(gcd), 2).alias("avg_gcd"),
+            F.count(F.when(F.col("f.i"), F.lit(1))).alias("n_intersect"),
+            F.count(F.when(F.col("f.t"), F.lit(1))).alias("n_touch"),
+            F.count(F.when(F.col("f.d"), F.lit(1))).alias("n_disjoint"),
+            F.count(F.when(F.col("f.x"), F.lit(1))).alias("n_cross"),
+            F.round(F.avg("gcd"), 2).alias("avg_gcd"),
         )
-    ]
-    for alias, flag in [
-        ("n_intersect", inter),
-        ("n_touch", inter & ~overlap),
-        ("n_disjoint", ~inter),
-        ("n_cross", cross),
-    ]:
-        branches.append(
-            cust.groupBy("c_nationkey").agg(
-                F.count(F.when(flag, F.lit(1))).alias(alias)
-            )
-        )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.join(b, "c_nationkey")
-    return out.select(
-        "c_nationkey", "n", "n_intersect", "n_touch", "n_disjoint",
-        "n_cross", "avg_gcd",
-    ).orderBy("c_nationkey")
+        .orderBy("c_nationkey")
+    )
 
 
 GEO_RELATION_PREDICATES_SQL = """
