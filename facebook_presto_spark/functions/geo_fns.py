@@ -47,8 +47,11 @@ Known costs/limits:
   instance — constant in data size, amortized at scale, but don't build
   them in a per-row loop.  Execution is fine (codegen/interp over
   parsed coordinate arrays).
-- interior rings and multi-geometries parse their first ring/part only;
-  two collinear lines sharing a run are reported as touching.
+- the *relation/measure kernels* parse the first ring/part only; the
+  round-4 accessors (ST_InteriorRing*, ST_Geometries/ST_GeometryN,
+  WKB serde) do handle interior rings and multi-geometry parts, so
+  multi-part relation work composes as exists(ST_Geometries(g), ...).
+  Two collinear lines sharing a run are reported as touching.
 - the overlay family (ST_Union, ST_Intersection, ST_Difference,
   ST_SymDifference, ST_Buffer, ST_Relate, simplify_geometry,
   geometry_union) raises NotImplementedError loudly — building new
@@ -934,6 +937,550 @@ def geometry_to_bing_tiles(g, zoom) -> Column:
             ),
         )
     )
+
+
+# --- WKT constructors / validators (GeoFunctions.java:136-233) -------------
+
+def _enum_name(t: Column) -> Column:
+    """WKT tag → the reference's GeometryType enum spelling (for error
+    message parity: MULTILINESTRING → MULTI_LINE_STRING)."""
+    return (
+        F.when(t == "LINESTRING", "LINE_STRING")
+        .when(t == "MULTILINESTRING", "MULTI_LINE_STRING")
+        .when(t == "MULTIPOINT", "MULTI_POINT")
+        .when(t == "MULTIPOLYGON", "MULTI_POLYGON")
+        .when(t == "GEOMETRYCOLLECTION", "GEOMETRY_COLLECTION")
+        .otherwise(t)
+    )
+
+
+def _validated_type(name: str, wkt, expect: str) -> Column:
+    g = st_geometry_from_text(wkt)
+    return F.when(_typ(g) == expect, g).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{name} only applies to {_ENUM_EXPECT[expect]}. Input type is: "),
+                _enum_name(_typ(g)),
+            )
+        )
+    )
+
+
+_ENUM_EXPECT = {"LINESTRING": "LINE_STRING", "POLYGON": "POLYGON"}
+
+
+@register("ST_LineFromText")
+def st_line_from_text(wkt) -> Column:
+    """WKT → geometry, LINESTRING only (GeoFunctions.java:136
+    parseLine — non-linestring input raises, like the reference)."""
+    return _validated_type("ST_LineFromText", wkt, "LINESTRING")
+
+
+@register("ST_Polygon")
+def st_polygon(wkt) -> Column:
+    """WKT → geometry, POLYGON only (GeoFunctions.java:225 stPolygon)."""
+    return _validated_type("ST_Polygon", wkt, "POLYGON")
+
+
+def _pts_xy(arr: Column) -> Column:
+    """array<point WKT> → array<struct<x,y>>."""
+    return F.transform(
+        arr,
+        lambda g: F.struct(
+            F.element_at(F.split(_body(g), r"\s+"), 1).cast("double").alias("x"),
+            F.element_at(F.split(_body(g), r"\s+"), 2).cast("double").alias("y"),
+        ),
+    )
+
+
+def _xy_body(xy: Column) -> Column:
+    return F.array_join(
+        F.transform(xy, lambda p: F.concat(_fmt_coord(p["x"]), F.lit(" "), _fmt_coord(p["y"]))),
+        ", ",
+    )
+
+
+@register("ST_LineString")
+def st_line_string(arr) -> Column:
+    """Array of points → LINESTRING (GeoFunctions.java:146 stLineString):
+    0/1 points → LINESTRING EMPTY; non-point elements and consecutive
+    duplicate points raise, like the reference."""
+    a = _c(arr)
+    n = F.size(a)
+    bad_type = F.exists(a, lambda g: _typ(g) != "POINT")
+    xy = _pts_xy(a)
+    dup = (n >= 2) & F.exists(
+        F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+        lambda i: (i <= n) & (F.element_at(xy, i) == F.element_at(xy, i - 1)),
+    )
+    return (
+        F.when(
+            bad_type,
+            F.raise_error(
+                F.concat(
+                    F.lit("ST_LineString takes only an array of valid points, "),
+                    F.element_at(F.filter(a, lambda g: _typ(g) != "POINT"), 1),
+                    F.lit(" was passed"),
+                )
+            ),
+        )
+        .when(
+            dup,
+            F.raise_error(
+                F.lit("Invalid input to ST_LineString: consecutive duplicate points")
+            ),
+        )
+        .when(n <= 1, F.lit("LINESTRING EMPTY"))
+        .otherwise(F.concat(F.lit("LINESTRING ("), _xy_body(xy), F.lit(")")))
+    )
+
+
+@register("ST_MultiPoint")
+def st_multi_point(arr) -> Column:
+    """Array of points → MULTIPOINT (GeoFunctions.java:196 stMultiPoint):
+    empty input → NULL; non-point elements raise.  Rendered in the
+    reference's Esri spelling: MULTIPOINT (1 2, 3 4)."""
+    a = _c(arr)
+    bad = F.exists(a, lambda g: g.isNull() | (_typ(g) != "POINT") | g.rlike(" EMPTY$"))
+    return (
+        F.when(
+            bad,
+            F.raise_error(F.lit("Invalid input to ST_MultiPoint: non-point element")),
+        )
+        .when(F.size(a) == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("MULTIPOINT ("), _xy_body(_pts_xy(a)), F.lit(")")))
+    )
+
+
+# --- envelope corners / coordinate dimension (GeoFunctions.java:370,890) ---
+
+_PAIR_RE = r"(-?[\d.]+(?:[eE][+-]?\d+)?\s+-?[\d.]+(?:[eE][+-]?\d+)?)"
+
+
+def _all_xy(g: Column) -> Column:
+    """Every coordinate pair in the WKT, across all rings/parts (the
+    regex walk covers multi-geometries the ring parser does not)."""
+    pairs = F.regexp_extract_all(g, F.lit(_PAIR_RE), F.lit(1))
+    return F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.element_at(F.split(p, r"\s+"), 1).cast("double").alias("x"),
+            F.element_at(F.split(p, r"\s+"), 2).cast("double").alias("y"),
+        ),
+    )
+
+
+@register("ST_EnvelopeAsPts")
+def st_envelope_as_pts(g) -> Column:
+    """Lower-left and upper-right bounding corners as a 2-element array
+    of points (GeoFunctions.java:890 stEnvelopeAsPts); NULL for empty
+    geometries, like the reference."""
+    gc = _c(g)
+    xy = _all_xy(gc)
+    xmin = F.array_min(F.transform(xy, lambda p: p["x"]))
+    xmax = F.array_max(F.transform(xy, lambda p: p["x"]))
+    ymin = F.array_min(F.transform(xy, lambda p: p["y"]))
+    ymax = F.array_max(F.transform(xy, lambda p: p["y"]))
+    return F.when(
+        ~gc.rlike(" EMPTY$") & (F.size(xy) > 0),
+        F.array(_fmt_point(xmin, ymin), _fmt_point(xmax, ymax)),
+    )
+
+
+register("ST_CoordDim")(lambda g: F.lit(2).cast("tinyint"))
+
+
+# --- interior rings (GeoFunctions.java:570,584,749) ------------------------
+
+def _rings(g: Column) -> Column:
+    """POLYGON WKT → array of ring bodies ("x y, x y, …"), exterior
+    first.  Polygon rings nest exactly one paren level, so a top-level
+    split on the ")…(" seam is exact."""
+    inner = F.regexp_extract(g, r"^POLYGON\s*\((.*)\)\s*$", 1)
+    parts = F.split(inner, r"\)\s*,\s*\(")
+    return F.transform(parts, lambda r: F.regexp_replace(r, r"^\s*\(|\)\s*$", ""))
+
+
+def _require_polygon(name: str, gc: Column, value: Column) -> Column:
+    return F.when(_typ(gc) == "POLYGON", value).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{name} only applies to POLYGON. Input type is: "),
+                _enum_name(_typ(gc)),
+            )
+        )
+    )
+
+
+@register("ST_NumInteriorRing")
+def st_num_interior_ring(g) -> Column:
+    """Interior-ring count of a polygon (GeoFunctions.java:570);
+    NULL for POLYGON EMPTY, raises on non-polygons."""
+    gc = _c(g)
+    n = F.when(~gc.rlike(" EMPTY$"), (F.size(_rings(gc)) - 1).cast("bigint"))
+    return _require_polygon("ST_NumInteriorRing", gc, n)
+
+
+@register("ST_InteriorRingN")
+def st_interior_ring_n(g, n) -> Column:
+    """1-based interior ring accessor → LINESTRING (GeoFunctions.java:749);
+    NULL out of range, like the reference."""
+    gc = _c(g)
+    rings = _rings(gc)
+    idx = _lit(n).cast("int")
+    ring = F.when(
+        (idx >= 1) & (idx <= F.size(rings) - 1), F.element_at(rings, idx + 1)
+    )
+    out = F.when(ring.isNotNull(), F.concat(F.lit("LINESTRING ("), ring, F.lit(")")))
+    return _require_polygon("ST_InteriorRingN", gc, out)
+
+
+@register("ST_InteriorRings")
+def st_interior_rings(g) -> Column:
+    """All interior rings as an array of LINESTRINGs
+    (GeoFunctions.java:584); NULL for POLYGON EMPTY."""
+    gc = _c(g)
+    rings = _rings(gc)
+    holes = F.when(
+        ~gc.rlike(" EMPTY$"),
+        F.transform(
+            F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0))),
+            lambda r: F.concat(F.lit("LINESTRING ("), r, F.lit(")")),
+        ),
+    )
+    return _require_polygon("ST_InteriorRings", gc, holes)
+
+
+# --- multi-geometry accessors + WKB serde (Arrow path) ---------------------
+#
+# Splitting a GEOMETRYCOLLECTION needs a depth-aware scan (parts nest
+# arbitrarily), and WKB is a binary format — both are format work, not
+# relational kernels, so they run as Arrow-batched pandas UDFs over a
+# tiny shared pure-Python WKT tokenizer (same boundary as ST_ConvexHull).
+
+import re as _re
+import struct as _struct
+
+_WKB_CODE = {
+    "POINT": 1, "LINESTRING": 2, "POLYGON": 3, "MULTIPOINT": 4,
+    "MULTILINESTRING": 5, "MULTIPOLYGON": 6, "GEOMETRYCOLLECTION": 7,
+}
+_WKB_TAG = {v: k for k, v in _WKB_CODE.items()}
+
+
+def _py_top_split(s: str) -> list:
+    """Split a WKT body at top-level commas (depth-aware)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _py_tag_rest(wkt: str):
+    m = _re.match(r"^\s*(\w+)\s*(.*)$", wkt, _re.S)
+    return m.group(1).upper(), m.group(2).strip()
+
+
+def _py_geometries(wkt: str):
+    """Top-level parts of a (multi-)geometry as complete WKTs; [] for
+    EMPTY (GeoFunctions.java stGeometries semantics)."""
+    tag, rest = _py_tag_rest(wkt)
+    if rest in ("EMPTY", ""):
+        return []
+    inner = rest[1:-1].strip()
+    if tag == "MULTIPOINT":
+        return ["POINT (%s)" % p.strip("() \t") for p in _py_top_split(inner)]
+    if tag == "MULTILINESTRING":
+        return ["LINESTRING %s" % p for p in _py_top_split(inner)]
+    if tag == "MULTIPOLYGON":
+        return ["POLYGON %s" % p for p in _py_top_split(inner)]
+    if tag == "GEOMETRYCOLLECTION":
+        return [_re.sub(r"^(\w+)\s*\(", r"\1 (", p) for p in _py_top_split(inner)]
+    return [_re.sub(r"^(\w+)\s*\(", r"\1 (", wkt.strip())]
+
+
+def _py_parse(wkt: str):
+    """WKT → (tag, payload): POINT (x,y), LINESTRING [pts], POLYGON
+    [rings], multi/collection [nested (tag, payload)]."""
+    tag, rest = _py_tag_rest(wkt)
+    if rest in ("EMPTY", ""):
+        return tag, None
+    inner = rest[1:-1].strip()
+    if tag == "POINT":
+        x, y = inner.split()
+        return tag, (float(x), float(y))
+    if tag == "LINESTRING":
+        return tag, [tuple(map(float, p.split())) for p in _py_top_split(inner)]
+    if tag == "POLYGON":
+        return tag, [
+            [tuple(map(float, q.split())) for q in _py_top_split(r.strip()[1:-1])]
+            for r in _py_top_split(inner)
+        ]
+    return tag, [_py_parse(p) for p in _py_geometries(wkt)]
+
+
+def _py_fmt(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def _py_render(tag: str, data) -> str:
+    """(tag, payload) → WKT in this library's spelling (integral coords
+    drop the .0, matching _fmt_coord)."""
+    if data is None or (isinstance(data, (list, tuple)) and len(data) == 0):
+        return f"{tag} EMPTY"
+    if tag == "POINT":
+        if data[0] != data[0]:  # NaN-encoded empty point
+            return "POINT EMPTY"
+        return "POINT (%s %s)" % (_py_fmt(data[0]), _py_fmt(data[1]))
+    if tag == "LINESTRING":
+        return "LINESTRING (%s)" % ", ".join(
+            "%s %s" % (_py_fmt(x), _py_fmt(y)) for x, y in data
+        )
+    if tag == "POLYGON":
+        return "POLYGON (%s)" % ", ".join(
+            "(%s)" % ", ".join("%s %s" % (_py_fmt(x), _py_fmt(y)) for x, y in r)
+            for r in data
+        )
+    if tag == "MULTIPOINT":
+        return "MULTIPOINT (%s)" % ", ".join(
+            "%s %s" % (_py_fmt(d[0]), _py_fmt(d[1])) for _t, d in data
+        )
+    if tag == "GEOMETRYCOLLECTION":
+        return "GEOMETRYCOLLECTION (%s)" % ", ".join(
+            _py_render(t, d) for t, d in data
+        )
+    # MULTILINESTRING / MULTIPOLYGON: strip the part tag, keep the body
+    part_tag = {"MULTILINESTRING": "LINESTRING", "MULTIPOLYGON": "POLYGON"}[tag]
+    return "%s (%s)" % (
+        tag,
+        ", ".join(_py_render(part_tag, d)[len(part_tag) + 1:] for _t, d in data),
+    )
+
+
+def _py_wkb_enc(tag: str, data) -> bytes:
+    """(tag, payload) → little-endian OGC WKB (the standard layout the
+    reference emits via Esri's asBinary, GeoFunctions.java:284)."""
+    out = [b"\x01", _struct.pack("<I", _WKB_CODE[tag])]
+    if tag == "POINT":
+        x, y = data if data is not None else (float("nan"), float("nan"))
+        out.append(_struct.pack("<2d", x, y))
+    elif tag == "LINESTRING":
+        pts = data or []
+        out.append(_struct.pack("<I", len(pts)))
+        out.extend(_struct.pack("<2d", x, y) for x, y in pts)
+    elif tag == "POLYGON":
+        rings = data or []
+        out.append(_struct.pack("<I", len(rings)))
+        for r in rings:
+            out.append(_struct.pack("<I", len(r)))
+            out.extend(_struct.pack("<2d", x, y) for x, y in r)
+    else:
+        parts = data or []
+        out.append(_struct.pack("<I", len(parts)))
+        out.extend(_py_wkb_enc(t, d) for t, d in parts)
+    return b"".join(out)
+
+
+def _py_wkb_dec(buf: bytes, off: int = 0):
+    """WKB → ((tag, payload), next offset); handles either byte order."""
+    order = "<" if buf[off] == 1 else ">"
+    (code,) = _struct.unpack_from(order + "I", buf, off + 1)
+    off += 5
+    tag = _WKB_TAG[code & 0xFF]  # mask off Z/M/SRID flag bits
+
+    def rd(fmt):
+        nonlocal off
+        vals = _struct.unpack_from(order + fmt, buf, off)
+        off += _struct.calcsize(fmt)
+        return vals
+
+    if tag == "POINT":
+        x, y = rd("2d")
+        return (tag, (x, y)), off
+    if tag == "LINESTRING":
+        (n,) = rd("I")
+        return (tag, [rd("2d") for _ in range(n)]), off
+    if tag == "POLYGON":
+        (nr,) = rd("I")
+        rings = []
+        for _ in range(nr):
+            (n,) = rd("I")
+            rings.append([rd("2d") for _ in range(n)])
+        return (tag, rings), off
+    (n,) = rd("I")
+    parts = []
+    for _ in range(n):
+        part, off = _py_wkb_dec(buf, off)
+        parts.append(part)
+    return (tag, parts), off
+
+
+@register("ST_AsBinary")
+def st_as_binary(g) -> Column:
+    """Geometry → OGC WKB varbinary (GeoFunctions.java:284 stAsBinary)."""
+    import pandas as pd
+
+    @F.pandas_udf("binary")
+    def enc(col):
+        return pd.Series(
+            [None if w is None else _py_wkb_enc(*_py_parse(w)) for w in col],
+            dtype="object",
+        )
+
+    return enc(_c(g))
+
+
+@register("ST_GeomFromBinary")
+def st_geom_from_binary(b) -> Column:
+    """OGC WKB varbinary → geometry (GeoFunctions.java:268
+    stGeomFromBinary); accepts either byte order."""
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def dec(col):
+        return pd.Series(
+            [
+                None if v is None else _py_render(*_py_wkb_dec(bytes(v))[0])
+                for v in col
+            ],
+            dtype="object",
+        )
+
+    return dec(_c(b))
+
+
+@register("ST_NumGeometries")
+def st_num_geometries(g) -> Column:
+    """Part count: 0 for EMPTY, 1 for single geometries, N for multis
+    (GeoFunctions.java:603 stNumGeometries, INTEGER return)."""
+    import pandas as pd
+
+    @F.pandas_udf("int")
+    def num(col):
+        return pd.Series(
+            [None if w is None else len(_py_geometries(w)) for w in col],
+            dtype="Int32",
+        )
+
+    return num(_c(g))
+
+
+@register("ST_Geometries")
+def st_geometries(g) -> Column:
+    """Array of top-level parts; single geometries yield themselves,
+    EMPTY yields NULL (GeoFunctions.java:723 stGeometries)."""
+    import pandas as pd
+
+    @F.pandas_udf("array<string>")
+    def parts(col):
+        return pd.Series(
+            [
+                None if w is None else (_py_geometries(w) or None)
+                for w in col
+            ],
+            dtype="object",
+        )
+
+    return parts(_c(g))
+
+
+@register("ST_GeometryN")
+def st_geometry_n(g, n) -> Column:
+    """1-based part accessor; NULL out of range or for EMPTY
+    (GeoFunctions.java:682 stGeometryN)."""
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def nth(col, idx):
+        out = []
+        for w, i in zip(col, idx):
+            if w is None or i is None:
+                out.append(None)
+                continue
+            ps = _py_geometries(w)
+            out.append(ps[int(i) - 1] if 1 <= int(i) <= len(ps) else None)
+        return pd.Series(out, dtype="object")
+
+    return nth(_c(g), _lit(n).cast("int"))
+
+
+@register("geometry_invalid_reason")
+def geometry_invalid_reason(g) -> Column:
+    """Reason the geometry is non-simple, NULL if valid
+    (GeoFunctions.java:443 invalidReason).  Uses the reference's reason
+    vocabulary (Esri NON_SIMPLE_REASONS, GeoFunctions.java:121) with
+    Java-style double rendering, over the classes this library's
+    simplicity test detects: repeated points (multipoints), degenerate
+    segments (consecutive duplicate vertices), and intersecting/
+    overlapping segments (transversal self-crossing).  Esri's deeper
+    classes (self-tangency, ring orientation, disconnected interior)
+    need the overlay kernel and are reported under the crossing class
+    when they self-intersect, else as valid — documented simplification."""
+    import pandas as pd
+
+    def jfmt(v):
+        return repr(float(v))
+
+    def reason(w):
+        tag, _rest = _py_tag_rest(w)
+        parts = _py_geometries(w)
+        if tag == "MULTIPOINT":
+            seen = {}
+            for p in parts:
+                _t, xy = _py_parse(p)
+                if xy in seen:
+                    return "Repeated points at or near (%s %s) and (%s %s)" % (
+                        jfmt(xy[0]), jfmt(xy[1]), jfmt(xy[0]), jfmt(xy[1])
+                    )
+                seen[xy] = True
+            return None
+        for part in parts:
+            ptag, data = _py_parse(part)
+            if ptag == "POINT" or data is None:
+                continue
+            chains = data if ptag == "POLYGON" else [data]
+            for chain in chains:
+                for i in range(1, len(chain)):
+                    if chain[i] == chain[i - 1]:
+                        return "Degenerate segments at or near (%s %s)" % (
+                            jfmt(chain[i][0]), jfmt(chain[i][1])
+                        )
+                # transversal self-crossing between non-adjacent segments
+                for i in range(len(chain) - 1):
+                    for j in range(i + 2, len(chain) - 1):
+                        a, b = chain[i], chain[i + 1]
+                        c, d = chain[j], chain[j + 1]
+                        o = lambda p, q, r: (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])  # noqa: E731
+                        s = lambda v: (v > 0) - (v < 0)  # noqa: E731
+                        if (
+                            s(o(a, b, c)) * s(o(a, b, d)) < 0
+                            and s(o(c, d, a)) * s(o(c, d, b)) < 0
+                        ):
+                            return (
+                                "Intersecting or overlapping segments at or near "
+                                "(%s %s) and (%s %s)"
+                                % (jfmt(a[0]), jfmt(a[1]), jfmt(c[0]), jfmt(c[1]))
+                            )
+        return None
+
+    @F.pandas_udf("string")
+    def why(col):
+        return pd.Series(
+            [None if w is None else reason(w) for w in col], dtype="object"
+        )
+
+    return why(_c(g))
 
 
 # --- overlay family: loud failure (VERDICT #9 — permanent scope) -----------

@@ -421,15 +421,98 @@ FROM flags GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 tail coverage (GeoFunctions.java:136-890): WKB
+    serialize/deserialize roundtrip, polygon interior-ring accessors,
+    multi-geometry part accessors, envelope corners, ST_LineString
+    construction, ST_CoordDim and geometry_invalid_reason — all over
+    per-customer synthetic integer-coordinate geometries, so the WKT
+    spellings the DuckDB oracle rebuilds by string concat are exact."""
+    cust = _t(spark, sf_dir, "customer")
+    ix = ((F.col("c_custkey") * 7919) % 100).cast("bigint")
+    iy = ((F.col("c_custkey") * 104729) % 100).cast("bigint")
+    s = lambda c: c.cast("string")  # noqa: E731
+    pt = lambda x, y: F.concat(s(x), F.lit(" "), s(y))  # noqa: E731
+    poly = F.concat(
+        F.lit("POLYGON (("),
+        pt(ix, iy), F.lit(", "), pt(ix + 10, iy), F.lit(", "),
+        pt(ix + 10, iy + 10), F.lit(", "), pt(ix, iy + 10), F.lit(", "),
+        pt(ix, iy), F.lit("), ("),
+        pt(ix + 1, iy + 1), F.lit(", "), pt(ix + 2, iy + 1), F.lit(", "),
+        pt(ix + 2, iy + 2), F.lit(", "), pt(ix + 1, iy + 1), F.lit("))"),
+    )
+    mp = F.concat(
+        F.lit("MULTIPOINT ("), pt(ix, iy), F.lit(", "), pt(ix + 5, iy + 5), F.lit(")")
+    )
+    bowtie = F.concat(
+        F.lit("POLYGON (("),
+        pt(ix, iy), F.lit(", "), pt(ix + 2, iy + 2), F.lit(", "),
+        pt(ix, iy + 2), F.lit(", "), pt(ix + 2, iy), F.lit(", "),
+        pt(ix, iy), F.lit("))"),
+    )
+    line = call(
+        "ST_LineString",
+        F.array(
+            call("ST_Point", ix.cast("double"), iy.cast("double")),
+            call("ST_Point", (ix + 1).cast("double"), (iy + 3).cast("double")),
+        ),
+    )
+    return cust.select(
+        "c_custkey",
+        call("ST_GeomFromBinary", call("ST_AsBinary", poly)).alias("rt_poly"),
+        call("ST_NumInteriorRing", poly).alias("n_holes"),
+        call("ST_InteriorRingN", poly, F.lit(1)).alias("hole1"),
+        F.element_at(call("ST_EnvelopeAsPts", poly), 1).alias("env_lo"),
+        F.element_at(call("ST_EnvelopeAsPts", poly), 2).alias("env_hi"),
+        call("ST_NumGeometries", mp).alias("ngeom"),
+        call("ST_GeometryN", mp, F.lit(2)).alias("part2"),
+        line.alias("line2"),
+        call("ST_CoordDim", poly).alias("cdim"),
+        call("geometry_invalid_reason", bowtie).alias("invalid_reason"),
+    ).orderBy("c_custkey")
+
+
+GEO_WKB_ROUNDTRIP_SQL = """
+WITH g AS (
+  SELECT c_custkey,
+         (c_custkey * 7919) % 100 AS ix,
+         (c_custkey * 104729) % 100 AS iy
+  FROM customer
+)
+SELECT c_custkey,
+  'POLYGON ((' || ix || ' ' || iy || ', ' || ix + 10 || ' ' || iy || ', '
+    || ix + 10 || ' ' || iy + 10 || ', ' || ix || ' ' || iy + 10 || ', '
+    || ix || ' ' || iy || '), (' || ix + 1 || ' ' || iy + 1 || ', '
+    || ix + 2 || ' ' || iy + 1 || ', ' || ix + 2 || ' ' || iy + 2 || ', '
+    || ix + 1 || ' ' || iy + 1 || '))' AS rt_poly,
+  CAST(1 AS BIGINT) AS n_holes,
+  'LINESTRING (' || ix + 1 || ' ' || iy + 1 || ', ' || ix + 2 || ' ' || iy + 1
+    || ', ' || ix + 2 || ' ' || iy + 2 || ', ' || ix + 1 || ' ' || iy + 1 || ')'
+    AS hole1,
+  'POINT (' || ix || ' ' || iy || ')' AS env_lo,
+  'POINT (' || ix + 10 || ' ' || iy + 10 || ')' AS env_hi,
+  CAST(2 AS INT) AS ngeom,
+  'POINT (' || ix + 5 || ' ' || iy + 5 || ')' AS part2,
+  'LINESTRING (' || ix || ' ' || iy || ', ' || ix + 1 || ' ' || iy + 3 || ')'
+    AS line2,
+  CAST(2 AS TINYINT) AS cdim,
+  'Intersecting or overlapping segments at or near (' || ix || '.0 ' || iy
+    || '.0) and (' || ix || '.0 ' || iy + 2 || '.0)' AS invalid_reason
+FROM g ORDER BY c_custkey
+"""
+
+
 QUERIES = {
     "geo_contains_join": geo_contains_join,
     "geo_distance_join": geo_distance_join,
     "geo_point_measures": geo_point_measures,
     "geo_bing_tiles": geo_bing_tiles,
     "geo_relation_predicates": geo_relation_predicates,
+    "geo_wkb_roundtrip": geo_wkb_roundtrip,
 }
 
 ORACLE = {
+    "geo_wkb_roundtrip": GEO_WKB_ROUNDTRIP_SQL,
     "geo_contains_join": GEO_CONTAINS_JOIN_SQL,
     "geo_distance_join": GEO_DISTANCE_JOIN_SQL,
     "geo_point_measures": GEO_POINT_MEASURES_SQL,

@@ -315,3 +315,156 @@ def test_bing_tile_polygon(spark):
     assert xs == 180.0
     ymax = one(spark, call("ST_YMax", F.lit(wkt)))
     assert abs(ymax - 85.05112878) < 1e-6
+
+
+# --- round-4 tail: constructors, WKB, multi-geometry accessors -------------
+# (TestGeoFunctions.java testSTLineString / testSTGeometries /
+#  testSTGeometryN / testSTInteriorRingN / testInvalidGeometries /
+#  testSTPolygon / testSTMultiPoint / WKB roundtrips)
+
+HOLED = "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+
+
+def test_constructors(spark):
+    assert (
+        one(spark, call("ST_LineFromText", F.lit("LINESTRING (1 2, 3 4)")))
+        == "LINESTRING (1 2, 3 4)"
+    )
+    assert (
+        one(spark, call("ST_Polygon", F.lit("POLYGON ((0 0, 1 0, 1 1, 0 0))")))
+        == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+    )
+    pts = lambda *xy: F.array(  # noqa: E731
+        *[call("ST_Point", F.lit(float(x)), F.lit(float(y))) for x, y in xy]
+    )
+    assert (
+        one(spark, call("ST_LineString", pts((1, 2), (3, 4), (5, 6))))
+        == "LINESTRING (1 2, 3 4, 5 6)"
+    )
+    # 0/1 points -> LINESTRING EMPTY (reference testSTLineString)
+    assert one(spark, call("ST_LineString", pts((9, 10)))) == "LINESTRING EMPTY"
+    # non-consecutive repeats are fine
+    assert (
+        one(spark, call("ST_LineString", pts((1, 2), (3, 4), (1, 2))))
+        == "LINESTRING (1 2, 3 4, 1 2)"
+    )
+    assert (
+        one(spark, call("ST_MultiPoint", pts((1, 2), (4, 8), (16, 32))))
+        == "MULTIPOINT (1 2, 4 8, 16 32)"
+    )
+
+
+def test_constructor_validation_raises(spark):
+    import pytest
+
+    with pytest.raises(Exception, match="only applies to LINE_STRING"):
+        one(spark, call("ST_LineFromText", F.lit("POINT (1 2)")))
+    with pytest.raises(Exception, match="only applies to POLYGON"):
+        one(spark, call("ST_Polygon", F.lit("LINESTRING (1 2, 3 4)")))
+    with pytest.raises(Exception, match="consecutive duplicate points"):
+        one(
+            spark,
+            call(
+                "ST_LineString",
+                F.array(
+                    call("ST_Point", F.lit(1.0), F.lit(2.0)),
+                    call("ST_Point", F.lit(1.0), F.lit(2.0)),
+                ),
+            ),
+        )
+
+
+def test_wkb_roundtrip(spark):
+    # canonical OGC example bytes for POINT (1 2)
+    assert (
+        one(spark, F.hex(call("ST_AsBinary", F.lit("POINT (1 2)"))))
+        == "0101000000000000000000F03F0000000000000040"
+    )
+    for wkt in [
+        "POINT (1 2.5)",
+        "LINESTRING (1 1, 5 1, 5 4)",
+        HOLED,
+        "MULTIPOINT (1 2, 4 8, 16 32)",
+        "MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((1 1, 3 1, 3 3, 1 3, 1 1)))",
+        "GEOMETRYCOLLECTION (POINT (2 3), LINESTRING (2 3, 3 4))",
+    ]:
+        assert (
+            one(spark, call("ST_GeomFromBinary", call("ST_AsBinary", F.lit(wkt))))
+            == wkt
+        ), wkt
+
+
+def test_interior_rings(spark):
+    assert one(spark, call("ST_NumInteriorRing", F.lit(HOLED))) == 1
+    assert (
+        one(spark, call("ST_InteriorRingN", F.lit(HOLED), F.lit(1)))
+        == "LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)"
+    )
+    assert one(spark, call("ST_InteriorRingN", F.lit(HOLED), F.lit(2))) is None
+    assert one(spark, call("ST_InteriorRings", F.lit(HOLED))) == [
+        "LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)"
+    ]
+    no_holes = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert one(spark, call("ST_NumInteriorRing", F.lit(no_holes))) == 0
+    assert one(spark, call("ST_InteriorRings", F.lit(no_holes))) == []
+
+
+def test_multi_geometry_accessors(spark):
+    mp = "MULTIPOLYGON (((1 1, 3 1, 3 3, 1 3, 1 1)), ((2 4, 6 4, 6 6, 2 6, 2 4)))"
+    assert one(spark, call("ST_NumGeometries", F.lit(mp))) == 2
+    assert one(spark, call("ST_NumGeometries", F.lit("POINT (1 5)"))) == 1
+    assert one(spark, call("ST_NumGeometries", F.lit("POINT EMPTY"))) == 0
+    assert (
+        one(spark, call("ST_GeometryN", F.lit(mp), F.lit(2)))
+        == "POLYGON ((2 4, 6 4, 6 6, 2 6, 2 4))"
+    )
+    assert one(spark, call("ST_GeometryN", F.lit(mp), F.lit(3))) is None
+    assert one(spark, call("ST_GeometryN", F.lit(mp), F.lit(0))) is None
+    assert one(spark, call("ST_GeometryN", F.lit("POINT (1 5)"), F.lit(1))) == "POINT (1 5)"
+    gc = "GEOMETRYCOLLECTION(POINT(2 3), LINESTRING (2 3, 3 4))"
+    assert one(spark, call("ST_GeometryN", F.lit(gc), F.lit(1))) == "POINT (2 3)"
+    assert one(spark, call("ST_GeometryN", F.lit(gc), F.lit(2))) == "LINESTRING (2 3, 3 4)"
+    assert one(spark, call("ST_Geometries", F.lit("MULTIPOINT (1 2, 4 8, 16 32)"))) == [
+        "POINT (1 2)", "POINT (4 8)", "POINT (16 32)"
+    ]
+    assert one(spark, call("ST_Geometries", F.lit("POINT (1 5)"))) == ["POINT (1 5)"]
+    assert one(spark, call("ST_Geometries", F.lit("POINT EMPTY"))) is None
+
+
+def test_envelope_pts_coord_dim(spark):
+    assert one(spark, call("ST_EnvelopeAsPts", F.lit("MULTIPOINT (1 2, 4 8, 16 32)"))) == [
+        "POINT (1 2)", "POINT (16 32)"
+    ]
+    assert one(spark, call("ST_EnvelopeAsPts", F.lit(PENTAGON))) == [
+        "POINT (-1 0)", "POINT (5 5)"
+    ]
+    assert one(spark, call("ST_EnvelopeAsPts", F.lit("POINT EMPTY"))) is None
+    assert one(spark, call("ST_CoordDim", F.lit("POINT (1 2)"))) == 2
+
+
+def test_geometry_invalid_reason(spark):
+    # valid inputs -> NULL (testInvalidGeometries valid list)
+    for wkt in [
+        "POINT (1 2)",
+        "LINESTRING (0 0, 1 2, 3 4)",
+        "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))",
+        "MULTIPOINT (1 2, 3 4)",
+    ]:
+        assert one(spark, call("geometry_invalid_reason", F.lit(wkt))) is None, wkt
+    # exact reference expectations where our classifier aligns
+    assert (
+        one(spark, call("geometry_invalid_reason",
+                        F.lit("MULTIPOINT ((0 0), (0 1), (1 1), (0 1))")))
+        == "Repeated points at or near (0.0 1.0) and (0.0 1.0)"
+    )
+    assert (
+        one(spark, call("geometry_invalid_reason",
+                        F.lit("LINESTRING (0 0, 0 1, 0 1, 1 1, 1 0, 0 0)")))
+        == "Degenerate segments at or near (0.0 1.0)"
+    )
+    # self-crossing bowtie: same reason class as the reference; the
+    # reported vertex pair is our crossing-segment starts (documented)
+    r = one(spark, call("geometry_invalid_reason",
+                        F.lit("POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))")))
+    assert r is not None and r.startswith("Intersecting or overlapping segments")
