@@ -159,6 +159,8 @@ def reject_unsupported(sql: str) -> None:
         )
     if _CALL_RE.match(sql):
         raise NotImplementedError(
-            "CALL is not supported: connector procedures "
-            "(CallTask.java) have no Spark-session equivalent here"
+            "CALL is not supported for connector procedures "
+            "(CallTask.java) — no Spark-session equivalent here; the "
+            "system procedure CALL system.runtime.kill_query(id, msg) "
+            "IS supported (systemtables.py)"
         )

@@ -89,6 +89,11 @@ class PrestoSparkEngine:
         from facebook_presto_spark.access import GrantRegistry
 
         self.grants = GrantRegistry()
+        # query tracking for system.runtime.queries / kill_query
+        # (QueryManager parity — systemtables.py)
+        from facebook_presto_spark.systemtables import RuntimeQueryRegistry
+
+        self.runtime = RuntimeQueryRegistry()
 
     @classmethod
     def for_dir(cls, sf_dir: str = DEFAULT_SF_DIR, spark: SparkSession | None = None) -> "PrestoSparkEngine":
@@ -136,7 +141,27 @@ class PrestoSparkEngine:
         Catalyst — which performs the reference's whole optimizer sequence
         (PlanOptimizers.java:221-502): pushdown, pruning, join selection —
         lazily, until an action runs.
+
+        Every statement registers in ``self.runtime`` (the QueryManager
+        surface behind ``system.runtime.queries`` / ``kill_query``);
+        nested calls (EXECUTE, the protocol server) reuse the thread's
+        active entry so one user statement is one row.
         """
+        entry, owner = self.runtime.enter(presto_sql)
+        try:
+            df = self._sql_inner(presto_sql)
+            if owner:
+                entry.finish()
+            return df
+        except Exception as e:
+            if owner:
+                entry.fail(str(e).split("\n")[0][:500])
+            raise
+        finally:
+            if owner:
+                self.runtime.exit()
+
+    def _sql_inner(self, presto_sql: str) -> DataFrame:
         from facebook_presto_spark.properties import (
             parse_set_session,
             set_session_property,
@@ -173,6 +198,11 @@ class PrestoSparkEngine:
         granted = access.dispatch(self, presto_sql)
         if granted is not None:
             return granted
+        from facebook_presto_spark import systemtables
+
+        called = systemtables.dispatch_call(self, presto_sql)
+        if called is not None:
+            return called
         access.reject_unsupported(presto_sql)
         from facebook_presto_spark import infoschema
 
@@ -181,6 +211,12 @@ class PrestoSparkEngine:
             # metadata at query time (InformationSchemaPageSourceProvider);
             # rebuild the views from the live catalog — metadata-only
             infoschema.refresh(self.spark, privileges=self.grants.rows())
+        if systemtables.references_system_runtime(presto_sql):
+            # system.runtime.{queries,nodes,tasks} — rebuilt from the
+            # live registry/SparkContext, then addressed as the
+            # system_runtime database (catalog prefixes are names here)
+            systemtables.refresh(self.spark, self.runtime)
+            presto_sql = systemtables.rewrite_names(presto_sql)
         return self.spark.sql(translate(presto_sql))
 
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------

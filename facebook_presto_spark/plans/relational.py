@@ -946,8 +946,38 @@ ORDER BY table_name, ordinal_position
 """
 
 
+def meta_system_runtime(spark, sf_dir: str):
+    """system.runtime.queries over a fresh engine's QueryManager registry
+    (QuerySystemTable.java:56-71, systemtables.py): run two probe
+    statements, then read their rows back — state/user are deterministic
+    because the engine instance (and so the registry) is created here.
+    The nodes/tasks members and CALL system.runtime.kill_query are
+    exercised by tests/test_server.py (they read live SparkContext state
+    that has no DuckDB twin)."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    eng.sql("SELECT 1 AS probe_a").collect()
+    eng.sql("SELECT 2 AS probe_b").collect()
+    return eng.sql(
+        "SELECT query, state, user FROM system.runtime.queries "
+        "WHERE query LIKE 'SELECT 1%' OR query LIKE 'SELECT 2%' "
+        "ORDER BY query"
+    )
+
+
+META_SYSTEM_RUNTIME_ORACLE = """
+SELECT * FROM (VALUES
+  ('SELECT 1 AS probe_a', 'FINISHED', 'presto'),
+  ('SELECT 2 AS probe_b', 'FINISHED', 'presto')
+) AS t(query, state, "user")
+ORDER BY query
+"""
+
+
 QUERIES = {
     "meta_information_schema": meta_information_schema,
+    "meta_system_runtime": meta_system_runtime,
     "lateral_topk": lateral_topk,
     "assign_unique_id": assign_unique_id,
     "window_rank": window_rank,
@@ -1030,4 +1060,5 @@ ORACLE = {
     "topn_orders": TOPN_SQL,
     "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
     "meta_information_schema": META_INFOSCHEMA_ORACLE,
+    "meta_system_runtime": META_SYSTEM_RUNTIME_ORACLE,
 }

@@ -76,6 +76,7 @@ class _Query:
         self._page_no = -1      # index of the buffered page
         self._page: list = []
         self._exhausted = False
+        self.killed = False     # set by CALL system.runtime.kill_query
 
     def page(self, page_no: int):
         """(chunk, has_next) for ``page_no``; None if the page is no
@@ -120,10 +121,29 @@ class _Handler(BaseHTTPRequestHandler):
         return f"http://{host}"
 
     def _page_payload(self, q: _Query, page: int) -> dict | None:
+        if q.killed:
+            # administratively killed (KillQueryProcedure semantics):
+            # surface the failure on the client's next poll, then evict
+            self.server.queries.pop(q.id, None)
+            return {
+                "id": q.id,
+                "infoUri": f"{self._base()}/v1/query/{q.id}",
+                "columns": q.columns,
+                "stats": {"state": "FAILED"},
+                "error": {
+                    "message": "Query killed",
+                    "errorCode": 1,
+                    "errorName": "ADMINISTRATIVELY_KILLED",
+                    "errorType": "USER_ERROR",
+                },
+            }
         try:
             got = q.page(page)
         except Exception as e:  # runtime failure while streaming a page
             self.server.queries.pop(q.id, None)
+            entry = self.server.engine.runtime.get(q.id)
+            if entry is not None:
+                entry.fail(str(e).split("\n")[0][:500])
             return {
                 "id": q.id,
                 "infoUri": f"{self._base()}/v1/query/{q.id}",
@@ -156,6 +176,9 @@ class _Handler(BaseHTTPRequestHandler):
             # nextUri disappears) never sends DELETE, so this is the
             # only path that frees the paging state
             self.server.queries.pop(q.id, None)
+            entry = self.server.engine.runtime.get(q.id)
+            if entry is not None:
+                entry.finish()
         if not chunk:
             out.pop("data")
         return out
@@ -170,6 +193,15 @@ class _Handler(BaseHTTPRequestHandler):
         sql = self.rfile.read(length).decode()
         qid = f"{dt.date.today():%Y%m%d}_{uuid.uuid4().hex[:12]}"
         engine = self.server.engine
+        # register with the runtime registry (system.runtime.queries /
+        # kill_query) as the OUTER frame: engine.sql's nested enter
+        # reuses this entry, and it stays RUNNING until paging completes
+        entry, _owner = engine.runtime.enter(
+            sql,
+            user=self.headers.get("X-Presto-User") or "presto",
+            source=self.headers.get("X-Presto-Source"),
+            qid=qid,
+        )
         snap = {}
         try:
             props = [
@@ -197,6 +229,7 @@ class _Handler(BaseHTTPRequestHandler):
                 for f in schema.fields
             ]
         except Exception as e:  # QueryError shape (QueryResults.error)
+            entry.fail(str(e).split("\n")[0][:500])
             self._reply({
                 "id": qid,
                 "infoUri": f"{self._base()}/v1/query/{qid}",
@@ -211,12 +244,18 @@ class _Handler(BaseHTTPRequestHandler):
             })
             return
         finally:
+            engine.runtime.exit()
             if snap:
                 from facebook_presto_spark.properties import restore_confs
 
                 restore_confs(engine.spark, snap)
         q = _Query(qid, columns, rows)
         self.server.queries[qid] = q
+
+        def _kill(query=q):
+            query.killed = True
+
+        entry.kill_cb = _kill
         payload = self._page_payload(q, 0)
         self._reply(payload)
 
@@ -239,6 +278,9 @@ class _Handler(BaseHTTPRequestHandler):
         parts = self.path.strip("/").split("/")
         if len(parts) >= 3 and parts[:2] == ["v1", "statement"]:
             self.server.queries.pop(parts[2], None)
+            entry = self.server.engine.runtime.get(parts[2])
+            if entry is not None:
+                entry.fail("Query was canceled")
             self.send_response(204)
             self.end_headers()
             return

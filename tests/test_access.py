@@ -65,5 +65,10 @@ def test_transactions_and_call_fail_loudly(engine):
     for q in ("START TRANSACTION", "COMMIT", "ROLLBACK"):
         with pytest.raises(NotImplementedError, match="transactions"):
             engine.sql(q)
-    with pytest.raises(NotImplementedError, match="CALL"):
+    # CALL system.runtime.kill_query is now a real procedure
+    # (systemtables.py, round 4): unknown ids get the reference's
+    # NOT_FOUND error; other connector procedures still raise loudly
+    with pytest.raises(ValueError, match="Target query not found"):
         engine.sql("CALL system.runtime.kill_query('x')")
+    with pytest.raises(NotImplementedError, match="CALL"):
+        engine.sql("CALL hive.system.sync_partition_metadata('a', 'b', 'c')")

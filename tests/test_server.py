@@ -148,3 +148,62 @@ def test_session_property_scoped_to_statement(server):
         res = json.load(r)
     assert res["error"] is None
     assert spark_conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_system_runtime_queries_and_kill(server):
+    # a long (multi-page) query stays RUNNING in system.runtime.queries
+    # while its pages are outstanding
+    res = _post(server, "SELECT o_orderkey FROM orders")
+    qid = res["id"]
+    assert res["stats"]["state"] == "RUNNING"
+    eng = server.engine
+    running = {
+        r.query_id: r.state
+        for r in eng.sql(
+            "SELECT query_id, state FROM system.runtime.queries"
+        ).collect()
+    }
+    assert running.get(qid) == "RUNNING"
+
+    # CALL system.runtime.kill_query poisons the paging state
+    # (KillQueryProcedure.java:53-76) — the client's next poll gets
+    # ADMINISTRATIVELY_KILLED and the query is evicted
+    eng.sql(f"CALL system.runtime.kill_query('{qid}', 'test kill')")
+    with urllib.request.urlopen(res["nextUri"]) as r:
+        page = json.load(r)
+    assert page["stats"]["state"] == "FAILED"
+    assert page["error"]["errorName"] == "ADMINISTRATIVELY_KILLED"
+    entry = eng.runtime.get(qid)
+    assert entry.state == "FAILED" and "test kill" in entry.error
+
+    # killing it again: no longer running (reference error text)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not running"):
+        eng.sql(f"CALL system.runtime.kill_query('{qid}', 'again')")
+    with _pytest.raises(Exception, match="not found"):
+        eng.sql("CALL system.runtime.kill_query('bogus_id', 'x')")
+
+    # server-tracked user from the X-Presto-User header
+    row = [
+        r
+        for r in eng.sql(
+            "SELECT query_id, user, state FROM system.runtime.queries"
+        ).collect()
+        if r.query_id == qid
+    ]
+    assert row and row[0].user == "test" and row[0].state == "FAILED"
+
+
+def test_system_runtime_nodes_and_tasks(server):
+    eng = server.engine
+    nodes = eng.sql(
+        "SELECT node_id, node_version, coordinator, state FROM system.runtime.nodes"
+    ).collect()
+    assert len(nodes) == 1 and nodes[0].coordinator is True
+    assert nodes[0].state == "active" and nodes[0].node_version.startswith("spark-")
+    # tasks: schema matches TaskSystemTable.java:47-78's core columns;
+    # a synchronous engine usually has no active stage at read time
+    tasks = eng.sql("SELECT * FROM system.runtime.tasks")
+    assert tasks.columns[:5] == ["node_id", "task_id", "stage_id", "query_id", "state"]
+    tasks.collect()
