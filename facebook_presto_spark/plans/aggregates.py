@@ -401,89 +401,118 @@ ORDER BY p1, p2
 
 
 # --------------------------------------------------------------------------
-# Quantile-digest lifecycle: qdigest_agg → merge_qdigest →
-# value_at_quantile / values_at_quantiles (QuantileDigestFunctions.java:
-# 41-91, QuantileDigestAggregationFunction.java:58).  The digest is a
-# bucket-count map over top-8-significant-bit truncation (sketch_fns.py)
-# — bounded, deterministic, and exactly mergeable, so the DuckDB oracle
-# replays the identical bucket walk.
+# Quantile-digest lifecycle (QuantileDigestFunctions.java:41-91,
+# QuantileDigestAggregationFunction.java:58): round 4 replaced the
+# value-error bucket sketch on this path with the real rank-error
+# q-digest (functions/presto_qdigest.py); the oracle asserts the rank
+# CONTRACT — answers themselves are implementation-defined within ε·N,
+# as in the reference.  The bucket-map scalars in sketch_fns.py remain
+# the SQL-path surface (documented value-error variant).
 
-_QD_BUCKET_SQL = """
-  CASE WHEN x = 0 THEN 0
-       WHEN x < 0 THEN -(abs(x) - (abs(x) % CAST(pow(2, greatest(length(bin(abs(x))) - 8, 0)) AS BIGINT)))
-       ELSE x - (x % CAST(pow(2, greatest(length(bin(x)) - 8, 0)) AS BIGINT)) END
-"""
+_QD_EPS = 0.01  # the reference's default maxError (rank error)
 
 
-def _qd_oracle(quantiles: dict[str, float]) -> str:
-    picks = ",\n       ".join(
-        f"min(CASE WHEN cum >= greatest(1, CAST(ceil({q} * n) AS BIGINT)) "
-        f"THEN bucket END)/100.0 AS {alias}"
-        for alias, q in quantiles.items()
+def _qdigest_contract(vals: DataFrame, digests: DataFrame,
+                      quantiles: dict[str, float]) -> DataFrame:
+    """Join digest answers back to the data and assert the reference's
+    rank contract per quantile: the answer's rank interval
+    [#(x < a), #(x ≤ a)] must come within ε·N of q·N
+    (QuantileDigest's maxError guarantee).  Output booleans hash-match
+    a constant-true oracle — the contract IS the compared value, which
+    is exactly how a rank-error sketch can be oracle-gated (the answers
+    themselves are legitimately implementation-dependent)."""
+    from facebook_presto_spark.functions.presto_qdigest import value_at_quantile_col
+
+    ans = digests.select(
+        "l_returnflag",
+        *[
+            value_at_quantile_col(F.col("qdigest"), q).alias(f"__a_{alias}")
+            for alias, q in quantiles.items()
+        ],
     )
+    joined = vals.join(F.broadcast(ans), "l_returnflag")
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n")]
+    for alias, q in quantiles.items():
+        a = F.first(F.col(f"__a_{alias}"))
+        lo = F.sum((F.col("cents") < F.col(f"__a_{alias}")).cast("long"))
+        hi = F.sum((F.col("cents") <= F.col(f"__a_{alias}")).cast("long"))
+        margin = F.lit(_QD_EPS) * n + F.lit(1.0)
+        ok = a.isNotNull() & (lo <= F.lit(q) * n + margin) & (
+            hi >= F.lit(q) * n - margin
+        )
+        aggs.append(ok.alias(f"ok_{alias}"))
+    return joined.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
+
+
+def _qd_contract_oracle(quantiles: dict[str, float]) -> str:
+    oks = ", ".join(f"true AS ok_{alias}" for alias in quantiles)
     return f"""
-WITH v AS (
-  SELECT l_returnflag, CAST(round(l_extendedprice*100) AS BIGINT) AS x
-  FROM lineitem
-), b AS (
-  SELECT l_returnflag, {_QD_BUCKET_SQL} AS bucket, count(*) AS c
-  FROM v GROUP BY 1, 2
-), w AS (
-  SELECT l_returnflag, bucket,
-         sum(c) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
-         sum(c) OVER (PARTITION BY l_returnflag) AS n
-  FROM b
-)
-SELECT l_returnflag,
-       {picks}
-FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+SELECT l_returnflag, count(*) AS n, {oks}
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
 def agg_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from facebook_presto_spark.functions import call
+    """qdigest(x, 0.01) lifecycle with the reference's RANK-error
+    contract (QuantileDigestAggregationFunction.java:58): per-group
+    q-digests built distributed (mapInPandas partials → per-group
+    merge, functions/presto_qdigest.py), then every value_at_quantile
+    answer is checked against the exact ranks — see
+    ``_qdigest_contract``.  The map-based value-error bucket sketch
+    remains on the SQL scalar path (sketch_fns.py, documented)."""
+    from facebook_presto_spark.functions.presto_qdigest import qdigest_build
 
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    qd = li.groupBy("l_returnflag").agg(call("qdigest_agg", cents).alias("qd"))
-    pair = call("values_at_quantiles", F.col("qd"), [0.25, 0.75])
-    return qd.select(
-        "l_returnflag",
-        (call("value_at_quantile", F.col("qd"), 0.5) / 100.0).alias("p50"),
-        (call("value_at_quantile", F.col("qd"), 0.9) / 100.0).alias("p90"),
-        (F.element_at(pair, 1) / 100.0).alias("p25"),
-        (F.element_at(pair, 2) / 100.0).alias("p75"),
-    ).orderBy("l_returnflag")
+    vals = li.select("l_returnflag", cents.alias("cents"))
+    digests = qdigest_build(vals, ["l_returnflag"], "cents", _QD_EPS)
+    return _qdigest_contract(
+        vals, digests, {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9}
+    )
 
 
-ORACLE_QDIGEST = _qd_oracle({"p50": 0.5, "p90": 0.9, "p25": 0.25, "p75": 0.75})
+ORACLE_QDIGEST = _qd_contract_oracle({"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9})
 
 
 def agg_qdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Digests built per (returnflag, linestatus), then merge()d across
     linestatus — the reference's distributed-combine story
     (QuantileDigestAggregationFunction merge input function).  The
-    oracle computes the digest over the UNION directly: hash-matching
-    proves merge(parts) ≡ digest(whole) exactly."""
-    from facebook_presto_spark.functions import call
+    merged digest must still satisfy the rank contract against the
+    union's exact ranks (counts only move up the tree on merge, so the
+    ε·N bound survives — presto_qdigest.py docstring)."""
+    import pandas as pd
+
+    from facebook_presto_spark.functions.presto_qdigest import (
+        QDigest, qdigest_build,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    per = li.groupBy("l_returnflag", "l_linestatus").agg(
-        call("qdigest_agg", cents).alias("qd")
+    vals = li.select("l_returnflag", "l_linestatus", cents.alias("cents"))
+    per = qdigest_build(
+        vals, ["l_returnflag", "l_linestatus"], "cents", _QD_EPS
     )
-    merged = per.groupBy("l_returnflag").agg(
-        call("merge_qdigest", F.col("qd")).alias("qd")
+
+    def merge_status(pdf):
+        d = QDigest(_QD_EPS)
+        for buf in pdf["qdigest"]:
+            d.merge(QDigest.deserialize(bytes(buf)))
+        return pd.DataFrame({
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "qdigest": [d.serialize()],
+        })
+
+    merged = per.groupBy("l_returnflag").applyInPandas(
+        merge_status, "l_returnflag string, qdigest binary"
     )
-    return merged.select(
-        "l_returnflag",
-        (call("value_at_quantile", F.col("qd"), 0.1) / 100.0).alias("p10"),
-        (call("value_at_quantile", F.col("qd"), 0.5) / 100.0).alias("p50"),
-        (call("value_at_quantile", F.col("qd"), 0.99) / 100.0).alias("p99"),
-    ).orderBy("l_returnflag")
+    return _qdigest_contract(
+        vals.drop("l_linestatus"), merged, {"p10": 0.1, "p50": 0.5, "p99": 0.99}
+    )
 
 
-ORACLE_QDIGEST_MERGE = _qd_oracle({"p10": 0.1, "p50": 0.5, "p99": 0.99})
+ORACLE_QDIGEST_MERGE = _qd_contract_oracle({"p10": 0.1, "p50": 0.5, "p99": 0.99})
 
 
 QUERIES = {
