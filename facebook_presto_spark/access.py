@@ -84,6 +84,9 @@ class GrantRegistry:
         if not slot:
             del self._grants[(grantee, table)]
 
+    def has(self, grantee: str, table: str, privilege: str) -> bool:
+        return privilege in self._grants.get((grantee, table), {})
+
     def rows(self, table: str | None = None) -> list[tuple]:
         """information_schema.table_privileges rows
         (InformationSchemaMetadata.java:107-116 column order)."""
@@ -97,6 +100,94 @@ class GrantRegistry:
                     tbl, p, privs[p], False,
                 ))
         return out
+
+
+# -- enforcement (round 4, behind a session property) ------------------------
+#
+# The reference enforces through AccessControl plugins
+# (spi/security/AccessDeniedException.java error texts).  Here a
+# session property turns on checking the SQL path's statement targets
+# against the grant store: SET SESSION enforce_access_control = true,
+# SET SESSION session_user = '<who>'.  Default off preserves the
+# single-user behavior; the registry's grantor ('admin') bypasses, like
+# a superuser identity.  Table extraction is a top-level token walk
+# (FROM/JOIN/INSERT INTO/DELETE FROM at paren depth 0, CTE names and
+# metadata schemas excluded) — statement-level enforcement for the
+# engine.sql surface, documented in COVERAGE.md.
+
+ENFORCE_CONF = "spark.fps.enforceAccessControl"
+USER_CONF = "spark.fps.sessionUser"
+
+_META_PREFIXES = ("information_schema", "system", "system_runtime")
+
+
+def _statement_targets(sql: str) -> list[tuple[str, str, str]]:
+    """(privilege, table, denial verb) triples for one statement."""
+    from facebook_presto_spark.sqlfront.tokens import tokenize
+
+    toks = [t for t in tokenize(sql)]
+    out: list[tuple[str, str, str]] = []
+    cte_names: set[str] = set()
+    depth = 0
+    skip_from_at: int | None = None
+
+    m = re.match(r"\s*INSERT\s+INTO\s+(?:TABLE\s+)?([\w.\"]+)", sql, re.I)
+    if m:
+        out.append(("INSERT", m.group(1).strip('"'), "insert into"))
+    m = re.match(r"\s*DELETE\s*$|\s*DELETE\s+FROM\s+([\w.\"]+)", sql, re.I)
+    if m and m.group(1):
+        out.append(("DELETE", m.group(1).strip('"'), "delete from"))
+        skip_from_at = 0  # the DELETE's own FROM is not a read
+
+    for i, t in enumerate(toks):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        if depth != 0 or t.kind != "ident":
+            continue
+        if t.upper == "AS" and i > 0 and toks[i - 1].kind in ("ident", "qident"):
+            # WITH name AS ( … ) — collect CTE names at depth 0
+            if i + 1 < len(toks) and toks[i + 1].text == "(":
+                cte_names.add(toks[i - 1].text.strip('"').lower())
+        if t.upper not in ("FROM", "JOIN"):
+            continue
+        if skip_from_at is not None and t.upper == "FROM":
+            skip_from_at = None
+            continue
+        if i + 1 >= len(toks) or toks[i + 1].kind not in ("ident", "qident"):
+            continue
+        name = toks[i + 1].text.strip('"')
+        low = name.lower()
+        if toks[i + 1].is_kw("UNNEST", "LATERAL", "VALUES", "SELECT"):
+            continue
+        if low.split(".")[0] in _META_PREFIXES:
+            continue
+        out.append(("SELECT", name, "select from"))
+    return [
+        (p, t, v) for p, t, v in out if t.lower() not in cte_names
+    ]
+
+
+def enforce(engine, sql: str) -> None:
+    """Raise AccessDeniedException-style errors when enforcement is on
+    and the session user lacks a required privilege."""
+    try:
+        enabled = engine.spark.conf.get(ENFORCE_CONF, "false")
+    except Exception:
+        return
+    if (enabled or "false").lower() != "true":
+        return
+    user = engine.spark.conf.get(USER_CONF, engine.grants.grantor)
+    if user == engine.grants.grantor:
+        return
+    for priv, table, verb in _statement_targets(sql):
+        short = table.split(".")[-1]
+        if not (engine.grants.has(user, table, priv)
+                or engine.grants.has(user, short, priv)):
+            # AccessDeniedException.denySelectTable / denyInsertTable /
+            # denyDeleteTable message shapes
+            raise PermissionError(f"Access Denied: Cannot {verb} table {table}")
 
 
 def dispatch(engine, sql: str):

@@ -78,6 +78,48 @@ def _split_filters(text: str) -> list[str]:
     return [f for f in out if f]
 
 
+def _presto_json_field(v) -> str:
+    """One ROW field → its Presto JSON text (RowToJsonCast.java /
+    ArrayToJsonCast / MapToJsonCast): structs (Rows) and arrays render
+    as JSON arrays, maps as objects, varchar quoted, booleans/nulls as
+    JSON literals, numbers via their canonical repr."""
+    import datetime as _dt
+    import decimal as _decimal
+    import json as _json
+
+    from pyspark.sql import Row as _Row
+
+    def render(x) -> str:
+        if x is None:
+            return "null"
+        if isinstance(x, _Row):
+            return "[" + ",".join(render(e) for e in x) + "]"
+        if isinstance(x, (list, tuple)):
+            return "[" + ",".join(render(e) for e in x) + "]"
+        if isinstance(x, dict):
+            return "{" + ",".join(
+                f"{_json.dumps(str(k))}:{render(val)}"
+                for k, val in sorted(x.items(), key=lambda kv: str(kv[0]))
+            ) + "}"
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        if isinstance(x, int):
+            return str(x)
+        if isinstance(x, float):
+            return _json.dumps(x)
+        if isinstance(x, _decimal.Decimal):
+            return str(x)
+        if isinstance(x, (bytes, bytearray)):
+            import base64 as _b64
+
+            return _json.dumps(_b64.b64encode(bytes(x)).decode())
+        if isinstance(x, (_dt.datetime, _dt.date, _dt.time)):
+            return _json.dumps(str(x))
+        return _json.dumps(str(x))
+
+    return render(v)
+
+
 class PrestoSparkEngine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -126,6 +168,14 @@ class PrestoSparkEngine:
         from facebook_presto_spark.sqlfront import sql_udfs
 
         sql_udfs.install(spark)
+        # runtime-typed JSON field renderer for CAST(ROW(…) AS JSON)
+        # (RowToJsonCast.java): dispatches on the VALUE's runtime type,
+        # so struct-typed columns render as JSON arrays like the
+        # reference — unreachable from SQL text alone (translate.
+        # _row_as_json).  Row-at-a-time by design: type dispatch needs
+        # Row/dict/list Python objects, and the cast is a formatting
+        # corner, not a scan-path operator.
+        spark.udf.register("presto_json_field", _presto_json_field)
 
     def translate(self, presto_sql: str) -> str:
         """Presto-dialect SQL → the Spark SQL string that will run."""
@@ -198,6 +248,9 @@ class PrestoSparkEngine:
         granted = access.dispatch(self, presto_sql)
         if granted is not None:
             return granted
+        # optional grant enforcement (SET SESSION enforce_access_control
+        # = true — access.enforce; default off, single-user behavior)
+        access.enforce(self, presto_sql)
         from facebook_presto_spark import systemtables
 
         called = systemtables.dispatch_call(self, presto_sql)

@@ -101,6 +101,13 @@ PROPERTIES: dict[str, Callable[[SparkSession, str], None]] = {
 # toggles with no Spark analogue.  Accepted as no-ops so reference
 # workloads run unchanged — same contract as the spill/pushdown no-ops
 # above; unknown names still raise.
+# Engine-extension properties (NOT in SystemSessionProperties.java):
+# grant enforcement for the SQL path (access.enforce — the reference
+# does this through AccessControl plugins with connector identities).
+PROPERTIES["enforce_access_control"] = _set_conf("spark.fps.enforceAccessControl")
+PROPERTIES["session_user"] = _set_conf("spark.fps.sessionUser")
+
+
 _SUBSUMED = (
     "distributed_index_join", "grouped_execution_for_aggregation",
     "dynamic_schedule_for_grouped_execution", "prefer_streaming_operators",
@@ -128,6 +135,8 @@ for _name in _SUBSUMED:
 
 # Spark confs each property may have touched, for RESET SESSION
 _PROPERTY_CONFS: dict[str, tuple[str, ...]] = {
+    "enforce_access_control": ("spark.fps.enforceAccessControl",),
+    "session_user": ("spark.fps.sessionUser",),
     "hash_partition_count": ("spark.sql.shuffle.partitions",),
     "task_concurrency": ("spark.sql.shuffle.partitions",),
     "join_distribution_type": ("spark.sql.autoBroadcastJoinThreshold",),

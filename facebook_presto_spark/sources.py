@@ -138,6 +138,52 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(back)
 
 
+def source_jdbc_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel JDBC split read — the part of presto-base-jdbc that
+    matters at scale (JdbcSplitManager partitions the table into
+    per-worker splits; Spark's partitionColumn/lowerBound/upperBound/
+    numPartitions generates the same WHERE-range splits).  customer →
+    Derby, read back as 4 range splits with a pushed-down predicate,
+    aggregate; hash-match against parquet proves the split union is
+    lossless and the filter reached the remote side.
+
+    Dialect note: Derby is the only JDBC engine in this environment
+    (pyspark jars: derby*.jar; no H2/Postgres/SQLite driver, and DuckDB
+    exposes no JDBC endpoint to Python) — the dialect surface is
+    exercised on one engine; the register_jdbc plumbing is
+    engine-agnostic (COVERAGE.md records the single-dialect limit)."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    db = _scratch("jdbc_derby_splits")
+    url = f"jdbc:derby:{db};create=true"
+    jdbc_write(cust, url, "CUSTOMER", driver=_DERBY_DRIVER)
+    hi = cust.agg(F.max("c_custkey")).first()[0]
+    back = register_jdbc(
+        spark, "customer_jdbc", url, "CUSTOMER",
+        driver=_DERBY_DRIVER,
+        partitionColumn="C_CUSTKEY", lowerBound="1", upperBound=str(hi + 1),
+        numPartitions="4",
+    )
+    assert back.rdd.getNumPartitions() == 4, "expected 4 JDBC range splits"
+    return (
+        back.filter(F.col("c_acctbal") > 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_JDBC_SPLIT_SQL = """
+SELECT c_nationkey, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+FROM customer WHERE c_acctbal > 0
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Kafka connector (presto-kafka).  Two layers:
 #
@@ -276,6 +322,7 @@ QUERIES = {
     # default field delimiter), the reference's text-table format
     "source_textfile_roundtrip": _roundtrip("csv", name="textfile", sep="\x01"),
     "source_jdbc_roundtrip": source_jdbc_roundtrip,
+    "source_jdbc_split_read": source_jdbc_split_read,
     "source_kafka_offset_range": source_kafka_offset_range,
 }
 
@@ -285,5 +332,6 @@ ORACLE = {
     "source_csv_roundtrip": _AGG_SQL,
     "source_textfile_roundtrip": _AGG_SQL,
     "source_jdbc_roundtrip": _AGG_SQL,
+    "source_jdbc_split_read": _JDBC_SPLIT_SQL,
     "source_kafka_offset_range": _KAFKA_RANGE_SQL,
 }

@@ -434,10 +434,12 @@ def _type_text(toks: list[Tok]) -> str:
 def _row_as_json(row_toks: list[Tok]) -> list[Tok]:
     """ROW(a, b, …) → its Presto JSON-array rendering as string tokens.
 
-    Each scalar field is serialized by to_json through a single-field
-    struct (ignoreNullFields off so NULL renders as JSON null) and the
-    ``{"x":`` / ``}`` wrapper is sliced away; nested ROW constructors
-    recurse into nested arrays (RowToJsonCast.java).
+    Nested ROW constructors recurse into nested arrays syntactically;
+    every other field routes through the ``presto_json_field`` runtime
+    renderer (engine.py registers it), which dispatches on the VALUE's
+    runtime type — so struct-typed *columns* inside a ROW cast render as
+    JSON arrays exactly like the reference (RowToJsonCast.java), which
+    no compile-time spelling can do without the schema.
     """
     parts: list[list[Tok]] = []
     for a in split_top_level(row_toks[2:-1]):
@@ -448,22 +450,8 @@ def _row_as_json(row_toks: list[Tok]) -> list[Tok]:
         ):
             parts.append(_row_as_json(a))
             continue
-        # to_json drops null fields (→ "{}" → empty slice), so a NULL
-        # field resurfaces as the JSON literal through coalesce(nullif(…)).
-        tj = (
-            [ident("to_json"), op("("), ident("named_struct"), op("("),
-             string_literal("x"), op(",")] + a + [op(")"), op(")")]
-        )
-        sliced = (
-            [ident("substring"), op("(")] + tj
-            + [op(","), Tok("number", "6"), op(","), ident("length"),
-               op("(")] + tj + [op(")"), op("-"), Tok("number", "6"),
-                                op(")")]
-        )
         parts.append(
-            [ident("coalesce"), op("("), ident("nullif"), op("(")] + sliced
-            + [op(","), string_literal(""), op(")"), op(","),
-               string_literal("null"), op(")")]
+            [ident("presto_json_field"), op("(")] + a + [op(")")]
         )
     out = [ident("concat"), op("("), string_literal("["), op(","),
            ident("concat_ws"), op("("), string_literal(",")]

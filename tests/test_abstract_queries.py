@@ -56,11 +56,11 @@ TABLE_WORD = re.compile(
 # Cases with a documented engine divergence or Spark limitation; every
 # entry names its reason (matched on case-id prefix).
 KNOWN_DIVERGENCES = {
-    "testRows#3": "struct-typed COLUMN nested in a ROW cast renders as a "
-        "JSON object; only syntactic ROW(…) nesting array-izes (needs "
-        "runtime schema introspection)",
-    "testLambdaInSubqueryContext#1": "Spark does not support subqueries "
-        "inside higher-order-function lambdas",
+    # round 4 removed two entries: testRows#3 (struct-typed columns in a
+    # ROW→JSON cast now render as arrays via the runtime-typed
+    # presto_json_field renderer, engine.py) and
+    # testLambdaInSubqueryContext#1 (the FROM-less scalar fold handles
+    # the subquery-as-HOF-argument shape).
     # Catalyst decorrelation (RewriteCorrelatedScalarSubquery /
     # RewritePredicateSubquery) rejects shapes the reference decorrelates
     # through its ApplyNode rule set (TransformCorrelatedScalarAggregation

@@ -72,3 +72,43 @@ def test_transactions_and_call_fail_loudly(engine):
         engine.sql("CALL system.runtime.kill_query('x')")
     with pytest.raises(NotImplementedError, match="CALL"):
         engine.sql("CALL hive.system.sync_partition_metadata('a', 'b', 'c')")
+
+
+def test_enforcement_denies_and_allows(engine):
+    """SET SESSION enforce_access_control = true (round 4, access.enforce):
+    AccessDeniedException-style denials for SELECT/INSERT/DELETE against
+    the grant store; default-off behavior untouched; admin bypasses."""
+    eng = engine
+    # default off: anyone reads anything
+    assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n > 0
+    eng.sql("GRANT SELECT ON nation TO alice")
+    eng.sql("SET SESSION enforce_access_control = true")
+    eng.sql("SET SESSION session_user = 'alice'")
+    try:
+        # granted table reads fine
+        assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n > 0
+        # ungranted read denied with the reference's message shape
+        with pytest.raises(PermissionError, match="Access Denied: Cannot select from table orders"):
+            eng.sql("SELECT count(*) FROM orders")
+        # join pulls in a second table: denied on the ungranted side
+        with pytest.raises(PermissionError, match="Cannot select from table region"):
+            eng.sql("SELECT count(*) FROM nation JOIN region ON n_regionkey = r_regionkey")
+        # write privileges are separate from SELECT
+        with pytest.raises(PermissionError, match="Cannot insert into table nation"):
+            eng.sql("INSERT INTO nation SELECT * FROM nation")
+        with pytest.raises(PermissionError, match="Cannot delete from table nation"):
+            eng.sql("DELETE FROM nation WHERE n_nationkey = 0")
+        # CTE names are not tables; subqueries don't leak FROM targets
+        assert eng.sql(
+            "WITH x AS (SELECT n_nationkey FROM nation) SELECT count(*) AS n FROM x"
+        ).collect()[0].n > 0
+        # metadata schemas stay readable (operators must be able to look)
+        eng.sql("SELECT * FROM system.runtime.nodes").collect()
+        # admin (the grantor identity) bypasses
+        eng.sql("SET SESSION session_user = 'admin'")
+        assert eng.sql("SELECT count(*) AS n FROM orders").collect()[0].n > 0
+    finally:
+        eng.sql("RESET SESSION enforce_access_control")
+        eng.sql("RESET SESSION session_user")
+    # off again: alice reads orders freely
+    assert eng.sql("SELECT count(*) AS n FROM orders").collect()[0].n > 0
