@@ -47,11 +47,18 @@ Known costs/limits:
   instance — constant in data size, amortized at scale, but don't build
   them in a per-row loop.  Execution is fine (codegen/interp over
   parsed coordinate arrays).
-- the *relation/measure kernels* parse the first ring/part only; the
-  round-4 accessors (ST_InteriorRing*, ST_Geometries/ST_GeometryN,
-  WKB serde) do handle interior rings and multi-geometry parts, so
-  multi-part relation work composes as exists(ST_Geometries(g), ...).
-  Two collinear lines sharing a run are reported as touching.
+- the relation/measure kernels are HOLE-AWARE since round 4
+  (_geom_chains: every polygon ring parses as its own auto-closed
+  chain; ray-cast parity over their union is the OGC interior, segment
+  walks cover every ring, area/centroid/distance/NumPoints follow the
+  reference's holed-polygon semantics — tests/test_geo.py
+  test_holed_polygon_semantics pins the reference's own values).
+  MULTI* inputs to the relation kernels still evaluate their first
+  part; multi-part relation work composes as
+  exists(ST_Geometries(g), part -> ST_Intersects(part, …)) — one
+  kernel instance parameterized by the lambda variable, demonstrated
+  in test_multi_part_composition.  Two collinear lines sharing a run
+  are reported as touching.
 - the overlay family (ST_Union, ST_Intersection, ST_Difference,
   ST_SymDifference, ST_Buffer, ST_Relate, simplify_geometry,
   geometry_union) raises NotImplementedError loudly — building new
@@ -127,11 +134,33 @@ def st_y(g) -> Column:
     return F.element_at(_coords(g), 1)["y"]
 
 
-register("ST_XMin")(lambda g: F.array_min(F.transform(_coords(g), lambda p: p["x"])))
-register("ST_XMax")(lambda g: F.array_max(F.transform(_coords(g), lambda p: p["x"])))
-register("ST_YMin")(lambda g: F.array_min(F.transform(_coords(g), lambda p: p["y"])))
-register("ST_YMax")(lambda g: F.array_max(F.transform(_coords(g), lambda p: p["y"])))
-register("ST_NumPoints")(lambda g: F.size(_coords(g)).cast("bigint"))
+# extremes over EVERY coordinate pair (round 4: multi-part correct)
+register("ST_XMin")(lambda g: F.array_min(F.transform(_all_xy(_c(g)), lambda p: p["x"])))
+register("ST_XMax")(lambda g: F.array_max(F.transform(_all_xy(_c(g)), lambda p: p["x"])))
+register("ST_YMin")(lambda g: F.array_min(F.transform(_all_xy(_c(g)), lambda p: p["y"])))
+register("ST_YMax")(lambda g: F.array_max(F.transform(_all_xy(_c(g)), lambda p: p["y"])))
+@register("ST_NumPoints")
+def st_num_points(g) -> Column:
+    """Vertex count over every part/ring (GeoFunctions.getPointCount):
+    polygon rings do NOT count their closing repeat — the reference's
+    Esri representation stores rings unclosed, so
+    ``POLYGON ((0 0, 8 0, 0 8, 0 0), (1 1, 1 5, 5 1, 1 1))`` is 6."""
+    gc = _c(g)
+    total = F.size(_all_xy(gc)).cast("bigint")
+    # innermost paren groups = the rings of (MULTI)POLYGON WKT
+    rings = F.regexp_extract_all(gc, F.lit(r"\(([^()]+)\)"), F.lit(1))
+    closures = F.aggregate(
+        rings, F.lit(0).cast("bigint"),
+        lambda acc, r: acc + F.when(
+            (F.size(_ring_pts(r)) > 1)
+            & (F.element_at(_ring_pts(r), 1) == F.element_at(_ring_pts(r), -1)),
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.when(gc.rlike(" EMPTY$"), F.lit(0).cast("bigint")).otherwise(
+        F.when(_typ(gc).isin("POLYGON", "MULTIPOLYGON"), total - closures)
+        .otherwise(total)
+    )
 
 
 @register("ST_IsClosed")
@@ -164,17 +193,27 @@ def st_envelope(g) -> Column:
 
 @register("ST_Area")
 def st_area(g) -> Column:
-    """Shoelace over the exterior ring (simple polygons)."""
-    c = _coords(g)
-    n = F.size(c)
-    cross = F.aggregate(
-        F.sequence(F.lit(1), n - 1),
+    """Shoelace area; interior rings subtract (round 4 — Esri
+    calculateArea2D semantics for polygons with holes)."""
+    def ring_area(c):
+        n = F.size(c)
+        cross = F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(c, i)["x"] * F.element_at(c, i + 1)["y"]
+            - F.element_at(c, i + 1)["x"] * F.element_at(c, i)["y"],
+        )
+        return F.abs(cross) / 2.0
+
+    areas = F.transform(_geom_chains(_c(g)), ring_area)
+    return F.element_at(areas, 1) - F.coalesce(
+        F.aggregate(
+            F.slice(areas, 2, F.greatest(F.size(areas) - 1, F.lit(0))),
+            F.lit(0.0), lambda acc, a: acc + a,
+        ),
         F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(c, i)["x"] * F.element_at(c, i + 1)["y"]
-        - F.element_at(c, i + 1)["x"] * F.element_at(c, i)["y"],
     )
-    return F.abs(cross) / 2.0
 
 
 @register("ST_Length")
@@ -195,25 +234,44 @@ def st_length(g) -> Column:
 @register("ST_Centroid")
 def st_centroid(g) -> Column:
     """Point → itself; linestring → vertex mean; polygon → area-weighted
-    centroid (standard shoelace-moment formula)."""
+    centroid (shoelace-moment formula), interior rings subtracting with
+    their |area| weight (round 4 — matches the reference's holed-polygon
+    centroid, TestGeoFunctions.java:209)."""
     c = _coords(g)
     n = F.size(c)
     typ = F.regexp_extract(_c(g), r"^(\w+)", 1)
     mean_x = F.aggregate(c, F.lit(0.0), lambda a, p: a + p["x"]) / n
     mean_y = F.aggregate(c, F.lit(0.0), lambda a, p: a + p["y"]) / n
-    cross = lambda i: (  # noqa: E731
-        F.element_at(c, i)["x"] * F.element_at(c, i + 1)["y"]
-        - F.element_at(c, i + 1)["x"] * F.element_at(c, i)["y"]
-    )
-    a2 = F.aggregate(F.sequence(F.lit(1), n - 1), F.lit(0.0), lambda acc, i: acc + cross(i))
-    cx = F.aggregate(
-        F.sequence(F.lit(1), n - 1), F.lit(0.0),
-        lambda acc, i: acc + (F.element_at(c, i)["x"] + F.element_at(c, i + 1)["x"]) * cross(i),
-    ) / (F.lit(3.0) * a2)
-    cy = F.aggregate(
-        F.sequence(F.lit(1), n - 1), F.lit(0.0),
-        lambda acc, i: acc + (F.element_at(c, i)["y"] + F.element_at(c, i + 1)["y"]) * cross(i),
-    ) / (F.lit(3.0) * a2)
+
+    def ring_stats(rc: Column) -> Column:
+        rn = F.size(rc)
+        cross = lambda i: (  # noqa: E731
+            F.element_at(rc, i)["x"] * F.element_at(rc, i + 1)["y"]
+            - F.element_at(rc, i + 1)["x"] * F.element_at(rc, i)["y"]
+        )
+        idx = F.sequence(F.lit(1), rn - 1)
+        a2 = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + cross(i))
+        mx = F.aggregate(
+            idx, F.lit(0.0),
+            lambda acc, i: acc + (F.element_at(rc, i)["x"] + F.element_at(rc, i + 1)["x"]) * cross(i),
+        ) / (F.lit(3.0) * a2)
+        my = F.aggregate(
+            idx, F.lit(0.0),
+            lambda acc, i: acc + (F.element_at(rc, i)["y"] + F.element_at(rc, i + 1)["y"]) * cross(i),
+        ) / (F.lit(3.0) * a2)
+        return F.struct(
+            (F.abs(a2) / 2.0).alias("a"), mx.alias("cx"), my.alias("cy")
+        )
+
+    stats = F.transform(_geom_chains(_c(g)), ring_stats)
+    first = F.element_at(stats, 1)
+    rest = F.slice(stats, 2, F.greatest(F.size(stats) - 1, F.lit(0)))
+    hole_a = F.aggregate(rest, F.lit(0.0), lambda acc, s: acc + s["a"])
+    hole_mx = F.aggregate(rest, F.lit(0.0), lambda acc, s: acc + s["a"] * s["cx"])
+    hole_my = F.aggregate(rest, F.lit(0.0), lambda acc, s: acc + s["a"] * s["cy"])
+    den = first["a"] - hole_a
+    cx = (first["a"] * first["cx"] - hole_mx) / den
+    cy = (first["a"] * first["cy"] - hole_my) / den
     px = F.when(typ == "POLYGON", cx).otherwise(mean_x)
     py = F.when(typ == "POLYGON", cy).otherwise(mean_y)
     return F.concat(F.lit("POINT ("), _fmt_coord(px), F.lit(" "), _fmt_coord(py), F.lit(")"))
@@ -233,33 +291,39 @@ def st_distance(a, b) -> Column:
         F.when(ta == "POINT", gb).otherwise(ga),
     )
     p = F.element_at(_coords(pt), 1)
-    c2 = _coords(other)
-    n = F.size(c2)
 
-    def seg_dist(i):
-        x1, y1 = F.element_at(c2, i)["x"], F.element_at(c2, i)["y"]
-        x2, y2 = F.element_at(c2, i + 1)["x"], F.element_at(c2, i + 1)["y"]
-        dx, dy = x2 - x1, y2 - y1
-        len2 = dx * dx + dy * dy
-        t_raw = ((p["x"] - x1) * dx + (p["y"] - y1) * dy) / len2
-        t = F.when(len2 == 0, F.lit(0.0)).otherwise(F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0)))
-        qx, qy = x1 + t * dx, y1 + t * dy
-        return F.sqrt(F.pow(p["x"] - qx, 2) + F.pow(p["y"] - qy, 2))
+    def chain_min(c2):
+        def seg_dist(i):
+            x1, y1 = F.element_at(c2, i)["x"], F.element_at(c2, i)["y"]
+            x2, y2 = F.element_at(c2, i + 1)["x"], F.element_at(c2, i + 1)["y"]
+            dx, dy = x2 - x1, y2 - y1
+            len2 = dx * dx + dy * dy
+            t_raw = ((p["x"] - x1) * dx + (p["y"] - y1) * dy) / len2
+            t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+                F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+            )
+            qx, qy = x1 + t * dx, y1 + t * dy
+            return F.sqrt(F.pow(p["x"] - qx, 2) + F.pow(p["y"] - qy, 2))
 
-    point_point = F.sqrt(
-        F.pow(p["x"] - F.element_at(c2, 1)["x"], 2)
-        + F.pow(p["y"] - F.element_at(c2, 1)["y"], 2)
-    )
-    min_seg = F.array_min(F.transform(F.sequence(F.lit(1), n - 1), seg_dist))
-    return F.when(n == 1, point_point).otherwise(min_seg)
+        n = F.size(c2)
+        point_point = F.sqrt(
+            F.pow(p["x"] - F.element_at(c2, 1)["x"], 2)
+            + F.pow(p["y"] - F.element_at(c2, 1)["y"], 2)
+        )
+        min_seg = F.array_min(F.transform(F.sequence(F.lit(1), n - 1), seg_dist))
+        return F.when(n == 1, point_point).otherwise(min_seg)
+
+    # min over every chain: hole boundaries count (a point inside a
+    # hole is OUTSIDE the polygon and its distance is to the hole ring)
+    return F.array_min(F.transform(_geom_chains(other), chain_min))
 
 
 # --- predicates ------------------------------------------------------------
 
-def _point_in_ring(px: Column, py: Column, ring: Column) -> Column:
-    """Ray-casting parity test (even-odd rule) against a closed ring."""
+def _ring_crossings(px: Column, py: Column, ring: Column) -> Column:
+    """Ray-cast crossing COUNT of one closed ring (even-odd numerator)."""
     n = F.size(ring)
-    crossings = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(1), n - 1),
         F.lit(0),
         lambda acc, i: acc
@@ -278,17 +342,67 @@ def _point_in_ring(px: Column, py: Column, ring: Column) -> Column:
             1,
         ).otherwise(0),
     )
-    return crossings % 2 == 1
+
+
+def _point_in_ring(px: Column, py: Column, ring: Column) -> Column:
+    """Ray-casting parity test (even-odd rule) against a closed ring."""
+    return _ring_crossings(px, py, ring) % 2 == 1
+
+
+def _ring_pts(body: Column) -> Column:
+    """Ring body text "x y, x y, …" → array<struct<x,y>>."""
+    pts = F.split(body, r"\s*,\s*")
+    return F.transform(
+        pts,
+        lambda p: F.struct(
+            F.element_at(F.split(F.trim(p), r"\s+"), 1).cast("double").alias("x"),
+            F.element_at(F.split(F.trim(p), r"\s+"), 2).cast("double").alias("y"),
+        ),
+    )
+
+
+def _close_ring(c: Column) -> Column:
+    """Append the first vertex when the WKT ring is spelled unclosed
+    (Esri auto-closes: POLYGON ((2 2, 2 6, 6 6, 6 2)) is a square)."""
+    first, last = F.element_at(c, 1), F.element_at(c, -1)
+    return F.when(
+        (first["x"] == last["x"]) & (first["y"] == last["y"]), c
+    ).otherwise(F.concat(c, F.array(first)))
+
+
+def _geom_chains(g: Column) -> Column:
+    """Every coordinate chain of the geometry as array<array<struct>>:
+    all polygon rings auto-closed (exterior first, then holes — round 4;
+    previously the first ring only); a single chain for points/
+    linestrings.  Rings stay SEPARATE chains, so ray-cast parity over
+    their union is automatically hole-correct (even-odd) and segment
+    walks never cross the inter-ring seam."""
+    return F.when(
+        _typ(g) == "POLYGON",
+        F.transform(_rings(g), lambda r: _close_ring(_ring_pts(r))),
+    ).otherwise(F.array(_coords(g)))
+
+
+def _point_in_geom(px: Column, py: Column, g: Column) -> Column:
+    """Even-odd parity over ALL rings: inside the exterior minus the
+    holes, exactly the OGC interior for polygons with holes."""
+    total = F.aggregate(
+        _geom_chains(g), F.lit(0),
+        lambda acc, ring: acc + _ring_crossings(px, py, ring),
+    )
+    return total % 2 == 1
 
 
 @register("ST_Contains")
 def st_contains(outer, inner) -> Column:
-    """polygon ⊇ point (ray casting).  Polygon⊇polygon falls back to
+    """polygon ⊇ point (ray casting; hole-aware since round 4 — the
+    even-odd parity over all rings places points inside a hole
+    OUTSIDE, like the reference).  Polygon⊇polygon falls back to
     all-vertices-inside (exact for convex outer rings)."""
-    ring = _coords(outer)
-    inner_pts = _coords(inner)
+    go = _c(outer)
+    inner_pts = _all_xy(_c(inner))
     return F.forall(
-        inner_pts, lambda p: _point_in_ring(p["x"], p["y"], ring)
+        inner_pts, lambda p: _point_in_geom(p["x"], p["y"], go)
     )
 
 
@@ -368,10 +482,34 @@ def _strictly_inside(px, py, ring) -> Column:
     return _point_in_ring(px, py, ring) & ~_point_on_boundary(px, py, ring)
 
 
+# ring-aware (hole-correct) forms of the three primitive tests, over
+# every chain of the geometry (round 4 — see _geom_chains)
+
+def _point_on_boundary_geom(px: Column, py: Column, g: Column) -> Column:
+    return F.exists(
+        _geom_chains(g), lambda ring: _point_on_boundary(px, py, ring)
+    )
+
+
+def _segments_intersect_geom(ga: Column, gb: Column,
+                             proper: bool = False) -> Column:
+    return F.exists(
+        _geom_chains(ga),
+        lambda ca: F.exists(
+            _geom_chains(gb), lambda cb: _segments_intersect(ca, cb, proper)
+        ),
+    )
+
+
+def _strictly_inside_geom(px, py, g: Column) -> Column:
+    return _point_in_geom(px, py, g) & ~_point_on_boundary_geom(px, py, g)
+
+
 @register("ST_Intersects")
 def st_intersects(a, b) -> Column:
-    """Exact for simple point/linestring/polygon pairs: segment-pair
-    orientation tests (incl. collinear touches) plus containment probes
+    """Exact for simple point/linestring/polygon pairs — hole-aware
+    since round 4: segment-pair orientation tests run over every ring
+    (incl. collinear touches) plus hole-correct containment probes
     (GeoFunctions.java stIntersects; same truth table as Esri's
     ``intersects`` for single simple geometries).  An envelope pre-test
     keeps the common join case a cheap reject."""
@@ -379,27 +517,29 @@ def st_intersects(a, b) -> Column:
     ta, tb = _typ(ga), _typ(gb)
     ca, cb = _coords(ga), _coords(gb)
     pa, pb = F.element_at(ca, 1), F.element_at(cb, 1)
+    axy, bxy = _all_xy(ga), _all_xy(gb)
     xs = lambda c: F.transform(c, lambda p: p["x"])  # noqa: E731
     ys = lambda c: F.transform(c, lambda p: p["y"])  # noqa: E731
     env = (
-        (F.array_min(xs(ca)) <= F.array_max(xs(cb)))
-        & (F.array_min(xs(cb)) <= F.array_max(xs(ca)))
-        & (F.array_min(ys(ca)) <= F.array_max(ys(cb)))
-        & (F.array_min(ys(cb)) <= F.array_max(ys(ca)))
+        (F.array_min(xs(axy)) <= F.array_max(xs(bxy)))
+        & (F.array_min(xs(bxy)) <= F.array_max(xs(axy)))
+        & (F.array_min(ys(axy)) <= F.array_max(ys(bxy)))
+        & (F.array_min(ys(bxy)) <= F.array_max(ys(axy)))
     )
-    pt_test = lambda p, c, t: F.when(  # noqa: E731
-        t == "POLYGON", _point_in_ring(p["x"], p["y"], c) | _point_on_boundary(p["x"], p["y"], c)
-    ).otherwise(_point_on_boundary(p["x"], p["y"], c))
+    pt_test = lambda p, g, t: F.when(  # noqa: E731
+        t == "POLYGON",
+        _point_in_geom(p["x"], p["y"], g) | _point_on_boundary_geom(p["x"], p["y"], g),
+    ).otherwise(_point_on_boundary_geom(p["x"], p["y"], g))
     both = (
-        _segments_intersect(ca, cb)
-        | ((tb == "POLYGON") & _point_in_ring(pa["x"], pa["y"], cb))
-        | ((ta == "POLYGON") & _point_in_ring(pb["x"], pb["y"], ca))
+        _segments_intersect_geom(ga, gb)
+        | ((tb == "POLYGON") & _point_in_geom(pa["x"], pa["y"], gb))
+        | ((ta == "POLYGON") & _point_in_geom(pb["x"], pb["y"], ga))
     )
     point_point = (pa["x"] == pb["x"]) & (pa["y"] == pb["y"])
     return env & (
         F.when((ta == "POINT") & (tb == "POINT"), point_point)
-        .when(ta == "POINT", pt_test(pa, cb, tb))
-        .when(tb == "POINT", pt_test(pb, ca, ta))
+        .when(ta == "POINT", pt_test(pa, gb, tb))
+        .when(tb == "POINT", pt_test(pb, ga, ta))
         .otherwise(both)
     )
 
@@ -412,14 +552,14 @@ def st_disjoint(a, b) -> Column:
 
 def _interiors_overlap(ga, gb, ca, cb, ta, tb) -> Column:
     """Interior∩interior non-empty, for the touch/cross/overlap family:
-    a transversal segment crossing, or a vertex of one strictly inside
-    the other polygon."""
+    a transversal segment crossing (any ring pair), or a vertex of one
+    strictly inside the other polygon (hole-aware)."""
     return (
-        _segments_intersect(ca, cb, proper=True)
+        _segments_intersect_geom(ga, gb, proper=True)
         | ((tb == "POLYGON") & F.exists(
-            ca, lambda p: _strictly_inside(p["x"], p["y"], cb)))
+            _all_xy(ga), lambda p: _strictly_inside_geom(p["x"], p["y"], gb)))
         | ((ta == "POLYGON") & F.exists(
-            cb, lambda p: _strictly_inside(p["x"], p["y"], ca)))
+            _all_xy(gb), lambda p: _strictly_inside_geom(p["x"], p["y"], ga)))
     )
 
 
@@ -433,8 +573,8 @@ def st_touches(a, b) -> Column:
     ta, tb = _typ(ga), _typ(gb)
     ca, cb = _coords(ga), _coords(gb)
     pa, pb = F.element_at(ca, 1), F.element_at(cb, 1)
-    point_case = lambda p, c, t: F.when(  # noqa: E731
-        t == "POLYGON", _point_on_boundary(p["x"], p["y"], c)
+    point_case = lambda p, g, c, t: F.when(  # noqa: E731
+        t == "POLYGON", _point_on_boundary_geom(p["x"], p["y"], g)
     ).otherwise(
         # boundary of a linestring = its endpoints
         ((p["x"] == F.element_at(c, 1)["x"]) & (p["y"] == F.element_at(c, 1)["y"]))
@@ -442,8 +582,8 @@ def st_touches(a, b) -> Column:
     )
     return (
         F.when((ta == "POINT") & (tb == "POINT"), F.lit(False))
-        .when(ta == "POINT", point_case(pa, cb, tb))
-        .when(tb == "POINT", point_case(pb, ca, ta))
+        .when(ta == "POINT", point_case(pa, gb, cb, tb))
+        .when(tb == "POINT", point_case(pb, ga, ca, ta))
         .otherwise(
             st_intersects(ga, gb) & ~_interiors_overlap(ga, gb, ca, cb, ta, tb)
         )
@@ -463,14 +603,16 @@ def st_crosses(a, b) -> Column:
     ta, tb = _typ(ga), _typ(gb)
     ca, cb = _coords(ga), _coords(gb)
 
-    def line_poly(line_c, poly_c):
-        some_in = F.exists(line_c, lambda p: _strictly_inside(p["x"], p["y"], poly_c))
+    def line_poly(line_c, line_g, poly_g):
+        some_in = F.exists(
+            line_c, lambda p: _strictly_inside_geom(p["x"], p["y"], poly_g)
+        )
         some_out = F.exists(
             line_c,
-            lambda p: ~_point_in_ring(p["x"], p["y"], poly_c)
-            & ~_point_on_boundary(p["x"], p["y"], poly_c),
+            lambda p: ~_point_in_geom(p["x"], p["y"], poly_g)
+            & ~_point_on_boundary_geom(p["x"], p["y"], poly_g),
         )
-        crossing = _segments_intersect(line_c, poly_c, proper=True)
+        crossing = _segments_intersect_geom(line_g, poly_g, proper=True)
         # a transversal ring crossing alone already implies interior
         # points on both sides of the boundary
         return (some_in & some_out) | crossing
@@ -478,8 +620,8 @@ def st_crosses(a, b) -> Column:
     return (
         F.when((ta == "POINT") | (tb == "POINT"), F.lit(False))
         .when((ta == "POLYGON") & (tb == "POLYGON"), F.lit(False))
-        .when((ta != "POLYGON") & (tb == "POLYGON"), line_poly(ca, cb))
-        .when((ta == "POLYGON") & (tb != "POLYGON"), line_poly(cb, ca))
+        .when((ta != "POLYGON") & (tb == "POLYGON"), line_poly(ca, ga, gb))
+        .when((ta == "POLYGON") & (tb != "POLYGON"), line_poly(cb, gb, ga))
         .otherwise(_segments_intersect(ca, cb, proper=True))
     )
 

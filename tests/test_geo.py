@@ -28,7 +28,9 @@ def test_point_roundtrip(spark):
 
 
 def test_num_points_closed_envelope(spark):
-    assert one(spark, call("ST_NumPoints", F.lit(PENTAGON))) == 6
+    # reference getPointCount: polygon rings exclude the closing repeat
+    # (TestGeoFunctions testSTNumPoints — round 4 aligned)
+    assert one(spark, call("ST_NumPoints", F.lit(PENTAGON))) == 5
     assert one(spark, call("ST_IsClosed", F.lit(PENTAGON))) is True
     assert one(spark, call("ST_IsClosed", F.lit("LINESTRING (0 0, 1 1)"))) is False
     assert (
@@ -468,3 +470,65 @@ def test_geometry_invalid_reason(spark):
     r = one(spark, call("geometry_invalid_reason",
                         F.lit("POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))")))
     assert r is not None and r.startswith("Intersecting or overlapping segments")
+
+
+# --- round-4 hole-aware kernels + multi-part composition -------------------
+# (TestGeoFunctions testSTArea:148, testSTCentroid:209, testSTNumPoints:495,
+#  hole-correct contains/intersects/distance)
+
+
+def test_holed_polygon_semantics(spark):
+    holed5 = "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    # area subtracts the hole; unclosed rings auto-close (reference :148)
+    assert one(spark, call("ST_Area", F.lit(holed5))) == 24.0
+    assert one(spark, call("ST_Area", F.lit("POLYGON ((2 2, 2 6, 6 6, 6 2))"))) == 16.0
+    # centroid with a hole (reference :209 exact value)
+    assert (
+        one(spark, call("ST_Centroid", F.lit(
+            "POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))")))
+        == "POINT (2.5416666666666665 2.5416666666666665)"
+    )
+    # NumPoints: closing repeats excluded for polygons (reference :495)
+    assert one(spark, call("ST_NumPoints", F.lit(
+        "POLYGON ((0 0, 8 0, 0 8, 0 0), (1 1, 1 5, 5 1, 1 1))"))) == 6
+    assert one(spark, call("ST_NumPoints", F.lit(
+        "MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1)), ((2 4, 2 6, 6 6, 6 4)))"))) == 8
+    assert one(spark, call("ST_NumPoints", F.lit(
+        "MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))"))) == 4
+    assert one(spark, call("ST_NumPoints", F.lit("POLYGON EMPTY"))) == 0
+    # contains: a point inside the hole is OUTSIDE the polygon
+    assert one(spark, call("ST_Contains", F.lit(holed5), F.lit("POINT (3 3)"))) is True
+    assert one(spark, call("ST_Contains", F.lit(holed5), F.lit("POINT (1.5 1.5)"))) is False
+    # intersects: a geometry entirely inside the hole is disjoint
+    hole_box = "POLYGON ((1.2 1.2, 1.8 1.2, 1.8 1.8, 1.2 1.8, 1.2 1.2))"
+    assert one(spark, call("ST_Intersects", F.lit(holed5), F.lit(hole_box))) is False
+    assert one(spark, call("ST_Disjoint", F.lit(holed5), F.lit(hole_box))) is True
+    # ...but one crossing the hole boundary intersects
+    cross_box = "POLYGON ((1.5 1.5, 3 1.5, 3 3, 1.5 3, 1.5 1.5))"
+    assert one(spark, call("ST_Intersects", F.lit(holed5), F.lit(cross_box))) is True
+    # distance from a point inside the hole = distance to the hole ring
+    assert one(spark, call(
+        "ST_Distance", F.lit("POINT (1.5 1.5)"), F.lit(holed5))) == 0.5
+    # a line crossing through the hole's interior crosses the polygon
+    assert one(spark, call("ST_Crosses",
+                           F.lit("LINESTRING (1.5 0.5, 1.5 4.5)"),
+                           F.lit(holed5))) is True
+
+
+def test_multi_part_composition(spark):
+    """MULTI* relation work composes through ST_Geometries — the
+    documented multi-geometry path (geo_fns.py module docstring)."""
+    mp = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))"
+    from facebook_presto_spark.functions import geo_fns as G
+
+    def multi_intersects(m, g):
+        return F.exists(call("ST_Geometries", F.lit(m)),
+                        lambda part: G.st_intersects(part, F.lit(g)))
+
+    assert one(spark, multi_intersects(
+        mp, "POLYGON ((11 11, 13 11, 13 13, 11 13, 11 11))")) is True
+    assert one(spark, multi_intersects(
+        mp, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")) is False
+    # extremes span every part
+    assert one(spark, call("ST_XMax", F.lit(mp))) == 12.0
+    assert one(spark, call("ST_YMin", F.lit(mp))) == 0.0
