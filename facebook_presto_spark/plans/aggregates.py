@@ -498,7 +498,8 @@ def agg_qdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge_status(pdf):
         d = QDigest(_QD_EPS)
         for buf in pdf["qdigest"]:
-            d.merge(QDigest.deserialize(bytes(buf)))
+            d.merge(QDigest.deserialize(bytes(buf)), lazy=True)
+        d.compress()
         return pd.DataFrame({
             "l_returnflag": [pdf["l_returnflag"].iloc[0]],
             "qdigest": [d.serialize()],
