@@ -28,6 +28,7 @@ import base64
 import datetime as dt
 import decimal
 import json
+import re
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -108,11 +109,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- helpers -----------------------------------------------------------
 
-    def _reply(self, payload: dict, code: int = 200) -> None:
+    def _reply(self, payload: dict, code: int = 200,
+               headers: dict | None = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for name, value in (headers or {}).items():
+            self.send_header(name, value)
         self.end_headers()
         self.wfile.write(body)
 
@@ -203,7 +207,32 @@ class _Handler(BaseHTTPRequestHandler):
             qid=qid,
         )
         snap = {}
+        reply_headers: dict[str, str] = {}
         try:
+            # X-Presto-Prepared-Statement: name=urlencoded-sql, … — the
+            # client replays its prepared statements per request
+            # (StatementClientV1.java:103-110; Session is rebuilt from
+            # headers), so EXECUTE works against a stateless server
+            import urllib.parse as _up
+
+            for pair in (self.headers.get("X-Presto-Prepared-Statement") or "").split(","):
+                name, eq, body64 = pair.strip().partition("=")
+                if eq:
+                    engine._prepared[_up.unquote(name).lower()] = _up.unquote(body64)
+            m = re.match(r"\s*PREPARE\s+([A-Za-z_]\w*)\s+FROM\s+(.+)$", sql,
+                         re.I | re.S)
+            if m:
+                # echo the registration back (PRESTO_ADDED_PREPARE), the
+                # reference's contract for client-side statement caches
+                reply_headers["X-Presto-Added-Prepare"] = (
+                    _up.quote(m.group(1).lower(), safe="")
+                    + "=" + _up.quote(m.group(2).strip(), safe="")
+                )
+            m = re.match(r"\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_]\w*)", sql, re.I)
+            if m:
+                reply_headers["X-Presto-Deallocated-Prepare"] = _up.quote(
+                    m.group(1).lower(), safe=""
+                )
             props = [
                 prop.partition("=")
                 for prop in (self.headers.get("X-Presto-Session") or "").split(",")
@@ -257,10 +286,39 @@ class _Handler(BaseHTTPRequestHandler):
 
         entry.kill_cb = _kill
         payload = self._page_payload(q, 0)
-        self._reply(payload)
+        self._reply(payload, headers=reply_headers)
 
     def do_GET(self) -> None:
         parts = self.path.strip("/").split("/")
+        if parts == ["v1", "info"]:
+            # ServerInfoResource.java — version/environment/coordinator
+            spark = self.server.engine.spark
+            self._reply({
+                "nodeVersion": {"version": f"spark-{spark.version}"},
+                "environment": "spark",
+                "coordinator": True,
+                "starting": False,
+            })
+            return
+        if len(parts) == 3 and parts[:2] == ["v1", "query"]:
+            # QueryResource.java getQueryInfo — the infoUri target: basic
+            # query info served from the runtime registry
+            entry = self.server.engine.runtime.get(parts[2])
+            if entry is None:
+                self._reply({"error": {"message": "query not found"}}, 404)
+                return
+            self._reply({
+                "queryId": entry.qid,
+                "state": entry.state,
+                "query": entry.query,
+                "session": {"user": entry.user, "source": entry.source},
+                "errorMessage": entry.error,
+                "queryStats": {
+                    "createTime": entry.created.isoformat(),
+                    "endTime": entry.end.isoformat() if entry.end else None,
+                },
+            })
+            return
         if len(parts) == 4 and parts[:2] == ["v1", "statement"]:
             q = self.server.queries.get(parts[2])
             if q is None:
@@ -276,6 +334,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self) -> None:
         parts = self.path.strip("/").split("/")
+        if len(parts) == 3 and parts[:2] == ["v1", "query"]:
+            # QueryResource.java cancelQuery — the admin kill endpoint
+            try:
+                self.server.engine.runtime.kill_query(parts[2], "canceled via API")
+            except ValueError:
+                pass  # idempotent cancel, like the reference
+            self.send_response(204)
+            self.end_headers()
+            return
         if len(parts) >= 3 and parts[:2] == ["v1", "statement"]:
             self.server.queries.pop(parts[2], None)
             entry = self.server.engine.runtime.get(parts[2])

@@ -207,3 +207,78 @@ def test_system_runtime_nodes_and_tasks(server):
     tasks = eng.sql("SELECT * FROM system.runtime.tasks")
     assert tasks.columns[:5] == ["node_id", "task_id", "stage_id", "query_id", "state"]
     tasks.collect()
+
+
+def test_info_and_query_resources(server):
+    # /v1/info (ServerInfoResource shape)
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.server_port}/v1/info"
+    ) as r:
+        info = json.load(r)
+    assert info["coordinator"] is True and info["starting"] is False
+    assert info["nodeVersion"]["version"].startswith("spark-")
+
+    # /v1/query/{id} — the infoUri target resolves to basic query info
+    res = _post(server, "SELECT n_nationkey FROM nation")
+    _drain(server, res)
+    with urllib.request.urlopen(res["infoUri"]) as r:
+        qinfo = json.load(r)
+    assert qinfo["queryId"] == res["id"]
+    assert qinfo["state"] == "FINISHED"
+    assert qinfo["session"]["user"] == "test"
+
+    # DELETE /v1/query/{id} kills a running paged query (QueryResource
+    # cancelQuery); idempotent on finished ones
+    res2 = _post(server, "SELECT o_orderkey FROM orders")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.server_port}/v1/query/{res2['id']}",
+        method="DELETE",
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 204
+    with urllib.request.urlopen(res2["nextUri"]) as r:
+        page = json.load(r)
+    assert page["error"]["errorName"] == "ADMINISTRATIVELY_KILLED"
+
+
+def test_prepared_statement_headers(server):
+    import urllib.parse
+
+    # PREPARE echoes X-Presto-Added-Prepare (StatementClientV1 caches it)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.server_port}/v1/statement",
+        data=b"PREPARE hdr_q FROM SELECT n_name FROM nation WHERE n_nationkey = ?",
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        added = r.headers.get("X-Presto-Added-Prepare")
+    assert added and added.startswith("hdr_q=")
+    name, _, body = added.partition("=")
+    assert "n_nationkey" in urllib.parse.unquote(body)
+
+    # a STATELESS client replays the prepared statement via the request
+    # header and EXECUTEs — the reference's session-rebuild contract
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.server_port}/v1/statement",
+        data=b"EXECUTE replayed USING 3",
+        method="POST",
+        headers={
+            "X-Presto-Prepared-Statement": "replayed="
+            + urllib.parse.quote(
+                "SELECT n_name FROM nation WHERE n_nationkey = ?", safe=""
+            )
+        },
+    )
+    with urllib.request.urlopen(req) as r:
+        res = json.load(r)
+    rows = _drain(server, res)
+    assert len(rows) == 1 and rows[0][0].endswith("_3")
+
+    # DEALLOCATE echoes X-Presto-Deallocated-Prepare
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.server_port}/v1/statement",
+        data=b"DEALLOCATE PREPARE hdr_q",
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("X-Presto-Deallocated-Prepare") == "hdr_q"
