@@ -805,8 +805,109 @@ ORDER BY component
 """
 )
 
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup — Abbas et al., "SemDeDup: Data-efficient
+# learning at web-scale through semantic deduplication", 2023):
+# k-means-cluster the corpus embeddings, then search for near-duplicates
+# only WITHIN each cluster — the pairwise work drops from corpus² to
+# Σ cluster², and with k scaled ∝ N/target_cluster_size (same policy as
+# `_lsh_bits`) it stays linear.  Survivor rule: lowest vec_id per
+# near-dup neighborhood (deterministic, oracle-replayable).
+
+SEM_SCALE = 127   # pair-test quantization: keeps 25·dot² and 4·na·nb
+                  # exactly inside int64 at dim 64 (both engines compare
+                  # the SAME integers — no float threshold ambiguity)
+SEM_TAU_NUM, SEM_TAU_DEN = 4, 25   # τ² = 4/25 → τ = 0.4, the corpus's
+                                   # planted near-dup threshold
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster dedup summary: n_points / n_dup / n_kept, where a
+    vector is a duplicate iff a LOWER-id vector in its k-means cluster
+    has exact fixed-point cosine ≥ τ.  The within-cluster pair scoring
+    is one int64 Gram matrix per cluster (vectorized matmul inside
+    applyInPandas) — no pair explosion through a shuffle; the DuckDB
+    oracle replays the identical Lloyd iterations (ml.kmeans_assign_ctes)
+    and the identical integer cosine test."""
+    import numpy as np
+    import pandas as pd
+
+    from facebook_presto_spark.pipeline.ml import _quantized, kmeans_fit
+    from facebook_presto_spark.plans.tpch import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
+    assign = kmeans_fit(q).select("vec_id", "cluster")
+    qs = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * SEM_SCALE).cast("long"),
+        ).alias("qs"),
+    )
+    data = assign.join(qs, "vec_id").select("cluster", "vec_id", "qs")
+
+    def per_cluster(pdf):
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.array(pdf["qs"].tolist(), dtype=np.int64)[order]
+        G = X @ X.T                       # ≤ 64·127² per cell — exact
+        norms = (X * X).sum(axis=1)
+        good = (G > 0) & (
+            SEM_TAU_DEN * G * G >= SEM_TAU_NUM * np.outer(norms, norms)
+        )
+        dup = np.tril(good, -1).any(axis=1)   # lower-id neighbor exists
+        return pd.DataFrame({
+            "cluster": [int(pdf["cluster"].iloc[0])],
+            "n_points": [len(ids)],
+            "n_dup": [int(dup.sum())],
+            "n_kept": [int(len(ids) - dup.sum())],
+        })
+
+    out = data.groupBy("cluster").applyInPandas(
+        per_cluster, "cluster long, n_points long, n_dup long, n_kept long"
+    )
+    return out.orderBy("cluster")
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    from facebook_presto_spark.pipeline.ml import _KM_DIM, kmeans_assign_ctes
+
+    ctes, assign = kmeans_assign_ctes()
+    return ctes + f""", qsmall AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS i,
+         CAST(round(CAST(embedding[i+1] AS DOUBLE) * {SEM_SCALE}) AS BIGINT) AS v
+  FROM embeddings, range({_KM_DIM}) t(i)
+), nrm AS (
+  SELECT vec_id, sum(v*v) AS nn FROM qsmall GROUP BY vec_id
+), pr AS (
+  SELECT a.cluster, a.vec_id AS ida, b.vec_id AS idb,
+         sum(qa.v * qb.v) AS dot
+  FROM {assign} a
+  JOIN {assign} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN qsmall qa ON qa.vec_id = a.vec_id
+  JOIN qsmall qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+  GROUP BY 1, 2, 3
+), dup AS (
+  SELECT DISTINCT p.cluster, p.idb
+  FROM pr p
+  JOIN nrm na ON na.vec_id = p.ida
+  JOIN nrm nb ON nb.vec_id = p.idb
+  WHERE p.dot > 0
+    AND {SEM_TAU_DEN} * p.dot * p.dot >= {SEM_TAU_NUM} * na.nn * nb.nn
+)
+SELECT s.cluster, count(*) AS n_points,
+       count(d.idb) AS n_dup,
+       count(*) - count(d.idb) AS n_kept
+FROM {assign} s
+LEFT JOIN dup d ON d.cluster = s.cluster AND d.idb = s.vec_id
+GROUP BY s.cluster ORDER BY s.cluster
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
+    "dedup_semantic": semantic_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_connected_components": connected_components,
     "dedup_canonical_pick": canonical_pick,
@@ -820,6 +921,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": EXACT_DEDUP_SQL,
+    "dedup_semantic": _semantic_dedup_oracle_sql(),
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,
     "dedup_canonical_pick": CANONICAL_PICK_SQL,

@@ -425,12 +425,12 @@ KMEANS_ITERS = 3
 _KM_DIM = 64
 
 
-def kmeans_embeddings(spark, sf_dir: str) -> DataFrame:
-    from facebook_presto_spark.plans.tpch import _t
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
-
+def kmeans_fit(q: DataFrame) -> DataFrame:
+    """Distributed Lloyd's over quantized vectors ``(vec_id, qv)`` →
+    final assignment ``(vec_id, qv, cluster, dist)``; deterministic
+    (lowest-id init, exact int64 distances, lowest-cluster tie-break),
+    so the DuckDB oracle replays it CTE-for-iteration.  Factored out in
+    round 4 so semantic dedup (SemDeDup) reuses the same fit."""
     # init: the k lowest vec_ids' vectors, cluster = rank-1
     init = (
         q.orderBy("vec_id").limit(KMEANS_K).collect()
@@ -488,8 +488,16 @@ def kmeans_embeddings(spark, sf_dir: str) -> DataFrame:
             nxt[r.cluster, r.i] = r.cval
         cent = nxt
 
+    return assign
+
+
+def kmeans_embeddings(spark, sf_dir: str) -> DataFrame:
+    from facebook_presto_spark.plans.tpch import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quantized(F.col("embedding")).alias("qv"))
     return (
-        assign.groupBy("cluster")
+        kmeans_fit(q).groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_points"),
             F.sum("dist").alias("inertia"),
@@ -498,7 +506,15 @@ def kmeans_embeddings(spark, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql() -> str:
+def kmeans_assign_ctes() -> tuple[str, str]:
+    """DuckDB CTE chain replaying ``kmeans_fit`` exactly; returns
+    (sql starting at WITH, name of the final-assignment CTE) — shared
+    by the kmeans oracle and the SemDeDup oracle (pipeline/dedup.py)."""
+    sql, last = _kmeans_ctes_impl()
+    return sql, last
+
+
+def _kmeans_ctes_impl() -> tuple[str, str]:
     k, dim = KMEANS_K, _KM_DIM
     sql = f"""
 WITH pts AS (
@@ -535,14 +551,17 @@ WITH pts AS (
   FROM {prev} c LEFT JOIN cn{t} n ON n.cluster = c.cluster AND n.i = c.i
 )"""
         prev = f"c{t + 1}"
-    last = KMEANS_ITERS - 1
-    sql += f"""
+    return sql, f"s{KMEANS_ITERS - 1}"
+
+
+def _kmeans_oracle_sql() -> str:
+    ctes, assign = kmeans_assign_ctes()
+    return ctes + f"""
 SELECT cluster, count(*) AS n_points, CAST(sum(dist) AS BIGINT) AS inertia
-FROM s{last}
+FROM {assign}
 GROUP BY cluster
 ORDER BY cluster
 """
-    return sql
 
 QUERIES = {
     "ml_linear_regression": linear_regression,
