@@ -136,6 +136,11 @@ class PrestoSparkEngine:
         from facebook_presto_spark.systemtables import RuntimeQueryRegistry
 
         self.runtime = RuntimeQueryRegistry()
+        # view definitions in Presto dialect, for
+        # information_schema.views + SHOW CREATE VIEW (the reference
+        # persists ViewDefinition JSON in the metastore —
+        # MetadataManager.getViews; session-scoped here, like the views)
+        self._views: dict[str, str] = {}
 
     @classmethod
     def for_dir(cls, sf_dir: str = DEFAULT_SF_DIR, spark: SparkSession | None = None) -> "PrestoSparkEngine":
@@ -259,11 +264,44 @@ class PrestoSparkEngine:
         access.reject_unsupported(presto_sql)
         from facebook_presto_spark import infoschema
 
+        m = re.match(
+            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(.+?)\s*;?\s*$",
+            presto_sql, re.I | re.S,
+        )
+        if m:
+            # record the Presto-dialect definition for
+            # information_schema.views / SHOW CREATE VIEW before the
+            # translated CREATE TEMPORARY VIEW runs
+            self._views[m.group(1).strip('"').split(".")[-1].lower()] = (
+                m.group(2).strip()
+            )
+        m = re.match(
+            r"\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*;?\s*$",
+            presto_sql, re.I,
+        )
+        if m:
+            self._views.pop(m.group(1).strip('"').split(".")[-1].lower(), None)
+        m = re.match(
+            r"\s*SHOW\s+CREATE\s+VIEW\s+([\w.\"]+)\s*;?\s*$", presto_sql, re.I
+        )
+        if m:
+            # ShowQueriesRewrite.visitShowCreate — renders the stored
+            # Presto-dialect definition, not Spark's translation
+            name = m.group(1).strip('"').split(".")[-1].lower()
+            if name not in self._views:
+                raise ValueError(f"View '{m.group(1)}' does not exist")
+            text = f"CREATE VIEW {name} AS\n{self._views[name]}"
+            return self.spark.createDataFrame(
+                [(text,)], "create_view string"
+            )
         if infoschema.references_information_schema(presto_sql):
             # the reference populates information_schema from connector
             # metadata at query time (InformationSchemaPageSourceProvider);
             # rebuild the views from the live catalog — metadata-only
-            infoschema.refresh(self.spark, privileges=self.grants.rows())
+            infoschema.refresh(
+                self.spark, privileges=self.grants.rows(),
+                view_definitions=self._views,
+            )
         if systemtables.references_system_runtime(presto_sql):
             # system.runtime.{queries,nodes,tasks} — rebuilt from the
             # live registry/SparkContext, then addressed as the

@@ -139,7 +139,8 @@ def _values_view(spark: SparkSession, name: str, rows: list[tuple]) -> None:
 
 
 def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME,
-            privileges: list[tuple] | None = None) -> None:
+            privileges: list[tuple] | None = None,
+            view_definitions: dict[str, str] | None = None) -> None:
     """(Re)build the information_schema views from the live session catalog.
 
     Metadata-only: listDatabases/listTables/listColumns — no data reads.
@@ -158,11 +159,14 @@ def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME,
     columns_rows: list[tuple] = []
     seen: set[tuple[str, str]] = set()
 
+    view_defs = view_definitions or {}
+
     def add_table(db: str, table: str, is_temp: bool) -> None:
         if (db, table) in seen:
             return
         seen.add((db, table))
-        tables_rows.append((catalog_name, db, table, "BASE TABLE"))
+        kind = "VIEW" if table.lower() in view_defs else "BASE TABLE"
+        tables_rows.append((catalog_name, db, table, kind))
         try:
             cols = spark.catalog.listColumns(
                 table if is_temp else f"{db}.{table}"
@@ -199,10 +203,13 @@ def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME,
     _values_view(spark, "schemata", schemata)
     _values_view(spark, "tables", tables_rows)
     _values_view(spark, "columns", columns_rows)
-    # the engine's CREATE VIEW surface is session-scoped temp views, which
-    # register as BASE TABLE rows above; persistent-view introspection is
-    # out of scope (COVERAGE.md)
-    _values_view(spark, "views", [])
+    # fed from the engine's view-definition store (Presto-dialect text,
+    # like MetadataManager.getViews serves ViewDefinition) — round 4;
+    # those names also flip to table_type='VIEW' in `tables` above
+    _values_view(spark, "views", [
+        (catalog_name, current_db, name, definition)
+        for name, definition in sorted(view_defs.items())
+    ])
     # fed from the engine's GrantRegistry (access.py) — the reference
     # populates this from connector grant metadata
     _values_view(spark, "table_privileges", privileges or [])

@@ -117,3 +117,40 @@ def test_explain_type_io(spark, sf_dir):
     assert cols["l_orderkey"] == "bigint"
     assert any(f.startswith("GreaterThan(l_orderkey") for f in info["pushedFilters"])
     assert d["outputTable"] is None
+
+
+def test_view_introspection(spark, sf_dir):
+    """Round 4: CREATE VIEW records its Presto-dialect definition for
+    information_schema.views + SHOW CREATE VIEW (MetadataManager.getViews
+    / ShowQueriesRewrite.visitShowCreate), and the views flip to
+    table_type='VIEW' in information_schema.tables."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    engine = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    engine.sql("CREATE VIEW v_cheap AS SELECT n_name FROM nation WHERE n_nationkey < 5")
+    rows = engine.sql(
+        "SELECT table_name, view_definition FROM information_schema.views"
+    ).collect()
+    defs = {r.table_name: r.view_definition for r in rows}
+    assert "n_nationkey < 5" in defs.get("v_cheap", "")
+    kinds = {
+        r.table_name: r.table_type
+        for r in engine.sql(
+            "SELECT table_name, table_type FROM information_schema.tables"
+        ).collect()
+    }
+    assert kinds.get("v_cheap") == "VIEW"
+    assert kinds.get("nation") == "BASE TABLE"
+    text = engine.sql("SHOW CREATE VIEW v_cheap").first()[0]
+    assert text.startswith("CREATE VIEW v_cheap AS")
+    assert "SELECT n_name FROM nation" in text
+    # DROP removes the definition
+    engine.sql("DROP VIEW v_cheap")
+    rows = engine.sql(
+        "SELECT table_name FROM information_schema.views"
+    ).collect()
+    assert all(r.table_name != "v_cheap" for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        engine.sql("SHOW CREATE VIEW v_cheap")
