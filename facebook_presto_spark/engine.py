@@ -308,6 +308,12 @@ class PrestoSparkEngine:
             # system_runtime database (catalog prefixes are names here)
             systemtables.refresh(self.spark, self.runtime)
             presto_sql = systemtables.rewrite_names(presto_sql)
+        if systemtables.references_system_jdbc(presto_sql):
+            # system.jdbc.* — the JDBC DatabaseMetaData surface
+            systemtables.refresh_jdbc(
+                self.spark, view_names=set(self._views)
+            )
+            presto_sql = systemtables.rewrite_jdbc_names(presto_sql)
         return self.spark.sql(translate(presto_sql))
 
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------

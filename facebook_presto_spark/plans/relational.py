@@ -946,6 +946,43 @@ ORDER BY table_name, ordinal_position
 """
 
 
+def meta_system_jdbc(spark, sf_dir: str):
+    """system.jdbc.columns over the star schema (ColumnJdbcTable.java:
+    73-96 — the Presto JDBC driver's DatabaseMetaData source), with the
+    java.sql.Types codes cross-checked against DuckDB's OWN
+    information_schema through an independent type-name→code mapping.
+    ``events`` excluded for the same session-dependent TIMESTAMP(NANOS)
+    reason as meta_information_schema."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    return eng.sql(f"""
+        SELECT table_name, column_name, ordinal_position, data_type, type_name
+        FROM system.jdbc.columns
+        WHERE table_name IN ({_META_TABLES}) AND table_schem = 'default'
+        ORDER BY table_name, ordinal_position
+    """)
+
+
+META_SYSTEM_JDBC_ORACLE = f"""
+SELECT table_name, column_name,
+       CAST(ordinal_position AS BIGINT) AS ordinal_position,
+       CAST(CASE lower(data_type)
+            WHEN 'bigint' THEN -5 WHEN 'integer' THEN 4
+            WHEN 'varchar' THEN 12 WHEN 'double' THEN 8
+            WHEN 'float' THEN 7 WHEN 'date' THEN 91
+            WHEN 'boolean' THEN 16 WHEN 'blob' THEN -3
+            WHEN 'float[]' THEN 2003
+            ELSE CASE WHEN lower(data_type) LIKE 'timestamp%' THEN 93
+                 ELSE 2000 END END AS BIGINT) AS data_type,
+       CASE lower(data_type) WHEN 'float[]' THEN 'array(real)'
+            ELSE lower(data_type) END AS type_name
+FROM information_schema.columns
+WHERE table_name IN ({_META_TABLES}) AND table_schema = 'main'
+ORDER BY table_name, ordinal_position
+"""
+
+
 def meta_system_runtime(spark, sf_dir: str):
     """system.runtime.queries over a fresh engine's QueryManager registry
     (QuerySystemTable.java:56-71, systemtables.py): run two probe
@@ -978,6 +1015,7 @@ ORDER BY query
 QUERIES = {
     "meta_information_schema": meta_information_schema,
     "meta_system_runtime": meta_system_runtime,
+    "meta_system_jdbc": meta_system_jdbc,
     "lateral_topk": lateral_topk,
     "assign_unique_id": assign_unique_id,
     "window_rank": window_rank,
@@ -1061,4 +1099,5 @@ ORACLE = {
     "deterministic_sample": DETERMINISTIC_SAMPLE_SQL,
     "meta_information_schema": META_INFOSCHEMA_ORACLE,
     "meta_system_runtime": META_SYSTEM_RUNTIME_ORACLE,
+    "meta_system_jdbc": META_SYSTEM_JDBC_ORACLE,
 }

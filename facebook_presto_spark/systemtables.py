@@ -225,6 +225,155 @@ def refresh(spark: SparkSession, registry: RuntimeQueryRegistry) -> None:
     _values_view(spark, "tasks", tasks)
 
 
+# -- system.jdbc (connector/system/jdbc/*.java) ------------------------------
+#
+# The Presto JDBC driver answers DatabaseMetaData calls by querying
+# system.jdbc.{catalogs,schemas,tables,columns,table_types}
+# (TableJdbcTable.java:50-59, SchemaJdbcTable.java:46-47,
+# CatalogJdbcTable.java:42, ColumnJdbcTable.java:73-96 with the
+# java.sql.Types mapping at :169).  Served here like information_schema:
+# literal views rebuilt from the live catalog before any referencing
+# statement, addressed as the system_jdbc database.
+
+_JDBC_SCHEMAS = {
+    "catalogs": (("table_cat", "string"),),
+    "schemas": (("table_schem", "string"), ("table_catalog", "string")),
+    "table_types": (("table_type", "string"),),
+    "tables": (
+        ("table_cat", "string"), ("table_schem", "string"),
+        ("table_name", "string"), ("table_type", "string"),
+        ("remarks", "string"), ("type_cat", "string"),
+        ("type_schem", "string"), ("type_name", "string"),
+        ("self_referencing_col_name", "string"), ("ref_generation", "string"),
+    ),
+    "columns": (
+        ("table_cat", "string"), ("table_schem", "string"),
+        ("table_name", "string"), ("column_name", "string"),
+        ("data_type", "bigint"), ("type_name", "string"),
+        ("column_size", "bigint"), ("buffer_length", "bigint"),
+        ("decimal_digits", "bigint"), ("num_prec_radix", "bigint"),
+        ("nullable", "bigint"), ("remarks", "string"),
+        ("column_def", "string"), ("sql_data_type", "bigint"),
+        ("sql_datetime_sub", "bigint"), ("char_octet_length", "bigint"),
+        ("ordinal_position", "bigint"), ("is_nullable", "string"),
+        ("scope_catalog", "string"), ("scope_schema", "string"),
+        ("scope_table", "string"), ("source_data_type", "bigint"),
+        ("is_autoincrement", "string"), ("is_generatedcolumn", "string"),
+    ),
+}
+
+# java.sql.Types codes + (column_size, decimal_digits, num_prec_radix),
+# ColumnJdbcTable.jdbcDataType/columnSize/decimalDigits
+_JDBC_TYPE_INFO = {
+    "boolean": (16, None, None, None),
+    "bigint": (-5, 19, 0, 10),
+    "integer": (4, 10, 0, 10),
+    "smallint": (5, 5, 0, 10),
+    "tinyint": (-6, 3, 0, 10),
+    "real": (7, 24, None, 2),
+    "double": (8, 53, None, 2),
+    "varchar": (12, None, None, None),
+    "char": (1, None, None, None),
+    "varbinary": (-3, None, None, None),
+    "time": (92, 8, None, None),
+    "time with time zone": (2013, 14, None, None),
+    "timestamp": (93, 23, None, None),
+    "timestamp with time zone": (2014, 29, None, None),
+    "date": (91, 14, None, None),
+}
+
+
+def _jdbc_type_row(presto_name: str) -> tuple:
+    low = presto_name.lower()
+    if low.startswith("decimal"):
+        import re as _re
+
+        m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", low)
+        p, s = (int(m.group(1)), int(m.group(2))) if m else (38, 0)
+        return (3, p, s, 10)
+    if low.startswith("array"):
+        return (2003, None, None, None)
+    return _JDBC_TYPE_INFO.get(low, (2000, None, None, None))  # JAVA_OBJECT
+
+
+def _jdbc_values_view(spark: SparkSession, name: str, rows: list[tuple]) -> None:
+    schema = _JDBC_SCHEMAS[name]
+    cols = ", ".join(f"`{c}`" for c, _t in schema)
+    if rows:
+        values = ", ".join(
+            "(" + ", ".join(_sql_lit(v, t) for v, (_c, t) in zip(row, schema)) + ")"
+            for row in rows
+        )
+        body = f"SELECT * FROM (VALUES {values}) AS t({cols})"
+    else:
+        nulls = ", ".join(f"CAST(NULL AS {t}) AS `{c}`" for c, t in schema)
+        body = f"SELECT {nulls} WHERE FALSE"
+    spark.sql(f"CREATE OR REPLACE VIEW system_jdbc.`{name}` AS {body}")
+
+
+def refresh_jdbc(spark: SparkSession, catalog_name: str = "spark",
+                 view_names: set[str] | None = None) -> None:
+    """(Re)build system_jdbc.* from the live catalog — the JDBC
+    DatabaseMetaData surface, fed by the same listTables/listColumns
+    walk information_schema uses (metadata-only, no data reads)."""
+    from facebook_presto_spark.infoschema import presto_type_name
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS system_jdbc")
+    views = {v.lower() for v in (view_names or set())}
+    current_db = spark.catalog.currentDatabase()
+    databases = sorted({d.name for d in spark.catalog.listDatabases()})
+
+    _jdbc_values_view(spark, "catalogs", [(catalog_name,)])
+    _jdbc_values_view(
+        spark, "schemas",
+        [(d, catalog_name) for d in databases if d not in
+         ("information_schema", "system_runtime", "system_jdbc")],
+    )
+    _jdbc_values_view(spark, "table_types", [("TABLE",), ("VIEW",)])
+
+    tables_rows: list[tuple] = []
+    columns_rows: list[tuple] = []
+    for t in spark.catalog.listTables():
+        db = t.database or current_db
+        if db in ("information_schema", "system_runtime", "system_jdbc"):
+            continue
+        kind = "VIEW" if t.name.lower() in views else "TABLE"
+        tables_rows.append((
+            catalog_name, db, t.name, kind,
+            None, None, None, None, None, None,
+        ))
+        try:
+            cols = spark.catalog.listColumns(
+                t.name if (t.tableType == "TEMPORARY" or not t.database)
+                else f"{db}.{t.name}"
+            )
+        except Exception:
+            continue
+        for pos, c in enumerate(cols, start=1):
+            pname = presto_type_name(c.dataType)
+            code, size, digits, radix = _jdbc_type_row(pname)
+            columns_rows.append((
+                catalog_name, db, t.name, c.name,
+                code, pname, size, None, digits, radix,
+                1 if c.nullable else 0, None, None, None, None, None,
+                pos, "YES" if c.nullable else "NO",
+                None, None, None, None, "", "",
+            ))
+    _jdbc_values_view(spark, "tables", tables_rows)
+    _jdbc_values_view(spark, "columns", columns_rows)
+
+
+_JDBC_RE = re.compile(r"\bsystem\s*\.\s*jdbc\s*\.", re.I)
+
+
+def references_system_jdbc(sql: str) -> bool:
+    return bool(_JDBC_RE.search(sql))
+
+
+def rewrite_jdbc_names(sql: str) -> str:
+    return _JDBC_RE.sub("system_jdbc.", sql)
+
+
 # -- engine dispatch ---------------------------------------------------------
 
 def references_system_runtime(sql: str) -> bool:

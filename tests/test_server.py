@@ -282,3 +282,30 @@ def test_prepared_statement_headers(server):
     )
     with urllib.request.urlopen(req) as r:
         assert r.headers.get("X-Presto-Deallocated-Prepare") == "hdr_q"
+
+
+def test_system_jdbc_metadata(server):
+    """system.jdbc.* (connector/system/jdbc/*.java) — the JDBC driver's
+    DatabaseMetaData source, served from the live catalog."""
+    eng = server.engine
+    cats = eng.sql("SELECT * FROM system.jdbc.catalogs").collect()
+    assert [r.table_cat for r in cats] == ["spark"]
+    types = {r.table_type for r in eng.sql("SELECT * FROM system.jdbc.table_types").collect()}
+    assert types == {"TABLE", "VIEW"}
+    cols = {
+        r.column_name: (r.data_type, r.type_name)
+        for r in eng.sql(
+            "SELECT column_name, data_type, type_name FROM system.jdbc.columns "
+            "WHERE table_name = 'nation'"
+        ).collect()
+    }
+    # java.sql.Types codes: INTEGER=4, VARCHAR=12 (ColumnJdbcTable:169)
+    assert cols["n_nationkey"] == (4, "integer")
+    assert cols["n_name"] == (12, "varchar")
+    tables = {
+        r.table_name
+        for r in eng.sql(
+            "SELECT table_name FROM system.jdbc.tables WHERE table_schem = 'default'"
+        ).collect()
+    }
+    assert {"nation", "orders", "lineitem"} <= tables
