@@ -314,6 +314,10 @@ class PrestoSparkEngine:
                 self.spark, view_names=set(self._views)
             )
             presto_sql = systemtables.rewrite_jdbc_names(presto_sql)
+        if systemtables.references_system_metadata(presto_sql):
+            # system.metadata.{catalogs,*_properties}
+            systemtables.refresh_metadata(self.spark)
+            presto_sql = systemtables.rewrite_metadata_names(presto_sql)
         return self.spark.sql(translate(presto_sql))
 
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------

@@ -62,6 +62,15 @@ TABLE_SCHEMAS = {
         ("created", "timestamp"), ("start", "timestamp"),
         ("last_heartbeat", "timestamp"), ("end", "timestamp"),
     ),
+    # TransactionsSystemTable.java:61-68 — always empty here: Spark
+    # commits per statement, so no multi-statement transaction ever
+    # exists to list (the honest zero-row serving of a true fact)
+    "transactions": (
+        ("transaction_id", "string"), ("isolation_level", "string"),
+        ("read_only", "boolean"), ("auto_commit_context", "boolean"),
+        ("create_time", "timestamp"), ("idle_time_secs", "bigint"),
+        ("written_catalog", "string"), ("catalogs", "array<string>"),
+    ),
 }
 
 _RUNTIME_RE = re.compile(r"\bsystem\s*\.\s*runtime\s*\.", re.I)
@@ -223,6 +232,73 @@ def refresh(spark: SparkSession, registry: RuntimeQueryRegistry) -> None:
             now, now, now, None,
         ))
     _values_view(spark, "tasks", tasks)
+    _values_view(spark, "transactions", [])
+
+
+# -- system.metadata (CatalogSystemTable.java:44-48,
+#    AbstractPropertiesSystemTable.java:50-55) -------------------------------
+
+_METADATA_SCHEMAS = {
+    "catalogs": (("catalog_name", "string"), ("connector_id", "string")),
+    "table_properties": (
+        ("catalog_name", "string"), ("property_name", "string"),
+        ("default_value", "string"), ("type", "string"),
+        ("description", "string"),
+    ),
+    "schema_properties": (
+        ("catalog_name", "string"), ("property_name", "string"),
+        ("default_value", "string"), ("type", "string"),
+        ("description", "string"),
+    ),
+    "column_properties": (
+        ("catalog_name", "string"), ("property_name", "string"),
+        ("default_value", "string"), ("type", "string"),
+        ("description", "string"),
+    ),
+}
+
+# the WITH (…) table properties ddl/translate actually honor
+_TABLE_PROPERTIES = [
+    ("format", "'PARQUET'", "varchar", "Storage format (PARQUET/ORC/JSON/CSV)"),
+    ("partitioned_by", "[]", "array(varchar)", "Partition columns"),
+    ("bucketed_by", "[]", "array(varchar)", "Bucketing columns"),
+    ("bucket_count", "0", "integer", "Number of buckets"),
+]
+
+_METADATA_RE = re.compile(r"\bsystem\s*\.\s*metadata\s*\.", re.I)
+
+
+def references_system_metadata(sql: str) -> bool:
+    return bool(_METADATA_RE.search(sql))
+
+
+def rewrite_metadata_names(sql: str) -> str:
+    return _METADATA_RE.sub("system_metadata.", sql)
+
+
+def refresh_metadata(spark: SparkSession, catalog_name: str = "spark") -> None:
+    spark.sql("CREATE DATABASE IF NOT EXISTS system_metadata")
+
+    def view(name: str, rows: list[tuple]) -> None:
+        schema = _METADATA_SCHEMAS[name]
+        cols = ", ".join(f"`{c}`" for c, _t in schema)
+        if rows:
+            values = ", ".join(
+                "(" + ", ".join(_sql_lit(v, t) for v, (_c, t) in zip(row, schema)) + ")"
+                for row in rows
+            )
+            body = f"SELECT * FROM (VALUES {values}) AS t({cols})"
+        else:
+            nulls = ", ".join(f"CAST(NULL AS {t}) AS `{c}`" for c, t in schema)
+            body = f"SELECT {nulls} WHERE FALSE"
+        spark.sql(f"CREATE OR REPLACE VIEW system_metadata.`{name}` AS {body}")
+
+    view("catalogs", [(catalog_name, catalog_name)])
+    view("table_properties", [
+        (catalog_name, n, d, t, desc) for n, d, t, desc in _TABLE_PROPERTIES
+    ])
+    view("schema_properties", [])
+    view("column_properties", [])
 
 
 # -- system.jdbc (connector/system/jdbc/*.java) ------------------------------

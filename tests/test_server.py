@@ -309,3 +309,25 @@ def test_system_jdbc_metadata(server):
         ).collect()
     }
     assert {"nation", "orders", "lineitem"} <= tables
+
+
+def test_system_metadata_and_transactions(server):
+    """system.metadata.{catalogs,table_properties} (CatalogSystemTable,
+    AbstractPropertiesSystemTable) + system.runtime.transactions
+    (TransactionsSystemTable — always empty: Spark commits per
+    statement, no multi-statement transaction ever exists)."""
+    eng = server.engine
+    cats = eng.sql("SELECT * FROM system.metadata.catalogs").collect()
+    assert [(r.catalog_name, r.connector_id) for r in cats] == [("spark", "spark")]
+    props = {
+        r.property_name: r.type
+        for r in eng.sql(
+            "SELECT property_name, type FROM system.metadata.table_properties"
+        ).collect()
+    }
+    assert props["format"] == "varchar" and props["bucket_count"] == "integer"
+    tx = eng.sql("SELECT * FROM system.runtime.transactions")
+    assert tx.columns[:4] == [
+        "transaction_id", "isolation_level", "read_only", "auto_commit_context"
+    ]
+    assert tx.count() == 0
