@@ -61,9 +61,13 @@ Known costs/limits:
   are reported as touching.
 - the overlay family (ST_Union, ST_Intersection, ST_Difference,
   ST_SymDifference, ST_Buffer, ST_Relate, simplify_geometry,
-  geometry_union) raises NotImplementedError loudly — building new
-  geometry needs a real computational-geometry kernel (Sedona/JTS);
-  permanent scope, see COVERAGE.md.
+  geometry_union, geometry_union_agg, convex_hull_agg) is REAL since
+  round 4: geo_kernel.py implements the point-set operations
+  (edge-fragment-classification boolean ops, TopologyPreserving-
+  Simplifier-semantics simplify, 96-segment buffers, DE-9IM relate)
+  behind one Arrow pandas-UDF boundary per call.  Canonical-equivalent
+  to the Esri-backed reference, not byte-identical in vertex
+  order/rotation (divergences documented in COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -1625,24 +1629,195 @@ def geometry_invalid_reason(g) -> Column:
     return why(_c(g))
 
 
-# --- overlay family: loud failure (VERDICT #9 — permanent scope) -----------
+# --- overlay family (GeoFunctions.java ST_Union:619, geometry_union:627,
+# ST_Intersection:944, ST_Difference:907, ST_SymDifference:979,
+# ST_Buffer:293, simplify_geometry:800, ST_Relate:1078) --------------------
+#
+# Backed by the pure-Python/NumPy computational-geometry kernel in
+# geo_kernel.py (edge-fragment-classification boolean ops, JTS
+# TopologyPreservingSimplifier-semantics simplify, 96-segment stadium/
+# circle buffers, DE-9IM relate), run vectorized behind ONE Arrow
+# pandas-UDF boundary per call.  100-TB shape: per-row kernel work over
+# small geometries is embarrassingly parallel — no shuffle, no driver
+# involvement; the Arrow batch transfer is the only Python-boundary
+# cost, same plan shape as the multimodal/decode operators.  Documented
+# divergences from the Esri-backed reference (COVERAGE.md "geo
+# overlay"): canonical-equivalent but not byte-identical vertex
+# order/rotation; multi-part inputs dissolve to their point set first,
+# so Esri's part-by-part artifacts (e.g. the redundant LINESTRING in
+# TestGeoFunctions:627) do not appear.
 
-def _needs_geometry_kernel(name: str):
-    ref = "presto-geospatial/.../GeoFunctions.java"
 
+def _binary_overlay(name: str, op_name: str):
     @register(name)
-    def _raise(*_args):
-        raise NotImplementedError(
-            f"{name} builds new geometry from set-theoretic overlays and "
-            f"needs a computational-geometry kernel (JTS/Esri — see {ref}); "
-            "not implementable as Catalyst expressions. Use Apache Sedona "
-            "alongside this engine for overlay workloads."
+    def overlay(a, b) -> Column:
+        import pandas as pd
+
+        @F.pandas_udf("string")
+        def run(ca, cb):
+            from facebook_presto_spark.functions import geo_kernel as gk
+
+            op = getattr(gk, op_name)
+            out = []
+            for wa, wb in zip(ca, cb):
+                if wa is None or wb is None:
+                    out.append(None)
+                    continue
+                out.append(gk.render(op(gk.parse_wkt(wa), gk.parse_wkt(wb))))
+            return pd.Series(out)
+
+        return run(_c(a), _c(b))
+
+    return overlay
+
+
+st_union = _binary_overlay("ST_Union", "union")
+st_intersection = _binary_overlay("ST_Intersection", "intersection")
+st_difference = _binary_overlay("ST_Difference", "difference")
+st_sym_difference = _binary_overlay("ST_SymDifference", "symdifference")
+
+
+@register("geometry_union")
+def geometry_union(arr) -> Column:
+    """N-ary union over an array of geometries (GeoFunctions.java:627);
+    NULL elements are skipped, an empty/all-NULL array yields NULL like
+    the reference's stUnion over an empty cursor."""
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def run(col):
+        from facebook_presto_spark.functions import geo_kernel as gk
+
+        out = []
+        for arr_v in col:
+            if arr_v is None:
+                out.append(None)
+                continue
+            acc = None
+            for w in arr_v:
+                if w is None:
+                    continue
+                bag = gk.parse_wkt(w)
+                acc = bag if acc is None else gk.union(acc, bag)
+            out.append(None if acc is None else gk.render(acc))
+        return pd.Series(out)
+
+    return run(_c(arr))
+
+
+@register("geometry_union_agg")
+def geometry_union_agg(g) -> Column:
+    """Aggregate union (presto-geospatial aggregation/GeometryUnionAgg
+    .java) — union is commutative/associative, so the collect_list +
+    n-ary-union spelling is order-insensitive; Spark's partial
+    collect_list keeps the shuffle at one row per group."""
+    return geometry_union(F.collect_list(_c(g)))
+
+
+@register("convex_hull_agg")
+def convex_hull_agg(g) -> Column:
+    """Aggregate convex hull (aggregation/ConvexHullAggregation.java):
+    the hull of the union of inputs is the hull of the pooled vertex
+    set, which the existing monotone-chain kernel computes from any
+    WKT, so pooling via GEOMETRYCOLLECTION text is exact."""
+    return st_convex_hull(
+        F.concat(
+            F.lit("GEOMETRYCOLLECTION ("),
+            F.array_join(F.collect_list(_c(g)), ", "),
+            F.lit(")"),
         )
+    )
 
-    return _raise
+
+@register("ST_Buffer")
+def st_buffer(g, dist) -> Column:
+    """GeoFunctions.java:293 — NaN distance raises, negative raises,
+    zero returns the (re-serialized) input, infinite yields an empty
+    result, empty input yields NULL; circles discretize at 96 segments
+    like the Esri buffer (vertex phase at joins differs — documented)."""
+    import math as _m
+
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def run(col, dcol):
+        from facebook_presto_spark.functions import geo_kernel as gk
+
+        out = []
+        for w, d in zip(col, dcol):
+            if d is None or w is None:
+                out.append(None)
+                continue
+            d = float(d)
+            if _m.isnan(d):
+                raise ValueError("distance is NaN")
+            if d < 0:
+                raise ValueError("distance is negative")
+            bag = gk.parse_wkt(w)
+            if bag.is_empty():
+                out.append(None)
+            elif d == 0:
+                out.append(gk.render(bag))
+            elif _m.isinf(d):
+                out.append("MULTIPOLYGON EMPTY")
+            else:
+                out.append(gk.render(gk.buffer_bag(bag, d)))
+        return pd.Series(out)
+
+    return run(_c(g), _lit(dist).cast("double"))
 
 
-for _name in ("ST_Union", "ST_Intersection", "ST_Difference",
-              "ST_SymDifference", "ST_Buffer", "ST_Relate",
-              "simplify_geometry", "geometry_union"):
-    _needs_geometry_kernel(_name)
+@register("simplify_geometry")
+def simplify_geometry(g, tol) -> Column:
+    """GeoFunctions.java:800 — JTS TopologyPreservingSimplifier
+    semantics (depth/min-ring-size guard + interior-intersection check,
+    pinned against the reference's own TestGeoFunctions:333-340
+    values); NaN/negative tolerance raises, zero returns the input."""
+    import math as _m
+
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def run(col, tcol):
+        from facebook_presto_spark.functions import geo_kernel as gk
+
+        out = []
+        for w, t in zip(col, tcol):
+            if w is None or t is None:
+                out.append(None)
+                continue
+            t = float(t)
+            if _m.isnan(t):
+                raise ValueError("distanceTolerance is NaN")
+            if t < 0:
+                raise ValueError("distanceTolerance is negative")
+            bag = gk.parse_wkt(w)
+            out.append(
+                gk.render(bag) if t == 0 else gk.render(gk.simplify_bag(bag, t))
+            )
+        return pd.Series(out)
+
+    return run(_c(g), _lit(tol).cast("double"))
+
+
+@register("ST_Relate")
+def st_relate(a, b, pattern) -> Column:
+    """DE-9IM pattern match (GeoFunctions.java:1078): the kernel
+    computes the full 9-entry matrix (point/line/polygon layers,
+    interiors vs boundaries vs exteriors) and matches T/F/0/1/2/*."""
+    import pandas as pd
+
+    @F.pandas_udf("boolean")
+    def run(ca, cb, cp):
+        from facebook_presto_spark.functions import geo_kernel as gk
+
+        out = []
+        for wa, wb, p in zip(ca, cb, cp):
+            if wa is None or wb is None or p is None:
+                out.append(None)
+                continue
+            m = gk.de9im(gk.parse_wkt(wa), gk.parse_wkt(wb))
+            out.append(gk.relate_match(m, p))
+        return pd.Series(out)
+
+    return run(_c(a), _c(b), _lit(pattern))

@@ -502,6 +502,110 @@ FROM g ORDER BY c_custkey
 """
 
 
+def _overlay_metrics_udf():
+    """One Arrow kernel computing the overlay family per row: the
+    intersection/union/difference/symdifference areas of the customer's
+    4×4 square against the fixed [40,60]² center zone, the buffered-
+    square area, and the ST_Relate 'T********' interior-intersection
+    flag.  Exercises the full geo_kernel WKT→boolean-op→area path
+    (GeoFunctions.java ST_Intersection:944 / ST_Union:619 /
+    ST_Difference:907 / ST_SymDifference:979 / ST_Buffer:293 /
+    ST_Relate:1078) in a SINGLE corpus scan — the buffer is
+    translation-invariant so it is computed once per batch, and the
+    per-row boolean ops run on 4-8 edge squares (tiny).  The DuckDB
+    oracle reduces each area to interval arithmetic, exact for
+    axis-aligned boxes."""
+    import pandas as pd
+
+    @F.pandas_udf(
+        "ia double, ua double, da double, sa double, ba double, rt boolean"
+    )
+    def metrics(ax, ay):
+        from facebook_presto_spark.functions import geo_kernel as gk
+
+        def square_wkt(x0, y0, s):
+            x1, y1 = x0 + s, y0 + s
+            return (
+                f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                f"{x0} {y1}, {x0} {y0}))"
+            )
+
+        def area(bag):
+            return sum(
+                gk.signed_area(r) for poly in bag.polys for r in poly
+            )
+
+        zone = gk.parse_wkt(square_wkt(40, 40, 20))
+        # buffer is translation-invariant: one kernel run per batch
+        buf_area = area(
+            gk.buffer_bag(gk.parse_wkt(square_wkt(0, 0, 4)), 0.5)
+        )
+        ia, ua, da, sa, ba, rt = [], [], [], [], [], []
+        for x0, y0 in zip(ax, ay):
+            sq = gk.parse_wkt(square_wkt(int(x0), int(y0), 4))
+            ia.append(area(gk.intersection(sq, zone)))
+            ua.append(area(gk.union(sq, zone)))
+            da.append(area(gk.difference(sq, zone)))
+            sa.append(area(gk.symdifference(sq, zone)))
+            ba.append(buf_area)
+            rt.append(gk.relate_match(gk.de9im(sq, zone), "T********"))
+        return pd.DataFrame(
+            {"ia": ia, "ua": ua, "da": da, "sa": sa, "ba": ba, "rt": rt}
+        )
+
+    return metrics
+
+
+def geo_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay-family coverage over synthetic per-customer squares vs
+    the fixed center zone: per-nation sums of the boolean-op areas,
+    buffered area, and interiors-intersect counts.  Single scan, one
+    Arrow boundary, one hash aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    ax = ((F.col("c_custkey") * 7919) % 90).cast("bigint")
+    ay = ((F.col("c_custkey") * 104729) % 90).cast("bigint")
+    m = _overlay_metrics_udf()
+    staged = cust.select("c_nationkey", m(ax, ay).alias("m"))
+    return (
+        staged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("m.ia"), 4).alias("inter_area"),
+            F.round(F.sum("m.ua"), 4).alias("union_area"),
+            F.round(F.sum("m.da"), 4).alias("diff_area"),
+            F.round(F.sum("m.sa"), 4).alias("sym_area"),
+            F.round(F.avg("m.ba"), 6).alias("avg_buf_area"),
+            F.count(F.when(F.col("m.rt"), F.lit(1))).alias("n_interior_overlap"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+GEO_OVERLAY_SQL = """
+WITH sq AS (
+  SELECT c_nationkey,
+         (c_custkey * 7919) % 90 AS ax,
+         (c_custkey * 104729) % 90 AS ay
+  FROM customer
+), m AS (
+  SELECT c_nationkey,
+         greatest(least(ax + 4, 60) - greatest(ax, 40), 0)
+           * greatest(least(ay + 4, 60) - greatest(ay, 40), 0) AS ia,
+         (greatest(least(ax + 4, 60) - greatest(ax, 40), 0)
+           * greatest(least(ay + 4, 60) - greatest(ay, 40), 0) > 0) AS rt
+  FROM sq
+)
+SELECT c_nationkey, count(*) AS n,
+       round(sum(ia), 4) AS inter_area,
+       round(sum(416 - ia), 4) AS union_area,
+       round(sum(16 - ia), 4) AS diff_area,
+       round(sum(416 - 2 * ia), 4) AS sym_area,
+       round(avg(16 + 8 + 96 * 0.5 * 0.25 * sin(2 * pi() / 96)), 6) AS avg_buf_area,
+       count(*) FILTER (rt) AS n_interior_overlap
+FROM m GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 QUERIES = {
     "geo_contains_join": geo_contains_join,
     "geo_distance_join": geo_distance_join,
@@ -509,6 +613,7 @@ QUERIES = {
     "geo_bing_tiles": geo_bing_tiles,
     "geo_relation_predicates": geo_relation_predicates,
     "geo_wkb_roundtrip": geo_wkb_roundtrip,
+    "geo_overlay": geo_overlay,
 }
 
 ORACLE = {
@@ -518,4 +623,5 @@ ORACLE = {
     "geo_point_measures": GEO_POINT_MEASURES_SQL,
     "geo_bing_tiles": GEO_BING_TILES_SQL,
     "geo_relation_predicates": GEO_RELATION_PREDICATES_SQL,
+    "geo_overlay": GEO_OVERLAY_SQL,
 }

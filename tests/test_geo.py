@@ -274,12 +274,101 @@ def test_geometry_to_bing_tiles(spark):
     assert len(tiles) == len(xs) * len(ys) >= 2
 
 
-def test_overlay_family_raises_loudly(spark):
+def test_overlay_family(spark):
+    """Spark wiring of the geo_kernel overlay ops (the kernel itself is
+    exhaustively pinned against TestGeoFunctions values in
+    tests/test_geo_kernel.py)."""
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    got = one(
+        spark,
+        call(
+            "ST_Difference",
+            F.lit("POLYGON ((1 1, 1 4, 4 4, 4 1))"),
+            F.lit("POLYGON ((2 2, 2 5, 5 5, 5 2))"),
+        ),
+    )
+    assert gk.canonical(got) == gk.canonical(
+        "POLYGON ((1 1, 4 1, 4 2, 2 2, 2 4, 1 4, 1 1))"
+    )
+    got = one(
+        spark,
+        call(
+            "ST_Union",
+            F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            F.lit("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"),
+        ),
+    )
+    assert gk.canonical(got) == gk.canonical(
+        "POLYGON ((0 0, 1 0, 2 0, 2 1, 1 1, 0 1, 0 0))"
+    )
+    assert one(
+        spark,
+        call(
+            "ST_Intersection",
+            F.lit("POINT (50 100)"),
+            F.lit("POINT (150 150)"),
+        ),
+    ) == "MULTIPOLYGON EMPTY"
+    assert one(
+        spark,
+        call(
+            "ST_Relate",
+            F.lit("POLYGON ((2 0, 2 1, 3 1))"),
+            F.lit("POLYGON ((1 1, 1 4, 4 4, 4 1))"),
+            F.lit("****T****"),
+        ),
+    ) is True
+    # simplify: the reference's own value (TestGeoFunctions:336)
+    got = one(
+        spark,
+        call(
+            "simplify_geometry",
+            F.lit("POLYGON ((1 0, 1 1, 2 1, 2 3, 3 3, 3 1, 4 1, 4 0, 1 0))"),
+            F.lit(1.0),
+        ),
+    )
+    assert gk.canonical(got) == gk.canonical("POLYGON ((1 0, 4 0, 3 3, 2 3, 1 0))")
+
+
+def test_overlay_buffer_and_aggregates(spark):
     import pytest
 
-    for fn in ("ST_Union", "ST_Intersection", "ST_Buffer", "ST_Relate"):
-        with pytest.raises(NotImplementedError, match="geometry kernel"):
-            call(fn, F.lit("POINT (0 0)"), F.lit("POINT (1 1)"))
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    # buffer edge semantics (TestGeoFunctions:179-195)
+    assert one(spark, call("ST_Buffer", F.lit("POINT (0 0)"), F.lit(0.0))) == "POINT (0 0)"
+    assert (
+        one(spark, call("ST_Buffer", F.lit("POINT (0 0)"), F.lit(float("inf"))))
+        == "MULTIPOLYGON EMPTY"
+    )
+    assert one(spark, call("ST_Buffer", F.lit("POINT EMPTY"), F.lit(1.0))) is None
+    b = one(spark, call("ST_Buffer", F.lit("POINT (0 0)"), F.lit(0.5)))
+    bag = gk.parse_wkt(b)
+    assert len(bag.polys[0][0]) == 96  # Esri's 96-gon discretization
+    with pytest.raises(Exception, match="distance is negative"):
+        spark.range(1).select(
+            call("ST_Buffer", F.lit("POINT (0 0)"), F.lit(-1.2))
+        ).collect()
+
+    # aggregates (GeometryUnionAgg.java / ConvexHullAggregation.java)
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",),
+         ("POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))",),
+         ("POINT (0 0)",)],
+        "g string",
+    )
+    row = df.agg(
+        call("geometry_union_agg", F.col("g")).alias("u"),
+        call("convex_hull_agg", F.col("g")).alias("h"),
+    ).collect()[0]
+    assert gk.canonical(row["u"]) == gk.canonical(
+        "GEOMETRYCOLLECTION (POINT (0 0), "
+        "POLYGON ((0 0, 1 0, 2 0, 2 1, 1 1, 0 1, 0 0)))"
+    )
+    assert gk.canonical(row["h"]) == gk.canonical(
+        "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))"
+    )
 
 
 def test_bing_tiles(spark):
