@@ -1800,6 +1800,73 @@ def simplify_geometry(g, tol) -> Column:
     return run(_c(g), _lit(tol).cast("double"))
 
 
+@register("spatial_partitions")
+def spatial_partitions(kdb_tree, g, distance=None) -> Column:
+    """Partition ids for a geometry against a KdbTree
+    (GeoFunctions.java:1130-1199): leaf extents intersecting the
+    (optionally distance-expanded) envelope, half-open single-partition
+    rule for points, NULL for empty geometries.  The KdbTree JSON
+    argument mirrors the reference's KdbTreeUtils codec; the build +
+    lookup are pinned against the reference's own TestGeoFunctions
+    partition-id expectations in tests/test_geo_kernel.py."""
+    import pandas as pd
+
+    with_distance = distance is not None
+
+    @F.pandas_udf("array<int>")
+    def run(ct, cg, cd):
+        from facebook_presto_spark.functions import geo_kernel as gk
+
+        trees = {}
+        out = []
+        for t, w, d in zip(ct, cg, cd):
+            if t is None or w is None:
+                out.append(None)
+                continue
+            if t not in trees:
+                trees[t] = gk.kdb_tree_from_json(t)
+            out.append(
+                gk.spatial_partitions(trees[t], w, d if with_distance else None)
+            )
+        return pd.Series(out)
+
+    d = _lit(0.0 if distance is None else distance).cast("double")
+    return run(_c(kdb_tree), _c(g), d)
+
+
+@register("spatial_partitioning")
+def spatial_partitioning(g, partition_count=100) -> Column:
+    """KdbTree-building aggregate (SpatialPartitioningInternal-
+    AggregateFunction.java:48-104 via the planner rewrite in
+    SpatialPartitioningAggregateFunction.java): merged extent padded by
+    one ulp right/up, max-items-per-node = ceil(n/partitionCount),
+    median-split K-D-B tree, JSON output.  collect_list replaces the
+    reference's single-node reservoir sample — at 100 TB the caller
+    samples first (TABLESAMPLE), exactly like the reference's
+    sampling-percentage rewrite."""
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def build(col, cnt):
+        from facebook_presto_spark.functions import geo_kernel as gk
+
+        out = []
+        for arr, c in zip(col, cnt):
+            if arr is None or len(arr) == 0:
+                out.append(None)
+            else:
+                out.append(
+                    gk.build_spatial_partitioning(
+                        [w for w in arr if w is not None], int(c)
+                    )
+                )
+        return pd.Series(out)
+
+    return build(
+        F.collect_list(_c(g)), F.first(_lit(partition_count).cast("int"))
+    )
+
+
 @register("ST_Relate")
 def st_relate(a, b, pattern) -> Column:
     """DE-9IM pattern match (GeoFunctions.java:1078): the kernel

@@ -1226,6 +1226,223 @@ def relate_match(matrix: str, pattern: str) -> bool:
 
 
 # --------------------------------------------------------------------------
+# KdbTree spatial partitioning
+#
+# Reference: presto-geospatial-toolkit/.../KdbTree.java (buildKdbTree
+# :270 — median split over the longer side, duplicate-value skip,
+# midpoint between middle and next distinct value, preorder leaf ids),
+# Rectangle.java (:85 inclusive intersects), KdbTreeUtils.java (JSON
+# codec), GeoFunctions.java spatialPartitions (:1130-1199, half-open
+# single-partition rule for points).  This is the 2-D K-D-B tree of
+# Robinson (SIGMOD '81); the build below follows the reference's
+# documented splitting rules so leaf ids and extents line up with the
+# reference's own TestGeoFunctions partition-id expectations.
+# --------------------------------------------------------------------------
+
+
+def _rect_intersects(a, b) -> bool:
+    return (
+        a[0] <= b[2] and a[2] >= b[0] and a[1] <= b[3] and a[3] >= b[1]
+    )
+
+
+_KDB_MAX_LEVELS = 10_000
+
+
+def build_kdb_tree(max_items: int, extent, items):
+    """Build the K-D-B tree over item envelopes (xmin, ymin, xmax, ymax).
+
+    Returns the root node as a dict mirroring the reference's Jackson
+    layout: leaves ``{"extent": {...}, "leafId": n}``, internals
+    ``{"extent": {...}, "left": ..., "right": ...}``."""
+    if max_items <= 0:
+        raise ValueError("maxItemsPerNode must be > 0")
+    next_id = [0]
+
+    def rect_json(r):
+        return {"xmin": r[0], "ymin": r[1], "xmax": r[2], "ymax": r[3]}
+
+    def leaf(ext):
+        node = {"extent": rect_json(ext), "leafId": next_id[0]}
+        next_id[0] += 1
+        return node
+
+    def try_split(by_x, ext, its):
+        if by_x:
+            key = lambda r: (r[0], r[1])  # noqa: E731
+            val = lambda r: r[0]  # noqa: E731
+        else:
+            key = lambda r: (r[1], r[0])  # noqa: E731
+            val = lambda r: r[1]  # noqa: E731
+        s = sorted(its, key=key)
+        middle = (len(s) - 1) // 2
+        split_value = val(s[middle])
+        split_index = middle
+        while split_index < len(s) and val(s[split_index]) == split_value:
+            split_index += 1
+        if split_index == len(s):
+            return None
+        split_value = (split_value + val(s[split_index])) / 2
+        lo = ext[0] if by_x else ext[1]
+        hi = ext[2] if by_x else ext[3]
+        if not (lo < split_value < hi):
+            return None
+        if by_x:
+            left_ext = (ext[0], ext[1], split_value, ext[3])
+            right_ext = (split_value, ext[1], ext[2], ext[3])
+        else:
+            left_ext = (ext[0], ext[1], ext[2], split_value)
+            right_ext = (ext[0], split_value, ext[2], ext[3])
+        return left_ext, s[:split_index], right_ext, s[split_index:]
+
+    def build(level, ext, its):
+        if len(its) <= max_items or level == _KDB_MAX_LEVELS:
+            return leaf(ext)
+        by_x_first = (ext[2] - ext[0]) >= (ext[3] - ext[1])
+        split = try_split(by_x_first, ext, its) or try_split(
+            not by_x_first, ext, its
+        )
+        if split is None:
+            return leaf(ext)
+        le, li, re_, ri = split
+        return {
+            "extent": rect_json(ext),
+            "left": build(level + 1, le, li),
+            "right": build(level + 1, re_, ri),
+        }
+
+    return {"root": build(0, tuple(extent), list(items))}
+
+
+def kdb_tree_to_json(tree) -> str:
+    import json as _json
+
+    return _json.dumps(tree, separators=(",", ":"))
+
+
+def kdb_tree_from_json(s: str):
+    import json as _json
+
+    tree = _json.loads(s)
+
+    def norm_rect(r):
+        low = {k.lower(): v for k, v in r.items()}
+        return {
+            "xmin": low["xmin"], "ymin": low["ymin"],
+            "xmax": low["xmax"], "ymax": low["ymax"],
+        }
+
+    def norm(node):
+        out = {"extent": norm_rect(node["extent"])}
+        if node.get("leafId") is not None:
+            out["leafId"] = node["leafId"]
+        if node.get("left"):
+            out["left"] = norm(node["left"])
+        if node.get("right"):
+            out["right"] = norm(node["right"])
+        return out
+
+    return {"root": norm(tree["root"])}
+
+
+def _kdb_leaves(node, env, out):
+    ext = node["extent"]
+    r = (ext["xmin"], ext["ymin"], ext["xmax"], ext["ymax"])
+    if env is not None and not _rect_intersects(r, env):
+        return
+    if "leafId" in node:
+        out.append((node["leafId"], r))
+    else:
+        _kdb_leaves(node["left"], env, out)
+        _kdb_leaves(node["right"], env, out)
+
+
+def envelope_of(bag: Bag):
+    """(xmin, ymin, xmax, ymax) over every layer, or None if empty."""
+    xs, ys = [], []
+    for p in bag.points:
+        xs.append(p[0])
+        ys.append(p[1])
+    for path in bag.paths:
+        for p in path:
+            xs.append(p[0])
+            ys.append(p[1])
+    for poly in bag.polys:
+        for ring in poly:
+            for p in ring:
+                xs.append(p[0])
+                ys.append(p[1])
+    if not xs:
+        return None
+    return (min(xs), min(ys), max(xs), max(ys))
+
+
+def spatial_partitions(tree, wkt: str, distance=None):
+    """GeoFunctions.spatialPartitions (:1130): partition ids whose leaf
+    extent intersects the geometry envelope (expanded by ``distance``
+    when given); NULL for empty geometries; a zero-size envelope maps
+    to at most ONE partition via the half-open (exclude right/upper
+    edge) rule."""
+    if distance is not None:
+        d = float(distance)
+        if math.isnan(d):
+            raise ValueError("distance is NaN")
+        if math.isinf(d):
+            raise ValueError("distance is infinite")
+        if d < 0:
+            raise ValueError("distance is negative")
+    env = envelope_of(parse_wkt(wkt))
+    if env is None:
+        return None
+    if distance is not None:
+        d = float(distance)
+        env = (env[0] - d, env[1] - d, env[2] + d, env[3] + d)
+    leaves = []
+    _kdb_leaves(tree["root"], env, leaves)
+    if not leaves:
+        return []
+    if env[2] - env[0] == 0 and env[3] - env[1] == 0:
+        for leaf_id, r in leaves:
+            if env[0] < r[2] and env[1] < r[3]:
+                return [leaf_id]
+        raise ValueError(
+            f"Cannot find half-open partition extent for a point: "
+            f"({env[0]}, {env[1]})"
+        )
+    return [leaf_id for leaf_id, _ in leaves]
+
+
+def build_spatial_partitioning(wkts, partition_count: int) -> str:
+    """SpatialPartitioningInternalAggregateFunction.output (:88-104):
+    merged extent padded by one ulp on the right/upper sides, max items
+    per node = ceil(samples / partitionCount), KdbTree over the item
+    envelopes, serialized as JSON."""
+    items = []
+    extent = None
+    for w in wkts:
+        env = envelope_of(parse_wkt(w))
+        if env is None:
+            continue
+        items.append(env)
+        if extent is None:
+            extent = env
+        else:
+            extent = (
+                min(extent[0], env[0]), min(extent[1], env[1]),
+                max(extent[2], env[2]), max(extent[3], env[3]),
+            )
+    if not items:
+        return None
+    padded = (
+        extent[0], extent[1],
+        math.nextafter(extent[2], math.inf),
+        math.nextafter(extent[3], math.inf),
+    )
+    max_items = (len(items) + partition_count - 1) // partition_count
+    return kdb_tree_to_json(build_kdb_tree(max_items, padded, items))
+
+
+# --------------------------------------------------------------------------
 # canonical comparison helpers (used by tests)
 # --------------------------------------------------------------------------
 

@@ -502,6 +502,53 @@ FROM g ORDER BY c_custkey
 """
 
 
+def geo_spatial_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's PARTITIONED spatial join (ExtractSpatialJoins.
+    java:578-591 + SpatialPartitioningAggregateFunction): build a
+    KdbTree over the build side, assign partition ids to both sides via
+    spatial_partitions (probe side expanded by the radius), shuffle on
+    the partition id, refine with the exact distance predicate.  Build
+    points land in exactly ONE partition (the half-open point rule), so
+    no pair dedup is needed.  At 100 TB this replaces the broadcast /
+    grid-cell layouts with a data-adaptive partitioning: the KdbTree is
+    a tiny broadcast, both sides shuffle once on the leaf id, and skewed
+    point clusters split into deeper leaves — same result set as
+    geo_distance_join, different (scalable) plan."""
+    radius = 1.5
+    supp = _points(_t(spark, sf_dir, "supplier"), "s_suppkey", ["s_suppkey"])
+    cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
+    s_wkt = call("ST_Point", F.col("px"), F.col("py"))
+    tree = supp.select(call("spatial_partitioning", s_wkt, 8).alias("kdb"))
+    s_parts = (
+        supp.crossJoin(F.broadcast(tree))
+        .select(
+            "s_suppkey", "px", "py",
+            F.explode(call("spatial_partitions", F.col("kdb"), s_wkt)).alias("pid"),
+        )
+    )
+    c_wkt = call("ST_Point", F.col("px"), F.col("py"))
+    c_parts = (
+        cust.crossJoin(F.broadcast(tree))
+        .select(
+            "c_custkey",
+            F.col("px").alias("qx"), F.col("py").alias("qy"),
+            F.explode(
+                call("spatial_partitions", F.col("kdb"), c_wkt, F.lit(radius))
+            ).alias("pid"),
+        )
+    )
+    dist = call(
+        "ST_Distance",
+        call("ST_Point", F.col("px"), F.col("py")),
+        call("ST_Point", F.col("qx"), F.col("qy")),
+    )
+    return (
+        s_parts.join(c_parts, "pid")
+        .select("s_suppkey", "c_custkey", dist.alias("dist"))
+        .filter(F.col("dist") <= radius)
+    )
+
+
 def _overlay_metrics_udf():
     """One Arrow kernel computing the overlay family per row: the
     intersection/union/difference/symdifference areas of the customer's
@@ -614,6 +661,7 @@ QUERIES = {
     "geo_relation_predicates": geo_relation_predicates,
     "geo_wkb_roundtrip": geo_wkb_roundtrip,
     "geo_overlay": geo_overlay,
+    "geo_spatial_partition_join": geo_spatial_partition_join,
 }
 
 ORACLE = {
@@ -624,4 +672,7 @@ ORACLE = {
     "geo_bing_tiles": GEO_BING_TILES_SQL,
     "geo_relation_predicates": GEO_RELATION_PREDICATES_SQL,
     "geo_overlay": GEO_OVERLAY_SQL,
+    # same point-set result as the grid-cell distance join, via the
+    # KdbTree-partitioned plan
+    "geo_spatial_partition_join": GEO_DISTANCE_JOIN_SQL,
 }

@@ -375,3 +375,79 @@ def test_wkt_roundtrip(w):
 def test_empty_renders_as_multipolygon_empty():
     assert gk.render(gk.parse_wkt("POINT EMPTY")) == "MULTIPOLYGON EMPTY"
     assert gk.render(Bag := gk.Bag()) == "MULTIPOLYGON EMPTY"
+
+
+# --- KdbTree spatial partitioning (TestGeoFunctions:55-109) ---------------
+
+def _reference_tree():
+    # makeKdbTreeJson (:90-99): 50 overlapping rectangles, extent
+    # (0,0,9,4), max 10 items per node
+    rects = [
+        (float(x), float(y), x + 1.0, y + 2.0)
+        for x in range(10)
+        for y in range(5)
+    ]
+    return gk.build_kdb_tree(10, (0.0, 0.0, 9.0, 4.0), rects)
+
+
+SPATIAL_PARTITION_CASES = [
+    ("POINT EMPTY", None, None),
+    ("POINT (0 0)", None, [0]),
+    ("POINT (3 1)", None, [2]),
+    ("POINT (1 2.5)", None, [1]),       # border between two partitions
+    ("POINT (4.5 2.5)", None, [4]),     # corner of three partitions
+    ("POINT (2 6)", None, []),
+    ("POINT (3 -1)", None, []),
+    ("POINT (10 3)", None, []),
+    ("MULTIPOINT (5 0.1, 6 2)", None, [3]),
+    ("MULTIPOINT (5 0.1, 5.5 3, 6 2)", None, [3, 4]),
+    ("MULTIPOINT (3 2, 8 3)", None, [2, 3, 4, 5]),
+    ("MULTIPOINT (2 6, 3 7)", None, []),
+    ("POINT EMPTY", 1.2, None),
+    ("POINT (1 1)", 1.2, [0]),
+    ("POINT (1 1)", 2.3, [0, 1, 2]),
+    ("MULTIPOINT (5 0.1, 6 2)", 0.2, [3]),
+    ("MULTIPOINT (5 0.1, 6 2)", 1.2, [2, 3, 4]),
+    ("MULTIPOINT (2 6, 3 7)", 1.2, []),
+]
+
+
+@pytest.mark.parametrize("wkt,dist,want", SPATIAL_PARTITION_CASES)
+def test_spatial_partitions(wkt, dist, want):
+    assert gk.spatial_partitions(_reference_tree(), wkt, dist) == want
+
+
+def test_kdb_tree_json_roundtrip():
+    tree = _reference_tree()
+    js = gk.kdb_tree_to_json(tree)
+    assert gk.kdb_tree_from_json(js) == tree
+    # reference leaf topology: 6 preorder leaves
+    leaves = []
+    gk._kdb_leaves(tree["root"], None, leaves)
+    assert [leaf_id for leaf_id, _ in leaves] == [0, 1, 2, 3, 4, 5]
+    # accepts the Jackson getter capitalization too
+    assert gk.kdb_tree_from_json(js.replace('"xmin"', '"xMin"')) == tree
+
+
+def test_spatial_partitions_distance_validation():
+    tree = _reference_tree()
+    with pytest.raises(ValueError, match="distance is NaN"):
+        gk.spatial_partitions(tree, "POINT (0 0)", float("nan"))
+    with pytest.raises(ValueError, match="distance is infinite"):
+        gk.spatial_partitions(tree, "POINT (0 0)", float("inf"))
+    with pytest.raises(ValueError, match="distance is negative"):
+        gk.spatial_partitions(tree, "POINT (0 0)", -1.0)
+
+
+def test_build_spatial_partitioning_covers_all_points():
+    # every input point must land in exactly one partition
+    pts = [(i * 37 % 100, i * 59 % 100) for i in range(200)]
+    wkts = [f"POINT ({x} {y})" for x, y in pts]
+    js = gk.build_spatial_partitioning(wkts, 8)
+    tree = gk.kdb_tree_from_json(js)
+    seen = set()
+    for w in wkts:
+        parts = gk.spatial_partitions(tree, w)
+        assert len(parts) == 1
+        seen.add(parts[0])
+    assert len(seen) >= 2  # the tree actually split
