@@ -272,6 +272,30 @@ def test_geometry_to_bing_tiles(spark):
     xs = {t["x"] for t in tiles}
     ys = {t["y"] for t in tiles}
     assert len(tiles) == len(xs) * len(ys) >= 2
+    # a non-rectangle drops envelope tiles disjoint from the geometry
+    # (BingTileFunctions.java:385 per-tile refinement) — the triangle is
+    # half the rectangle, so at a zoom where the envelope spans many
+    # tiles its cover is a strict subset but still covers the hypotenuse
+    rect12 = one(
+        spark,
+        call(
+            "geometry_to_bing_tiles",
+            F.lit("POLYGON ((-122.4 47.5, -122.0 47.5, -122.0 47.8, -122.4 47.8, -122.4 47.5))"),
+            12,
+        ),
+    )
+    tri12 = one(
+        spark,
+        call(
+            "geometry_to_bing_tiles",
+            F.lit("POLYGON ((-122.4 47.5, -122.0 47.5, -122.4 47.8, -122.4 47.5))"),
+            12,
+        ),
+    )
+    tri_set = {(t["x"], t["y"]) for t in tri12}
+    rect_set = {(t["x"], t["y"]) for t in rect12}
+    assert tri_set < rect_set
+    assert len(tri_set) > len(rect_set) / 2
 
 
 def test_overlay_family(spark):
