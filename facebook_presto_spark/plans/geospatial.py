@@ -518,7 +518,10 @@ def geo_spatial_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _points(_t(spark, sf_dir, "supplier"), "s_suppkey", ["s_suppkey"])
     cust = _points(_t(spark, sf_dir, "customer"), "c_custkey", ["c_custkey"])
     s_wkt = call("ST_Point", F.col("px"), F.col("py"))
-    tree = supp.select(call("spatial_partitioning", s_wkt, 8).alias("kdb"))
+    # partition count sizes the leaves: too coarse and every leaf becomes
+    # a quadratic candidate block (a 10x probe with count=8 measured
+    # 30s — leaf occupancy is the knob, exactly like _lsh_bits)
+    tree = supp.select(call("spatial_partitioning", s_wkt, 64).alias("kdb"))
     s_parts = (
         supp.crossJoin(F.broadcast(tree))
         .select(
@@ -537,10 +540,14 @@ def geo_spatial_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pid"),
         )
     )
-    dist = call(
-        "ST_Distance",
-        call("ST_Point", F.col("px"), F.col("py")),
-        call("ST_Point", F.col("qx"), F.col("qy")),
+    # post-partition refine is plain codegen'd arithmetic on the numeric
+    # point columns (the reference's SpatialJoinOperator also refines on
+    # deserialized coordinates, not on the text carrier); the WKT path
+    # is exercised by the partitioning functions above and by
+    # geo_distance_join
+    dist = F.sqrt(
+        (F.col("px") - F.col("qx")) * (F.col("px") - F.col("qx"))
+        + (F.col("py") - F.col("qy")) * (F.col("py") - F.col("qy"))
     )
     return (
         s_parts.join(c_parts, "pid")
