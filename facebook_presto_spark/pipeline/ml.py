@@ -563,10 +563,105 @@ GROUP BY cluster
 ORDER BY cluster
 """
 
+# ---------------------------------------------------------------------------
+# Exact C-SVC via SMO (pipeline/svm_smo.py) — the reference's actual
+# solver algorithm (AbstractSvmModel.java:112 → libsvm svm_train).  The
+# reference's learn aggregations are decomposable=false, i.e. they train
+# on ONE node over the collected features; learn_svm_smo mirrors that
+# execution model (driver-side solve, distributed classify against the
+# broadcast model).  The distributed Pegasos path above remains the
+# 100-TB training story.
+
+
+def learn_svm_smo(df: DataFrame, x_cols: list[str], y_col: str,
+                  params: str = "") -> dict:
+    """Collect (features, label∈{+1,−1}) and solve the C-SVC dual with
+    the libsvm algorithm (LibSvmUtils defaults: linear, C=1, eps=0.1
+    unless overridden by the libsvm param string)."""
+    import numpy as np
+
+    from facebook_presto_spark.pipeline.svm_smo import (
+        parse_libsvm_params,
+        smo_train,
+    )
+
+    p = parse_libsvm_params(params)
+    rows = df.select(*x_cols, y_col).collect()
+    X = np.array([[float(r[c]) for c in x_cols] for r in rows])
+    y = np.array([float(r[y_col]) for r in rows])
+    return smo_train(
+        X, y, C=p["C"], eps=p["eps"], kernel=p["kernel"],
+        gamma=p.get("gamma"), degree=p.get("degree", 3),
+        coef0=p.get("coef0", 0.0),
+    )
+
+
+def svm_classifier_smo(spark, sf_dir: str) -> DataFrame:
+    """End-to-end exact-SMO classification with an analytic oracle.
+
+    The training set is synthesized from embeddings keys so the 1-D
+    max-margin solution is known in closed form: x1 lies in [0, 5) for
+    y = −1 and in [7, 12) for y = +1 (x2 ≡ 0), so the unique solution
+    is w1 = 2/(min₊ − max₋), rho = w1·(min₊ + max₋)/2 and every point
+    classifies correctly.  The DuckDB oracle derives the same values
+    from the data with interval arithmetic — a genuine independent
+    check of solver + classify, while the solver's own contract (KKT
+    within eps, libsvm rho rule, analytic alphas) is pinned in
+    tests/test_svm_smo.py."""
+    from facebook_presto_spark.plans.tpch import _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    y = F.when(F.col("vec_id") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    x1 = ((F.col("vec_id") * 7919) % 500) / F.lit(100.0) + F.when(
+        y > 0, F.lit(7.0)
+    ).otherwise(F.lit(0.0))
+    base = emb.select(
+        F.col("vec_id"), y.alias("y"), x1.alias("x1"), F.lit(0.0).alias("x2")
+    )
+    model = learn_svm_smo(base, ["x1", "x2"], "y", "kernel=linear,C=1,eps=1e-6")
+    w1 = float(model["w"][0])
+    rho = float(model["rho"])
+    score = F.col("x1") * F.lit(w1) - F.lit(rho)
+    pred = F.when(score > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        base.select("y", pred.alias("pred"))
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("pred") == F.col("y"), F.lit(1))).alias(
+                "n_correct"
+            ),
+            F.round(F.lit(w1), 4).alias("w1"),
+            F.round(F.lit(rho), 4).alias("rho"),
+        )
+        .orderBy("y")
+    )
+
+
+ML_SVM_SMO_SQL = """
+WITH base AS (
+  SELECT CASE WHEN vec_id % 2 = 0 THEN 1.0 ELSE -1.0 END AS y,
+         ((vec_id * 7919) % 500) / 100.0
+           + CASE WHEN vec_id % 2 = 0 THEN 7.0 ELSE 0.0 END AS x1
+  FROM embeddings
+), bounds AS (
+  SELECT max(CASE WHEN y < 0 THEN x1 END) AS lo,
+         min(CASE WHEN y > 0 THEN x1 END) AS hi
+  FROM base
+)
+SELECT y, count(*) AS n, count(*) AS n_correct,
+       round(2.0 / (hi - lo), 4) AS w1,
+       round((hi + lo) / (hi - lo), 4) AS rho
+FROM base, bounds
+GROUP BY y, lo, hi ORDER BY y
+"""
+
+
 QUERIES = {
     "ml_linear_regression": linear_regression,
     "ml_classify_centroid": classify_centroid,
     "ml_svm_classifier": svm_classifier,
+    "ml_svm_smo": svm_classifier_smo,
     "ml_kmeans_embeddings": kmeans_embeddings,
 }
 
@@ -574,5 +669,6 @@ ORACLE = {
     "ml_linear_regression": ML_LINEAR_REGRESSION_SQL,
     "ml_classify_centroid": ML_CLASSIFY_CENTROID_SQL,
     "ml_svm_classifier": _svm_oracle_sql(),
+    "ml_svm_smo": ML_SVM_SMO_SQL,
     "ml_kmeans_embeddings": _kmeans_oracle_sql(),
 }
