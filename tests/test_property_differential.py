@@ -295,3 +295,128 @@ def test_setop_matches(sql_engine, duck, p1, p2, op):
         assert sorted(got) == sorted(want), sql
     else:
         assert got == want, sql
+
+
+# -- window frames / grouping sets / aggregate modifiers (round 4) ----------
+
+_FRAMES = [
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING",
+    "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_predicate(1), frame=st.sampled_from(_FRAMES),
+       agg=st.sampled_from(["sum", "min", "max", "count"]))
+def test_window_frame_matches(sql_engine, duck, pred, frame, agg):
+    """Aggregates over random ROWS/RANGE frames; the ORDER BY key is
+    unique (o_orderkey) so every frame content is deterministic."""
+    sql = (
+        f"SELECT o_orderkey, CAST({agg}({_MONEY}) OVER ("
+        "PARTITION BY o_orderpriority ORDER BY o_orderkey "
+        f"{frame}) AS BIGINT) AS v "
+        f"FROM orders WHERE {pred} ORDER BY o_orderkey"
+    )
+    got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_predicate(1), off=st.integers(min_value=1, max_value=4))
+def test_lag_lead_matches(sql_engine, duck, pred, off):
+    sql = (
+        f"SELECT o_orderkey, lag(o_orderkey, {off}, -1) OVER w AS lg, "
+        f"lead(o_orderkey, {off}, -1) OVER w AS ld "
+        f"FROM orders WHERE {pred} "
+        "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey) "
+        "ORDER BY o_orderkey"
+    )
+    got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
+
+
+# (form, selectable columns) — a column may only be selected if it
+# appears in at least one grouping set (Presto and Spark both reject
+# otherwise; DuckDB is lenient, so the generator stays in the common
+# subset)
+_GS_FORMS = [
+    ("GROUPING SETS ((o_orderstatus), (o_orderpriority))",
+     ["o_orderstatus", "o_orderpriority"]),
+    ("GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())",
+     ["o_orderstatus", "o_orderpriority"]),
+    ("GROUPING SETS ((o_orderstatus), ())", ["o_orderstatus"]),
+    ("CUBE (o_orderstatus, o_orderpriority)",
+     ["o_orderstatus", "o_orderpriority"]),
+    ("ROLLUP (o_orderstatus, o_orderpriority)",
+     ["o_orderstatus", "o_orderpriority"]),
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_predicate(1), form_cols=st.sampled_from(_GS_FORMS))
+def test_grouping_sets_matches(spark, duck, pred, form_cols):
+    """GROUPING SETS / CUBE / ROLLUP through the Presto front-end vs
+    DuckDB.  On empty input, explicit GROUPING SETS with a () arm
+    match DuckDB (the translator's union-arm compensation); CUBE and
+    ROLLUP keep the single-scan Expand and emit nothing — the
+    COVERAGE.md-documented divergence, pinned here as exactly that
+    shape and nothing else."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(SF_DIR, spark=spark)
+    form, cols = form_cols
+    sel = ", ".join(cols)
+    order = ", ".join(f"{c} NULLS FIRST" for c in cols)
+    sql = (
+        f"SELECT {sel}, count(*) AS n, CAST(sum({_MONEY}) AS BIGINT) AS s "
+        f"FROM orders WHERE {pred} GROUP BY {form} "
+        f"ORDER BY {order}, n, s"
+    )
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    empty_input = duck.execute(
+        f"SELECT count(*) FROM orders WHERE {pred}"
+    ).fetchone()[0] == 0
+    if empty_input and form.startswith(("CUBE", "ROLLUP")):
+        assert got == [], sql
+        assert len(want) == 1 and all(v is None for v in want[0][:-2]), sql
+    else:
+        assert got == want, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p1=_predicate(1), p2=_predicate(1))
+def test_agg_filter_distinct_matches(sql_engine, duck, p1, p2):
+    """FILTER and DISTINCT modifiers under random predicates."""
+    sql = (
+        "SELECT o_orderstatus, "
+        f"count(*) FILTER (WHERE {p1}) AS a, "
+        f"CAST(sum({_MONEY}) FILTER (WHERE {p2}) AS BIGINT) AS b, "
+        "count(DISTINCT o_custkey) AS c "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    got = [tuple(r) for r in sql_engine.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
