@@ -905,8 +905,84 @@ GROUP BY s.cluster ORDER BY s.cluster
 """
 
 
+# --------------------------------------------------------------------------
+# Exact substring dedup at every offset (the sliding-window form of
+# Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", ACL 2022: mark any k-token span that occurs elsewhere in the
+# corpus, at ANY alignment — the fixed-segment dedup above only catches
+# block-aligned repeats).  Spark shape: per-token xxhash64, then every
+# window's signature is a 31-polynomial fold over the k token hashes —
+# pure codegen'd arithmetic, no window strings materialized (a k-token
+# string blowup is a k× write amplification at 100 TB) — then ONE
+# shuffle keyed by signature where row_number marks every non-first
+# occurrence.  The DuckDB oracle groups by the actual window STRING, so
+# the counts agree unless the 64-bit signature collides (2⁻⁶⁴·pairs).
+
+SUBSTR_WINDOW = 12  # tokens per window
+
+
+def substring_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    th = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+    k = SUBSTR_WINDOW
+    # sequence(1, 0) counts DOWN in Spark — short docs need an explicit
+    # empty offset list, not a greatest() clamp
+    offsets = F.when(
+        F.size(th) >= k, F.sequence(F.lit(1), F.size(th) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        offsets,
+        lambda i: F.struct(
+            i.alias("off"),
+            F.aggregate(
+                F.slice(th, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 31 + x,
+            ).alias("sig"),
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(wins).alias("w")
+    ).select("doc_id", F.col("w.off").alias("off"), F.col("w.sig").alias("sig"))
+    rn = F.row_number().over(
+        Window.partitionBy("sig").orderBy("doc_id", "off")
+    )
+    marked = exploded.select("doc_id", "off", rn.alias("rn"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("rn") > 1, F.lit(1))).alias("n_dup_windows"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_WINDOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - {SUBSTR_WINDOW - 1}, 0)),
+           i -> {{'off': i,
+                  'w': array_to_string(list_slice(t, i, i + {SUBSTR_WINDOW - 1}), ' ')}}
+         )) AS u
+  FROM toks
+), ranked AS (
+  SELECT doc_id, u.off AS off,
+         row_number() OVER (PARTITION BY u.w ORDER BY doc_id, u.off) AS rn
+  FROM wins
+)
+SELECT doc_id, count(*) AS n_windows,
+       count(*) FILTER (rn > 1) AS n_dup_windows
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
+    "dedup_substring_windows": substring_window_dedup,
     "dedup_semantic": semantic_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_connected_components": connected_components,
@@ -921,6 +997,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": EXACT_DEDUP_SQL,
+    "dedup_substring_windows": SUBSTRING_WINDOW_SQL,
     "dedup_semantic": _semantic_dedup_oracle_sql(),
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,

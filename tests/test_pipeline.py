@@ -94,6 +94,29 @@ def test_exact_dedup_collapses_duplicates(spark, tmp_path):
     assert groups == {0: 2, 2: 1}  # case-insensitive collapse keeps doc 0
 
 
+def test_substring_window_dedup_unaligned(spark, tmp_path, monkeypatch):
+    """A 12-token run copied at a DIFFERENT alignment is caught (the
+    fixed-segment dedup cannot see it); short docs yield no windows."""
+    run = " ".join(f"tok{i}" for i in range(12))
+    doc_a = run + " tail0 tail1 tail2"          # run at offset 1
+    doc_b = "head0 head1 " + run + " x y"       # run at offset 3
+    doc_c = " ".join(f"uniq{i}" for i in range(16))
+    doc_d = "too short"                          # < 12 tokens → no rows
+    df = spark.createDataFrame(
+        [(0, doc_a, "en", "s", len(doc_a)), (1, doc_b, "en", "s", len(doc_b)),
+         (2, doc_c, "en", "s", len(doc_c)), (3, doc_d, "en", "s", len(doc_d))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: (r.n_windows, r.n_dup_windows)
+           for r in dedup.substring_window_dedup(spark, str(tmp_path)).collect()}
+    assert out[0] == (4, 0)   # 15 tokens → 4 windows, all first occurrences
+    assert out[1][0] == 5     # 16 tokens → 5 windows
+    assert out[1][1] == 1     # exactly the copied run, despite the shift
+    assert out[2] == (5, 0)
+    assert 3 not in out       # too short for any window
+
+
 def test_connected_components_chain(spark, monkeypatch):
     """A chain a-b-c plus an isolated pair d-e: min-label propagation must
     traverse the chain (multiple rounds) and keep the pair separate."""
