@@ -451,3 +451,112 @@ def test_build_spatial_partitioning_covers_all_points():
         assert len(parts) == 1
         seen.add(parts[0])
     assert len(seen) >= 2  # the tree actually split
+
+
+# --- property-based identities over random convex polygons -----------------
+#
+# Inclusion-exclusion holds EXACTLY for any pair of regions:
+#   |A∪B| + |A∩B| = |A| + |B|,  |A−B| = |A| − |A∩B|,  |AΔB| = |A∪B| − |A∩B|
+# so random inputs validate the boolean kernel without any reference
+# values.  Integer coordinates keep the arithmetic exact.
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _convex_wkt(pts):
+    """Monotone-chain hull of integer points → CCW POLYGON WKT (None if
+    degenerate)."""
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return None
+
+    def half(seq):
+        h = []
+        for p in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    ring = half(pts)[:-1] + half(pts[::-1])[:-1]
+    if len(ring) < 3:
+        return None
+    body = ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
+    return f"POLYGON (({body}))"
+
+
+_pts = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)),
+    min_size=3, max_size=8,
+)
+
+
+def _areas(bag):
+    return sum(gk.signed_area(r) for poly in bag.polys for r in poly)
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(p1=_pts, p2=_pts)
+def test_boolean_op_inclusion_exclusion(p1, p2):
+    w1, w2 = _convex_wkt(p1), _convex_wkt(p2)
+    if w1 is None or w2 is None:
+        return
+    A, B = gk.parse_wkt(w1), gk.parse_wkt(w2)
+    a, b = _areas(A), _areas(B)
+    inter = _areas(gk.intersection(A, B))
+    union = _areas(gk.union(A, B))
+    diff = _areas(gk.difference(A, B))
+    sym = _areas(gk.symdifference(A, B))
+    assert union + inter == pytest.approx(a + b, abs=1e-6), (w1, w2)
+    assert diff == pytest.approx(a - inter, abs=1e-6), (w1, w2)
+    assert sym == pytest.approx(union - inter, abs=1e-6), (w1, w2)
+    assert 0 <= inter <= min(a, b) + 1e-9
+    assert union >= max(a, b) - 1e-9
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(p1=_pts, p2=_pts)
+def test_relate_consistent_with_boolean_ops(p1, p2):
+    w1, w2 = _convex_wkt(p1), _convex_wkt(p2)
+    if w1 is None or w2 is None:
+        return
+    A, B = gk.parse_wkt(w1), gk.parse_wkt(w2)
+    matrix = gk.de9im(A, B)
+    inter_area = _areas(gk.intersection(A, B))
+    # interiors intersect ⇔ the intersection has positive area
+    assert (matrix[0] == "2") == (inter_area > 1e-9), (w1, w2, matrix)
+    # symmetry of the interior/boundary block under transpose
+    m_t = gk.de9im(B, A)
+    assert matrix[0] == m_t[0] and matrix[4] == m_t[4]
+    assert matrix[1] == m_t[3] and matrix[3] == m_t[1]
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(p1=_pts, d=st.sampled_from([0.5, 1.0, 2.0]))
+def test_buffer_grows_and_contains(p1, d):
+    w1 = _convex_wkt(p1)
+    if w1 is None:
+        return
+    A = gk.parse_wkt(w1)
+    buf = gk.buffer_bag(A, d)
+    assert _areas(buf) > _areas(A)
+    for ring in A.polys[0]:
+        for p in ring:
+            assert gk.locate_in_polys(p, buf.polys) != "out", (w1, d)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(p1=_pts)
+def test_simplify_zero_tolerance_is_identity(p1):
+    w1 = _convex_wkt(p1)
+    if w1 is None:
+        return
+    bag = gk.parse_wkt(w1)
+    assert gk.canonical(gk.render(gk.simplify_bag(bag, 0.0))) == gk.canonical(w1)
