@@ -164,9 +164,17 @@ class PrestoSparkEngine:
         engine.sql() reaches the same surface as the Column API (the
         reference registers every function in one FunctionRegistry —
         SQL and everything else resolve identically)."""
-        from facebook_presto_spark.functions import binary_fns, string_fns
+        from facebook_presto_spark.functions import (
+            binary_fns,
+            ml_fns,
+            string_fns,
+        )
 
-        for name, udf in {**binary_fns.SQL_UDFS, **string_fns.SQL_UDFS}.items():
+        for name, udf in {
+            **binary_fns.SQL_UDFS,
+            **string_fns.SQL_UDFS,
+            **ml_fns.SQL_UDFS,
+        }.items():
             spark.udf.register(name, udf)
 
         # declarative SQL UDFs: the SetDigest/qdigest scalar long-tail

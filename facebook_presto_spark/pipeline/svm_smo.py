@@ -62,34 +62,19 @@ def _kernel(params: dict, X: np.ndarray, Z: np.ndarray) -> np.ndarray:
     raise ValueError(f"unsupported kernel: {kind}")
 
 
-def smo_train(
-    X,
-    y,
-    C: float = 1.0,
-    eps: float = 0.1,
-    kernel: str = "linear",
-    gamma: float | None = None,
-    degree: int = 3,
-    coef0: float = 0.0,
-    max_iter: int = 10_000_000,
-):
-    """Solve the C-SVC dual.  Returns a model dict with the support
-    vectors, coefficients (alpha_i * y_i), rho, and — for the linear
-    kernel — the primal weight vector ``w`` with decision function
-    ``f(x) = w.x - rho``."""
-    X = np.asarray(X, dtype=np.float64)
-    y = np.asarray(y, dtype=np.float64)
+def _solve(K, y, p, C, eps, max_iter):
+    """Generic SMO loop (libsvm runs ONE Solver for every svm type,
+    parameterized by the linear term p and the +-1 vector y):
+
+        min 1/2 b'Qb + p'b   s.t.  y'b = 0,  0 <= b_i <= C
+        Q = (y y') ∘ K
+
+    Returns (beta, G, rho, iterations)."""
     n = len(y)
-    if n == 0 or not (set(np.unique(y)) <= {-1.0, 1.0}):
-        raise ValueError("labels must be +-1 and non-empty")
-    params = {"kernel": kernel, "degree": degree, "coef0": coef0}
-    if gamma is not None:
-        params["gamma"] = gamma
-    K = _kernel(params, X, X)
     KD = np.diag(K).copy()
     Q = (y[:, None] * y[None, :]) * K
     alpha = np.zeros(n)
-    G = -np.ones(n)  # gradient of 1/2 a'Qa - e'a at a = 0
+    G = np.asarray(p, dtype=np.float64).copy()  # gradient at b = 0
 
     it = 0
     while it < max_iter:
@@ -185,13 +170,41 @@ def smo_train(
                 lb = max(lb, yG[t])
         rho = (ub + lb) / 2 if math.isfinite(ub) and math.isfinite(lb) else 0.0
 
+    return alpha, G, float(rho), it
+
+
+def smo_train(
+    X,
+    y,
+    C: float = 1.0,
+    eps: float = 0.1,
+    kernel: str = "linear",
+    gamma: float | None = None,
+    degree: int = 3,
+    coef0: float = 0.0,
+    max_iter: int = 10_000_000,
+):
+    """Solve the C-SVC dual.  Returns a model dict with the support
+    vectors, coefficients (alpha_i * y_i), rho, and — for the linear
+    kernel — the primal weight vector ``w`` with decision function
+    ``f(x) = w.x - rho``."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n == 0 or not (set(np.unique(y)) <= {-1.0, 1.0}):
+        raise ValueError("labels must be +-1 and non-empty")
+    params = {"kernel": kernel, "degree": degree, "coef0": coef0}
+    if gamma is not None:
+        params["gamma"] = gamma
+    K = _kernel(params, X, X)
+    alpha, G, rho, it = _solve(K, y, -np.ones(n), C, eps, max_iter)
     sv = alpha > TAU
     model = {
         "kernel": kernel,
         "params": params,
         "C": C,
         "eps": eps,
-        "rho": float(rho),
+        "rho": rho,
         "sv_x": X[sv],
         "sv_coef": (alpha * y)[sv],
         "alpha": alpha,
@@ -199,6 +212,58 @@ def smo_train(
     }
     if kernel == "linear":
         model["w"] = (alpha * y) @ X
+    return model
+
+
+def svr_train(
+    X,
+    y,
+    C: float = 1.0,
+    eps: float = 0.1,
+    epsilon: float = 0.1,
+    kernel: str = "linear",
+    gamma: float | None = None,
+    degree: int = 3,
+    coef0: float = 0.0,
+    max_iter: int = 10_000_000,
+):
+    """Epsilon-SVR (the reference's SvmRegressor svm type): the 2n-
+    variable dual
+
+        min 1/2 (a-a*)'K(a-a*) + epsilon Σ(a+a*) - Σ y (a-a*)
+
+    mapped onto the same generic solver libsvm uses — tiled kernel,
+    y2 = [+1…, −1…], linear term [epsilon − y; epsilon + y].  The
+    prediction is f(x) = Σ θ_i K(sv_i, x) − rho with θ = a − a*."""
+    X = np.asarray(X, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n == 0:
+        raise ValueError("labels must be non-empty")
+    params = {"kernel": kernel, "degree": degree, "coef0": coef0}
+    if gamma is not None:
+        params["gamma"] = gamma
+    K = _kernel(params, X, X)
+    K2 = np.block([[K, K], [K, K]])
+    y2 = np.concatenate([np.ones(n), -np.ones(n)])
+    p = np.concatenate([epsilon - y, epsilon + y])
+    beta, G, rho, it = _solve(K2, y2, p, C, eps, max_iter)
+    theta = beta[:n] - beta[n:]
+    sv = np.abs(theta) > TAU
+    model = {
+        "kernel": kernel,
+        "params": params,
+        "C": C,
+        "eps": eps,
+        "epsilon": epsilon,
+        "rho": rho,
+        "sv_x": X[sv],
+        "sv_coef": theta[sv],
+        "theta": theta,
+        "iterations": it,
+    }
+    if kernel == "linear":
+        model["w"] = theta @ X
     return model
 
 

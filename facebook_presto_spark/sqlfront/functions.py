@@ -842,6 +842,44 @@ def _map_ctor(args: Args) -> list[Tok]:
     return _call("map", *args)
 
 
+def _features(args: Args) -> list[Tok]:
+    # features(x0, x1, ...) → map<bigint,double> feature vector
+    # (MLFeaturesFunctions.java)
+    keys = [
+        _call("cast", [Tok("number", str(i))] + [ident("AS"), ident("bigint")])
+        for i in range(len(args))
+    ]
+    vals = [
+        _call("cast", a + [ident("AS"), ident("double")]) for a in args
+    ]
+    return _call(
+        "map_from_arrays", _call("array", *keys), _call("array", *vals)
+    )
+
+
+def _learn_agg(udf_name: str, cast_label: bool = False):
+    # learn_classifier(l, f) / learn_regressor(l, f) and the
+    # learn_libsvm_* 3-arg forms (Learn*Aggregation.java,
+    # LibSvmUtils.java): the reference trains single-node over the
+    # collected features (decomposable = false), so the SQL spelling is
+    # collect_list + the registered training UDF; the optional libsvm
+    # parameter string rides along via any_value.
+    def rule(args: Args) -> list[Tok]:
+        label = _call("cast", args[0] + [ident("AS"), ident("double")]) \
+            if cast_label else args[0]
+        struct = _call(
+            "named_struct",
+            [Tok("string", "'l'")], label,
+            [Tok("string", "'f'")], args[1],
+        )
+        params = args[2] if len(args) > 2 else [Tok("string", "''")]
+        return _call(
+            udf_name, _call("collect_list", struct), _call("any_value", params)
+        )
+
+    return rule
+
+
 def _checksum(args: Args) -> list[Tok]:
     # order-independent checksum (ChecksumAggregationFunction.java):
     # sum of per-row 64-bit hashes commutes — same verifier trick.
@@ -1184,6 +1222,11 @@ RULES: dict[str, object] = {
     "numeric_histogram": _numeric_histogram,
     "map_agg": _map_agg,
     "checksum": _checksum,
+    "features": _features,
+    "learn_classifier": _learn_agg("ml_learn_classifier"),
+    "learn_libsvm_classifier": _learn_agg("ml_learn_classifier"),
+    "learn_regressor": _learn_agg("ml_learn_regressor", cast_label=True),
+    "learn_libsvm_regressor": _learn_agg("ml_learn_regressor", cast_label=True),
     "truncate": _truncate,
     "infinity": _infinity,
     "nan": _nan,
