@@ -3,8 +3,13 @@
 The reference treats binary as a first-class scalar type (varbinary,
 operator/scalar/VarbinaryFunctions.java) but has no media operators.  This
 module provides the Spark-side plumbing a multimodal training pipeline
-needs — schema, partitioning, Arrow batch shape — with the actual media
-decode STUBBED (no image/audio libs in this container):
+needs — schema, partitioning, Arrow batch shape.  Since round 4 the
+decode is REAL for the uncompressed container formats (BMP and PCM16
+WAV — header + raw array, parsed with NumPy alone; see
+``decode_media``/``media_roundtrip``); compressed formats (JPEG/PNG/
+GIF) still raise loudly because codec libraries are absent from this
+container, and the original deterministic stub path remains for the
+plumbing-only query:
 
 - ``with_blob``        — pack a binary payload column + metadata struct
                          (the storage schema: media as opaque bytes next to
@@ -253,13 +258,218 @@ WHERE n_frames > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL codecs for the uncompressed container formats (round 4)
+#
+# The decode "stub" boundary was about codec libraries (libjpeg/libav)
+# being absent — but BMP (BITMAPINFOHEADER, 24-bit uncompressed) and
+# WAV (RIFF PCM16) need no codec: they are header + raw array, fully
+# parseable with NumPy.  The encoder below writes the real byte layout
+# (row padding, bottom-up rows, BGR order; RIFF/fmt/data chunks) and
+# the decoder is an independent parser of the same spec, so the query
+# is a true binary round-trip through Arrow batches.  Compressed
+# magics (JPEG/PNG/GIF) still raise loudly — that boundary is
+# unchanged and documented.
+# ---------------------------------------------------------------------------
+
+
+def _encode_bmp(doc_id: int) -> bytes:
+    import struct
+
+    import numpy as np
+
+    w = int(doc_id) % 16 + 4
+    h = int(doc_id) % 8 + 2
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    r = (int(doc_id) + x + y) % 256
+    g = (int(doc_id) * 2 + x + 0 * y) % 256
+    b = (int(doc_id) * 3 + 0 * x + y) % 256
+    row_len = (w * 3 + 3) // 4 * 4
+    img = np.zeros((h, row_len), dtype=np.uint8)
+    # bottom-up rows, BGR byte order
+    for yy in range(h):
+        row = np.stack([b[yy], g[yy], r[yy]], axis=1).astype(np.uint8)
+        img[h - 1 - yy, : w * 3] = row.reshape(-1)
+    pixels = img.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def _decode_bmp(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    row_len = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=abs(h) * row_len, offset=offset
+    ).reshape(abs(h), row_len)
+    px = rows[:, : w * 3].reshape(abs(h), w, 3).astype(np.float64)
+    if h > 0:
+        px = px[::-1]  # bottom-up → top-down
+    # BGR → (r, g, b) channel means
+    return w, abs(h), px[:, :, 2].mean(), px[:, :, 1].mean(), px[:, :, 0].mean()
+
+
+def _encode_wav(doc_id: int) -> bytes:
+    import struct
+
+    import numpy as np
+
+    n = int(doc_id) % 100 + 50
+    sr = 8000 + (int(doc_id) % 3) * 4000
+    i = np.arange(n)
+    samples = ((int(doc_id) * 31 + i * 17) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + fmt + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _decode_wav(payload: bytes):
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    sr = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").astype(np.float64)
+        pos += 8 + clen + (clen % 2)
+    if sr is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    rms = float(np.sqrt((samples * samples).mean()))
+    return len(samples), sr, rms
+
+
+_COMPRESSED_MAGICS = {
+    b"\xff\xd8\xff": "JPEG",
+    b"\x89PNG": "PNG",
+    b"GIF8": "GIF",
+}
+
+
+def decode_media(payload: bytes):
+    """Dispatch on magic bytes: real decode for BMP/WAV, loud boundary
+    for compressed formats (codec libraries absent — unchanged)."""
+    for magic, name in _COMPRESSED_MAGICS.items():
+        if payload[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"{name} decode requires a codec library not present in "
+                "this environment (the BMP/WAV paths are real)"
+            )
+    if payload[:2] == b"BM":
+        return ("bmp",) + _decode_bmp(payload)
+    if payload[:4] == b"RIFF":
+        return ("wav",) + _decode_wav(payload)
+    raise ValueError("unknown media format")
+
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, img_w int, img_h int, mean_r double, mean_g double, "
+    "mean_b double, wav_n int, wav_sr int, wav_rms double"
+)
+
+
+def media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode real BMP + WAV payloads per document, ship them as binary
+    columns through an Arrow batch boundary, decode with the
+    independent parsers, and emit per-doc features.  The DuckDB oracle
+    recomputes every feature from the generating arithmetic — the
+    byte formats never leave Spark, so a hash-match proves the
+    encoder and decoder agree on the real layouts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_parts = spark.sparkContext.defaultParallelism
+    flat = docs.repartition(n_parts)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                bmp = decode_media(_encode_bmp(doc_id))
+                wav = decode_media(_encode_wav(doc_id))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "img_w": bmp[1], "img_h": bmp[2],
+                        "mean_r": round(bmp[3], 6),
+                        "mean_g": round(bmp[4], 6),
+                        "mean_b": round(bmp[5], 6),
+                        "wav_n": wav[1], "wav_sr": wav[2],
+                        "wav_rms": round(wav[3], 4),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return flat.mapInPandas(run, schema=MEDIA_SCHEMA).orderBy("doc_id")
+
+
+MEDIA_ROUNDTRIP_SQL = """
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         d.doc_id % 16 + 4 AS w, d.doc_id % 8 + 2 AS h
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, d.doc_id % 16 + 3)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, d.doc_id % 8 + 1)) AS y) y
+), img AS (
+  SELECT doc_id,
+         CAST(max(w) AS INT) AS img_w, CAST(max(h) AS INT) AS img_h,
+         round(avg((doc_id + x + y) % 256), 6) AS mean_r,
+         round(avg((doc_id * 2 + x) % 256), 6) AS mean_g,
+         round(avg((doc_id * 3 + y) % 256), 6) AS mean_b
+  FROM px GROUP BY doc_id
+), smp AS (
+  SELECT d.doc_id, i.i
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, d.doc_id % 100 + 49)) AS i) i
+), wav AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS wav_n,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS wav_sr,
+         round(sqrt(avg(pow((doc_id * 31 + i * 17) % 65536 - 32768, 2))), 4)
+           AS wav_rms
+  FROM smp GROUP BY doc_id
+)
+SELECT img.doc_id, img_w, img_h, mean_r, mean_g, mean_b,
+       wav_n, wav_sr, wav_rms
+FROM img JOIN wav ON img.doc_id = wav.doc_id
+ORDER BY img.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_decode_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_media_roundtrip": media_roundtrip,
 }
 
 ORACLE = {
+    "multimodal_media_roundtrip": MEDIA_ROUNDTRIP_SQL,
     "multimodal_decode_features": MULTIMODAL_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,

@@ -175,3 +175,47 @@ def test_stratified_sample_exact_n_and_deterministic(spark, sf_dir):
     for r in out:
         assert r.n_sampled == min(STRATIFIED_N, totals[r.lang])
     assert out == stratified_sample(spark, sf_dir).collect()
+
+
+def test_media_codecs_byte_level():
+    """Real BMP/WAV layouts: header fields, row padding, bottom-up BGR
+    rows, RIFF chunk walk; compressed magics raise loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from facebook_presto_spark.pipeline import multimodal as mm
+
+    bmp = mm._encode_bmp(7)   # w = 11, h = 9 → row padded 33 → 36
+    assert bmp[:2] == b"BM"
+    assert struct.unpack_from("<I", bmp, 10)[0] == 54          # pixel offset
+    w, h = struct.unpack_from("<ii", bmp, 18)
+    assert (w, h) == (11, 9)
+    assert struct.unpack_from("<H", bmp, 28)[0] == 24          # bpp
+    assert len(bmp) == 54 + 36 * 9                             # padded rows
+    fmt, dw, dh, mr, mg, mb = mm.decode_media(bmp)
+    assert (fmt, dw, dh) == ("bmp", 11, 9)
+    x = np.arange(11)[None, :]
+    y = np.arange(9)[:, None]
+    assert mr == _pytest.approx(((7 + x + y) % 256).mean())
+    assert mg == _pytest.approx(((14 + x + 0 * y) % 256).mean())
+    assert mb == _pytest.approx(((21 + 0 * x + y) % 256).mean())
+    # top-left pixel of the decoded image is the LAST stored row (bottom-up)
+    row_last = bmp[54 + 36 * 8: 54 + 36 * 8 + 3]
+    assert row_last == bytes([(21 + 0) % 256, (14 + 0) % 256, (7 + 0) % 256])
+
+    wav = mm._encode_wav(5)   # n = 55, sr = 16000
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    fmt, n, sr, rms = mm.decode_media(wav)
+    assert (fmt, n, sr) == ("wav", 55, 16000)
+    i = np.arange(55)
+    s = ((5 * 31 + i * 17) % 65536 - 32768).astype(float)
+    assert rms == _pytest.approx(float(np.sqrt((s * s).mean())))
+
+    with _pytest.raises(NotImplementedError, match="JPEG"):
+        mm.decode_media(b"\xff\xd8\xff\xe0rest")
+    with _pytest.raises(NotImplementedError, match="PNG"):
+        mm.decode_media(b"\x89PNG\r\n")
+    with _pytest.raises(ValueError, match="unknown media format"):
+        mm.decode_media(b"\x00\x01\x02\x03")
