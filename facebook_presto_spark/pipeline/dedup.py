@@ -980,9 +980,108 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformation form of sliding-window substring dedup (Lee
+    et al. remove one copy of each duplicated span, keeping the first
+    occurrence): every token covered by a non-first duplicate window is
+    dropped and the document re-assembled from the survivors.  Plan:
+    the same signature shuffle as the counting query, the dup windows
+    explode to covered token positions (≤ k rows per dup window), one
+    anti-join on (doc, pos), and a per-doc ordered re-assembly — two
+    shuffles total, both keyed fine-grained.  Documents shorter than
+    the window pass through untouched."""
+    docs = _t(spark, sf_dir, "documents")
+    k = SUBSTR_WINDOW
+    th = F.transform(F.split(F.col("text"), " "), lambda t: F.xxhash64(t))
+    offsets = F.when(
+        F.size(th) >= k, F.sequence(F.lit(1), F.size(th) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        offsets,
+        lambda i: F.struct(
+            i.alias("off"),
+            F.aggregate(
+                F.slice(th, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 31 + x,
+            ).alias("sig"),
+        ),
+    )
+    exploded = docs.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.off").alias("off"), F.col("w.sig").alias("sig")
+    )
+    rn = F.row_number().over(Window.partitionBy("sig").orderBy("doc_id", "off"))
+    dup_positions = (
+        exploded.select("doc_id", "off", rn.alias("rn"))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("off"), F.col("off") + (k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tokens.join(dup_positions, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_after"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_CLEAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - {SUBSTR_WINDOW - 1}, 0)),
+           i -> {{'off': i,
+                  'w': array_to_string(list_slice(t, i, i + {SUBSTR_WINDOW - 1}), ' ')}}
+         )) AS u
+  FROM toks
+), ranked AS (
+  SELECT doc_id, u.off AS off,
+         row_number() OVER (PARTITION BY u.w ORDER BY doc_id, u.off) AS rn
+  FROM wins
+), dup_pos AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(off, off + {SUBSTR_WINDOW - 1})) AS pos
+  FROM ranked WHERE rn > 1
+), tokens AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+), kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tokens tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup_pos d WHERE d.doc_id = tk.doc_id AND d.pos = tk.pos
+  )
+)
+SELECT doc_id, count(*) AS n_tokens_after,
+       string_agg(tok, ' ' ORDER BY pos) AS cleaned
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_substring_windows": substring_window_dedup,
+    "dedup_substring_clean": substring_dedup_clean,
     "dedup_semantic": semantic_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_connected_components": connected_components,
@@ -998,6 +1097,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": EXACT_DEDUP_SQL,
     "dedup_substring_windows": SUBSTRING_WINDOW_SQL,
+    "dedup_substring_clean": SUBSTRING_CLEAN_SQL,
     "dedup_semantic": _semantic_dedup_oracle_sql(),
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_connected_components": CONNECTED_COMPONENTS_SQL,

@@ -219,3 +219,24 @@ def test_media_codecs_byte_level():
         mm.decode_media(b"\x89PNG\r\n")
     with _pytest.raises(ValueError, match="unknown media format"):
         mm.decode_media(b"\x00\x01\x02\x03")
+
+
+def test_substring_dedup_clean_removes_second_copy(spark, tmp_path):
+    run = " ".join(f"tok{i}" for i in range(12))
+    uniq = " ".join(f"uniq{i}" for i in range(5))
+    doc_a = run + " " + uniq                      # first occurrence kept
+    doc_b = "head0 head1 " + run + " tail0"       # copy dropped, rest kept
+    doc_c = run                                   # nothing but the dup → gone
+    doc_d = "too short"
+    df = spark.createDataFrame(
+        [(0, doc_a, "en", "s", 1), (1, doc_b, "en", "s", 1),
+         (2, doc_c, "en", "s", 1), (3, doc_d, "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: (r.n_tokens_after, r.cleaned)
+           for r in dedup.substring_dedup_clean(spark, str(tmp_path)).collect()}
+    assert out[0] == (17, doc_a)                  # first occurrence untouched
+    assert out[1] == (3, "head0 head1 tail0")     # span excised exactly
+    assert 2 not in out                           # fully-duplicate doc removed
+    assert out[3] == (2, "too short")             # short doc passes through
