@@ -376,20 +376,45 @@ def _directed_edges(polys):
                 yield a, b
 
 
-def _node_edges(edges, other_edges):
-    """Split every directed edge at its intersections with other_edges."""
-    other = list(other_edges)
-    frags = []
-    for a, b in edges:
-        ts = {0.0, 1.0}
-        for c, d in other:
-            for t in _seg_params(a, b, c, d):
-                ts.add(min(max(t, 0.0), 1.0))
-        ts = sorted(ts)
-        for i in range(len(ts) - 1):
-            if ts[i + 1] - ts[i] > EPS:
-                frags.append((_lerp(a, b, ts[i]), _lerp(a, b, ts[i + 1])))
-    return frags
+def _param_on(a, b, p) -> float:
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    ln2 = dx * dx + dy * dy
+    if ln2 < EPS * EPS:
+        return 0.0
+    return ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / ln2
+
+
+def _node_two_sets(edges_a, edges_b):
+    """Split both directed edge sets at their mutual intersections.
+
+    Every intersection POINT is computed once and shared by both sides
+    (recomputing it from each edge's own parametrization can land the
+    two copies on different sides of a snap-grid boundary, which breaks
+    fragment adjacency during stitching).  Returns (frags_a, frags_b)."""
+    edges_a = list(edges_a)
+    edges_b = list(edges_b)
+    cuts_a = [{0.0: e[0], 1.0: e[1]} for e in edges_a]
+    cuts_b = [{0.0: e[0], 1.0: e[1]} for e in edges_b]
+    for ia, (a0, a1) in enumerate(edges_a):
+        for ib, (b0, b1) in enumerate(edges_b):
+            for t in _seg_params(a0, a1, b0, b1):
+                p = _lerp(a0, a1, min(max(t, 0.0), 1.0))
+                cuts_a[ia][min(max(t, 0.0), 1.0)] = p
+                tb = min(max(_param_on(b0, b1, p), 0.0), 1.0)
+                cuts_b[ib][tb] = p
+
+    def frags(cuts):
+        out = []
+        for cut in cuts:
+            ts = sorted(cut)
+            for i in range(len(ts) - 1):
+                if ts[i + 1] - ts[i] > EPS:
+                    p0, p1 = cut[ts[i]], cut[ts[i + 1]]
+                    if _key(p0) != _key(p1):
+                        out.append((p0, p1))
+        return out
+
+    return frags(cuts_a), frags(cuts_b)
 
 
 def _classify_frag(frag, polys, edges):
@@ -417,20 +442,23 @@ def _stitch(frags):
     for f in frags:
         by_start.setdefault(_key(f[0]), []).append(f)
     used = set()
+    dead_starts = set()
     rings = []
     for f0 in frags:
-        if id(f0) in used:
+        if id(f0) in used or id(f0) in dead_starts:
             continue
         ring = [f0[0]]
         cur = f0
-        used.add(id(cur))
+        trail = {id(cur)}
         guard = 0
         closed = False
         while guard < len(frags) + 1:
             guard += 1
             ring.append(cur[1])
             nxt_opts = [
-                g for g in by_start.get(_key(cur[1]), []) if id(g) not in used
+                g
+                for g in by_start.get(_key(cur[1]), [])
+                if id(g) not in used and id(g) not in trail
             ]
             if not nxt_opts and _key(cur[1]) == _key(f0[0]):
                 closed = True
@@ -458,11 +486,17 @@ def _stitch(frags):
                 closed = True
                 break
             cur = nxt
-            used.add(id(cur))
+            trail.add(id(cur))
         if closed:
+            # commit: consume the walked fragments only on success, so
+            # one broken junction (e.g. a gap left by degenerate input)
+            # cannot cascade into losing unrelated rings
+            used |= trail
             r = _norm_ring(ring)
             if len(r) >= 3 and abs(signed_area(r)) > EPS:
                 rings.append(r)
+        else:
+            dead_starts.add(id(f0))
     return rings
 
 
@@ -502,8 +536,7 @@ def poly_boolean(polys_a, polys_b, op: str):
 
     edges_a = list(_directed_edges(polys_a))
     edges_b = list(_directed_edges(polys_b))
-    frags_a = _node_edges(edges_a, edges_b)
-    frags_b = _node_edges(edges_b, edges_a)
+    frags_a, frags_b = _node_two_sets(edges_a, edges_b)
     keep = []
     for f in frags_a:
         cls = _classify_frag(f, polys_b, edges_b)
@@ -1020,8 +1053,51 @@ def _stadium(a, b, r, segs=_BUFFER_SEGS):
     return [ring]
 
 
+def _is_convex_ccw(ring) -> bool:
+    n = len(ring)
+    for i in range(n):
+        if _cross(ring[i], ring[(i + 1) % n], ring[(i + 2) % n]) < -EPS:
+            return False
+    return True
+
+
+def _buffer_convex_ring(ring, r, segs=_BUFFER_SEGS):
+    """Direct buffer boundary of a convex CCW ring: offset sides joined
+    by vertex arcs (exact start/end angles + the absolute angular grid
+    in between).  No union needed — adjacent stadiums' caps overlap on
+    the SAME circle, which makes union-of-parts numerically fragile
+    (near-coincident chords defeat on-boundary classification; caught
+    by the hypothesis inclusion-exclusion suite)."""
+    n = len(ring)
+    out = []
+    step = 2 * math.pi / segs
+    for i in range(n):
+        prev_a, v, nxt = ring[i - 1], ring[i], ring[(i + 1) % n]
+        d1x, d1y = v[0] - prev_a[0], v[1] - prev_a[1]
+        d2x, d2y = nxt[0] - v[0], nxt[1] - v[1]
+        # outward offset for a CCW ring is the RIGHT normal (dy, -dx)
+        a1 = math.atan2(-d1x, d1y)  # right-normal angle of incoming edge
+        a2 = math.atan2(-d2x, d2y)  # right-normal angle of outgoing edge
+        # convex CCW turn: the outward normal rotates CCW → sweep UP
+        while a2 < a1 - EPS:
+            a2 += 2 * math.pi
+        # exact start, absolute-grid interior (ascending), exact end
+        out.append((v[0] + r * math.cos(a1), v[1] + r * math.sin(a1)))
+        ang = (math.floor(a1 / step) + 1) * step
+        if ang <= a1 + EPS:
+            ang += step
+        while ang < a2 - EPS:
+            out.append((v[0] + r * math.cos(ang), v[1] + r * math.sin(ang)))
+            ang += step
+        out.append((v[0] + r * math.cos(a2), v[1] + r * math.sin(a2)))
+        # straight side along the outgoing edge's offset
+        out.append((nxt[0] + r * math.cos(a2), nxt[1] + r * math.sin(a2)))
+    return _norm_ring(out)
+
+
 def buffer_bag(bag: Bag, dist: float) -> Bag:
     parts = []
+    direct = []
     for p in bag.points:
         parts.append(_circle(p, dist))
     for path in bag.paths:
@@ -1031,11 +1107,19 @@ def buffer_bag(bag: Bag, dist: float) -> Bag:
         if len(path) == 1:
             parts.append(_circle(path[0], dist))
     for poly in bag.polys:
-        parts.append([list(r) for r in poly])
-        for a, b in _poly_edges(poly):
-            if _key(a) != _key(b):
-                parts.append(_stadium(a, b, dist))
-    return Bag(polys=dissolve(parts))
+        if len(poly) == 1 and _is_convex_ccw(poly[0]):
+            direct.append([_buffer_convex_ring(poly[0], dist)])
+        else:
+            parts.append([list(r) for r in poly])
+            for a, b in _poly_edges(poly):
+                if _key(a) != _key(b):
+                    parts.append(_stadium(a, b, dist))
+    if parts:
+        direct += parts
+        return Bag(polys=dissolve(direct))
+    if len(direct) > 1:
+        return Bag(polys=dissolve(direct))
+    return Bag(polys=direct)
 
 
 # --------------------------------------------------------------------------

@@ -2632,8 +2632,16 @@ def _pass_gs_empty_global(tokens: list[Tok]) -> list[Tok]:
             if u in _SETOP_KWS:
                 return tokens
         j += 1
-    if not {"SELECT", "FROM", "GROUP"} <= idx.keys() or "HAVING" in idx or "ORDER" in idx:
+    if not {"SELECT", "FROM", "GROUP"} <= idx.keys() or "HAVING" in idx:
         return tokens
+    if "ORDER" in idx:
+        # ORDER BY applies to the whole union result — detach it,
+        # rewrite the aggregation block, and re-append (LIMIT rides
+        # along in the suffix).  Found by the hypothesis grouping-sets
+        # differential: an explicit () arm under ORDER BY previously
+        # aborted the rewrite and lost the empty-input global row.
+        head = _pass_gs_empty_global(tokens[: idx["ORDER"]])
+        return head + tokens[idx["ORDER"]:]
     sel_i, from_i, group_i = idx["SELECT"], idx["FROM"], idx["GROUP"]
     if not (sel_i < from_i < group_i):
         return tokens
