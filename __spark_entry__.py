@@ -33,7 +33,7 @@ def _modules():
         skew,
         tpch,
     )
-    from facebook_presto_spark import ddl, sources
+    from facebook_presto_spark import connectors, ddl, sources
     from facebook_presto_spark.pipeline import (
         curation,
         dedup,
@@ -46,7 +46,7 @@ def _modules():
 
     return (
         tpch, presto_sql, relational, aggregates, functions_showcase, ddl,
-        sources, dedup, similarity, text, curation, multimodal,
+        sources, connectors, dedup, similarity, text, curation, multimodal,
         stream_windows, geospatial, ml, skew,
     )
 

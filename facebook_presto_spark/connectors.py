@@ -1,0 +1,834 @@
+"""Connector catalogs: memory, blackhole, localfile.
+
+Reference surface (all semantics re-derived, none of the Java ported):
+
+- presto-memory — ``MemoryMetadata.java:75`` (schema DDL with
+  ALREADY_EXISTS / NOT_FOUND / SCHEMA_NOT_EMPTY errors, ``default``
+  pre-created, rename), ``MemoryPagesStore.java:70`` (per-node byte cap,
+  "Memory limit [N] for memory connector exceeded"),
+  ``MemoryConfig.java:24`` (default 128 MB).
+- presto-blackhole — ``BlackHoleConnector.java:44-49`` (table properties
+  split_count / pages_per_split / rows_per_page / field_length /
+  page_processing_delay, defaults 0/0/0/16/0s),
+  ``BlackHolePageSourceProvider.java:85-140`` (reads generate all-zero
+  pages: false booleans, 0 numerics, ``'*'``-filled varchars truncated to
+  min(type length, field_length)), ``BlackHolePageSink`` (writes are
+  counted and discarded).
+- presto-local-file — ``LocalFileTables.java:115-127``
+  (``logs.http_request_log``, 12 fixed columns),
+  ``LocalFileRecordCursor.java:68`` (tab-separated lines, ISO-instant
+  timestamps), ``LocalFileMetadata.java:49`` (single ``logs`` schema).
+
+Spark mapping: every connector table surfaces as a session temp view
+under a mangled name (``memory.default.t`` → ``memory_default_t``); the
+``references`` / ``prepare`` pair follows the ``systemtables.py``
+pattern (refresh just-in-time, rewrite three-part names, let the normal
+translate path plan the query).  Memory tables are ``cacheTable``-pinned
+DataFrames — the byte accounting reads the cached relation's plan
+statistics, the same figure MemoryPagesStore tracks per node.  Blackhole
+reads are generated ``spark.range`` plans with ``split_count`` input
+partitions, so parallelism mirrors the reference's split fan-out and the
+constant columns stay inside whole-stage codegen.  Local-file reads are
+native ``spark.read.csv`` scans (header-less TSV), which keeps column
+pruning and predicate pushdown on the text source.
+
+Scale: memory tables are bounded by the explicit byte cap (the
+reference's contract — this is a broadcast-sized working set, not a data
+lake); blackhole generation is embarrassingly parallel (range splits, no
+shuffle); local-file scans split per file exactly like the reference's
+one-split-per-DataLocation file listing.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NAME = r"[A-Za-z_][A-Za-z0-9_]*"
+
+MEMORY_MAX_BYTES_DEFAULT = 128 << 20  # MemoryConfig.java:24
+
+
+# ---------------------------------------------------------------------------
+# presto type → (spark type, varchar length) for column definitions
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TYPES = {
+    "bigint": "bigint", "integer": "int", "int": "int",
+    "smallint": "smallint", "tinyint": "tinyint", "double": "double",
+    "real": "float", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp", "varbinary": "binary", "json": "string",
+}
+
+
+def _parse_presto_type(text: str) -> tuple[str, str, int | None]:
+    """``varchar(5)`` → (presto base, spark type, length)."""
+    t = text.strip().lower()
+    m = re.match(r"(varchar|char)\s*\(\s*(\d+)\s*\)$", t)
+    if m:
+        return m.group(1), "string", int(m.group(2))
+    if t in ("varchar", "char"):
+        return t, "string", None
+    m = re.match(r"decimal\s*\(\s*\d+\s*,\s*\d+\s*\)$", t)
+    if m:
+        return "decimal", t, None
+    if t in _SIMPLE_TYPES:
+        return t, _SIMPLE_TYPES[t], None
+    raise ValueError(f"unsupported column type for connector table: {text}")
+
+
+def _parse_duration_s(text: str) -> float:
+    """airlift Duration strings: '0s', '100ms', '2m' …"""
+    m = re.match(r"\s*([\d.]+)\s*(ns|us|ms|s|m|h|d)\s*$", text)
+    if not m:
+        raise ValueError(f"invalid duration: {text!r}")
+    mult = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0,
+            "m": 60.0, "h": 3600.0, "d": 86400.0}[m.group(2)]
+    return float(m.group(1)) * mult
+
+
+# ---------------------------------------------------------------------------
+# memory connector
+# ---------------------------------------------------------------------------
+
+
+class MemoryCatalog:
+    """In-memory tables: CTAS/INSERT pin a cached DataFrame per table.
+
+    MemoryMetadata.java behaviors mirrored: ``default`` schema exists up
+    front; CREATE into a missing schema / duplicate table / dropping a
+    non-empty schema raise with the reference's messages; the byte cap is
+    enforced on every write (MemoryPagesStore.java:70).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.schemas: set[str] = {"default"}
+        self.tables: dict[tuple[str, str], str] = {}  # (schema, tbl) → view
+        self.max_bytes = MEMORY_MAX_BYTES_DEFAULT
+
+    @staticmethod
+    def view_name(schema: str, table: str) -> str:
+        return f"memory_{schema}_{table}"
+
+    def _check_schema(self, schema: str) -> None:
+        if schema not in self.schemas:
+            raise ValueError(f"Schema {schema} not found")
+
+    def create_schema(self, schema: str, if_not_exists: bool) -> None:
+        if schema in self.schemas:
+            if if_not_exists:
+                return
+            raise ValueError(f"Schema [{schema}] already exists")
+        self.schemas.add(schema)
+
+    def drop_schema(self, schema: str, if_exists: bool) -> None:
+        if schema not in self.schemas:
+            if if_exists:
+                return
+            raise ValueError(f"Schema [{schema}] does not exist")
+        if any(s == schema for s, _t in self.tables):
+            raise ValueError(f"Schema not empty: {schema}")
+        self.schemas.discard(schema)
+
+    def _pin(self, view: str, df: DataFrame) -> int:
+        df.createOrReplaceTempView(view)
+        self.spark.catalog.cacheTable(view)
+        n = self.spark.table(view).count()  # materialize the cache
+        return n
+
+    def bytes_used(self) -> int:
+        total = 0
+        for view in self.tables.values():
+            stats = (
+                self.spark.table(view)._jdf.queryExecution()
+                .optimizedPlan().stats()
+            )
+            total += int(str(stats.sizeInBytes()))
+        return total
+
+    def _enforce_limit(self, rollback_view: str,
+                       prev_df: DataFrame | None) -> None:
+        if self.bytes_used() <= self.max_bytes:
+            return
+        # roll the offending write back before raising, as the sink does
+        self.spark.catalog.uncacheTable(rollback_view)
+        if prev_df is not None:
+            self._pin(rollback_view, prev_df)
+        else:
+            key = next(k for k, v in self.tables.items() if v == rollback_view)
+            del self.tables[key]
+            self.spark.catalog.dropTempView(rollback_view)
+        raise ValueError(
+            f"Memory limit [{self.max_bytes}] for memory connector exceeded"
+        )
+
+    def create(self, schema: str, table: str, df: DataFrame,
+               if_not_exists: bool) -> int:
+        self._check_schema(schema)
+        if (schema, table) in self.tables:
+            if if_not_exists:
+                return 0
+            raise ValueError(f"Table [{schema}.{table}] already exists")
+        view = self.view_name(schema, table)
+        self.tables[(schema, table)] = view
+        n = self._pin(view, df)
+        self._enforce_limit(view, prev_df=None)
+        return n
+
+    def insert(self, schema: str, table: str, df: DataFrame) -> int:
+        if (schema, table) not in self.tables:
+            raise ValueError(f"Table memory.{schema}.{table} does not exist")
+        view = self.tables[(schema, table)]
+        prev = self.spark.table(view)
+        # align by position with a name check, as InsertTableHandle does
+        if len(df.columns) != len(prev.columns):
+            raise ValueError(
+                f"INSERT has {len(df.columns)} columns; table "
+                f"{schema}.{table} has {len(prev.columns)}"
+            )
+        aligned = df.toDF(*prev.columns)
+        # materialize the previous cache into the union so re-caching the
+        # view does not re-run the original (possibly dropped) sources
+        merged = prev.unionByName(aligned)
+        n = aligned.count()
+        self.spark.catalog.uncacheTable(view)
+        self._pin(view, merged)
+        self._enforce_limit(view, prev_df=prev)
+        return n
+
+    def drop(self, schema: str, table: str, if_exists: bool) -> None:
+        if (schema, table) not in self.tables:
+            if if_exists:
+                return
+            raise ValueError(f"Table memory.{schema}.{table} does not exist")
+        view = self.tables.pop((schema, table))
+        self.spark.catalog.uncacheTable(view)
+        self.spark.catalog.dropTempView(view)
+
+    def rename(self, schema: str, table: str,
+               new_schema: str, new_table: str) -> None:
+        if (schema, table) not in self.tables:
+            raise ValueError(f"Table memory.{schema}.{table} does not exist")
+        self._check_schema(new_schema)
+        if (new_schema, new_table) in self.tables:
+            raise ValueError(
+                f"Table [{new_schema}.{new_table}] already exists"
+            )
+        view = self.tables.pop((schema, table))
+        df = self.spark.table(view)
+        new_view = self.view_name(new_schema, new_table)
+        self.tables[(new_schema, new_table)] = new_view
+        df.createOrReplaceTempView(new_view)
+        self.spark.catalog.dropTempView(view)
+
+    def list_tables(self, schema: str | None) -> list[str]:
+        return sorted(
+            t for s, t in self.tables if schema is None or s == schema
+        )
+
+
+# ---------------------------------------------------------------------------
+# blackhole connector
+# ---------------------------------------------------------------------------
+
+
+class BlackHoleCatalog:
+    """Property-driven synthetic reads; counted-and-discarded writes."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        # (schema, table) → (columns [(name, presto base, spark, len)], props)
+        self.tables: dict[tuple[str, str], tuple[list, dict]] = {}
+
+    _PROP_DEFAULTS = {  # BlackHoleConnector.java:118-157
+        "split_count": 0, "pages_per_split": 0, "rows_per_page": 0,
+        "field_length": 16, "page_processing_delay": "0s",
+    }
+
+    def create(self, schema: str, table: str, columns: list,
+               props: dict, if_not_exists: bool) -> None:
+        if (schema, table) in self.tables:
+            if if_not_exists:
+                return
+            raise ValueError(f"Table [{schema}.{table}] already exists")
+        merged = dict(self._PROP_DEFAULTS)
+        for k, v in props.items():
+            if k not in merged:
+                raise ValueError(f"unsupported blackhole table property: {k}")
+            merged[k] = v
+        _parse_duration_s(str(merged["page_processing_delay"]))  # validate
+        self.tables[(schema, table)] = (columns, merged)
+
+    def drop(self, schema: str, table: str, if_exists: bool) -> None:
+        if (schema, table) not in self.tables and not if_exists:
+            raise ValueError(
+                f"Table blackhole.{schema}.{table} does not exist"
+            )
+        self.tables.pop((schema, table), None)
+
+    def _zero_column(self, base: str, spark_type: str,
+                     length: int | None, field_length: int):
+        # BlackHolePageSourceProvider.createZeroBlock: false / 0 / 0.0 /
+        # '*' × min(type length, field_length); byte 42 is '*'
+        if base == "boolean":
+            return F.lit(False)
+        if base in ("bigint", "integer", "int", "smallint", "tinyint"):
+            return F.lit(0).cast(spark_type)
+        if base == "double":
+            return F.lit(0.0)
+        if base == "real":
+            return F.lit(0.0).cast("float")
+        if base == "decimal":
+            return F.lit(0).cast(spark_type)
+        if base == "date":
+            return F.lit("1970-01-01").cast("date")
+        if base == "timestamp":
+            return F.lit("1970-01-01 00:00:00").cast("timestamp")
+        if base in ("varchar", "char"):
+            n = field_length if length is None else min(length, field_length)
+            return F.lit("*" * n)
+        if base == "varbinary":
+            return F.lit(bytearray(b"*" * field_length))
+        if base == "json":
+            return F.lit("*" * field_length)
+        raise ValueError(f"blackhole cannot generate type {base}")
+
+    def generate(self, schema: str, table: str) -> DataFrame:
+        if (schema, table) not in self.tables:
+            raise ValueError(
+                f"Table blackhole.{schema}.{table} does not exist"
+            )
+        columns, props = self.tables[(schema, table)]
+        rows = (int(props["split_count"]) * int(props["pages_per_split"])
+                * int(props["rows_per_page"]))
+        parts = max(int(props["split_count"]), 1)
+        df = self.spark.range(0, rows, 1, parts).select(*[
+            self._zero_column(base, st, ln, int(props["field_length"]))
+            .alias(name)
+            for name, base, st, ln in columns
+        ])
+        delay = _parse_duration_s(str(props["page_processing_delay"]))
+        if delay > 0:
+            pages = max(int(props["pages_per_split"]), 1)
+            schema_ddl = ", ".join(
+                f"`{name}` {st}" for name, _b, st, _l in columns
+            )
+
+            def slow(batches):
+                for batch in batches:
+                    time.sleep(delay)
+                    yield batch
+
+            # per-split delay × pages, the sink/source sleep contract
+            df = df.mapInPandas(
+                lambda it: slow(it), schema=schema_ddl
+            )
+        return df
+
+    def write_rowcount(self, schema: str, table: str, df: DataFrame) -> int:
+        if (schema, table) not in self.tables:
+            raise ValueError(
+                f"Table blackhole.{schema}.{table} does not exist"
+            )
+        # BlackHolePageSink.appendPage: count, then drop the pages
+        return df.count()
+
+    def create_from_query(self, schema: str, table: str, df: DataFrame,
+                          props: dict, if_not_exists: bool) -> int:
+        columns = [
+            (f.name,) + _parse_presto_type(_spark_to_presto(f.dataType))
+            for f in df.schema.fields
+        ]
+        self.create(schema, table, columns, props, if_not_exists)
+        return df.count()
+
+
+def _spark_to_presto(dt) -> str:
+    s = dt.simpleString()
+    return {
+        "long": "bigint", "int": "integer", "short": "smallint",
+        "byte": "tinyint", "float": "real", "string": "varchar",
+        "binary": "varbinary",
+    }.get(s, s)
+
+
+# ---------------------------------------------------------------------------
+# local-file connector
+# ---------------------------------------------------------------------------
+
+# LocalFileTables.HttpRequestLogTable.COLUMNS (LocalFileTables.java:115-127)
+HTTP_REQUEST_LOG_SCHEMA = [
+    ("server_address", "string"),
+    ("timestamp", "timestamp"),
+    ("client_address", "string"),
+    ("method", "string"),
+    ("request_uri", "string"),
+    ("user", "string"),
+    ("agent", "string"),
+    ("response_code", "bigint"),
+    ("request_size", "bigint"),
+    ("response_size", "bigint"),
+    ("time_to_last_byte", "bigint"),
+    ("trace_token", "string"),
+]
+
+# LocalFileRecordCursor parses via DateTimeFormatter ISO instant
+_LOG_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+class LocalFileCatalog:
+    """``localfile.logs.http_request_log`` over a configured directory."""
+
+    SCHEMA_NAME = "logs"  # LocalFileMetadata.PRESTO_LOGS_SCHEMA
+    TABLE_NAME = "http_request_log"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.location: str | None = None
+
+    def configure(self, location: str) -> None:
+        """presto-local-file's http-request-log.location config."""
+        self.location = location
+
+    def read(self) -> DataFrame:
+        if self.location is None:
+            raise ValueError(
+                "localfile connector is not configured: set the "
+                "http_request_log location "
+                "(connectors.get_catalogs(spark).localfile.configure(dir))"
+            )
+        ddl = ", ".join(f"`{c}` {t}" for c, t in HTTP_REQUEST_LOG_SCHEMA)
+        return self.spark.read.csv(
+            self.location, sep="\t", schema=ddl,
+            timestampFormat=_LOG_TS_FORMAT,
+        )
+
+
+# ---------------------------------------------------------------------------
+# session-scoped registry + engine dispatch
+# ---------------------------------------------------------------------------
+
+
+class ConnectorCatalogs:
+    def __init__(self, spark: SparkSession):
+        self.memory = MemoryCatalog(spark)
+        self.blackhole = BlackHoleCatalog(spark)
+        self.localfile = LocalFileCatalog(spark)
+
+
+_CATALOGS: dict[int, ConnectorCatalogs] = {}
+
+
+def get_catalogs(spark: SparkSession) -> ConnectorCatalogs:
+    """One connector-state registry per SparkSession — connector tables
+    outlive any single engine instance, like the reference's
+    coordinator-held connector metadata."""
+    key = id(spark)
+    if key not in _CATALOGS:
+        _CATALOGS[key] = ConnectorCatalogs(spark)
+    return _CATALOGS[key]
+
+
+_T3 = rf"(memory|blackhole)\.({_NAME})\.({_NAME})"
+
+_CREATE_SCHEMA_RE = re.compile(
+    rf"\s*CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?memory\.({_NAME})\s*;?\s*$",
+    re.I,
+)
+_DROP_SCHEMA_RE = re.compile(
+    rf"\s*DROP\s+SCHEMA\s+(IF\s+EXISTS\s+)?memory\.({_NAME})\s*;?\s*$", re.I
+)
+_CTAS_RE = re.compile(
+    rf"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_T3}\s*"
+    rf"(?:WITH\s*\((?P<props>[^)]*)\)\s*)?AS\s+(?P<query>.+?)"
+    rf"(?:\s+WITH\s+(?P<nodata>NO\s+)?DATA)?\s*;?\s*$",
+    re.I | re.S,
+)
+_CREATE_COLS_RE = re.compile(
+    rf"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?{_T3}\s*"
+    rf"\((?P<cols>.+?)\)\s*(?:WITH\s*\((?P<props>[^)]*)\)\s*)?;?\s*$",
+    re.I | re.S,
+)
+_INSERT_RE = re.compile(
+    rf"\s*INSERT\s+INTO\s+{_T3}\s+(?P<query>.+?)\s*;?\s*$", re.I | re.S
+)
+_DROP_TABLE_RE = re.compile(
+    rf"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_T3}\s*;?\s*$", re.I
+)
+_RENAME_RE = re.compile(
+    rf"\s*ALTER\s+TABLE\s+memory\.({_NAME})\.({_NAME})\s+RENAME\s+TO\s+"
+    rf"(?:memory\.)?({_NAME})\.({_NAME})\s*;?\s*$",
+    re.I,
+)
+_SHOW_TABLES_RE = re.compile(
+    rf"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+memory(?:\.({_NAME}))?\s*;?\s*$", re.I
+)
+
+_REF_RE = re.compile(rf"\b(memory|blackhole|localfile)\.{_NAME}\.{_NAME}", re.I)
+
+
+def references(sql: str) -> bool:
+    return _REF_RE.search(sql) is not None
+
+
+def _parse_props(text: str | None) -> dict:
+    props: dict = {}
+    if not text:
+        return props
+    for part in text.split(","):
+        k, _eq, v = part.partition("=")
+        v = v.strip()
+        if v.startswith("'") and v.endswith("'"):
+            v = v[1:-1]
+        else:
+            v = int(v)
+        props[k.strip().lower()] = v
+    return props
+
+
+def _parse_columns(text: str) -> list:
+    cols = []
+    depth = 0
+    part = ""
+    parts = []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(part)
+            part = ""
+        else:
+            part += ch
+    if part.strip():
+        parts.append(part)
+    for p in parts:
+        name, _sp, tp = p.strip().partition(" ")
+        base, spark_type, length = _parse_presto_type(tp)
+        cols.append((name.strip().strip('"'), base, spark_type, length))
+    return cols
+
+
+def _ok(spark: SparkSession) -> DataFrame:
+    return spark.sql("SELECT true AS ok WHERE false")
+
+
+def _rows(spark: SparkSession, n: int) -> DataFrame:
+    return spark.createDataFrame([(n,)], "rows bigint")
+
+
+def dispatch(engine, sql: str) -> DataFrame | None:
+    """Handle DDL/DML addressed at a connector catalog; None = not ours."""
+    spark = engine.spark
+    cats = get_catalogs(spark)
+
+    m = _CREATE_SCHEMA_RE.match(sql)
+    if m:
+        cats.memory.create_schema(m.group(2).lower(), bool(m.group(1)))
+        return _ok(spark)
+    m = _DROP_SCHEMA_RE.match(sql)
+    if m:
+        cats.memory.drop_schema(m.group(2).lower(), bool(m.group(1)))
+        return _ok(spark)
+    m = _SHOW_TABLES_RE.match(sql)
+    if m:
+        names = cats.memory.list_tables(
+            m.group(1).lower() if m.group(1) else None
+        )
+        return spark.createDataFrame(
+            [(n,) for n in names], "`Table` string"
+        )
+    m = _RENAME_RE.match(sql)
+    if m:
+        cats.memory.rename(*(g.lower() for g in m.groups()))
+        return _ok(spark)
+    m = _DROP_TABLE_RE.match(sql)
+    if m:
+        cat, schema, table = (m.group(2).lower(), m.group(3).lower(),
+                              m.group(4).lower())
+        target = cats.memory if cat == "memory" else cats.blackhole
+        target.drop(schema, table, bool(m.group(1)))
+        return _ok(spark)
+    m = _CTAS_RE.match(sql)
+    if m:
+        cat, schema, table = (m.group(2).lower(), m.group(3).lower(),
+                              m.group(4).lower())
+        df = engine.sql(m.group("query"))
+        if m.group("nodata"):
+            df = df.limit(0)
+        if cat == "memory":
+            if _parse_props(m.group("props")):
+                raise ValueError(
+                    "memory connector tables take no properties"
+                )
+            n = cats.memory.create(
+                schema, table, df, bool(m.group(1))
+            )
+        else:
+            n = cats.blackhole.create_from_query(
+                schema, table, df, _parse_props(m.group("props")),
+                bool(m.group(1)),
+            )
+        return _rows(spark, n)
+    m = _CREATE_COLS_RE.match(sql)
+    if m:
+        cat, schema, table = (m.group(2).lower(), m.group(3).lower(),
+                              m.group(4).lower())
+        columns = _parse_columns(m.group("cols"))
+        props = _parse_props(m.group("props"))
+        if cat == "blackhole":
+            cats.blackhole.create(
+                schema, table, columns, props, bool(m.group(1))
+            )
+        else:
+            if props:
+                raise ValueError(
+                    "memory connector tables take no properties"
+                )
+            ddl = ", ".join(f"`{n}` {st}" for n, _b, st, _l in columns)
+            empty = spark.createDataFrame([], ddl)
+            cats.memory.create(schema, table, empty, bool(m.group(1)))
+        return _ok(spark)
+    m = _INSERT_RE.match(sql)
+    if m:
+        cat, schema, table = (m.group(1).lower(), m.group(2).lower(),
+                              m.group(3).lower())
+        df = engine.sql(m.group("query"))
+        if cat == "memory":
+            n = cats.memory.insert(schema, table, df)
+        else:
+            n = cats.blackhole.write_rowcount(schema, table, df)
+        return _rows(spark, n)
+    return None
+
+
+def prepare(engine, sql: str) -> str:
+    """Register temp views for every referenced connector table and
+    rewrite ``catalog.schema.table`` → the mangled view name."""
+    spark = engine.spark
+    cats = get_catalogs(spark)
+
+    def sub(m: re.Match) -> str:
+        cat, schema, table = (m.group(1).lower(), m.group(2).lower(),
+                              m.group(3).lower())
+        view = f"{cat}_{schema}_{table}"
+        if cat == "memory":
+            if (schema, table) not in cats.memory.tables:
+                raise ValueError(
+                    f"Table memory.{schema}.{table} does not exist"
+                )
+            return cats.memory.tables[(schema, table)]
+        if cat == "blackhole":
+            cats.blackhole.generate(schema, table).createOrReplaceTempView(
+                view
+            )
+            return view
+        if (schema, table) != (
+            LocalFileCatalog.SCHEMA_NAME, LocalFileCatalog.TABLE_NAME
+        ):
+            raise ValueError(
+                f"Table localfile.{schema}.{table} does not exist"
+            )
+        cats.localfile.read().createOrReplaceTempView(view)
+        return view
+
+    return re.compile(
+        rf"\b(memory|blackhole|localfile)\.({_NAME})\.({_NAME})", re.I
+    ).sub(sub, sql)
+
+
+# ---------------------------------------------------------------------------
+# driver queries — each exercises one connector end-to-end on the SQL path
+# ---------------------------------------------------------------------------
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    return PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+
+
+def connector_memory_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SCHEMA → CTAS → INSERT → aggregate read-back, all through
+    the memory catalog (TestMemorySmoke.testCreateAndDropTable/testSelect
+    shapes)."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("CREATE SCHEMA IF NOT EXISTS memory.sales")
+    eng.sql("DROP TABLE IF EXISTS memory.sales.big_orders")
+    eng.sql("""
+        CREATE TABLE memory.sales.big_orders AS
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_totalprice > 150000.0
+    """)
+    eng.sql("""
+        INSERT INTO memory.sales.big_orders
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_totalprice <= 150000.0 AND o_orderpriority = '1-URGENT'
+    """)
+    return eng.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM memory.sales.big_orders
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+
+
+ORACLE_MEMORY = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE o_totalprice > 150000.0
+   OR (o_totalprice <= 150000.0 AND o_orderpriority = '1-URGENT')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def connector_blackhole_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-driven synthetic scan + discarded write: 4 splits × 3
+    pages × 250 rows of all-zero values, '*'-padded varchars truncated at
+    field_length; an INSERT of real orders rows must not change what the
+    table reads back."""
+    eng = _engine(spark, sf_dir)
+    eng.sql("DROP TABLE IF EXISTS blackhole.default.load_gen")
+    eng.sql("""
+        CREATE TABLE blackhole.default.load_gen (
+            seq bigint, flag boolean, price double,
+            sym varchar(5), tag varchar, ts timestamp, d date)
+        WITH (split_count = 4, pages_per_split = 3, rows_per_page = 250,
+              field_length = 8)
+    """)
+    eng.sql("""
+        INSERT INTO blackhole.default.load_gen
+        SELECT o_orderkey, false, o_totalprice, 'xxxxx', 'yyyy',
+               TIMESTAMP '2020-01-01 00:00:00', DATE '2020-01-01'
+        FROM orders
+    """)
+    return eng.sql("""
+        SELECT count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq,
+               bool_or(flag) AS any_flag, sum(price) AS total_price,
+               min(sym) AS sym, min(tag) AS tag,
+               count(DISTINCT sym) AS nsym, min(ts) AS min_ts,
+               count_if(d = DATE '1970-01-01') AS d_epoch_rows
+        FROM blackhole.default.load_gen
+    """)
+
+
+ORACLE_BLACKHOLE = """
+SELECT CAST(3000 AS BIGINT) AS n, CAST(0 AS BIGINT) AS min_seq,
+       CAST(0 AS BIGINT) AS max_seq, false AS any_flag,
+       0.0 AS total_price, '*****' AS sym, '********' AS tag,
+       CAST(1 AS BIGINT) AS nsym,
+       TIMESTAMP '1970-01-01 00:00:00' AS min_ts,
+       CAST(3000 AS BIGINT) AS d_epoch_rows
+"""
+
+
+# deterministic request-log derivation shared by the fixture writer (Spark)
+# and the oracle (DuckDB re-derives from events directly)
+def _http_log_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    method = F.element_at(
+        F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT"), F.lit("DELETE")),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    return events.select(
+        F.concat(F.lit("srv-"), (F.col("event_id") % 8).cast("string"))
+        .alias("server_address"),
+        F.date_format(F.date_trunc("second", "ts"), _LOG_TS_FORMAT)
+        .alias("timestamp"),
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"),
+                 F.lit("."), (F.col("event_id") % 256).cast("string"))
+        .alias("client_address"),
+        method.alias("method"),
+        F.concat(F.lit("/"), F.col("event_type")).alias("request_uri"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string"))
+        .alias("user"),
+        F.concat(F.lit("agent/"), (F.col("user_id") % 5).cast("string"))
+        .alias("agent"),
+        (F.lit(200) + (F.col("event_id") % 4) * 100).alias("response_code"),
+        (F.col("event_id") % 1000).alias("request_size"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("bigint")
+        .alias("response_size"),
+        (F.col("event_id") % 97).alias("time_to_last_byte"),
+        F.concat(F.lit("tt-"), F.col("event_id").cast("string"))
+        .alias("trace_token"),
+    )
+
+
+def write_http_log_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the TSV request log the connector will read (distributed
+    csv write — the fixture generation itself never collects)."""
+    import os
+    import shutil
+
+    path = os.path.join("/root/repo/.scratch",
+                        f"http_log_{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _http_log_frame(spark, sf_dir).write.option("sep", "\t").csv(path)
+    return path
+
+
+def connector_localfile_http_log(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Read the TSV http_request_log through the localfile catalog and
+    aggregate — ISO timestamp parsing, the full 12-column schema, and
+    grouping all exercised."""
+    eng = _engine(spark, sf_dir)
+    get_catalogs(spark).localfile.configure(
+        write_http_log_fixture(spark, sf_dir)
+    )
+    return eng.sql("""
+        SELECT method, response_code, count(*) AS n,
+               sum(response_size) AS bytes,
+               max(time_to_last_byte) AS max_ttlb,
+               count(DISTINCT server_address) AS servers,
+               max("timestamp") AS max_ts
+        FROM localfile.logs.http_request_log
+        GROUP BY method, response_code
+        ORDER BY method, response_code
+    """)
+
+
+ORACLE_LOCALFILE = """
+WITH log AS (
+    SELECT CASE CAST(event_id % 4 AS INTEGER)
+               WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+               WHEN 2 THEN 'PUT' ELSE 'DELETE' END AS method,
+           200 + (event_id % 4) * 100 AS response_code,
+           CAST(round(coalesce(value, 0.0) * 100) AS BIGINT)
+               AS response_size,
+           event_id % 97 AS time_to_last_byte,
+           'srv-' || CAST(event_id % 8 AS VARCHAR) AS server_address,
+           date_trunc('second', ts) AS log_ts
+    FROM events
+)
+SELECT method, CAST(response_code AS BIGINT) AS response_code,
+       count(*) AS n, CAST(sum(response_size) AS BIGINT) AS bytes,
+       CAST(max(time_to_last_byte) AS BIGINT) AS max_ttlb,
+       CAST(count(DISTINCT server_address) AS BIGINT) AS servers,
+       max(log_ts) AS max_ts
+FROM log GROUP BY method, response_code
+ORDER BY method, response_code
+"""
+
+
+QUERIES = {
+    "connector_memory_roundtrip": connector_memory_roundtrip,
+    "connector_blackhole_scan": connector_blackhole_scan,
+    "connector_localfile_http_log": connector_localfile_http_log,
+}
+
+ORACLE = {
+    "connector_memory_roundtrip": ORACLE_MEMORY,
+    "connector_blackhole_scan": ORACLE_BLACKHOLE,
+    "connector_localfile_http_log": ORACLE_LOCALFILE,
+}

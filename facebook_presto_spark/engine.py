@@ -250,6 +250,15 @@ class PrestoSparkEngine:
             # name prefix only
             self.spark.catalog.setCurrentDatabase(m.group(2))
             return self.spark.sql("SELECT true AS ok WHERE false")
+        from facebook_presto_spark import connectors
+
+        # connector-catalog DDL/DML (memory/blackhole/localfile) — ahead
+        # of the generic metadata dispatch so e.g. ALTER TABLE memory.*
+        # RENAME resolves against the connector registry, not the session
+        # catalog
+        handled = connectors.dispatch(self, presto_sql)
+        if handled is not None:
+            return handled
         meta = self._dispatch_metadata(presto_sql)
         if meta is not None:
             return meta
@@ -326,6 +335,10 @@ class PrestoSparkEngine:
             # system.metadata.{catalogs,*_properties}
             systemtables.refresh_metadata(self.spark)
             presto_sql = systemtables.rewrite_metadata_names(presto_sql)
+        if connectors.references(presto_sql):
+            # memory/blackhole/localfile reads: register the referenced
+            # connector tables as temp views just-in-time, rewrite names
+            presto_sql = connectors.prepare(self, presto_sql)
         return self.spark.sql(translate(presto_sql))
 
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------

@@ -1,0 +1,198 @@
+"""Connector catalogs: memory / blackhole / localfile.
+
+Mirrors the reference's own smoke suites:
+- presto-memory/src/test/.../TestMemorySmoke.java (create/drop, duplicate
+  create, insert-select, empty CTAS, schema DDL, rename) and
+  TestMemoryPagesStore (byte-limit enforcement).
+- presto-blackhole/src/test/.../TestBlackHoleSmoke.java (zero-row default
+  props, field_length, discarded writes).
+- presto-local-file: LocalFileRecordCursor TSV + ISO-timestamp parsing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from facebook_presto_spark import connectors
+from facebook_presto_spark.engine import PrestoSparkEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+
+
+@pytest.fixture(autouse=True)
+def _clean(spark):
+    yield
+    cats = connectors.get_catalogs(spark)
+    for schema, table in list(cats.memory.tables):
+        cats.memory.drop(schema, table, if_exists=True)
+    cats.memory.schemas = {"default"}
+    cats.memory.max_bytes = connectors.MEMORY_MAX_BYTES_DEFAULT
+    cats.blackhole.tables.clear()
+
+
+# -- memory ------------------------------------------------------------------
+
+
+def test_memory_create_select_drop(eng):
+    eng.sql("CREATE TABLE memory.default.nations AS SELECT * FROM nation")
+    got = eng.sql(
+        "SELECT count(*) AS n FROM memory.default.nations"
+    ).collect()
+    assert got[0]["n"] == 25
+    names = [r["Table"] for r in eng.sql("SHOW TABLES FROM memory.default").collect()]
+    assert "nations" in names
+    eng.sql("DROP TABLE memory.default.nations")
+    names = [r["Table"] for r in eng.sql("SHOW TABLES FROM memory.default").collect()]
+    assert "nations" not in names
+    with pytest.raises(Exception, match="does not exist"):
+        eng.sql("SELECT * FROM memory.default.nations").collect()
+
+
+def test_memory_create_when_already_created(eng):
+    eng.sql("CREATE TABLE memory.default.dup AS SELECT * FROM region")
+    with pytest.raises(ValueError, match=r"already exists"):
+        eng.sql("CREATE TABLE memory.default.dup AS SELECT * FROM region")
+    # IF NOT EXISTS form is a no-op, as in MemoryMetadata
+    eng.sql(
+        "CREATE TABLE IF NOT EXISTS memory.default.dup AS SELECT * FROM region"
+    )
+
+
+def test_memory_insert_and_ctas_no_data(eng):
+    eng.sql(
+        "CREATE TABLE memory.default.empty AS SELECT * FROM region WITH NO DATA"
+    )
+    assert eng.sql("SELECT * FROM memory.default.empty").count() == 0
+    n = eng.sql(
+        "INSERT INTO memory.default.empty SELECT * FROM region"
+    ).collect()
+    assert n[0]["rows"] == 5
+    eng.sql("INSERT INTO memory.default.empty SELECT * FROM region")
+    assert eng.sql("SELECT * FROM memory.default.empty").count() == 10
+
+
+def test_memory_schema_ddl(eng):
+    eng.sql("CREATE SCHEMA memory.test_schema")
+    with pytest.raises(ValueError, match=r"already exists"):
+        eng.sql("CREATE SCHEMA memory.test_schema")
+    eng.sql("CREATE TABLE memory.test_schema.t AS SELECT * FROM region")
+    with pytest.raises(ValueError, match="Schema not empty"):
+        eng.sql("DROP SCHEMA memory.test_schema")
+    eng.sql("DROP TABLE memory.test_schema.t")
+    eng.sql("DROP SCHEMA memory.test_schema")
+    with pytest.raises(ValueError, match="not found"):
+        eng.sql("CREATE TABLE memory.nope.t AS SELECT * FROM region")
+
+
+def test_memory_rename(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS memory.other")
+    eng.sql("CREATE TABLE memory.default.src AS SELECT * FROM region")
+    eng.sql("ALTER TABLE memory.default.src RENAME TO memory.other.dst")
+    assert eng.sql("SELECT * FROM memory.other.dst").count() == 5
+    with pytest.raises(Exception, match="does not exist"):
+        eng.sql("SELECT * FROM memory.default.src").collect()
+    eng.sql("DROP TABLE memory.other.dst")
+    eng.sql("DROP SCHEMA memory.other")
+
+
+def test_memory_limit_enforced(eng, spark):
+    cats = connectors.get_catalogs(spark)
+    cats.memory.max_bytes = 1024  # force the MemoryPagesStore error path
+    with pytest.raises(ValueError, match=r"Memory limit \[1024\] for memory "
+                                         r"connector exceeded"):
+        eng.sql("CREATE TABLE memory.default.toobig AS SELECT * FROM orders")
+    # the failed write rolled back: the table is not visible
+    assert ("default", "toobig") not in cats.memory.tables
+
+
+# -- blackhole ---------------------------------------------------------------
+
+
+def test_blackhole_default_props_empty(eng):
+    eng.sql("CREATE TABLE blackhole.default.nil (x bigint, s varchar)")
+    assert eng.sql("SELECT * FROM blackhole.default.nil").count() == 0
+
+
+def test_blackhole_generates_zero_pages(eng):
+    eng.sql("""
+        CREATE TABLE blackhole.default.gen
+            (x bigint, b boolean, v varchar(3), w varchar, p double)
+        WITH (split_count = 2, pages_per_split = 2, rows_per_page = 10)
+    """)
+    rows = eng.sql("SELECT DISTINCT * FROM blackhole.default.gen").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # BlackHolePageSourceProvider: 0 / false / '*'×min(len, field_length=16)
+    assert (r["x"], r["b"], r["v"], r["w"], r["p"]) == (
+        0, False, "***", "*" * 16, 0.0,
+    )
+    assert eng.sql("SELECT count(*) AS n FROM blackhole.default.gen") \
+        .collect()[0]["n"] == 40
+
+
+def test_blackhole_write_discarded(eng):
+    eng.sql("CREATE TABLE blackhole.default.sink (k bigint, nm varchar)")
+    n = eng.sql(
+        "INSERT INTO blackhole.default.sink "
+        "SELECT n_nationkey, n_name FROM nation"
+    ).collect()
+    assert n[0]["rows"] == 25
+    assert eng.sql("SELECT * FROM blackhole.default.sink").count() == 0
+
+
+def test_blackhole_ctas_counts_and_discards(eng):
+    n = eng.sql(
+        "CREATE TABLE blackhole.default.cts AS SELECT * FROM nation"
+    ).collect()
+    assert n[0]["rows"] == 25
+    assert eng.sql("SELECT * FROM blackhole.default.cts").count() == 0
+
+
+def test_blackhole_unknown_property_rejected(eng):
+    with pytest.raises(ValueError, match="unsupported blackhole table"):
+        eng.sql(
+            "CREATE TABLE blackhole.default.bad (x bigint) "
+            "WITH (bogus = 1)"
+        )
+
+
+# -- localfile ---------------------------------------------------------------
+
+
+def test_localfile_reads_tsv(eng, spark, sf_dir):
+    path = connectors.write_http_log_fixture(spark, sf_dir)
+    connectors.get_catalogs(spark).localfile.configure(path)
+    df = eng.sql("""
+        SELECT count(*) AS n, count(DISTINCT method) AS methods,
+               min(response_code) AS lo, max(response_code) AS hi
+        FROM localfile.logs.http_request_log
+    """)
+    r = df.collect()[0]
+    assert r["methods"] == 4 and (r["lo"], r["hi"]) == (200, 500)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    assert r["n"] == events.count()
+
+
+def test_localfile_unconfigured_raises(eng, spark):
+    cats = connectors.get_catalogs(spark)
+    saved, cats.localfile.location = cats.localfile.location, None
+    try:
+        with pytest.raises(ValueError, match="not configured"):
+            eng.sql("SELECT * FROM localfile.logs.http_request_log")
+    finally:
+        cats.localfile.location = saved
+
+
+def test_localfile_timestamp_parses(eng, spark, sf_dir):
+    path = connectors.write_http_log_fixture(spark, sf_dir)
+    connectors.get_catalogs(spark).localfile.configure(path)
+    r = eng.sql("""
+        SELECT min(year("timestamp")) AS y
+        FROM localfile.logs.http_request_log
+    """).collect()[0]
+    assert r["y"] >= 1990  # parsed as a real timestamp, not null/garbage
