@@ -409,6 +409,259 @@ class LocalFileCatalog:
 
 
 # ---------------------------------------------------------------------------
+# jmx connector
+# ---------------------------------------------------------------------------
+
+
+class _MBeanServerHandle:
+    """Typed calls on the platform MBeanServer through the public
+    interface, reflected JVM-side (see JmxCatalog note)."""
+
+    def __init__(self, jvm, gw, mbs):
+        self.jvm, self.gw, self.mbs = jvm, gw, mbs
+        cls = jvm.java.lang.Class.forName("javax.management.MBeanServer")
+        self._methods = {}
+        for name, sig in (
+            ("queryNames", ["javax.management.ObjectName",
+                            "javax.management.QueryExp"]),
+            ("getMBeanInfo", ["javax.management.ObjectName"]),
+            ("getAttribute", ["javax.management.ObjectName",
+                              "java.lang.String"]),
+        ):
+            types = gw.new_array(jvm.java.lang.Class, len(sig))
+            for i, t in enumerate(sig):
+                types[i] = jvm.java.lang.Class.forName(t)
+            self._methods[name] = cls.getMethod(name, types)
+
+    def _invoke(self, name: str, *args):
+        jargs = self.gw.new_array(self.jvm.java.lang.Object, len(args))
+        for i, a in enumerate(args):
+            jargs[i] = a
+        return self._methods[name].invoke(self.mbs, jargs)
+
+    def query_names(self):
+        wildcard = self.jvm.javax.management.ObjectName("*:*")
+        it = self._invoke("queryNames", wildcard, None).iterator()
+        out = []
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    def mbean_info(self, object_name):
+        return self._invoke("getMBeanInfo", object_name)
+
+    def attribute(self, object_name, attr: str):
+        return self._invoke("getAttribute", object_name, attr)
+
+
+class JmxCatalog:
+    """``jmx.current.*`` / ``jmx.history.*`` over the live JVM's platform
+    MBean server (presto-jmx).
+
+    Reference semantics mirrored from ``JmxMetadata.java``: a table name
+    is an ObjectName matched case-insensitively against canonical names,
+    ``*`` wildcards expand to multi-mbean tables (``toPattern``, :147);
+    columns are ``node`` + ``object_name`` + the union of readable
+    attributes across the matched mbeans, deduplicated and sorted by name
+    (:143-148); attribute types map boolean→boolean, integral→bigint,
+    float/double→double, everything else→varchar via toString with
+    ``Arrays.toString`` for arrays (:264-:300,
+    ``JmxRecordSetProvider.java:117-145``).  ``jmx.history.<t>`` adds a
+    leading ``timestamp`` column (:119) filled by a periodic sampler that
+    rounds to the dump period so rows group/join across tables
+    (``JmxPeriodicSampler.java:105``); the ring buffer keeps
+    ``max-entries`` dumps (``JmxConnectorConfig``).
+
+    This is real JMX — the MBean server of the single local JVM — read
+    driver-side (metadata-sized: one row per matched mbean, exactly the
+    reference's one-row-per-node-per-mbean shape with one node).
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.history_tables: list[str] = []
+        self.dump_period_s = 10.0  # JmxConnectorConfig default
+        self.max_entries = 86400
+        self._history: dict[str, list] = {}
+        self._timer = None
+
+    # -- config (jmx.dump-tables / dump-period / max-entries) ---------------
+
+    def configure(self, dump_tables: list[str], dump_period_s: float = 10.0,
+                  max_entries: int = 86400) -> None:
+        self.history_tables = [t.lower() for t in dump_tables]
+        self.dump_period_s = dump_period_s
+        self.max_entries = max_entries
+        self._history = {t: [] for t in self.history_tables}
+
+    # -- mbean access --------------------------------------------------------
+    #
+    # The platform MBeanServer's implementing class lives in a
+    # non-exported JDK package, so py4j cannot reflect on it directly.
+    # All calls go through the PUBLIC javax.management.MBeanServer
+    # interface via JVM-side java.lang.reflect (interface-method invoke
+    # is legal regardless of the implementation class's visibility).
+
+    def _server(self):
+        jvm = self.spark._jvm
+        gw = self.spark.sparkContext._gateway
+        mbs = (jvm.java.lang.management.ManagementFactory
+               .getPlatformMBeanServer())
+        return _MBeanServerHandle(jvm, gw, mbs)
+
+    def _matched(self, server, table: str) -> list:
+        """ObjectNames whose canonical name matches the table pattern."""
+        table = table.lower()
+        parts = [re.escape(p) for p in table.split("*")]
+        pattern = re.compile(".*".join(parts) + "$")
+        out = []
+        for on in server.query_names():
+            if pattern.match(on.getCanonicalName().lower()):
+                out.append(on)
+        return sorted(out, key=lambda o: o.getCanonicalName())
+
+    @staticmethod
+    def _column_type(java_type: str) -> str:
+        if java_type in ("boolean", "java.lang.Boolean"):
+            return "boolean"
+        if java_type in ("byte", "java.lang.Byte", "short",
+                         "java.lang.Short", "int", "java.lang.Integer",
+                         "long", "java.lang.Long"):
+            return "bigint"
+        if java_type in ("float", "java.lang.Float", "double",
+                         "java.lang.Double"):
+            return "double"
+        return "string"
+
+    def _value(self, jvm, raw, spark_type: str, java_type: str):
+        if raw is None:
+            return None
+        if spark_type == "boolean":
+            return bool(raw)
+        if spark_type == "bigint":
+            return int(raw)
+        if spark_type == "double":
+            return float(raw)
+        if isinstance(raw, (str, int, float, bool)):
+            return str(raw)
+        if java_type.startswith("[") or java_type.endswith("[]"):
+            try:
+                return jvm.java.util.Arrays.toString(raw)
+            except Exception:  # noqa: BLE001 — deep arrays etc.
+                pass
+        return raw.toString()
+
+    def list_tables(self) -> list[str]:
+        server = self._server()
+        return sorted(
+            on.getCanonicalName().lower() for on in server.query_names()
+        )
+
+    def _snapshot(self, table: str) -> tuple[list[str], list[str], list]:
+        """(column names, spark types, rows) for a current-schema read."""
+        server = self._server()
+        jvm = server.jvm
+        matched = self._matched(server, table)
+        if not matched:
+            raise ValueError(f"Table jmx.current.{table} does not exist")
+        # union of readable attributes, deduped, sorted (JmxMetadata:143)
+        attr_types: dict[str, str] = {}
+        readables: list[dict[str, str]] = []
+        for on in matched:
+            attrs = server.mbean_info(on).getAttributes()
+            readable = {
+                a.getName().lower(): a.getName()
+                for a in attrs if a.isReadable()
+            }
+            readables.append(readable)
+            for a in attrs:
+                if a.isReadable() and a.getName().lower() not in attr_types:
+                    attr_types[a.getName().lower()] = a.getType()
+        names = sorted(attr_types)
+        node = self.spark.sparkContext.applicationId
+        rows = []
+        for on, readable in zip(matched, readables):
+            row = [node, on.getCanonicalName()]
+            for n in names:
+                if n not in readable:
+                    row.append(None)
+                    continue
+                jt = attr_types[n]
+                st = self._column_type(jt)
+                try:
+                    raw = server.attribute(on, readable[n])
+                    row.append(self._value(jvm, raw, st, jt))
+                except Exception:  # noqa: BLE001 — unsupported attribute
+                    row.append(None)
+            rows.append(row)
+        cols = ["node", "object_name"] + names
+        types = ["string", "string"] + [
+            self._column_type(attr_types[n]) for n in names
+        ]
+        return cols, types, rows
+
+    def read_current(self, table: str) -> DataFrame:
+        cols, types, rows = self._snapshot(table)
+        ddl = ", ".join(f"`{c}` {t}" for c, t in zip(cols, types))
+        return self.spark.createDataFrame(rows, ddl)
+
+    # -- history (JmxPeriodicSampler / JmxHistoricalData) --------------------
+
+    def sample(self, at: float | None = None) -> None:
+        """One dump of every configured history table; timestamps round
+        to the dump period (JmxPeriodicSampler.java:105)."""
+        if at is None:
+            at = time.time()
+        period = max(self.dump_period_s, 1e-9)
+        rounded = round(at / period) * period
+        for table in self.history_tables:
+            cols, types, rows = self._snapshot(table)
+            entries = self._history.setdefault(table, [])
+            entries.append((rounded, cols, types, rows))
+            del entries[:-self.max_entries]
+
+    def start_sampler(self) -> None:
+        import threading
+
+        def tick():
+            self.sample()
+            self._timer = threading.Timer(self.dump_period_s, tick)
+            self._timer.daemon = True
+            self._timer.start()
+
+        self.stop_sampler()
+        tick()
+
+    def stop_sampler(self) -> None:
+        if self._timer is not None:
+            self._timer.cancel()
+            self._timer = None
+
+    def read_history(self, table: str) -> DataFrame:
+        import datetime as dt
+
+        table = table.lower()
+        if table not in self.history_tables:
+            raise ValueError(f"Table jmx.history.{table} does not exist")
+        entries = self._history.get(table, [])
+        if not entries:
+            cols, types, _rows = self._snapshot(table)
+            rows: list = []
+        else:
+            _ts, cols, types, _r = entries[-1]
+            rows = [
+                [dt.datetime.fromtimestamp(ts)] + row
+                for ts, _c, _t, dump_rows in entries
+                for row in dump_rows
+            ]
+        ddl = ", ".join(
+            ["`timestamp` timestamp"]
+            + [f"`{c}` {t}" for c, t in zip(cols, types)]
+        )
+        return self.spark.createDataFrame(rows, ddl)
+
+
+# ---------------------------------------------------------------------------
 # session-scoped registry + engine dispatch
 # ---------------------------------------------------------------------------
 
@@ -418,6 +671,7 @@ class ConnectorCatalogs:
         self.memory = MemoryCatalog(spark)
         self.blackhole = BlackHoleCatalog(spark)
         self.localfile = LocalFileCatalog(spark)
+        self.jmx = JmxCatalog(spark)
 
 
 _CATALOGS: dict[int, ConnectorCatalogs] = {}
@@ -467,8 +721,15 @@ _RENAME_RE = re.compile(
 _SHOW_TABLES_RE = re.compile(
     rf"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+memory(?:\.({_NAME}))?\s*;?\s*$", re.I
 )
+_SHOW_JMX_RE = re.compile(
+    r"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+jmx\.(current|history)\s*;?\s*$", re.I
+)
 
-_REF_RE = re.compile(rf"\b(memory|blackhole|localfile)\.{_NAME}\.{_NAME}", re.I)
+_JMX_REF = r'jmx\.(current|history)\.(?:"([^"]+)"|([A-Za-z_][\w.]*))'
+_REF_RE = re.compile(
+    rf"\b(?:(?:memory|blackhole|localfile)\.{_NAME}\.{_NAME}|{_JMX_REF})",
+    re.I,
+)
 
 
 def references(sql: str) -> bool:
@@ -539,6 +800,15 @@ def dispatch(engine, sql: str) -> DataFrame | None:
     if m:
         names = cats.memory.list_tables(
             m.group(1).lower() if m.group(1) else None
+        )
+        return spark.createDataFrame(
+            [(n,) for n in names], "`Table` string"
+        )
+    m = _SHOW_JMX_RE.match(sql)
+    if m:
+        names = (
+            cats.jmx.list_tables() if m.group(1).lower() == "current"
+            else sorted(cats.jmx.history_tables)
         )
         return spark.createDataFrame(
             [(n,) for n in names], "`Table` string"
@@ -637,6 +907,16 @@ def prepare(engine, sql: str) -> str:
         cats.localfile.read().createOrReplaceTempView(view)
         return view
 
+    def sub_jmx(m: re.Match) -> str:
+        schema = m.group(1).lower()
+        table = (m.group(2) or m.group(3)).lower()
+        view = "jmx_" + schema + "__" + re.sub(r"\W+", "_", table)
+        df = (cats.jmx.read_current(table) if schema == "current"
+              else cats.jmx.read_history(table))
+        df.createOrReplaceTempView(view)
+        return view
+
+    sql = re.compile(_JMX_REF, re.I).sub(sub_jmx, sql)
     return re.compile(
         rf"\b(memory|blackhole|localfile)\.({_NAME})\.({_NAME})", re.I
     ).sub(sub, sql)
@@ -821,14 +1101,38 @@ ORDER BY method, response_code
 """
 
 
+def connector_jmx_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the JVM Memory MBean through jmx.current — the projection is
+    limited to the deterministic surface (object name, attribute
+    presence/typing) so the oracle can pin it; the live values themselves
+    are exercised by tests/test_connectors.py."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT object_name, count(*) AS n,
+               bool_and(heapmemoryusage IS NOT NULL) AS has_heap,
+               bool_and(objectpendingfinalizationcount >= 0) AS fin_ok,
+               bool_and(verbose IN (true, false)) AS verbose_bool
+        FROM jmx.current."java.lang:type=memory"
+        GROUP BY object_name
+    """)
+
+
+ORACLE_JMX = """
+SELECT 'java.lang:type=Memory' AS object_name, CAST(1 AS BIGINT) AS n,
+       true AS has_heap, true AS fin_ok, true AS verbose_bool
+"""
+
+
 QUERIES = {
     "connector_memory_roundtrip": connector_memory_roundtrip,
     "connector_blackhole_scan": connector_blackhole_scan,
     "connector_localfile_http_log": connector_localfile_http_log,
+    "connector_jmx_memory": connector_jmx_memory,
 }
 
 ORACLE = {
     "connector_memory_roundtrip": ORACLE_MEMORY,
     "connector_blackhole_scan": ORACLE_BLACKHOLE,
     "connector_localfile_http_log": ORACLE_LOCALFILE,
+    "connector_jmx_memory": ORACLE_JMX,
 }

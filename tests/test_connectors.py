@@ -188,6 +188,61 @@ def test_localfile_unconfigured_raises(eng, spark):
         cats.localfile.location = saved
 
 
+# -- jmx ----------------------------------------------------------------------
+
+
+def test_jmx_current_memory_mbean(eng):
+    rows = eng.sql(
+        'SELECT * FROM jmx.current."java.lang:type=memory"'
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["object_name"] == "java.lang:type=Memory"
+    assert r["objectpendingfinalizationcount"] >= 0
+    assert isinstance(r["verbose"], bool)
+    # composite attributes render as varchar (JmxRecordSetProvider:145)
+    assert "Composite" in r["heapmemoryusage"]
+
+
+def test_jmx_wildcard_multi_mbean(eng):
+    df = eng.sql(
+        'SELECT object_name, valid FROM jmx.current.'
+        '"java.lang:name=*,type=memorypool" ORDER BY object_name'
+    )
+    rows = df.collect()
+    assert len(rows) >= 2  # heap + at least one code-cache pool
+    assert all(r["valid"] for r in rows)
+
+
+def test_jmx_list_and_missing(eng, spark):
+    from facebook_presto_spark import connectors
+
+    names = [
+        r["Table"] for r in eng.sql("SHOW TABLES FROM jmx.current").collect()
+    ]
+    assert "java.lang:type=runtime" in names
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql('SELECT * FROM jmx.current."no.such:type=bean"')
+
+
+def test_jmx_history_sampling(eng, spark):
+    from facebook_presto_spark import connectors
+
+    jmx = connectors.get_catalogs(spark).jmx
+    jmx.configure(["java.lang:type=Memory"], dump_period_s=1.0,
+                  max_entries=10)
+    jmx.sample(at=100.0)
+    jmx.sample(at=101.4)  # rounds to 101.0
+    df = eng.sql(
+        'SELECT "timestamp", object_name FROM jmx.history.'
+        '"java.lang:type=memory" ORDER BY "timestamp"'
+    )
+    rows = df.collect()
+    assert len(rows) == 2
+    assert [r["timestamp"].second for r in rows] == [40, 41]
+    assert all(r["object_name"] == "java.lang:type=Memory" for r in rows)
+
+
 def test_localfile_timestamp_parses(eng, spark, sf_dir):
     path = connectors.write_http_log_fixture(spark, sf_dir)
     connectors.get_catalogs(spark).localfile.configure(path)
