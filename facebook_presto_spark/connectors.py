@@ -409,6 +409,107 @@ class LocalFileCatalog:
 
 
 # ---------------------------------------------------------------------------
+# example-http connector
+# ---------------------------------------------------------------------------
+
+
+class ExampleHttpCatalog:
+    """presto-example-http: tables are lists of CSV files behind URIs,
+    declared by a metadata JSON document.
+
+    Reference semantics (``ExampleClient.java:95-116``): the metadata URI
+    yields ``{schema: [{name, columns: [{name, type}], sources: [...]}]}``
+    with source URIs resolved against the metadata URI;
+    ``ExampleRecordCursor.java:41,96`` splits lines on ``','`` with
+    trimmed fields and parses by declared column type
+    (Boolean/Long/Double.parse, varchar as-is); ``ExampleSplitManager``
+    makes one split per source URI.
+
+    Spark mapping: one RDD partition per source URI, fetched ON THE
+    EXECUTOR (urllib handles http/https/file), parsed with the cursor's
+    exact trim/parse rules — the reference's split-per-URL fan-out, so a
+    1000-file table reads 1000-way parallel.  This is the one justified
+    RDD use in the repo: per-partition imperative fetch of a remote
+    byte source that Spark has no native reader for.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        # schema → table → (columns [(name, presto type)], source uris)
+        self.schemas: dict[str, dict] = {}
+
+    def configure(self, metadata_uri: str) -> None:
+        import json
+        import urllib.parse
+        import urllib.request
+
+        with urllib.request.urlopen(metadata_uri) as fh:
+            doc = json.loads(fh.read().decode("utf-8"))
+        schemas: dict[str, dict] = {}
+        for schema, tables in doc.items():
+            out = {}
+            for t in tables:
+                cols = [(c["name"], c["type"].lower()) for c in t["columns"]]
+                sources = [
+                    urllib.parse.urljoin(metadata_uri, s)
+                    for s in t["sources"]
+                ]
+                out[t["name"].lower()] = (cols, sources)
+            schemas[schema.lower()] = out
+        self.schemas = schemas
+
+    def list_tables(self, schema: str | None) -> list[str]:
+        if schema is not None:
+            return sorted(self.schemas.get(schema, {}))
+        return sorted(t for s in self.schemas.values() for t in s)
+
+    def read(self, schema: str, table: str) -> DataFrame:
+        if table not in self.schemas.get(schema, {}):
+            raise ValueError(
+                f"Table example.{schema}.{table} does not exist"
+            )
+        cols, sources = self.schemas[schema][table]
+        types = [_parse_presto_type(t)[1] for _n, t in cols]
+
+        def parse_cell(text: str | None, spark_type: str):
+            # ExampleRecordCursor: trimmed fields, Java parse semantics
+            if text is None:
+                return None
+            text = text.strip()
+            if spark_type in ("bigint", "int", "smallint", "tinyint"):
+                return int(text)
+            if spark_type in ("double", "float"):
+                return float(text)
+            if spark_type == "boolean":
+                return text.lower() == "true"
+            return text
+
+        def fetch_split(uris):
+            import urllib.request
+
+            n = len(types)
+            for uri in uris:
+                with urllib.request.urlopen(uri) as fh:
+                    for line in fh.read().decode("utf-8").splitlines():
+                        if not line.strip():
+                            continue
+                        parts = line.split(",")
+                        # extra fields ignored, missing fields NULL —
+                        # the cursor reads only declared ordinals
+                        parts = parts[:n] + [None] * (n - len(parts))
+                        yield tuple(
+                            parse_cell(p, st)
+                            for p, st in zip(parts, types)
+                        )
+
+        ddl = ", ".join(f"`{n}` {st}" for (n, _t), st in zip(cols, types))
+        rdd = self.spark.sparkContext.parallelize(
+            sources, max(len(sources), 1)
+        ).mapPartitions(fetch_split)
+        return self.spark.createDataFrame(rdd, ddl)
+
+
+# ---------------------------------------------------------------------------
 # jmx connector
 # ---------------------------------------------------------------------------
 
@@ -672,6 +773,7 @@ class ConnectorCatalogs:
         self.blackhole = BlackHoleCatalog(spark)
         self.localfile = LocalFileCatalog(spark)
         self.jmx = JmxCatalog(spark)
+        self.example = ExampleHttpCatalog(spark)
 
 
 _CATALOGS: dict[int, ConnectorCatalogs] = {}
@@ -724,10 +826,15 @@ _SHOW_TABLES_RE = re.compile(
 _SHOW_JMX_RE = re.compile(
     r"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+jmx\.(current|history)\s*;?\s*$", re.I
 )
+_SHOW_EXAMPLE_RE = re.compile(
+    rf"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+example(?:\.({_NAME}))?\s*;?\s*$",
+    re.I,
+)
 
 _JMX_REF = r'jmx\.(current|history)\.(?:"([^"]+)"|([A-Za-z_][\w.]*))'
 _REF_RE = re.compile(
-    rf"\b(?:(?:memory|blackhole|localfile)\.{_NAME}\.{_NAME}|{_JMX_REF})",
+    rf"\b(?:(?:memory|blackhole|localfile|example)\.{_NAME}\.{_NAME}"
+    rf"|{_JMX_REF})",
     re.I,
 )
 
@@ -809,6 +916,14 @@ def dispatch(engine, sql: str) -> DataFrame | None:
         names = (
             cats.jmx.list_tables() if m.group(1).lower() == "current"
             else sorted(cats.jmx.history_tables)
+        )
+        return spark.createDataFrame(
+            [(n,) for n in names], "`Table` string"
+        )
+    m = _SHOW_EXAMPLE_RE.match(sql)
+    if m:
+        names = cats.example.list_tables(
+            m.group(1).lower() if m.group(1) else None
         )
         return spark.createDataFrame(
             [(n,) for n in names], "`Table` string"
@@ -898,6 +1013,9 @@ def prepare(engine, sql: str) -> str:
                 view
             )
             return view
+        if cat == "example":
+            cats.example.read(schema, table).createOrReplaceTempView(view)
+            return view
         if (schema, table) != (
             LocalFileCatalog.SCHEMA_NAME, LocalFileCatalog.TABLE_NAME
         ):
@@ -918,7 +1036,8 @@ def prepare(engine, sql: str) -> str:
 
     sql = re.compile(_JMX_REF, re.I).sub(sub_jmx, sql)
     return re.compile(
-        rf"\b(memory|blackhole|localfile)\.({_NAME})\.({_NAME})", re.I
+        rf"\b(memory|blackhole|localfile|example)\.({_NAME})\.({_NAME})",
+        re.I,
     ).sub(sub, sql)
 
 
@@ -1101,6 +1220,63 @@ ORDER BY method, response_code
 """
 
 
+def write_example_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the example-http catalog: nation as two CSV source files +
+    the metadata JSON document, exactly the reference's test layout
+    (example-metadata.json with relative source URIs)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    base = os.path.join("/root/repo/.scratch",
+                        f"example_http_{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.select("n_nationkey", "n_name", "n_regionkey") \
+        .repartition(2).write.csv(base)
+    sources = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(base, "part-*"))
+    )
+    doc = {"geo": [{
+        "name": "nations",
+        "columns": [
+            {"name": "n_nationkey", "type": "BIGINT"},
+            {"name": "n_name", "type": "VARCHAR"},
+            {"name": "n_regionkey", "type": "BIGINT"},
+        ],
+        "sources": sources,
+    }]}
+    meta = os.path.join(base, "example-metadata.json")
+    with open(meta, "w") as fh:
+        json.dump(doc, fh)
+    return "file://" + meta
+
+
+def connector_example_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the URI-backed CSV table through the example catalog (one
+    split per source file) and join it against a parquet dim."""
+    eng = _engine(spark, sf_dir)
+    get_catalogs(spark).example.configure(
+        write_example_fixture(spark, sf_dir)
+    )
+    return eng.sql("""
+        SELECT r_name, count(*) AS n, sum(n_nationkey) AS key_sum
+        FROM example.geo.nations e
+        JOIN region r ON e.n_regionkey = r.r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """)
+
+
+ORACLE_EXAMPLE = """
+SELECT r_name, count(*) AS n,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 def connector_jmx_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the JVM Memory MBean through jmx.current — the projection is
     limited to the deterministic surface (object name, attribute
@@ -1128,9 +1304,11 @@ QUERIES = {
     "connector_blackhole_scan": connector_blackhole_scan,
     "connector_localfile_http_log": connector_localfile_http_log,
     "connector_jmx_memory": connector_jmx_memory,
+    "connector_example_http": connector_example_http,
 }
 
 ORACLE = {
+    "connector_example_http": ORACLE_EXAMPLE,
     "connector_memory_roundtrip": ORACLE_MEMORY,
     "connector_blackhole_scan": ORACLE_BLACKHOLE,
     "connector_localfile_http_log": ORACLE_LOCALFILE,

@@ -188,6 +188,65 @@ def test_localfile_unconfigured_raises(eng, spark):
         cats.localfile.location = saved
 
 
+# -- example-http --------------------------------------------------------------
+
+REF_EXAMPLE_DATA = (
+    "/root/reference/presto-example-http/src/test/resources/example-data"
+)
+
+
+def test_example_http_over_real_http(eng, spark):
+    """Serve the reference's own example-data fixtures over a local HTTP
+    server and read them through the connector — metadata fetch, relative
+    source-URI resolution, per-URI splits, and the cursor's trim/parse
+    rules all exercised end-to-end."""
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=REF_EXAMPLE_DATA
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        connectors.get_catalogs(spark).example.configure(
+            f"http://127.0.0.1:{port}/example-metadata.json"
+        )
+        rows = eng.sql(
+            "SELECT text, value FROM example.example.numbers ORDER BY value"
+        ).collect()
+        assert [(r["text"], r["value"]) for r in rows] == [
+            ("one", 1), ("two", 2), ("three", 3),
+            ("ten", 10), ("eleven", 11), ("twelve", 12),
+        ]
+        # schema listing + the tpch schema's typed columns
+        names = [
+            r["Table"]
+            for r in eng.sql("SHOW TABLES FROM example.tpch").collect()
+        ]
+        assert names == ["lineitem", "orders"]
+        total = eng.sql(
+            "SELECT sum(totalprice) AS tp, count(*) AS n "
+            "FROM example.tpch.orders"
+        ).collect()[0]
+        assert total["n"] > 0 and total["tp"] > 0.0
+    finally:
+        srv.shutdown()
+
+
+def test_example_http_split_per_source(eng, spark):
+    path = connectors.write_example_fixture(spark, "/root/testdata/sf0.01")
+    cats = connectors.get_catalogs(spark)
+    cats.example.configure(path)
+    df = cats.example.read("geo", "nations")
+    assert df.rdd.getNumPartitions() == 2  # one split per source URI
+    assert df.count() == 25
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("SELECT * FROM example.geo.nope")
+
+
 # -- jmx ----------------------------------------------------------------------
 
 
