@@ -409,6 +409,87 @@ class LocalFileCatalog:
 
 
 # ---------------------------------------------------------------------------
+# tpch connector
+# ---------------------------------------------------------------------------
+
+
+class TpchCatalog:
+    """presto-tpch: the reference's in-process TPC-H data connector.
+
+    Reference semantics (``TpchMetadata.java:89-93,470``): schemas are
+    ``tiny`` (scale factor 0.01) plus ``sf<N>`` names whose suffix parses
+    as the scale factor; tables carry the TPC-H standard columns with
+    UNPREFIXED names (``orderkey``, not ``o_orderkey`` —
+    ``TpchColumn.getColumnName``).
+
+    Substitution, documented: the reference runs dbgen in-process at any
+    scale factor; this environment ships pre-generated parquet at fixed
+    scale factors, so the connector serves exactly the schemas whose
+    dataset directory exists (``tiny`` → sf0.01) and raises loudly for
+    any other scale factor.  Reads are native parquet scans — pushdown
+    and pruning intact — with a rename-only projection to the
+    reference's column names (zero-cost in Catalyst).
+    """
+
+    BASE = "/root/testdata"
+    TABLES = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem")
+    _PREFIX = {"region": "r_", "nation": "n_", "customer": "c_",
+               "supplier": "s_", "part": "p_", "orders": "o_",
+               "lineitem": "l_"}
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def schema_dir(self, schema: str) -> str:
+        import os
+
+        schema = schema.lower()
+        if schema == "tiny":  # TINY_SCALE_FACTOR = 0.01
+            sf = "0.01"
+        elif schema.startswith("sf"):
+            sf = schema[2:].replace("_", ".")
+        else:
+            raise ValueError(f"Schema tpch.{schema} does not exist")
+        path = os.path.join(self.BASE, f"sf{sf}")
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"Schema tpch.{schema} does not exist: scale factor {sf} "
+                f"is not materialized in this environment (available: "
+                f"tiny plus the sf* directories under {self.BASE})"
+            )
+        return path
+
+    def list_schemas(self) -> list[str]:
+        import os
+
+        out = ["tiny"]
+        for d in sorted(os.listdir(self.BASE)):
+            if d.startswith("sf"):
+                out.append(d.replace(".", "_"))
+        return out
+
+    def read(self, schema: str, table: str) -> DataFrame:
+        import os
+
+        table = table.lower()
+        path = self.schema_dir(schema)
+        if table == "partsupp":
+            raise NotImplementedError(
+                "tpch.partsupp is not part of this environment's generated "
+                "dataset (TESTDATA.md ships 7 of the 8 TPC-H tables)"
+            )
+        if table not in self.TABLES:
+            raise ValueError(f"Table tpch.{schema}.{table} does not exist")
+        df = self.spark.read.parquet(os.path.join(path, f"{table}.parquet"))
+        prefix = self._PREFIX[table]
+        renames = {
+            c: c[len(prefix):] for c in df.columns if c.startswith(prefix)
+        }
+        return df.withColumnsRenamed(renames)
+
+
+# ---------------------------------------------------------------------------
 # example-http connector
 # ---------------------------------------------------------------------------
 
@@ -774,6 +855,7 @@ class ConnectorCatalogs:
         self.localfile = LocalFileCatalog(spark)
         self.jmx = JmxCatalog(spark)
         self.example = ExampleHttpCatalog(spark)
+        self.tpch = TpchCatalog(spark)
 
 
 _CATALOGS: dict[int, ConnectorCatalogs] = {}
@@ -830,10 +912,16 @@ _SHOW_EXAMPLE_RE = re.compile(
     rf"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+example(?:\.({_NAME}))?\s*;?\s*$",
     re.I,
 )
+_SHOW_TPCH_TABLES_RE = re.compile(
+    rf"\s*SHOW\s+TABLES\s+(?:FROM|IN)\s+tpch\.({_NAME})\s*;?\s*$", re.I
+)
+_SHOW_TPCH_SCHEMAS_RE = re.compile(
+    r"\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+tpch\s*;?\s*$", re.I
+)
 
 _JMX_REF = r'jmx\.(current|history)\.(?:"([^"]+)"|([A-Za-z_][\w.]*))'
 _REF_RE = re.compile(
-    rf"\b(?:(?:memory|blackhole|localfile|example)\.{_NAME}\.{_NAME}"
+    rf"\b(?:(?:memory|blackhole|localfile|example|tpch)\.{_NAME}\.{_NAME}"
     rf"|{_JMX_REF})",
     re.I,
 )
@@ -928,6 +1016,16 @@ def dispatch(engine, sql: str) -> DataFrame | None:
         return spark.createDataFrame(
             [(n,) for n in names], "`Table` string"
         )
+    m = _SHOW_TPCH_TABLES_RE.match(sql)
+    if m:
+        cats.tpch.schema_dir(m.group(1))  # validates the scale factor
+        return spark.createDataFrame(
+            [(n,) for n in sorted(cats.tpch.TABLES)], "`Table` string"
+        )
+    if _SHOW_TPCH_SCHEMAS_RE.match(sql):
+        return spark.createDataFrame(
+            [(n,) for n in cats.tpch.list_schemas()], "`Schema` string"
+        )
     m = _RENAME_RE.match(sql)
     if m:
         cats.memory.rename(*(g.lower() for g in m.groups()))
@@ -1016,6 +1114,9 @@ def prepare(engine, sql: str) -> str:
         if cat == "example":
             cats.example.read(schema, table).createOrReplaceTempView(view)
             return view
+        if cat == "tpch":
+            cats.tpch.read(schema, table).createOrReplaceTempView(view)
+            return view
         if (schema, table) != (
             LocalFileCatalog.SCHEMA_NAME, LocalFileCatalog.TABLE_NAME
         ):
@@ -1036,7 +1137,7 @@ def prepare(engine, sql: str) -> str:
 
     sql = re.compile(_JMX_REF, re.I).sub(sub_jmx, sql)
     return re.compile(
-        rf"\b(memory|blackhole|localfile|example)\.({_NAME})\.({_NAME})",
+        rf"\b(memory|blackhole|localfile|example|tpch)\.({_NAME})\.({_NAME})",
         re.I,
     ).sub(sub, sql)
 
@@ -1277,6 +1378,25 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+def connector_tpch_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical smoke query shape over the tpch catalog
+    (tiny = scale factor 0.01, unprefixed TPC-H column names)."""
+    eng = _engine(spark, sf_dir)
+    return eng.sql("""
+        SELECT orderstatus, count(*) AS n,
+               sum(CAST(round(totalprice * 100) AS BIGINT)) AS cents
+        FROM tpch.tiny.orders
+        GROUP BY orderstatus ORDER BY orderstatus
+    """)
+
+
+ORACLE_TPCH_TINY = """
+SELECT o_orderstatus AS orderstatus, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def connector_jmx_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the JVM Memory MBean through jmx.current — the projection is
     limited to the deterministic surface (object name, attribute
@@ -1305,10 +1425,12 @@ QUERIES = {
     "connector_localfile_http_log": connector_localfile_http_log,
     "connector_jmx_memory": connector_jmx_memory,
     "connector_example_http": connector_example_http,
+    "connector_tpch_tiny": connector_tpch_tiny,
 }
 
 ORACLE = {
     "connector_example_http": ORACLE_EXAMPLE,
+    "connector_tpch_tiny": ORACLE_TPCH_TINY,
     "connector_memory_roundtrip": ORACLE_MEMORY,
     "connector_blackhole_scan": ORACLE_BLACKHOLE,
     "connector_localfile_http_log": ORACLE_LOCALFILE,

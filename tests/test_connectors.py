@@ -247,6 +247,44 @@ def test_example_http_split_per_source(eng, spark):
         eng.sql("SELECT * FROM example.geo.nope")
 
 
+# -- tpch ----------------------------------------------------------------------
+
+
+def test_tpch_tiny_unprefixed_columns(eng, spark):
+    df = eng.sql(
+        "SELECT orderkey, custkey, totalprice FROM tpch.tiny.orders "
+        "WHERE orderkey < 10"
+    )
+    rows = df.collect()
+    prefixed = spark.read.parquet("/root/testdata/sf0.01/orders.parquet") \
+        .filter("o_orderkey < 10").count()
+    assert len(rows) == prefixed and rows[0]["orderkey"] is not None
+
+
+def test_tpch_schema_listing_and_errors(eng):
+    schemas = [
+        r["Schema"] for r in eng.sql("SHOW SCHEMAS FROM tpch").collect()
+    ]
+    assert "tiny" in schemas and "sf0_1" in schemas
+    tables = [
+        r["Table"] for r in eng.sql("SHOW TABLES FROM tpch.tiny").collect()
+    ]
+    assert "lineitem" in tables and "orders" in tables
+    with pytest.raises(ValueError, match="not materialized"):
+        eng.sql("SELECT * FROM tpch.sf1000.orders")
+    with pytest.raises(NotImplementedError, match="partsupp"):
+        eng.sql("SELECT * FROM tpch.tiny.partsupp")
+
+
+def test_tpch_scan_pushdown_survives_rename(eng, spark):
+    # the rename-only projection must not block parquet filter pushdown
+    df = eng.sql(
+        "SELECT orderkey FROM tpch.tiny.orders WHERE orderkey = 7"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan
+
+
 # -- jmx ----------------------------------------------------------------------
 
 
