@@ -293,7 +293,18 @@ def refresh_metadata(spark: SparkSession, catalog_name: str = "spark") -> None:
             body = f"SELECT {nulls} WHERE FALSE"
         spark.sql(f"CREATE OR REPLACE VIEW system_metadata.`{name}` AS {body}")
 
-    view("catalogs", [(catalog_name, catalog_name)])
+    # the primary Spark catalog plus every registered connector catalog
+    # (CatalogSystemTable lists the connector registry; the connector_id
+    # is the plugin's factory name)
+    connector_catalogs = [
+        ("memory", "memory"), ("blackhole", "blackhole"),
+        ("localfile", "localfile"), ("jmx", "jmx"),
+        ("example", "example-http"), ("tpch", "tpch"),
+        ("system", "system"),
+    ]
+    view("catalogs", sorted(
+        [(catalog_name, catalog_name)] + connector_catalogs
+    ))
     view("table_properties", [
         (catalog_name, n, d, t, desc) for n, d, t, desc in _TABLE_PROPERTIES
     ])

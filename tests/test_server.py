@@ -317,8 +317,16 @@ def test_system_metadata_and_transactions(server):
     (TransactionsSystemTable — always empty: Spark commits per
     statement, no multi-statement transaction ever exists)."""
     eng = server.engine
-    cats = eng.sql("SELECT * FROM system.metadata.catalogs").collect()
-    assert [(r.catalog_name, r.connector_id) for r in cats] == [("spark", "spark")]
+    cats = {
+        r.catalog_name: r.connector_id
+        for r in eng.sql("SELECT * FROM system.metadata.catalogs").collect()
+    }
+    assert cats["spark"] == "spark"
+    # every registered connector catalog is listed (CatalogSystemTable)
+    assert cats["example"] == "example-http"
+    for name in ("memory", "blackhole", "localfile", "jmx", "tpch",
+                 "system"):
+        assert cats[name] == name
     props = {
         r.property_name: r.type
         for r in eng.sql(
