@@ -918,6 +918,9 @@ _SHOW_TPCH_TABLES_RE = re.compile(
 _SHOW_TPCH_SCHEMAS_RE = re.compile(
     r"\s*SHOW\s+SCHEMAS\s+(?:FROM|IN)\s+tpch\s*;?\s*$", re.I
 )
+_SHOW_CATALOGS_RE = re.compile(
+    r"\s*SHOW\s+CATALOGS(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$", re.I
+)
 
 _JMX_REF = r'jmx\.(current|history)\.(?:"([^"]+)"|([A-Za-z_][\w.]*))'
 _REF_RE = re.compile(
@@ -1025,6 +1028,20 @@ def dispatch(engine, sql: str) -> DataFrame | None:
     if _SHOW_TPCH_SCHEMAS_RE.match(sql):
         return spark.createDataFrame(
             [(n,) for n in cats.tpch.list_schemas()], "`Schema` string"
+        )
+    m = _SHOW_CATALOGS_RE.match(sql)
+    if m:
+        # ShowQueriesRewrite.visitShowCatalogs — LIKE maps % and _
+        names = ["blackhole", "example", "jmx", "localfile", "memory",
+                 "spark", "system", "tpch"]
+        if m.group(1) is not None:
+            pat = re.compile(
+                "^" + re.escape(m.group(1))
+                .replace("%", ".*").replace("_", ".") + "$"
+            )
+            names = [n for n in names if pat.match(n)]
+        return spark.createDataFrame(
+            [(n,) for n in names], "`Catalog` string"
         )
     m = _RENAME_RE.match(sql)
     if m:

@@ -247,6 +247,17 @@ def test_example_http_split_per_source(eng, spark):
         eng.sql("SELECT * FROM example.geo.nope")
 
 
+def test_show_catalogs(eng):
+    names = [r["Catalog"] for r in eng.sql("SHOW CATALOGS").collect()]
+    assert names == ["blackhole", "example", "jmx", "localfile", "memory",
+                     "spark", "system", "tpch"]
+    like = [
+        r["Catalog"]
+        for r in eng.sql("SHOW CATALOGS LIKE '%m%'").collect()
+    ]
+    assert like == ["example", "jmx", "memory", "system"]
+
+
 # -- tpch ----------------------------------------------------------------------
 
 
