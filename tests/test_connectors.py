@@ -100,6 +100,18 @@ def test_memory_rename(eng):
     eng.sql("DROP SCHEMA memory.other")
 
 
+def test_memory_insert_values_and_describe(eng):
+    eng.sql("CREATE TABLE memory.default.kv (k bigint, v varchar)")
+    eng.sql("INSERT INTO memory.default.kv VALUES (1, 'a'), (2, 'b')")
+    rows = eng.sql("SELECT * FROM memory.default.kv ORDER BY k").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "a"), (2, "b")]
+    cols = [
+        r["col_name"]
+        for r in eng.sql("DESCRIBE memory.default.kv").collect()
+    ]
+    assert cols == ["k", "v"]
+
+
 def test_memory_limit_enforced(eng, spark):
     cats = connectors.get_catalogs(spark)
     cats.memory.max_bytes = 1024  # force the MemoryPagesStore error path
