@@ -43,6 +43,16 @@ _SHOW_FUNCTIONS_RE = re.compile(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", re.I)
 _SHOW_STATS_RE = re.compile(
     r"^\s*SHOW\s+STATS\s+FOR\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
 )
+# showStatsForQuery (SqlBase.g4:83): SHOW STATS FOR (SELECT …)
+_SHOW_STATS_QUERY_RE = re.compile(
+    r"^\s*SHOW\s+STATS\s+FOR\s*\((.+)\)\s*;?\s*$", re.I | re.S
+)
+_SHOW_CREATE_TABLE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.\"]+)\s*;?\s*$", re.I
+)
+_ALTER_SCHEMA_RE = re.compile(
+    r"^\s*ALTER\s+SCHEMA\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$", re.I
+)
 _EXPLAIN_ANALYZE_RE = re.compile(r"^\s*EXPLAIN\s+ANALYZE\s+(.+)$", re.I | re.S)
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+"
@@ -411,7 +421,18 @@ class PrestoSparkEngine:
             return self.spark.createDataFrame(rows, "function_name string, implementation string")
         m = _SHOW_STATS_RE.match(presto_sql)
         if m:
-            return self._show_stats(m.group(1))
+            return self._show_stats(self.spark.table(m.group(1)))
+        m = _SHOW_STATS_QUERY_RE.match(presto_sql)
+        if m:
+            # ShowStatsRewrite over a query: statistics of the RESULT
+            # relation, computed live from the plan's output
+            return self._show_stats(self.sql(m.group(1)))
+        m = _SHOW_CREATE_TABLE_RE.match(presto_sql)
+        if m:
+            return self._show_create_table(m.group(1))
+        m = _ALTER_SCHEMA_RE.match(presto_sql)
+        if m:
+            return self._alter_schema(m.group(1), m.group(2))
         m = _DESCRIBE_IO_RE.match(presto_sql)
         if m:
             kind, name = m.group(1).upper(), m.group(2).lower()
@@ -494,15 +515,15 @@ class PrestoSparkEngine:
         )
         return self.spark.createDataFrame([(payload,)], "query_plan string")
 
-    def _show_stats(self, table: str) -> DataFrame:
-        """SHOW STATS FOR <table> (SqlBase.g4:82, MetadataManager table
-        statistics): one aggregation pass computes per-column
-        data_size / approx distinct / nulls fraction / low / high, plus
-        the summary row — the same shape the reference returns from
-        connector stats, derived live instead of from a metastore."""
+    def _show_stats(self, df: DataFrame) -> DataFrame:
+        """SHOW STATS FOR <table> | (query) (SqlBase.g4:82-83,
+        MetadataManager table statistics / ShowStatsRewrite): one
+        aggregation pass computes per-column data_size / approx distinct
+        / nulls fraction / low / high, plus the summary row — the same
+        shape the reference returns from connector stats, derived live
+        instead of from a metastore."""
         from pyspark.sql import functions as F
 
-        df = self.spark.table(table)
         n = F.count(F.lit(1))
         aggs: list = [n.alias("__n")]
         numericish = ("int", "bigint", "smallint", "tinyint", "double",
@@ -537,6 +558,58 @@ class PrestoSparkEngine:
             out,
             "column_name string, data_size double, distinct_values_count double, "
             "nulls_fraction double, row_count double, low_value string, high_value string",
+        )
+
+    def _show_create_table(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE (ShowQueriesRewrite.visitShowCreate TABLE
+        arm): render a Presto-dialect CREATE TABLE from the live schema
+        with StandardTypes names — Spark's native command refuses temp
+        views, and the reference renders from metadata anyway."""
+        from facebook_presto_spark.infoschema import presto_type_name
+
+        bare = name.strip('"').split(".")[-1].lower()
+        if bare in self._views:
+            raise ValueError(
+                f"Relation '{name}' is a view, not a table. "
+                f"Use SHOW CREATE VIEW"
+            )
+        df = self.spark.table(name)
+        cols = ",\n".join(
+            f'   "{f.name}" {presto_type_name(f.dataType.simpleString())}'
+            for f in df.schema.fields
+        )
+        text = f'CREATE TABLE {bare} (\n{cols}\n)'
+        return self.spark.createDataFrame(
+            [(text,)], "`Create Table` string"
+        )
+
+    def _alter_schema(self, old: str, new: str) -> DataFrame:
+        """ALTER SCHEMA … RENAME TO (SqlBase.g4 renameSchema).  Only the
+        memory catalog supports live schema rename; Spark's session
+        catalog cannot rename a database, so other targets raise the
+        reference-style NOT_SUPPORTED error."""
+        old_parts, new_parts = old.lower().split("."), new.lower().split(".")
+        if old_parts[0] == "memory":
+            from facebook_presto_spark import connectors
+
+            mem = connectors.get_catalogs(self.spark).memory
+            old_s = old_parts[-1]
+            new_s = new_parts[-1]
+            if old_s not in mem.schemas:
+                raise ValueError(f"Schema [{old_s}] does not exist")
+            if new_s in mem.schemas:
+                raise ValueError(f"Schema [{new_s}] already exists")
+            mem.schemas.discard(old_s)
+            mem.schemas.add(new_s)
+            renames = [
+                (s, t) for (s, t) in mem.tables if s == old_s
+            ]
+            for s, t in renames:
+                mem.rename(s, t, new_s, t)
+            return self.spark.sql("SELECT true AS ok WHERE false")
+        raise ValueError(
+            "This connector does not support renaming schemas "
+            "(only the memory catalog supports ALTER SCHEMA RENAME here)"
         )
 
     def _bind_nulls(self, body: str) -> str:

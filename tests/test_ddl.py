@@ -154,3 +154,60 @@ def test_view_introspection(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="does not exist"):
         engine.sql("SHOW CREATE VIEW v_cheap")
+
+
+def test_show_create_table(spark, sf_dir):
+    """ShowQueriesRewrite.visitShowCreate TABLE arm: Presto-dialect DDL
+    rendered from live schema with StandardTypes names."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    engine = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    text = engine.sql("SHOW CREATE TABLE region").collect()[0]["Create Table"]
+    assert text.startswith("CREATE TABLE region (")
+    assert '"r_regionkey" integer' in text and '"r_name" varchar' in text
+    engine.sql("CREATE VIEW scv_v AS SELECT 1 AS one")
+    try:
+        import pytest
+
+        with pytest.raises(ValueError, match="SHOW CREATE VIEW"):
+            engine.sql("SHOW CREATE TABLE scv_v")
+    finally:
+        engine.sql("DROP VIEW scv_v")
+
+
+def test_show_stats_for_query(spark, sf_dir):
+    """showStatsForQuery (SqlBase.g4): stats of the result relation."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    engine = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    rows = engine.sql(
+        "SHOW STATS FOR (SELECT o_orderkey FROM orders WHERE o_orderkey < 100)"
+    ).collect()
+    by_col = {r["column_name"]: r for r in rows}
+    assert set(by_col) == {"o_orderkey", None}
+    summary = by_col[None]
+    exact = engine.sql(
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey < 100"
+    ).collect()[0]["n"]
+    assert summary["row_count"] == float(exact)
+    assert float(by_col["o_orderkey"]["high_value"]) < 100
+
+
+def test_alter_schema_rename_memory_only(spark, sf_dir):
+    import pytest
+
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    engine = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    engine.sql("CREATE SCHEMA IF NOT EXISTS memory.before")
+    engine.sql("DROP TABLE IF EXISTS memory.before.t")
+    engine.sql("CREATE TABLE memory.before.t AS SELECT * FROM region")
+    engine.sql("ALTER SCHEMA memory.before RENAME TO memory.after")
+    assert engine.sql("SELECT count(*) AS n FROM memory.after.t") \
+        .collect()[0]["n"] == 5
+    with pytest.raises(Exception, match="does not exist"):
+        engine.sql("SELECT * FROM memory.before.t").collect()
+    engine.sql("DROP TABLE memory.after.t")
+    engine.sql("DROP SCHEMA memory.after")
+    with pytest.raises(ValueError, match="does not support renaming"):
+        engine.sql("ALTER SCHEMA default RENAME TO other")
