@@ -181,11 +181,95 @@ FROM documents
 """
 
 
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: a corpus-trained bigram language
+    model with add-one smoothing, scored as mean negative log-likelihood
+    per document (lower = more ordinary text; the standard perplexity
+    quality filter, trained and applied in one distributed pass).
+
+    Model: c2(w1,w2) bigram counts, c1(w1) context counts, V = distinct
+    successor vocabulary; per-bigram NLL = -ln((c2+1)/(c1+V)).
+
+    Determinism-by-construction for the float path: the per-document sum
+    folds an array SORTED BY TOKEN POSITION, so Spark and the oracle add
+    the same doubles in the same order (never an unordered SQL avg —
+    partial-agg order would change the bits).
+
+    Scale: one narrow explode, two model aggregations, one
+    (w1,w2)-shuffled count join, one per-doc regroup.  At 100 TB the
+    model gets a frequency floor (drop hapax bigrams — the add-one term
+    already dominates them) and is trained once and reused; both knobs
+    are plain filters on the `big`/`uni` frames."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens(F.col("text"))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda w, i: F.struct(
+            w.alias("w1"), F.element_at(toks, i + 2).alias("w2")
+        ),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(bigrams).alias("pos", "bg")
+    ).select("doc_id", "pos", F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    big = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = ex.agg(F.countDistinct("w2").alias("v"))
+    lp = -F.log(
+        (F.col("c2") + F.lit(1)).cast("double")
+        / (F.col("c1") + F.col("v")).cast("double")
+    )
+    scored = (
+        ex.join(big, ["w1", "w2"]).join(uni, ["w1"]).crossJoin(F.broadcast(v))
+        .select("doc_id", "pos", lp.alias("lp"))
+    )
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("pos").alias("pos"), F.col("lp").alias("lp")
+    )))
+    total = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x["lp"]
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.size(arr).cast("bigint").alias("n_bigrams"),
+            # round to 9 decimals: JVM Math.log and libm ln legitimately
+            # differ in the last ulp for some inputs (transcendentals are
+            # not IEEE bit-standardized); 9 digits keeps full filtering
+            # power while absorbing the 1-ulp divergence
+            F.round(total / F.size(arr), 9).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_PERPLEXITY_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ex AS (
+    SELECT doc_id, i AS pos, t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS r(i)
+),
+big AS (SELECT w1, w2, count(*) AS c2 FROM ex GROUP BY w1, w2),
+uni AS (SELECT w1, count(*) AS c1 FROM ex GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM ex),
+lps AS (
+    SELECT e.doc_id, e.pos,
+           -ln(CAST(b.c2 + 1 AS DOUBLE) / CAST(u.c1 + v.v AS DOUBLE)) AS lp
+    FROM ex e JOIN big b USING (w1, w2) JOIN uni u USING (w1) CROSS JOIN v
+),
+per AS (SELECT doc_id, list(lp ORDER BY pos) AS lst FROM lps GROUP BY doc_id)
+SELECT doc_id, CAST(len(lst) AS BIGINT) AS n_bigrams,
+       round(list_reduce(lst, (a, b) -> a + b) / len(lst), 9) AS avg_nll
+FROM per ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id_heuristic,
     "text_fingerprint": doc_fingerprint,
+    "text_lm_perplexity": lm_perplexity,
 }
 
 ORACLE = {
@@ -193,4 +277,5 @@ ORACLE = {
     "text_quality_score": QUALITY_SCORE_SQL,
     "text_lang_id": LANG_ID_SQL,
     "text_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_lm_perplexity": LM_PERPLEXITY_SQL,
 }
