@@ -68,3 +68,30 @@ def test_batch_error_exit_code(spark, capsys):
     ])
     assert rc == 1
     assert "Query failed" in capsys.readouterr().err
+
+
+def test_batch_connector_catalog_session(spark, capsys):
+    """A multi-statement CLI batch driving the memory catalog end-to-end
+    (Console.executeCommand splits on ';' and runs sequentially)."""
+    rc = cli.main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "-e",
+        "DROP TABLE IF EXISTS memory.default.cli_t; "
+        "CREATE TABLE memory.default.cli_t AS "
+        "SELECT r_regionkey, r_name FROM region; "
+        "SELECT count(*) AS n FROM memory.default.cli_t; "
+        "DROP TABLE memory.default.cli_t",
+        "--output-format", "CSV_HEADER",
+    ])
+    assert rc == 0
+    assert "n\n5\n" in capsys.readouterr().out
+
+
+def test_batch_show_catalogs(spark, capsys):
+    rc = cli.main([
+        "--sf-dir", "/root/testdata/sf0.001",
+        "-e", "SHOW CATALOGS LIKE 'mem%'",
+        "--output-format", "CSV_HEADER",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out == "Catalog\nmemory\n"
