@@ -363,6 +363,29 @@ def test_jmx_history_sampling(eng, spark):
     assert all(r["object_name"] == "java.lang:type=Memory" for r in rows)
 
 
+def test_jmx_periodic_sampler_thread(eng, spark):
+    """JmxPeriodicSampler parity: the background sampler dumps every
+    period into the ring buffer until stopped."""
+    import time as _time
+
+    from facebook_presto_spark import connectors
+
+    jmx = connectors.get_catalogs(spark).jmx
+    jmx.configure(["java.lang:type=Runtime"], dump_period_s=0.2,
+                  max_entries=3)
+    jmx.start_sampler()
+    try:
+        _time.sleep(1.0)
+    finally:
+        jmx.stop_sampler()
+    dumps = len(jmx._history["java.lang:type=runtime"])
+    assert 2 <= dumps <= 3  # ring buffer capped at max_entries
+    df = eng.sql(
+        'SELECT count(*) AS n FROM jmx.history."java.lang:type=runtime"'
+    )
+    assert df.collect()[0]["n"] == dumps
+
+
 def test_localfile_timestamp_parses(eng, spark, sf_dir):
     path = connectors.write_http_log_fixture(spark, sf_dir)
     connectors.get_catalogs(spark).localfile.configure(path)
