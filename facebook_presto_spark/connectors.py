@@ -892,7 +892,10 @@ _CREATE_COLS_RE = re.compile(
     re.I | re.S,
 )
 _INSERT_RE = re.compile(
-    rf"\s*INSERT\s+INTO\s+{_T3}\s+(?P<query>.+?)\s*;?\s*$", re.I | re.S
+    rf"\s*INSERT\s+INTO\s+{_T3}\s*"
+    rf"(?:\((?P<cols>[\w\s,\"]+)\)\s*)?(?P<query>(?:SELECT|VALUES|WITH|"
+    rf"TABLE|\().+?)\s*;?\s*$",
+    re.I | re.S,
 )
 _DROP_TABLE_RE = re.compile(
     rf"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_T3}\s*;?\s*$", re.I
@@ -1099,6 +1102,23 @@ def dispatch(engine, sql: str) -> DataFrame | None:
         cat, schema, table = (m.group(1).lower(), m.group(2).lower(),
                               m.group(3).lower())
         df = engine.sql(m.group("query"))
+        if m.group("cols"):
+            # explicit column list (InsertInto grammar): name the query's
+            # positional output, letting insert() align by position with
+            # the target after NULL-filling unmentioned columns
+            names = [
+                c.strip().strip('"').lower()
+                for c in m.group("cols").split(",")
+            ]
+            df = df.toDF(*names)
+            if cat == "memory" and (schema, table) in cats.memory.tables:
+                target = spark.table(cats.memory.tables[(schema, table)])
+                missing = [c for c in target.columns if c not in names]
+                for c in missing:
+                    df = df.withColumn(
+                        c, F.lit(None).cast(target.schema[c].dataType)
+                    )
+                df = df.select(*target.columns)
         if cat == "memory":
             n = cats.memory.insert(schema, table, df)
         else:

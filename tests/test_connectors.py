@@ -112,6 +112,23 @@ def test_memory_insert_values_and_describe(eng):
     assert cols == ["k", "v"]
 
 
+def test_memory_insert_column_list(eng):
+    """InsertInto grammar with an explicit column list: unmentioned
+    target columns NULL-fill (the reference's insert alignment)."""
+    eng.sql(
+        "CREATE TABLE memory.default.part_ins (a bigint, b varchar, c double)"
+    )
+    eng.sql(
+        "INSERT INTO memory.default.part_ins (b, a) "
+        "SELECT r_name, r_regionkey FROM region"
+    )
+    rows = eng.sql(
+        "SELECT * FROM memory.default.part_ins ORDER BY a"
+    ).collect()
+    assert rows[0]["b"] == "AFRICA" and rows[0]["a"] == 0
+    assert all(r["c"] is None for r in rows)
+
+
 def test_memory_limit_enforced(eng, spark):
     cats = connectors.get_catalogs(spark)
     cats.memory.max_bytes = 1024  # force the MemoryPagesStore error path
