@@ -1152,6 +1152,15 @@ def prepare(engine, sql: str) -> str:
             cats.example.read(schema, table).createOrReplaceTempView(view)
             return view
         if cat == "tpch":
+            # defer to a session-registered schema of the same name
+            # (engine.register_schema / the test corpora's dbgen `tiny`)
+            # — a live registration outranks the connector's dataset,
+            # exactly as only ONE catalog named tpch can exist at a time
+            try:
+                if spark.catalog.databaseExists(schema):
+                    return f"{schema}.{table}"
+            except Exception:  # noqa: BLE001 — catalog probe only
+                pass
             cats.tpch.read(schema, table).createOrReplaceTempView(view)
             return view
         if (schema, table) != (

@@ -579,6 +579,32 @@ class PrestoSparkEngine:
             for f in df.schema.fields
         )
         text = f'CREATE TABLE {bare} (\n{cols}\n)'
+        # catalog tables render their layout as the reference's WITH
+        # table-property clause (HiveTableProperties names), recovered
+        # from the session catalog's partition/bucket metadata
+        props = []
+        try:
+            columns = self.spark.catalog.listColumns(name)
+            parts = [c.name for c in columns if c.isPartition]
+            buckets = [c.name for c in columns if c.isBucket]
+            if parts:
+                quoted = ", ".join(f"'{p}'" for p in parts)
+                props.append(f"partitioned_by = ARRAY[{quoted}]")
+            if buckets:
+                quoted = ", ".join(f"'{b}'" for b in buckets)
+                props.append(f"bucketed_by = ARRAY[{quoted}]")
+                ext = {
+                    r["col_name"]: r["data_type"]
+                    for r in self.spark.sql(
+                        f"DESCRIBE TABLE EXTENDED {name}"
+                    ).collect()
+                }
+                if ext.get("Num Buckets"):
+                    props.append(f"bucket_count = {ext['Num Buckets']}")
+        except Exception:  # noqa: BLE001 — temp views carry no layout
+            pass
+        if props:
+            text += "\nWITH (\n   " + ",\n   ".join(props) + "\n)"
         return self.spark.createDataFrame(
             [(text,)], "`Create Table` string"
         )

@@ -184,8 +184,12 @@ def test_ctas_with_table_properties(engine):
     ).collect()
     try:
         assert _one(engine, "SELECT count(*) FROM __sc_bkt") == 25
+        # the engine renders Presto-dialect DDL (ShowQueriesRewrite),
+        # so the layout comes back as the WITH table-property clause
         ddl = engine.sql("SHOW CREATE TABLE __sc_bkt").first()[0]
-        assert "CLUSTERED BY (k)" in ddl and "PARTITIONED BY (p)" in ddl
+        assert "bucketed_by = ARRAY['k']" in ddl
+        assert "partitioned_by = ARRAY['p']" in ddl
+        assert "bucket_count = 4" in ddl
     finally:
         engine.sql("DROP TABLE IF EXISTS __sc_bkt").collect()
 
