@@ -219,10 +219,17 @@ class MemoryCatalog:
                 f"Table [{new_schema}.{new_table}] already exists"
             )
         view = self.tables.pop((schema, table))
-        df = self.spark.table(view)
+        # Spark caches are plan-keyed, so re-caching the same plan under
+        # the new name would be a no-op that dies with the old view's
+        # uncache.  localCheckpoint (fed from the old cache, so the
+        # original source plans never re-run) gives the new pin its own
+        # plan identity; the renamed table stays cache-backed and
+        # bytes_used() keeps reading cached-relation stats.
+        df = self.spark.table(view).localCheckpoint(eager=True)
         new_view = self.view_name(new_schema, new_table)
         self.tables[(new_schema, new_table)] = new_view
-        df.createOrReplaceTempView(new_view)
+        self._pin(new_view, df)
+        self.spark.catalog.uncacheTable(view)
         self.spark.catalog.dropTempView(view)
 
     def list_tables(self, schema: str | None) -> list[str]:
@@ -319,11 +326,13 @@ class BlackHoleCatalog:
             )
 
             def slow(batches):
-                for batch in batches:
-                    time.sleep(delay)
-                    yield batch
+                # BlackHolePageSource sleeps page_processing_delay per
+                # generated page; Arrow batch sizes differ from the
+                # table's page size, so pay the whole split's per-page
+                # budget (delay × pages_per_split) once per partition
+                time.sleep(delay * pages)
+                yield from batches
 
-            # per-split delay × pages, the sink/source sleep contract
             df = df.mapInPandas(
                 lambda it: slow(it), schema=schema_ddl
             )
@@ -933,8 +942,47 @@ _REF_RE = re.compile(
 )
 
 
+def _split_literals(sql: str) -> list[tuple[str, bool]]:
+    """Split SQL into (segment, is_string_literal) pieces so that
+    catalog-name rewriting never touches text inside '...' literals
+    (including '' escapes)."""
+    out: list[tuple[str, bool]] = []
+    i, n = 0, len(sql)
+    start = 0
+    while i < n:
+        if sql[i] == "'":
+            if i > start:
+                out.append((sql[start:i], False))
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            j = min(j + 1, n)
+            out.append((sql[i:j], True))
+            i = start = j
+        else:
+            i += 1
+    if start < n:
+        out.append((sql[start:], False))
+    return out
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, sql: str) -> str:
+    return "".join(
+        seg if is_lit else pattern.sub(repl, seg)
+        for seg, is_lit in _split_literals(sql)
+    )
+
+
 def references(sql: str) -> bool:
-    return _REF_RE.search(sql) is not None
+    return any(
+        _REF_RE.search(seg)
+        for seg, is_lit in _split_literals(sql) if not is_lit
+    )
 
 
 def _parse_props(text: str | None) -> dict:
@@ -1181,11 +1229,16 @@ def prepare(engine, sql: str) -> str:
         df.createOrReplaceTempView(view)
         return view
 
-    sql = re.compile(_JMX_REF, re.I).sub(sub_jmx, sql)
-    return re.compile(
-        rf"\b(memory|blackhole|localfile|example|tpch)\.({_NAME})\.({_NAME})",
-        re.I,
-    ).sub(sub, sql)
+    sql = _sub_outside_literals(re.compile(_JMX_REF, re.I), sub_jmx, sql)
+    return _sub_outside_literals(
+        re.compile(
+            rf"\b(memory|blackhole|localfile|example|tpch)"
+            rf"\.({_NAME})\.({_NAME})",
+            re.I,
+        ),
+        sub,
+        sql,
+    )
 
 
 # ---------------------------------------------------------------------------

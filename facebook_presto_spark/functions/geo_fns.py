@@ -1880,6 +1880,11 @@ def spatial_partitions(kdb_tree, g, distance=None) -> Column:
             if t is None or w is None:
                 out.append(None)
                 continue
+            if with_distance and d is None:
+                # NULL argument nulls the result (reference @SqlNullable
+                # semantics), not "no distance"
+                out.append(None)
+                continue
             if t not in trees:
                 trees[t] = gk.kdb_tree_from_json(t)
             out.append(

@@ -856,7 +856,41 @@ def intersection(a: Bag, b: Bag) -> Bag:
         out.points += touch
     # polygon x polygon
     if a.polys and b.polys:
-        out.polys = poly_boolean(dissolve(a.polys), dissolve(b.polys), "intersection")
+        da, db = dissolve(a.polys), dissolve(b.polys)
+        out.polys = poly_boolean(da, db, "intersection")
+        # Shared-boundary overlap the 2-D faces lose when the inputs
+        # touch only along an edge or a corner
+        # (TestGeoFunctions.java:636-638 pins LINESTRING (0 0, 0 1) /
+        # LINESTRING (1 0, 2 0) / POINT (0 0) for touching envelopes):
+        # collect boundary fragments of A lying on B's boundary, and
+        # isolated boundary-touch points, then dedupe against the
+        # higher-dimension output.
+        edges_a = list(_directed_edges(da))
+        edges_b = list(_directed_edges(db))
+        frags_a, _unused = _node_two_sets(edges_a, edges_b)
+        shared = []
+        for f in frags_a:
+            if _classify_frag(f, db, edges_b) in ("bnd_same", "bnd_opp"):
+                mid = ((f[0][0] + f[1][0]) / 2, (f[0][1] + f[1][1]) / 2)
+                if not out.polys or locate_in_polys(mid, out.polys) == "out":
+                    # polygon boundaries carry no canonical direction;
+                    # the reference emits these fragments smaller
+                    # endpoint first (LINESTRING (0 0, 0 1), :636)
+                    p0, p1 = sorted((f[0], f[1]))
+                    shared.append([p0, p1])
+        if shared:
+            out.paths = merge_paths_at_endpoints(out.paths + shared)
+        # corner/point contact: boundary-boundary intersection points
+        for a0, a1 in edges_a:
+            for b0, b1 in edges_b:
+                for t in _seg_params(a0, a1, b0, b1):
+                    p = _lerp(a0, a1, min(max(t, 0.0), 1.0))
+                    if (
+                        (not out.polys
+                         or locate_in_polys(p, out.polys) == "out")
+                        and not _point_on_paths(p, out.paths)
+                    ):
+                        out.points.append(p)
     out.points = _dedupe_points(
         [p for p in out.points if not _point_on_paths(p, out.paths)
          and (not out.polys or locate_in_polys(p, out.polys) == "out")]

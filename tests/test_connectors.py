@@ -96,8 +96,34 @@ def test_memory_rename(eng):
     assert eng.sql("SELECT * FROM memory.other.dst").count() == 5
     with pytest.raises(Exception, match="does not exist"):
         eng.sql("SELECT * FROM memory.default.src").collect()
+    # the renamed table stays cache-pinned: bytes_used() must keep
+    # reading cached-relation stats for the 128 MB limit enforcement
+    from facebook_presto_spark.connectors import get_catalogs
+
+    mem = get_catalogs(eng.spark).memory
+    view = mem.tables[("other", "dst")]
+    assert eng.spark.catalog.isCached(view)
     eng.sql("DROP TABLE memory.other.dst")
     eng.sql("DROP SCHEMA memory.other")
+
+
+def test_connector_names_inside_string_literals_untouched(eng):
+    """A 'memory.default.t' literal is data, not a table reference —
+    the three-part-name rewrite must skip quoted strings."""
+    row = eng.sql(
+        "SELECT 'memory.default.missing' AS ref, "
+        "'it''s blackhole.default.x' AS esc"
+    ).collect()[0]
+    assert row["ref"] == "memory.default.missing"
+    assert row["esc"] == "it's blackhole.default.x"
+    # a real reference outside the literal still resolves
+    eng.sql("CREATE TABLE memory.default.litmix AS SELECT * FROM region")
+    rows = eng.sql(
+        "SELECT 'tpch.tiny.orders' AS tag, count(*) AS n "
+        "FROM memory.default.litmix"
+    ).collect()
+    assert rows[0]["tag"] == "tpch.tiny.orders" and rows[0]["n"] == 5
+    eng.sql("DROP TABLE memory.default.litmix")
 
 
 def test_memory_insert_values_and_describe(eng):

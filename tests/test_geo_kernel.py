@@ -61,6 +61,24 @@ INTERSECTION_CASES = [
         "LINESTRING (0 0, 1 -1, 1 2)",
         "GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (1 0, 1 1))",
     ),
+    # touching-envelope cases (assertEnvelopeIntersection, :636-638):
+    # inputs meet only along an edge or a corner, so the 2-D boolean is
+    # empty and the shared boundary itself is the intersection
+    (
+        "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",
+        "POLYGON ((-1 -1, 0 -1, 0 1, -1 1, -1 -1))",
+        "LINESTRING (0 0, 0 1)",
+    ),
+    (
+        "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",
+        "POLYGON ((1 -1, 2 -1, 2 0, 1 0, 1 -1))",
+        "LINESTRING (1 0, 2 0)",
+    ),
+    (
+        "POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))",
+        "POLYGON ((-1 -1, 0 -1, 0 0, -1 0, -1 -1))",
+        "POINT (0 0)",
+    ),
 ]
 
 
