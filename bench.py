@@ -55,7 +55,9 @@ def main() -> None:
     # JVM/codegen warmup on an unrelated plan
     queries["tpch_q06"](spark, SF_DIR).collect()
 
+    load_before = os.getloadavg()[0]
     per_query: dict[str, float] = {}
+    spread_pct: dict[str, float] = {}
     for name in names:
         fn = queries[name]
         for _ in range(args.prewarm):
@@ -66,15 +68,35 @@ def main() -> None:
             rows = fn(spark, SF_DIR).collect()
             times.append(time.perf_counter() - t0)
             assert rows is not None
-        per_query[name] = round(statistics.median(times), 4)
+        med = statistics.median(times)
+        per_query[name] = round(med, 4)
+        spread_pct[name] = round(100.0 * (max(times) - min(times)) / med, 1)
+    load_after = os.getloadavg()[0]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    worst = max(spread_pct, key=spread_pct.get) if spread_pct else None
     out = {
         "metric": "median_sec_per_query_total",
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # ambient-noise accounting (SCALE.md accept/reject rule):
+        # reject the measurement if the machine was already loaded when
+        # the run started (loadavg_before > cpus/2) or any query's
+        # max-min run spread exceeded 50% of its median
+        "noise": {
+            "loadavg_before": round(load_before, 2),
+            "loadavg_after": round(load_after, 2),
+            "cpus": os.cpu_count(),
+            "worst_spread_query": worst,
+            "worst_spread_pct": spread_pct.get(worst, 0.0),
+            "spread_pct": spread_pct,
+            "suspect": bool(
+                load_before > (os.cpu_count() or 1) / 2
+                or (spread_pct and spread_pct[worst] > 50.0)
+            ),
+        },
     }
     print(json.dumps(out))
 
