@@ -33,7 +33,7 @@ def _modules():
         skew,
         tpch,
     )
-    from facebook_presto_spark import connectors, ddl, sources
+    from facebook_presto_spark import connectors, ddl, hive_catalog, sources
     from facebook_presto_spark.pipeline import (
         curation,
         dedup,
@@ -46,8 +46,8 @@ def _modules():
 
     return (
         tpch, presto_sql, relational, aggregates, functions_showcase, ddl,
-        sources, connectors, dedup, similarity, text, curation, multimodal,
-        stream_windows, geospatial, ml, skew,
+        sources, connectors, hive_catalog, dedup, similarity, text,
+        curation, multimodal, stream_windows, geospatial, ml, skew,
     )
 
 

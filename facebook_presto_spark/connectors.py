@@ -1083,8 +1083,8 @@ def dispatch(engine, sql: str) -> DataFrame | None:
     m = _SHOW_CATALOGS_RE.match(sql)
     if m:
         # ShowQueriesRewrite.visitShowCatalogs — LIKE maps % and _
-        names = ["blackhole", "example", "jmx", "localfile", "memory",
-                 "spark", "system", "tpch"]
+        names = ["blackhole", "example", "hive", "jmx", "localfile",
+                 "memory", "spark", "system", "tpch"]
         if m.group(1) is not None:
             pat = re.compile(
                 "^" + re.escape(m.group(1))

@@ -269,6 +269,11 @@ class PrestoSparkEngine:
         handled = connectors.dispatch(self, presto_sql)
         if handled is not None:
             return handled
+        from facebook_presto_spark import hive_catalog
+
+        handled = hive_catalog.dispatch(self, presto_sql)
+        if handled is not None:
+            return handled
         meta = self._dispatch_metadata(presto_sql)
         if meta is not None:
             return meta
@@ -349,6 +354,10 @@ class PrestoSparkEngine:
             # memory/blackhole/localfile reads: register the referenced
             # connector tables as temp views just-in-time, rewrite names
             presto_sql = connectors.prepare(self, presto_sql)
+        if hive_catalog.references(presto_sql):
+            # hive.* reads → session-catalog partitioned tables;
+            # "t$partitions" system tables register just-in-time
+            presto_sql = hive_catalog.prepare(self, presto_sql)
         return self.spark.sql(translate(presto_sql))
 
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------
@@ -567,6 +576,10 @@ class PrestoSparkEngine:
         views, and the reference renders from metadata anyway."""
         from facebook_presto_spark.infoschema import presto_type_name
 
+        m = re.match(r"hive\.(\w+)\.(\w+)$", name.strip(), re.I)
+        if m:
+            # hive catalog tables live in hive_<schema> databases
+            name = f"hive_{m.group(1).lower()}.{m.group(2).lower()}"
         bare = name.strip('"').split(".")[-1].lower()
         if bare in self._views:
             raise ValueError(

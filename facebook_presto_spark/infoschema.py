@@ -177,7 +177,10 @@ def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME,
             columns_rows.append((
                 catalog_name, db, table, c.name, pos, None,
                 "YES" if c.nullable else "NO",
-                presto_type_name(c.dataType), None, None,
+                presto_type_name(c.dataType), None,
+                # HiveUtil.java:867 — partition keys surface their role
+                "partition key" if getattr(c, "isPartition", False)
+                else None,
             ))
 
     for t in spark.catalog.listTables():

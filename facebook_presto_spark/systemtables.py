@@ -300,7 +300,7 @@ def refresh_metadata(spark: SparkSession, catalog_name: str = "spark") -> None:
         ("memory", "memory"), ("blackhole", "blackhole"),
         ("localfile", "localfile"), ("jmx", "jmx"),
         ("example", "example-http"), ("tpch", "tpch"),
-        ("system", "system"),
+        ("hive", "hive-hadoop2"), ("system", "system"),
     ]
     view("catalogs", sorted(
         [(catalog_name, catalog_name)] + connector_catalogs

@@ -304,8 +304,8 @@ def test_example_http_split_per_source(eng, spark):
 
 def test_show_catalogs(eng):
     names = [r["Catalog"] for r in eng.sql("SHOW CATALOGS").collect()]
-    assert names == ["blackhole", "example", "jmx", "localfile", "memory",
-                     "spark", "system", "tpch"]
+    assert names == ["blackhole", "example", "hive", "jmx", "localfile",
+                     "memory", "spark", "system", "tpch"]
     like = [
         r["Catalog"]
         for r in eng.sql("SHOW CATALOGS LIKE '%m%'").collect()

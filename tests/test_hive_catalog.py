@@ -1,0 +1,271 @@
+"""Hive partitioned-table catalog (facebook_presto_spark/hive_catalog.py).
+
+Mirrors presto-hive behaviors: HiveTableProperties names, the
+partition-ordering rule (HiveMetadata.java:1868), the "t$partitions"
+system table (HiveMetadata.java:299-360), partition keys as
+"partition key" extra info (HiveUtil.java:867), and — the scale point —
+static partition elimination plus dynamic partition pruning in the
+physical plan (HivePartitionManager.java:98 parity; DPP is the Spark
+advantage SURVEY §4.2 records).
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from facebook_presto_spark import hive_catalog
+from facebook_presto_spark.engine import PrestoSparkEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+
+
+@pytest.fixture(autouse=True)
+def _clean(spark):
+    yield
+    cat = hive_catalog.get_catalog(spark)
+    for schema in cat.list_schemas():
+        for table in cat.list_tables(schema):
+            cat.drop(schema, table, if_exists=True)
+        if schema != "default":
+            cat.drop_schema(schema, if_exists=True)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_ctas_partitioned_layout_and_readback(eng, spark, tmp_path):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.orders_p
+        WITH (partitioned_by = ARRAY['o_orderpriority'])
+        AS SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+    """)
+    # real key=value directories under the warehouse
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    dirs = os.listdir(f"{warehouse}/hive_web.db/orders_p")
+    assert any(d.startswith("o_orderpriority=") for d in dirs)
+    n = eng.sql("SELECT count(*) AS n FROM hive.web.orders_p").collect()
+    assert n[0]["n"] == eng.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+
+
+def test_partition_keys_must_be_last(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    with pytest.raises(ValueError, match="Partition keys must be the last"):
+        eng.sql("""
+            CREATE TABLE hive.web.bad
+            WITH (partitioned_by = ARRAY['o_orderpriority'])
+            AS SELECT o_orderpriority, o_orderkey FROM orders
+        """)
+
+
+def test_schema_and_table_error_surface(eng):
+    with pytest.raises(ValueError, match="not found"):
+        eng.sql("CREATE TABLE hive.nope.t AS SELECT * FROM region")
+    eng.sql("CREATE SCHEMA hive.errs")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE SCHEMA hive.errs")
+    eng.sql("CREATE TABLE hive.errs.t AS SELECT * FROM region")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE hive.errs.t AS SELECT * FROM region")
+    eng.sql("CREATE TABLE IF NOT EXISTS hive.errs.t AS SELECT * FROM region")
+    with pytest.raises(ValueError, match="Schema not empty"):
+        eng.sql("DROP SCHEMA hive.errs")
+    eng.sql("DROP TABLE hive.errs.t")
+    eng.sql("DROP SCHEMA hive.errs")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("SELECT * FROM hive.errs.gone")
+
+
+def test_partitions_system_table_typed(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.cust_p
+        WITH (partitioned_by = ARRAY['c_nationkey'])
+        AS SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+    """)
+    rows = eng.sql(
+        'SELECT * FROM hive.web."cust_p$partitions" ORDER BY c_nationkey'
+    ).collect()
+    assert [r["c_nationkey"] for r in rows] == sorted(
+        r["c_nationkey"]
+        for r in eng.sql(
+            "SELECT DISTINCT c_nationkey FROM customer"
+        ).collect()
+    )
+    # typed as the table column, not varchar
+    assert rows[0].asDict()["c_nationkey"] is not None
+    schema = eng.sql(
+        'SELECT * FROM hive.web."cust_p$partitions"'
+    ).schema
+    table_type = dict(eng.sql("SELECT * FROM hive.web.cust_p").dtypes)
+    assert schema["c_nationkey"].dataType.simpleString() == (
+        table_type["c_nationkey"]
+    )
+    assert schema["c_nationkey"].dataType.simpleString() != "string"
+    with pytest.raises(ValueError, match="does not have partition columns"):
+        eng.sql("CREATE TABLE hive.web.flat AS SELECT * FROM region")
+        eng.sql('SELECT * FROM hive.web."flat$partitions"').collect()
+
+
+def test_insert_appends_partitions(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.ins_p
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, r_regionkey FROM region WHERE r_regionkey < 2
+    """)
+    eng.sql("""
+        INSERT INTO hive.web.ins_p
+        SELECT r_name, r_regionkey FROM region WHERE r_regionkey >= 2
+    """)
+    assert eng.sql("SELECT count(*) AS n FROM hive.web.ins_p").collect()[0]["n"] == 5
+    parts = eng.sql('SELECT * FROM hive.web."ins_p$partitions"').collect()
+    assert len(parts) == 5
+
+
+def test_static_partition_elimination_in_plan(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.prune_p
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, r_regionkey FROM region
+    """)
+    plan = _plan(eng.sql(
+        "SELECT r_name FROM hive.web.prune_p WHERE r_regionkey = 2"
+    ))
+    assert "PartitionFilters: [" in plan
+    # the file index lists ONLY the matching directory
+    assert "r_regionkey=2" in plan
+    assert "r_regionkey=3" not in plan
+
+
+def test_dynamic_partition_pruning_in_plan(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("DROP TABLE IF EXISTS hive.web.fact_p")
+    eng.sql("DROP TABLE IF EXISTS hive.web.dim_t")
+    eng.sql("""
+        CREATE TABLE hive.web.fact_p
+        WITH (partitioned_by = ARRAY['c_nationkey'])
+        AS SELECT c_custkey, c_acctbal, c_nationkey FROM customer
+    """)
+    eng.sql("""
+        CREATE TABLE hive.web.dim_t AS
+        SELECT n_nationkey, n_name FROM nation
+    """)
+    plan = _plan(eng.sql("""
+        SELECT count(*) AS n FROM hive.web.fact_p f
+        JOIN hive.web.dim_t d ON f.c_nationkey = d.n_nationkey
+        WHERE d.n_name = 'FRANCE'
+    """))
+    assert "dynamicpruning" in plan
+
+
+def test_describe_and_infoschema_partition_key(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.meta_p
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, r_regionkey FROM region
+    """)
+    rows = eng.sql(
+        "SELECT column_name, extra_info FROM information_schema.columns "
+        "WHERE table_schema = 'hive_web' AND table_name = 'meta_p'"
+    ).collect()
+    info = {r["column_name"]: r["extra_info"] for r in rows}
+    assert info["r_regionkey"] == "partition key"
+    assert info["r_name"] is None
+
+
+def test_show_create_table_renders_properties(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.sct_p
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, r_regionkey FROM region
+    """)
+    text = eng.sql("SHOW CREATE TABLE hive.web.sct_p").collect()[0][0]
+    assert "partitioned_by = ARRAY['r_regionkey']" in text
+
+
+def test_show_schemas_tables_catalogs(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.listme")
+    eng.sql("CREATE TABLE hive.listme.t1 AS SELECT * FROM region")
+    assert "listme" in [
+        r["Schema"] for r in eng.sql("SHOW SCHEMAS FROM hive").collect()
+    ]
+    assert [r["Table"] for r in
+            eng.sql("SHOW TABLES FROM hive.listme").collect()] == ["t1"]
+    assert "hive" in [
+        r["Catalog"] for r in eng.sql("SHOW CATALOGS").collect()
+    ]
+
+
+def test_rename_same_schema_and_cross_schema_raise(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.other")
+    eng.sql("CREATE TABLE hive.web.rn1 AS SELECT * FROM region")
+    eng.sql("ALTER TABLE hive.web.rn1 RENAME TO hive.web.rn2")
+    assert eng.sql("SELECT count(*) AS n FROM hive.web.rn2").collect()[0]["n"] == 5
+    with pytest.raises(Exception, match="does not exist"):
+        eng.sql("SELECT * FROM hive.web.rn1").collect()
+    with pytest.raises(ValueError, match="across schemas"):
+        eng.sql("ALTER TABLE hive.web.rn2 RENAME TO hive.other.rn2")
+
+
+def test_external_location_partitioned(eng, spark, tmp_path):
+    # write key=value directories outside the warehouse, register as an
+    # external table, recover partitions (the Presto external-table flow)
+    path = str(tmp_path / "ext_orders")
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.write.partitionBy("o_orderpriority").parquet(path)
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.ext")
+    eng.sql(f"""
+        CREATE TABLE hive.ext.orders_ext (
+            o_orderkey bigint, o_totalprice double, o_orderpriority varchar
+        ) WITH (external_location = '{path}',
+                partitioned_by = ARRAY['o_orderpriority'])
+    """)
+    n = eng.sql("SELECT count(*) AS n FROM hive.ext.orders_ext").collect()
+    assert n[0]["n"] == orders.count()
+
+
+def test_insert_column_list_null_fills(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql(
+        "CREATE TABLE hive.web.cl (a bigint, b varchar, c double)"
+    )
+    eng.sql(
+        "INSERT INTO hive.web.cl (b, a) "
+        "SELECT r_name, r_regionkey FROM region"
+    )
+    rows = eng.sql("SELECT * FROM hive.web.cl ORDER BY a").collect()
+    assert rows[0]["b"] == "AFRICA" and rows[0]["a"] == 0
+    assert all(r["c"] is None for r in rows)
+
+
+def test_unsupported_property_and_format_raise(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    with pytest.raises(ValueError, match="unsupported hive table"):
+        eng.sql("""
+            CREATE TABLE hive.web.badprop WITH (zorder = 'x')
+            AS SELECT * FROM region
+        """)
+    with pytest.raises(ValueError, match="not supported"):
+        eng.sql("""
+            CREATE TABLE hive.web.badfmt WITH (format = 'RCBINARY')
+            AS SELECT * FROM region
+        """)

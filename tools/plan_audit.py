@@ -31,6 +31,13 @@ REQUIRE_PUSHDOWN = {
 REQUIRE_BROADCAST = {
     "tpch_q03", "tpch_q05", "tpch_q07", "tpch_q08", "tpch_q09", "tpch_q10",
 }
+# static partition elimination: the scan must carry literal
+# PartitionFilters (HivePartitionManager.java:98 parity)
+REQUIRE_PARTITION_PRUNE = {"connector_hive_partitioned_roundtrip"}
+# dynamic partition pruning: the partition filter exists only on a
+# joined dimension, so the scan must carry a dynamicpruningexpression
+# (SURVEY §4.2 — a Spark advantage the reference lacks)
+REQUIRE_DPP = {"connector_hive_dpp_join"}
 
 
 def formatted_plan(df) -> str:
@@ -72,6 +79,12 @@ def main() -> int:
             problems.append("no PushedFilters on any scan")
         if name in REQUIRE_BROADCAST and "BroadcastHashJoin" not in plan:
             problems.append("expected a broadcast join, found none")
+        if name in REQUIRE_PARTITION_PRUNE and not re.search(
+            r"PartitionFilters: \[[^\]]*(?:=|IN \()", plan
+        ):
+            problems.append("no static PartitionFilters on the scan")
+        if name in REQUIRE_DPP and "dynamicpruning" not in plan:
+            problems.append("no dynamicpruningexpression on the scan")
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
