@@ -6,21 +6,24 @@ module provides the Spark-side plumbing a multimodal training pipeline
 needs — schema, partitioning, Arrow batch shape.  Since round 4 the
 decode is REAL for the uncompressed container formats (BMP and PCM16
 WAV — header + raw array, parsed with NumPy alone; see
-``decode_media``/``media_roundtrip``); compressed formats (JPEG/PNG/
-GIF) still raise loudly because codec libraries are absent from this
-container, and the original deterministic stub path remains for the
-plumbing-only query:
+``decode_media``/``media_roundtrip``), and since round 5 the transform
+operators are real over those codecs too: ``multimodal_resize`` is a
+nearest-neighbor downscale of decoded 24-bit BMP pixels re-encoded
+through the real BMP layout, and ``multimodal_frame_sample`` windows
+decoded PCM16 samples into timestamped frames with per-window RMS.
+Compressed formats (JPEG/PNG/GIF) still raise loudly because codec
+libraries are absent from this container:
 
 - ``with_blob``        — pack a binary payload column + metadata struct
                          (the storage schema: media as opaque bytes next to
                          typed metadata, never parsed by the engine).
-- ``decode_features``  — Arrow-batched ``mapInPandas`` that would decode
-                         media and emit features.  The real decoder body is
-                         ``_decode_real`` (raises NotImplementedError); the
-                         wired implementation is ``_decode_stub`` — a
-                         deterministic fake deriving "dimensions" from byte
-                         length so the distributed plumbing is fully
-                         exercised and oracle-checkable.
+- ``decode_features``  — Arrow-batched ``mapInPandas`` plumbing-only
+                         query (deterministic byte-length arithmetic via
+                         ``_decode_stub``), kept as the HEADLINE bench
+                         entry so cross-round timings stay comparable;
+                         the real decode paths are covered by
+                         ``media_roundtrip``/``multimodal_resize``/
+                         ``multimodal_frame_sample``.
 
 Scale design: mapInPandas streams Arrow batches (10k rows/batch per
 session config) — decode cost is per-executor CPU with zero driver
@@ -123,54 +126,113 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# resize: payload → payload (the 1→1 re-encode shape)
+# resize: payload → payload (the 1→1 re-encode shape), REAL since round 5
+#
+# Nearest-neighbor downscale of a decoded 24-bit BMP, re-encoded through
+# the real BMP layout (row padding, bottom-up, BGR) — pure NumPy, no
+# codec library needed.  The oracle replays the generating pixel
+# arithmetic through the same integer NN sampling (src = dst*size//out),
+# so a hash-match proves decode → resample → re-encode end to end.
+# Compressed magics still raise loudly in decode_media (unchanged).
 # ---------------------------------------------------------------------------
 
 RESIZE_SCHEMA = (
     "doc_id bigint, width int, height int, out_width int, out_height int, "
-    "out_bytes bigint"
+    "out_bytes bigint, mean_r double, mean_g double, mean_b double"
 )
 
-_TARGET_MAX_DIM = 32
+_TARGET_MAX_DIM = 8  # < max generated BMP width (19) so downscaling is real
 
 
-def _resize_stub(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic fake resize: scale (width, height) from the stub
-    decode so the longest side is _TARGET_MAX_DIM (never upscale), and
-    're-encode' to a proportional byte count.  A real implementation would
-    swap the arithmetic for PIL `Image.resize` + `save` over the payload —
-    batch shape and schema are identical."""
-    n = pdf["payload"].map(len)
-    width = (n % 64 + 1).astype("int64")
-    height = (n // 64 + 1).astype("int64")
-    longest = width.where(width >= height, height)
-    scale = (_TARGET_MAX_DIM / longest).clip(upper=1.0)
+def _bmp_pixels(payload: bytes):
+    """Decode a 24-bit BMP into a top-down (h, w, 3) RGB uint8 array."""
+    import struct
+
     import numpy as np
 
-    # floor explicitly: SQL CAST(double AS BIGINT) rounds in some engines
-    out_w = pd.Series(np.floor(width * scale), index=pdf.index).astype("int64").clip(lower=1)
-    out_h = pd.Series(np.floor(height * scale), index=pdf.index).astype("int64").clip(lower=1)
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "width": width.astype("int32"),
-            "height": height.astype("int32"),
-            "out_width": out_w.astype("int32"),
-            "out_height": out_h.astype("int32"),
-            "out_bytes": (out_w * out_h * 3).astype("int64"),  # RGB
-        }
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    _size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP")
+    row_len = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=abs(h) * row_len, offset=offset
+    ).reshape(abs(h), row_len)
+    px = rows[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        px = px[::-1]
+    return px[:, :, ::-1]  # BGR → RGB
+
+
+def _encode_bmp_array(px) -> bytes:
+    """Encode a top-down (h, w, 3) RGB array as a real 24-bit BMP."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    row_len = (w * 3 + 3) // 4 * 4
+    img = np.zeros((h, row_len), dtype=np.uint8)
+    bgr = px[:, :, ::-1]
+    img[:, : w * 3] = bgr.reshape(h, -1)
+    pixels = img[::-1].tobytes()  # top-down → bottom-up rows
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
     )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
+def _resize_nn(px, max_dim: int):
+    """Nearest-neighbor downscale so the longest side is ≤ max_dim
+    (never upscale); src index = dst_index * src_size // out_size."""
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    longest = max(w, h)
+    if longest <= max_dim:
+        return px
+    out_w = max(w * max_dim // longest, 1)
+    out_h = max(h * max_dim // longest, 1)
+    sx = np.arange(out_w) * w // out_w
+    sy = np.arange(out_h) * h // out_h
+    return px[sy][:, sx]
 
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize pipeline: blob → bounded-dimension thumbnail features."""
-    docs = _t(spark, sf_dir, "documents")
+    """Resize pipeline: real BMP payload → NN thumbnail → real BMP bytes.
+
+    out_bytes is the length of the actually re-encoded BMP; the channel
+    means are computed from the resized pixels, so the oracle verifies
+    the resample arithmetic, not just the dimension bookkeeping.
+    """
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
     n_parts = spark.sparkContext.defaultParallelism
-    flat = with_blob(docs).repartition(n_parts).select("doc_id", "payload")
+    flat = docs.repartition(n_parts)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _resize_stub(pdf)
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                px = _bmp_pixels(_encode_bmp(doc_id))
+                small = _resize_nn(px, _TARGET_MAX_DIM)
+                out = _encode_bmp_array(small)
+                spx = small.astype("float64")
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": px.shape[1], "height": px.shape[0],
+                        "out_width": small.shape[1],
+                        "out_height": small.shape[0],
+                        "out_bytes": len(out),
+                        "mean_r": round(float(spx[:, :, 0].mean()), 6),
+                        "mean_g": round(float(spx[:, :, 1].mean()), 6),
+                        "mean_b": round(float(spx[:, :, 2].mean()), 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
 
     return flat.mapInPandas(run, schema=RESIZE_SCHEMA)
 
@@ -178,83 +240,105 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_RESIZE_SQL = """
 WITH dims AS (
   SELECT doc_id,
-         strlen(text) % 64 + 1 AS w,
-         strlen(text) // 64 + 1 AS h
+         doc_id % 16 + 4 AS w, doc_id % 8 + 2 AS h,
+         greatest(doc_id % 16 + 4, doc_id % 8 + 2) AS longest
   FROM documents
-), scaled AS (
+), outs AS (
   SELECT doc_id, w, h,
-         least(32.0 / greatest(w, h), 1.0) AS s
+         CASE WHEN longest <= 8 THEN w
+              ELSE greatest(w * 8 // longest, 1) END AS ow,
+         CASE WHEN longest <= 8 THEN h
+              ELSE greatest(h * 8 // longest, 1) END AS oh
   FROM dims
+), sampled AS (
+  SELECT o.doc_id, o.w, o.h, o.ow, o.oh,
+         (x.x * o.w) // o.ow AS sx, (y.y * o.h) // o.oh AS sy
+  FROM outs o,
+       LATERAL (SELECT unnest(generate_series(0, o.ow - 1)) AS x) x,
+       LATERAL (SELECT unnest(generate_series(0, o.oh - 1)) AS y) y
 )
 SELECT doc_id,
-       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-       CAST(greatest(CAST(floor(w * s) AS BIGINT), 1) AS INT) AS out_width,
-       CAST(greatest(CAST(floor(h * s) AS BIGINT), 1) AS INT) AS out_height,
-       CAST(greatest(CAST(floor(w * s) AS BIGINT), 1)
-            * greatest(CAST(floor(h * s) AS BIGINT), 1) * 3 AS BIGINT) AS out_bytes
-FROM scaled
+       CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+       CAST(max(ow) AS INT) AS out_width, CAST(max(oh) AS INT) AS out_height,
+       CAST(54 + max(oh) * ((max(ow) * 3 + 3) // 4 * 4) AS BIGINT)
+         AS out_bytes,
+       round(avg((doc_id + sx + sy) % 256), 6) AS mean_r,
+       round(avg((doc_id * 2 + sx) % 256), 6) AS mean_g,
+       round(avg((doc_id * 3 + sy) % 256), 6) AS mean_b
+FROM sampled
+GROUP BY doc_id
 """
 
 
 # ---------------------------------------------------------------------------
-# frame sampling: payload → N rows (the 1→N generator shape)
+# frame sampling: payload → N rows (the 1→N generator shape), REAL since
+# round 5: PCM16 windows over a decoded WAV — every other 16-sample
+# frame is emitted with its timestamp and window RMS, so the oracle
+# verifies the actual sample values flowing through the frames.
 # ---------------------------------------------------------------------------
 
-FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, ts_ms bigint, frame_bytes bigint"
+FRAMES_SCHEMA = (
+    "doc_id bigint, frame_idx bigint, ts_ms bigint, frame_bytes bigint, "
+    "rms double"
+)
 
-_FRAME_BYTES = 100    # stub: one "frame" per 100 payload bytes
-_SAMPLE_EVERY = 10    # keep every 10th frame
-_FPS = 30
-
-
-def _frame_sample_stub(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic fake frame sampler: payload length defines the frame
-    count; every _SAMPLE_EVERY-th frame is emitted with its timestamp.
-    Output rows ≫ or ≪ input rows — the generator (UNNEST-like) batch
-    shape a real video sampler (pyav keyframe iteration) would produce."""
-    n_frames = pdf["payload"].map(len) // _FRAME_BYTES
-    reps = (n_frames // _SAMPLE_EVERY + (n_frames % _SAMPLE_EVERY > 0)).astype("int64")
-    doc_ids = pdf["doc_id"].repeat(reps)
-    import numpy as np
-
-    idx = np.concatenate(
-        [np.arange(0, int(nf), _SAMPLE_EVERY) for nf in n_frames]
-    ) if len(pdf) else np.array([], dtype="int64")
-    return pd.DataFrame(
-        {
-            "doc_id": doc_ids.to_numpy(),
-            "frame_idx": idx.astype("int64"),
-            "ts_ms": (idx * 1000 // _FPS).astype("int64"),
-            "frame_bytes": np.full(len(idx), _FRAME_BYTES, dtype="int64"),
-        }
-    )
+_FRAME_SAMPLES = 16   # PCM window per frame
+_SAMPLE_EVERY = 2     # keep every 2nd frame
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline: one input blob → N sampled-frame rows."""
-    docs = _t(spark, sf_dir, "documents")
+    """Frame sampling over real WAV payloads: decode PCM16, window into
+    complete 16-sample frames, keep every 2nd frame; each output row
+    carries the frame timestamp (samples/sample-rate) and the window
+    RMS computed from the decoded samples."""
+    import numpy as np
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
     n_parts = spark.sparkContext.defaultParallelism
-    flat = with_blob(docs).repartition(n_parts).select("doc_id", "payload")
+    flat = docs.repartition(n_parts)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _frame_sample_stub(pdf)
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                n, sr, _rms = _decode_wav(_encode_wav(doc_id))
+                samples = _wav_samples(_encode_wav(doc_id))
+                n_frames = n // _FRAME_SAMPLES
+                for f in range(0, n_frames, _SAMPLE_EVERY):
+                    win = samples[f * _FRAME_SAMPLES:(f + 1) * _FRAME_SAMPLES]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": f,
+                            "ts_ms": f * _FRAME_SAMPLES * 1000 // sr,
+                            "frame_bytes": _FRAME_SAMPLES * 2,
+                            "rms": round(
+                                float(np.sqrt((win * win).mean())), 4
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows)
 
     return flat.mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
 MULTIMODAL_FRAMES_SQL = """
-WITH vids AS (
-  SELECT doc_id, strlen(text) // 100 AS n_frames FROM documents
+WITH smp AS (
+  SELECT d.doc_id,
+         8000 + (d.doc_id % 3) * 4000 AS sr,
+         i.i, i.i // 16 AS f,
+         (d.doc_id * 31 + i.i * 17) % 65536 - 32768 AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(generate_series(0, d.doc_id % 100 + 49)) AS i) i
 )
 SELECT doc_id,
        CAST(f AS BIGINT) AS frame_idx,
-       CAST(f * 1000 // 30 AS BIGINT) AS ts_ms,
-       CAST(100 AS BIGINT) AS frame_bytes
-FROM vids, LATERAL (
-  SELECT unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS f
-) t
-WHERE n_frames > 0
+       CAST(f * 16 * 1000 // sr AS BIGINT) AS ts_ms,
+       CAST(32 AS BIGINT) AS frame_bytes,
+       round(sqrt(avg(CAST(v AS DOUBLE) * v)), 4) AS rms
+FROM smp
+WHERE f % 2 = 0 AND f < (doc_id % 100 + 50) // 16
+GROUP BY doc_id, f, sr
 """
 
 
@@ -364,6 +448,26 @@ def _decode_wav(payload: bytes):
         raise ValueError("missing fmt/data chunk")
     rms = float(np.sqrt((samples * samples).mean()))
     return len(samples), sr, rms
+
+
+def _wav_samples(payload: bytes):
+    """Decode the PCM16 data chunk into a float64 sample array."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"data":
+            return np.frombuffer(
+                payload[pos + 8:pos + 8 + clen], dtype="<i2"
+            ).astype(np.float64)
+        pos += 8 + clen + (clen % 2)
+    raise ValueError("missing data chunk")
 
 
 _COMPRESSED_MAGICS = {

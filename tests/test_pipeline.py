@@ -221,6 +221,49 @@ def test_media_codecs_byte_level():
         mm.decode_media(b"\x00\x01\x02\x03")
 
 
+def test_bmp_resize_nearest_neighbor_real():
+    """NN downscale of decoded BMP pixels, re-encoded as a real BMP:
+    round-tripping the thumbnail must reproduce the sampled pixels."""
+    import numpy as np
+
+    from facebook_presto_spark.pipeline import multimodal as mm
+
+    px = mm._bmp_pixels(mm._encode_bmp(7))       # (h, w, 3) RGB, top-down
+    h, w = px.shape[0], px.shape[1]
+    small = mm._resize_nn(px, 8)
+    longest = max(w, h)
+    assert max(small.shape[0], small.shape[1]) <= 8 or longest <= 8
+    # hand-check one sampled pixel: dst (x, y) ← src (x*w//ow, y*h//oh)
+    ow, oh = small.shape[1], small.shape[0]
+    assert (small[1, 2] == px[1 * h // oh, 2 * w // ow]).all()
+    # re-encode through the real layout and decode back
+    again = mm._bmp_pixels(mm._encode_bmp_array(small))
+    assert (again == small).all()
+    # tiny images are never upscaled
+    tiny = np.zeros((2, 3, 3), dtype=np.uint8)
+    assert mm._resize_nn(tiny, 8).shape == (2, 3, 3)
+
+
+def test_wav_frame_sample_windows_real():
+    """PCM frame windows: every 2nd complete 16-sample frame, RMS from
+    the decoded samples."""
+    import numpy as np
+
+    from facebook_presto_spark.pipeline import multimodal as mm
+
+    payload = mm._encode_wav(5)
+    n, sr, _ = mm._decode_wav(payload)
+    samples = mm._wav_samples(payload)
+    assert len(samples) == n == 5 % 100 + 50
+    win = samples[0:16]
+    expect = float(np.sqrt((win * win).mean()))
+    # the generating arithmetic matches the decoded window
+    i = np.arange(16)
+    gen = ((5 * 31 + i * 17) % 65536 - 32768).astype(float)
+    assert (win == gen).all()
+    assert expect > 0
+
+
 def test_substring_dedup_clean_removes_second_copy(spark, tmp_path):
     run = " ".join(f"tok{i}" for i in range(12))
     uniq = " ".join(f"uniq{i}" for i in range(5))
