@@ -283,20 +283,18 @@ def st_centroid(g) -> Column:
 
 @register("ST_Distance")
 def st_distance(a, b) -> Column:
-    """Point↔point: euclidean.  Point↔line/polygon: min distance to the
-    boundary segments (matches the reference for disjoint geometries;
-    a point *inside* a polygon reports distance-to-boundary, where the
-    reference reports 0 — acceptable for the filter/join use cases)."""
+    """Min distance over every part pair (multi-part since round 5):
+    the minimum over both directions of vertex-to-chain distance —
+    exact for point↔anything, and for line/polygon pairs whenever the
+    minimum is attained at a vertex (always true for disjoint polylines
+    unless they cross, where the intersecting-segment distance is 0 and
+    covered by the segment test in the join plans).  NULL for EMPTY
+    inputs (TestGeoFunctions:602-606).  A point *inside* a polygon
+    reports distance-to-boundary, where the reference reports 0 —
+    documented, acceptable for the filter/join use cases."""
     ga, gb = _c(a), _c(b)
-    ta = F.regexp_extract(ga, r"^(\w+)", 1)
-    # orient so the (possible) multi-point geometry is `c2`
-    pt, other = (
-        F.when(ta == "POINT", ga).otherwise(gb),
-        F.when(ta == "POINT", gb).otherwise(ga),
-    )
-    p = F.element_at(_coords(pt), 1)
 
-    def chain_min(c2):
+    def chain_min(p, c2):
         def seg_dist(i):
             x1, y1 = F.element_at(c2, i)["x"], F.element_at(c2, i)["y"]
             x2, y2 = F.element_at(c2, i + 1)["x"], F.element_at(c2, i + 1)["y"]
@@ -317,9 +315,23 @@ def st_distance(a, b) -> Column:
         min_seg = F.array_min(F.transform(F.sequence(F.lit(1), n - 1), seg_dist))
         return F.when(n == 1, point_point).otherwise(min_seg)
 
-    # min over every chain: hole boundaries count (a point inside a
-    # hole is OUTSIDE the polygon and its distance is to the hole ring)
-    return F.array_min(F.transform(_geom_chains(other), chain_min))
+    # min over every (vertex, chain) pair in both directions: hole
+    # boundaries count (a point inside a hole is OUTSIDE the polygon
+    # and its distance is to the hole ring)
+    def dir_min(src, dst):
+        return F.array_min(
+            F.transform(
+                _all_xy(src),
+                lambda p: F.array_min(
+                    F.transform(_chains_multi(dst), lambda c2: chain_min(p, c2))
+                ),
+            )
+        )
+
+    return F.when(
+        ga.rlike(" EMPTY$") | gb.rlike(" EMPTY$"),
+        F.lit(None).cast("double"),
+    ).otherwise(F.least(dir_min(ga, gb), dir_min(gb, ga)))
 
 
 # --- predicates ------------------------------------------------------------
@@ -380,33 +392,131 @@ def _geom_chains(g: Column) -> Column:
     previously the first ring only); a single chain for points/
     linestrings.  Rings stay SEPARATE chains, so ray-cast parity over
     their union is automatically hole-correct (even-odd) and segment
-    walks never cross the inter-ring seam."""
+    walks never cross the inter-ring seam.  (Used by the measure
+    functions, whose exterior-minus-holes arithmetic needs the POLYGON
+    ring ordering; the relation/distance kernels use ``_chains_multi``.)
+    """
     return F.when(
         _typ(g) == "POLYGON",
         F.transform(_rings(g), lambda r: _close_ring(_ring_pts(r))),
     ).otherwise(F.array(_coords(g)))
 
 
+def _inner_groups(g: Column) -> Column:
+    """Innermost paren groups of a MULTI* WKT — the ring/part bodies."""
+    return F.regexp_extract_all(g, F.lit(r"\(([^()]+)\)"), F.lit(1))
+
+
+def _chains_multi(g: Column) -> Column:
+    """``_geom_chains`` extended over MULTI* parts (round 5): every ring
+    of every MULTIPOLYGON part (auto-closed), every MULTILINESTRING
+    part, and each MULTIPOINT point as its own 1-element chain.  Ray-
+    cast parity over all rings of all (disjoint) parts is still correct
+    even-odd containment; segment walks never bridge parts."""
+    t = _typ(g)
+    return (
+        F.when(t == "POLYGON",
+               F.transform(_rings(g), lambda r: _close_ring(_ring_pts(r))))
+        .when(t == "MULTIPOLYGON",
+              F.transform(_inner_groups(g),
+                          lambda r: _close_ring(_ring_pts(r))))
+        .when(t == "MULTILINESTRING",
+              F.transform(_inner_groups(g), _ring_pts))
+        .when(t == "MULTIPOINT",
+              F.transform(_all_xy(g), lambda p: F.array(p)))
+        .otherwise(F.array(_coords(g)))
+    )
+
+
+def _is_poly(t: Column) -> Column:
+    return t.isin("POLYGON", "MULTIPOLYGON")
+
+
+def _is_point(t: Column) -> Column:
+    return t.isin("POINT", "MULTIPOINT")
+
+
+def _is_line(t: Column) -> Column:
+    return t.isin("LINESTRING", "MULTILINESTRING")
+
+
 def _point_in_geom(px: Column, py: Column, g: Column) -> Column:
-    """Even-odd parity over ALL rings: inside the exterior minus the
-    holes, exactly the OGC interior for polygons with holes."""
+    """Even-odd parity over ALL rings of ALL parts: inside the exterior
+    minus the holes — the OGC interior for (multi)polygons with holes
+    (disjoint parts keep parity correct: a point inside one part
+    crosses the other parts' rings an even number of times)."""
     total = F.aggregate(
-        _geom_chains(g), F.lit(0),
+        _chains_multi(g), F.lit(0),
         lambda acc, ring: acc + _ring_crossings(px, py, ring),
     )
     return total % 2 == 1
 
 
+def _mid_xy(g: Column) -> Column:
+    """Midpoint of every segment of every chain (1-point chains yield
+    the point itself — harmless for the on-outer membership tests)."""
+    return F.flatten(
+        F.transform(
+            _chains_multi(g),
+            lambda c: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(c) - 1, F.lit(1))),
+                lambda i: F.struct(
+                    (
+                        (
+                            F.element_at(c, i)["x"]
+                            + F.element_at(c, F.least(i + 1, F.size(c)))["x"]
+                        ) / 2
+                    ).alias("x"),
+                    (
+                        (
+                            F.element_at(c, i)["y"]
+                            + F.element_at(c, F.least(i + 1, F.size(c)))["y"]
+                        ) / 2
+                    ).alias("y"),
+                ),
+            ),
+        )
+    )
+
+
 @register("ST_Contains")
 def st_contains(outer, inner) -> Column:
-    """polygon ⊇ point (ray casting; hole-aware since round 4 — the
-    even-odd parity over all rings places points inside a hole
-    OUTSIDE, like the reference).  Polygon⊇polygon falls back to
-    all-vertices-inside (exact for convex outer rings)."""
-    go = _c(outer)
-    inner_pts = _all_xy(_c(inner))
-    return F.forall(
+    """Type-dispatched containment (GeoFunctions.java stContains),
+    multi-part since round 5:
+
+    - (multi)polygon outer: every inner vertex passes even-odd parity
+      over all rings of all parts (hole-aware; points in a hole are
+      outside).  Polygon⊇polygon remains all-vertices-inside (exact
+      for convex outer rings — documented approximation).
+    - (multi)linestring outer: every inner vertex AND segment midpoint
+      lies on the outer chains (false for polygon inners by dimension).
+    - (multi)point outer: inner is a point set and every inner point is
+      a member (TestGeoFunctions:663 MULTIPOINT ∋ POINT)."""
+    go, gi = _c(outer), _c(inner)
+    to, ti = _typ(go), _typ(gi)
+    inner_pts = _all_xy(gi)
+    poly_case = F.forall(
         inner_pts, lambda p: _point_in_geom(p["x"], p["y"], go)
+    )
+    line_case = (
+        ~_is_poly(ti)
+        & F.forall(
+            inner_pts, lambda p: _point_on_boundary_geom(p["x"], p["y"], go)
+        )
+        & F.forall(
+            _mid_xy(gi), lambda p: _point_on_boundary_geom(p["x"], p["y"], go)
+        )
+    )
+    point_case = _is_point(ti) & F.forall(
+        inner_pts,
+        lambda p: F.exists(
+            _all_xy(go), lambda q: (q["x"] == p["x"]) & (q["y"] == p["y"])
+        ),
+    )
+    return (
+        F.when(_is_poly(to), poly_case)
+        .when(_is_line(to), line_case)
+        .otherwise(point_case)
     )
 
 
@@ -432,12 +542,20 @@ def _on_segment(px, py, p1, p2) -> Column:
 
 
 def _point_on_boundary(px: Column, py: Column, c: Column) -> Column:
-    """Point lies on any segment of the coordinate chain ``c``."""
+    """Point lies on any segment of the coordinate chain ``c``.  A
+    1-element chain (a MULTIPOINT part) degenerates to point equality —
+    and F.sequence(1, 0) would count DOWN, so the guard is required."""
     n = F.size(c)
-    return F.exists(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: _on_segment(px, py, F.element_at(c, i), F.element_at(c, i + 1)),
-    )
+    p1 = F.element_at(c, 1)
+    return F.when(
+        n >= 2,
+        F.exists(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: _on_segment(
+                px, py, F.element_at(c, i), F.element_at(c, i + 1)
+            ),
+        ),
+    ).otherwise((px == p1["x"]) & (py == p1["y"]))
 
 
 def _seg_pair_test(ca: Column, cb: Column, i, j, proper: bool) -> Column:
@@ -467,15 +585,26 @@ def _seg_pair_test(ca: Column, cb: Column, i, j, proper: bool) -> Column:
 def _segments_intersect(ca: Column, cb: Column, proper: bool = False) -> Column:
     """Any segment of chain a meets any segment of chain b.  ``proper``
     restricts to transversal crossings (shared interior point, no
-    touch/collinear contact) — the classic orientation test."""
+    touch/collinear contact) — the classic orientation test.  1-element
+    chains (MULTIPOINT parts) degenerate to point-on-chain membership
+    for the general test and never cross properly."""
     na, nb = F.size(ca), F.size(cb)
-    return F.exists(
-        F.sequence(F.lit(1), na - 1),
-        lambda i: F.exists(
-            F.sequence(F.lit(1), nb - 1),
-            lambda j: _seg_pair_test(ca, cb, i, j, proper),
+    pair = F.when(
+        (na >= 2) & (nb >= 2),
+        F.exists(
+            F.sequence(F.lit(1), na - 1),
+            lambda i: F.exists(
+                F.sequence(F.lit(1), nb - 1),
+                lambda j: _seg_pair_test(ca, cb, i, j, proper),
+            ),
         ),
-    )
+    ).otherwise(F.lit(False))
+    if proper:
+        return pair
+    pa, pb = F.element_at(ca, 1), F.element_at(cb, 1)
+    pt_a = (na == 1) & _point_on_boundary(pa["x"], pa["y"], cb)
+    pt_b = (nb == 1) & _point_on_boundary(pb["x"], pb["y"], ca)
+    return pair | pt_a | pt_b
 
 
 def _typ(g: Column) -> Column:
@@ -487,20 +616,21 @@ def _strictly_inside(px, py, ring) -> Column:
 
 
 # ring-aware (hole-correct) forms of the three primitive tests, over
-# every chain of the geometry (round 4 — see _geom_chains)
+# every chain of every part (round 4 rings; round 5 MULTI* parts — see
+# _chains_multi)
 
 def _point_on_boundary_geom(px: Column, py: Column, g: Column) -> Column:
     return F.exists(
-        _geom_chains(g), lambda ring: _point_on_boundary(px, py, ring)
+        _chains_multi(g), lambda ring: _point_on_boundary(px, py, ring)
     )
 
 
 def _segments_intersect_geom(ga: Column, gb: Column,
                              proper: bool = False) -> Column:
     return F.exists(
-        _geom_chains(ga),
+        _chains_multi(ga),
         lambda ca: F.exists(
-            _geom_chains(gb), lambda cb: _segments_intersect(ca, cb, proper)
+            _chains_multi(gb), lambda cb: _segments_intersect(ca, cb, proper)
         ),
     )
 
@@ -509,18 +639,96 @@ def _strictly_inside_geom(px, py, g: Column) -> Column:
     return _point_in_geom(px, py, g) & ~_point_on_boundary_geom(px, py, g)
 
 
+def _is_chain_endpoint(px: Column, py: Column, g: Column) -> Column:
+    """Point equals the first or last vertex of any chain — the
+    (approximate) boundary of a (multi)linestring.  (The exact OGC
+    boundary applies a mod-2 rule at shared endpoints; endpoint-of-any-
+    part is the documented simplification.)"""
+    return F.exists(
+        _chains_multi(g),
+        lambda c: (
+            ((px == F.element_at(c, 1)["x"]) & (py == F.element_at(c, 1)["y"]))
+            | ((px == F.element_at(c, -1)["x"]) & (py == F.element_at(c, -1)["y"]))
+        ),
+    )
+
+
+def _pt_in_interior(px: Column, py: Column, g: Column, t: Column) -> Column:
+    """Point-in-interior by the geometry's kind: strict interior for
+    (multi)polygons; on-a-segment-but-not-an-endpoint for
+    (multi)linestrings; point membership for (multi)points."""
+    return (
+        F.when(_is_poly(t), _strictly_inside_geom(px, py, g))
+        .when(
+            _is_line(t),
+            _point_on_boundary_geom(px, py, g)
+            & ~_is_chain_endpoint(px, py, g),
+        )
+        .otherwise(_point_on_boundary_geom(px, py, g))  # point kind
+    )
+
+
+def _pt_in_closure(px: Column, py: Column, g: Column, t: Column) -> Column:
+    return F.when(
+        _is_poly(t),
+        _point_in_geom(px, py, g) | _point_on_boundary_geom(px, py, g),
+    ).otherwise(_point_on_boundary_geom(px, py, g))
+
+
+def _collinear_run(ga: Column, gb: Column) -> Column:
+    """Two line geometries share a positive-length collinear run: some
+    segment pair lies on one line with overlapping extent (the DE-9IM
+    1-dimensional interior∩interior case ST_Overlaps/ST_Touches need)."""
+    def seg_run(ca, cb, i, j):
+        p1, p2 = F.element_at(ca, i), F.element_at(ca, i + 1)
+        p3, p4 = F.element_at(cb, j), F.element_at(cb, j + 1)
+        collinear = (
+            (_orient(p1["x"], p1["y"], p2["x"], p2["y"], p3["x"], p3["y"]) == 0)
+            & (_orient(p1["x"], p1["y"], p2["x"], p2["y"], p4["x"], p4["y"]) == 0)
+        )
+        ox = (
+            F.least(F.greatest(p1["x"], p2["x"]), F.greatest(p3["x"], p4["x"]))
+            - F.greatest(F.least(p1["x"], p2["x"]), F.least(p3["x"], p4["x"]))
+        )
+        oy = (
+            F.least(F.greatest(p1["y"], p2["y"]), F.greatest(p3["y"], p4["y"]))
+            - F.greatest(F.least(p1["y"], p2["y"]), F.least(p3["y"], p4["y"]))
+        )
+        # collinear ⇒ the shared extent is a run iff it is positive on
+        # either axis (and non-negative on both)
+        return collinear & (ox >= 0) & (oy >= 0) & ((ox > 0) | (oy > 0))
+
+    def chain_run(ca, cb):
+        na, nb = F.size(ca), F.size(cb)
+        return F.when(
+            (na >= 2) & (nb >= 2),
+            F.exists(
+                F.sequence(F.lit(1), na - 1),
+                lambda i: F.exists(
+                    F.sequence(F.lit(1), nb - 1),
+                    lambda j: seg_run(ca, cb, i, j),
+                ),
+            ),
+        ).otherwise(F.lit(False))
+
+    return F.exists(
+        _chains_multi(ga),
+        lambda ca: F.exists(_chains_multi(gb), lambda cb: chain_run(ca, cb)),
+    )
+
+
 @register("ST_Intersects")
 def st_intersects(a, b) -> Column:
-    """Exact for simple point/linestring/polygon pairs — hole-aware
-    since round 4: segment-pair orientation tests run over every ring
-    (incl. collinear touches) plus hole-correct containment probes
-    (GeoFunctions.java stIntersects; same truth table as Esri's
-    ``intersects`` for single simple geometries).  An envelope pre-test
-    keeps the common join case a cheap reject."""
+    """Exact for point/linestring/polygon pairs — hole-aware since
+    round 4, multi-part since round 5: segment-pair orientation tests
+    run over every ring of every part (incl. collinear touches), the
+    point probes run over every vertex (so a part fully inside the
+    other is found whichever part it is), and point-kind sides test
+    every member point (GeoFunctions.java stIntersects; same truth
+    table as Esri's ``intersects``).  An envelope pre-test keeps the
+    common join case a cheap reject."""
     ga, gb = _c(a), _c(b)
     ta, tb = _typ(ga), _typ(gb)
-    ca, cb = _coords(ga), _coords(gb)
-    pa, pb = F.element_at(ca, 1), F.element_at(cb, 1)
     axy, bxy = _all_xy(ga), _all_xy(gb)
     xs = lambda c: F.transform(c, lambda p: p["x"])  # noqa: E731
     ys = lambda c: F.transform(c, lambda p: p["y"])  # noqa: E731
@@ -530,20 +738,18 @@ def st_intersects(a, b) -> Column:
         & (F.array_min(ys(axy)) <= F.array_max(ys(bxy)))
         & (F.array_min(ys(bxy)) <= F.array_max(ys(axy)))
     )
-    pt_test = lambda p, g, t: F.when(  # noqa: E731
-        t == "POLYGON",
-        _point_in_geom(p["x"], p["y"], g) | _point_on_boundary_geom(p["x"], p["y"], g),
-    ).otherwise(_point_on_boundary_geom(p["x"], p["y"], g))
     both = (
         _segments_intersect_geom(ga, gb)
-        | ((tb == "POLYGON") & _point_in_geom(pa["x"], pa["y"], gb))
-        | ((ta == "POLYGON") & _point_in_geom(pb["x"], pb["y"], ga))
+        | (_is_poly(tb) & F.exists(
+            axy, lambda p: _point_in_geom(p["x"], p["y"], gb)))
+        | (_is_poly(ta) & F.exists(
+            bxy, lambda p: _point_in_geom(p["x"], p["y"], ga)))
     )
-    point_point = (pa["x"] == pb["x"]) & (pa["y"] == pb["y"])
     return env & (
-        F.when((ta == "POINT") & (tb == "POINT"), point_point)
-        .when(ta == "POINT", pt_test(pa, gb, tb))
-        .when(tb == "POINT", pt_test(pb, ga, ta))
+        F.when(_is_point(ta), F.exists(
+            axy, lambda p: _pt_in_closure(p["x"], p["y"], gb, tb)))
+        .when(_is_point(tb), F.exists(
+            bxy, lambda p: _pt_in_closure(p["x"], p["y"], ga, ta)))
         .otherwise(both)
     )
 
@@ -554,65 +760,80 @@ def st_disjoint(a, b) -> Column:
     return ~st_intersects(a, b)
 
 
-def _interiors_overlap(ga, gb, ca, cb, ta, tb) -> Column:
-    """Interior∩interior non-empty, for the touch/cross/overlap family:
-    a transversal segment crossing (any ring pair), or a vertex of one
-    strictly inside the other polygon (hole-aware)."""
+def _interiors_overlap(ga, gb, ta, tb) -> Column:
+    """Interior∩interior non-empty, for the touch/cross/overlap family
+    (multi-part since round 5): point-kind sides test member points
+    against the other's interior; line pairs add the collinear shared
+    run (a 1-dimensional interior overlap the orientation test cannot
+    see); otherwise a transversal segment crossing (any ring pair of
+    any part) or a vertex of one strictly inside the other polygon
+    (hole-aware)."""
+    pt_side = lambda P, G, tg: F.exists(  # noqa: E731
+        _all_xy(P), lambda p: _pt_in_interior(p["x"], p["y"], G, tg)
+    )
     return (
-        _segments_intersect_geom(ga, gb, proper=True)
-        | ((tb == "POLYGON") & F.exists(
-            _all_xy(ga), lambda p: _strictly_inside_geom(p["x"], p["y"], gb)))
-        | ((ta == "POLYGON") & F.exists(
-            _all_xy(gb), lambda p: _strictly_inside_geom(p["x"], p["y"], ga)))
+        F.when(_is_point(ta) & _is_point(tb), F.exists(
+            _all_xy(ga), lambda p: _point_on_boundary_geom(p["x"], p["y"], gb)))
+        .when(_is_point(ta), pt_side(ga, gb, tb))
+        .when(_is_point(tb), pt_side(gb, ga, ta))
+        .otherwise(
+            _segments_intersect_geom(ga, gb, proper=True)
+            | (_is_line(ta) & _is_line(tb) & _collinear_run(ga, gb))
+            | (_is_poly(tb) & F.exists(
+                _all_xy(ga),
+                lambda p: _strictly_inside_geom(p["x"], p["y"], gb)))
+            | (_is_poly(ta) & F.exists(
+                _all_xy(gb),
+                lambda p: _strictly_inside_geom(p["x"], p["y"], ga)))
+        )
     )
 
 
 @register("ST_Touches")
 def st_touches(a, b) -> Column:
-    """Boundaries meet, interiors don't (GeoFunctions.java stTouches).
-    Exact for the polygon/polygon, line/polygon and point cases; two
-    collinear lines sharing an interior run are reported as touching
-    (a documented simplification — full DE-9IM needs an overlay kernel)."""
+    """Boundaries meet, interiors don't (GeoFunctions.java stTouches):
+    intersects AND NOT interiors-overlap, uniformly over all type
+    pairs and multi-part inputs (round 5).  Two collinear lines sharing
+    an interior run now report interiors-overlap (not touching), per
+    the reference (TestGeoFunctions:761).  A line vertex 'bouncing off'
+    another line's interior without crossing remains a documented
+    degenerate simplification."""
     ga, gb = _c(a), _c(b)
     ta, tb = _typ(ga), _typ(gb)
-    ca, cb = _coords(ga), _coords(gb)
-    pa, pb = F.element_at(ca, 1), F.element_at(cb, 1)
-    point_case = lambda p, g, c, t: F.when(  # noqa: E731
-        t == "POLYGON", _point_on_boundary_geom(p["x"], p["y"], g)
-    ).otherwise(
-        # boundary of a linestring = its endpoints
-        ((p["x"] == F.element_at(c, 1)["x"]) & (p["y"] == F.element_at(c, 1)["y"]))
-        | ((p["x"] == F.element_at(c, -1)["x"]) & (p["y"] == F.element_at(c, -1)["y"]))
-    )
-    return (
-        F.when((ta == "POINT") & (tb == "POINT"), F.lit(False))
-        .when(ta == "POINT", point_case(pa, gb, cb, tb))
-        .when(tb == "POINT", point_case(pb, ga, ca, ta))
-        .otherwise(
-            st_intersects(ga, gb) & ~_interiors_overlap(ga, gb, ca, cb, ta, tb)
-        )
-    )
+    return st_intersects(ga, gb) & ~_interiors_overlap(ga, gb, ta, tb)
 
 
 @register("ST_Crosses")
 def st_crosses(a, b) -> Column:
     """GeoFunctions.java stCrosses: interiors intersect and each geometry
-    has interior points outside the other.  line/line = a transversal
-    crossing; line/polygon = the line passes strictly inside AND outside;
-    point/* and polygon/polygon are false by the DE-9IM dimension rules.
-    Degenerate crossings that pass EXACTLY through ring vertices with no
-    line vertex strictly inside are reported false (the orientation test
-    sees only touches there) — full robustness needs a geometry kernel."""
+    has interior points outside the other.  Multi-part since round 5:
+    a point-kind side crosses a higher-dimension geometry when some
+    member point is in its interior and some member point is outside
+    (TestGeoFunctions:681 — LINESTRING × MULTIPOINT); line/line = a
+    transversal crossing over any part pair; line/polygon = the line
+    passes strictly inside AND outside; polygon/polygon is false by the
+    DE-9IM dimension rules.  Degenerate crossings that pass EXACTLY
+    through ring vertices with no line vertex strictly inside are
+    reported false (the orientation test sees only touches there) —
+    full robustness needs a geometry kernel."""
     ga, gb = _c(a), _c(b)
     ta, tb = _typ(ga), _typ(gb)
-    ca, cb = _coords(ga), _coords(gb)
 
-    def line_poly(line_c, line_g, poly_g):
+    def point_cross(P, G, tg):
+        pts = _all_xy(P)
+        return F.exists(
+            pts, lambda p: _pt_in_interior(p["x"], p["y"], G, tg)
+        ) & F.exists(
+            pts, lambda p: ~_pt_in_closure(p["x"], p["y"], G, tg)
+        )
+
+    def line_poly(line_g, poly_g):
+        pts = _all_xy(line_g)
         some_in = F.exists(
-            line_c, lambda p: _strictly_inside_geom(p["x"], p["y"], poly_g)
+            pts, lambda p: _strictly_inside_geom(p["x"], p["y"], poly_g)
         )
         some_out = F.exists(
-            line_c,
+            pts,
             lambda p: ~_point_in_geom(p["x"], p["y"], poly_g)
             & ~_point_on_boundary_geom(p["x"], p["y"], poly_g),
         )
@@ -622,42 +843,62 @@ def st_crosses(a, b) -> Column:
         return (some_in & some_out) | crossing
 
     return (
-        F.when((ta == "POINT") | (tb == "POINT"), F.lit(False))
-        .when((ta == "POLYGON") & (tb == "POLYGON"), F.lit(False))
-        .when((ta != "POLYGON") & (tb == "POLYGON"), line_poly(ca, ga, gb))
-        .when((ta == "POLYGON") & (tb != "POLYGON"), line_poly(cb, gb, ga))
-        .otherwise(_segments_intersect(ca, cb, proper=True))
+        F.when(_is_point(ta) & _is_point(tb), F.lit(False))
+        .when(_is_point(ta), point_cross(ga, gb, tb))
+        .when(_is_point(tb), point_cross(gb, ga, ta))
+        .when(_is_poly(ta) & _is_poly(tb), F.lit(False))
+        .when(~_is_poly(ta) & _is_poly(tb), line_poly(ga, gb))
+        .when(_is_poly(ta) & ~_is_poly(tb), line_poly(gb, ga))
+        .otherwise(_segments_intersect_geom(ga, gb, proper=True))
     )
 
 
 @register("ST_Overlaps")
 def st_overlaps(a, b) -> Column:
     """GeoFunctions.java stOverlaps: same dimension, interiors intersect,
-    neither contains the other.  Exact for polygon/polygon (the join
-    case); collinear line/line overlap needs an overlay kernel and
-    reports false (documented)."""
+    neither contains the other.  Multi-part since round 5, including the
+    two same-dimension cases the first-part kernel reported false:
+    point sets overlap when they share a member and each has an
+    exclusive member; line pairs overlap on a positive-length collinear
+    run (TestGeoFunctions:737-744)."""
     ga, gb = _c(a), _c(b)
     ta, tb = _typ(ga), _typ(gb)
-    ca, cb = _coords(ga), _coords(gb)
     poly_poly = (
-        _interiors_overlap(ga, gb, ca, cb, ta, tb)
+        _interiors_overlap(ga, gb, ta, tb)
         & ~st_contains(ga, gb)
         & ~st_contains(gb, ga)
     )
-    return F.when((ta == "POLYGON") & (tb == "POLYGON"), poly_poly).otherwise(
-        F.lit(False)
+    member = lambda p, g: F.exists(  # noqa: E731
+        _all_xy(g), lambda q: (q["x"] == p["x"]) & (q["y"] == p["y"])
+    )
+    point_point = (
+        F.exists(_all_xy(ga), lambda p: member(p, gb))
+        & F.exists(_all_xy(ga), lambda p: ~member(p, gb))
+        & F.exists(_all_xy(gb), lambda p: ~member(p, ga))
+    )
+    line_line = (
+        _collinear_run(ga, gb)
+        & ~st_contains(ga, gb)
+        & ~st_contains(gb, ga)
+    )
+    return (
+        F.when(_is_poly(ta) & _is_poly(tb), poly_poly)
+        .when(_is_point(ta) & _is_point(tb), point_point)
+        .when(_is_line(ta) & _is_line(tb), line_line)
+        .otherwise(F.lit(False))
     )
 
 
 @register("ST_Equals")
 def st_equals(a, b) -> Column:
     """GeoFunctions.java stEquals, as coordinate-set equality: same type
-    and the same vertex set (order/orientation-insensitive) — exact for
-    points and for rings/lines with identical vertex spellings."""
+    and the same vertex multiset across all parts (order/orientation-
+    insensitive) — exact for points and for rings/lines with identical
+    vertex spellings."""
     ga, gb = _c(a), _c(b)
     key = lambda g: F.array_sort(  # noqa: E731
         F.transform(
-            _coords(g),
+            _all_xy(g),
             lambda p: F.concat(p["x"].cast("string"), F.lit(":"), p["y"].cast("string")),
         )
     )

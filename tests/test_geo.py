@@ -645,3 +645,120 @@ def test_multi_part_composition(spark):
     # extremes span every part
     assert one(spark, call("ST_XMax", F.lit(mp))) == 12.0
     assert one(spark, call("ST_YMin", F.lit(mp))) == 0.0
+
+
+# --- multi-part relation semantics (round 5) --------------------------------
+# The reference's own MULTI* relation test values, TestGeoFunctions.java
+# :593-779 — previously the kernels evaluated the first part only.
+
+MP = "MULTIPOINT (50 100, 50 200)"
+ML_A = "MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))"
+ML_B = "MULTILINESTRING ((3 4, 6 4), (5 0, 5 4))"
+MPOLY = "MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1)), ((0 0, 0 2, 2 2, 2 0)))"
+POLY_B = "POLYGON ((0 1, 3 1, 3 3, 0 3))"
+
+
+def _rel(spark, fn, a, b):
+    return one(spark, call(fn, F.lit(a), F.lit(b)))
+
+
+def test_multipart_distance(spark):
+    # :593,595,597
+    assert _rel(spark, "ST_Distance", MP, "POINT (50 100)") == 0.0
+    assert _rel(
+        spark, "ST_Distance", ML_A, "LINESTRING (10 20, 20 50)"
+    ) == 17.08800749063506
+    assert _rel(
+        spark, "ST_Distance", MPOLY, "POLYGON ((10 100, 30 10))"
+    ) == 27.892651361962706
+    # :602-606 — EMPTY inputs null the result
+    assert _rel(spark, "ST_Distance", "MULTIPOINT EMPTY", "POINT (50 100)") is None
+    assert _rel(
+        spark, "ST_Distance", "MULTILINESTRING EMPTY", "LINESTRING (10 20, 20 50)"
+    ) is None
+    assert _rel(
+        spark, "ST_Distance", "MULTIPOLYGON EMPTY", "POLYGON ((10 100, 30 10))"
+    ) is None
+
+
+def test_multipart_contains_within(spark):
+    # :663-670, :773-779
+    assert _rel(
+        spark, "ST_Contains", "MULTIPOINT (20 20, 25 25)", "POINT (25 25)"
+    ) is True
+    assert _rel(
+        spark, "ST_Contains", "LINESTRING (20 20, 30 30)",
+        "MULTIPOINT (25 25, 31 31)",
+    ) is False
+    assert _rel(
+        spark, "ST_Contains", ML_A, "MULTILINESTRING ((3 4, 4 4), (2 1, 6 1))"
+    ) is False
+    assert _rel(
+        spark, "ST_Contains",
+        "MULTIPOLYGON (((0 0 , 0 2, 2 2, 2 0)), ((2 2, 2 4, 4 4, 4 2)))",
+        "POLYGON ((2 2, 2 3, 3 3, 3 2))",
+    ) is True
+    assert _rel(
+        spark, "ST_Within", "POINT (50 100)", MP
+    ) is True
+    assert _rel(spark, "ST_Within", ML_A, ML_B) is False
+    assert _rel(spark, "ST_Within", MPOLY, POLY_B) is False
+
+
+def test_multipart_intersects_disjoint(spark):
+    # :695-702, :721-726
+    assert _rel(spark, "ST_Disjoint", MP, "POINT (50 100)") is False
+    assert _rel(spark, "ST_Disjoint", ML_A, ML_B) is False
+    assert _rel(spark, "ST_Disjoint", MPOLY, POLY_B) is False
+    assert _rel(spark, "ST_Intersects", MP, "POINT (50 100)") is True
+    assert _rel(spark, "ST_Intersects", ML_A, ML_B) is True
+    assert _rel(spark, "ST_Intersects", MPOLY, POLY_B) is True
+
+
+def test_multipart_equals(spark):
+    # :709-714
+    assert _rel(spark, "ST_Equals", MP, "POINT (50 100)") is False
+    assert _rel(spark, "ST_Equals", ML_A, ML_B) is False
+    assert _rel(spark, "ST_Equals", MPOLY, POLY_B) is False
+    assert _rel(spark, "ST_Equals", MP, MP) is True
+    assert _rel(spark, "ST_Equals", MPOLY, MPOLY) is True
+
+
+def test_multipart_crosses(spark):
+    # :681-684
+    assert _rel(
+        spark, "ST_Crosses", "LINESTRING (20 20, 30 30)",
+        "MULTIPOINT (25 25, 31 31)",
+    ) is True
+    assert _rel(
+        spark, "ST_Crosses",
+        "MULTIPOLYGON (((0 0 , 0 2, 2 2, 2 0)), ((2 2, 2 4, 4 4, 4 2)))",
+        "POLYGON ((2 2, 2 3, 3 3, 3 2))",
+    ) is False
+    # a single point cannot be both inside and outside
+    assert _rel(
+        spark, "ST_Crosses", "LINESTRING (20 20, 30 30)", "POINT (25 25)"
+    ) is False
+
+
+def test_multipart_overlaps(spark):
+    # :737-744 — incl. the two same-dimension cases the first-part
+    # kernel reported false (point sets; collinear line runs)
+    assert _rel(spark, "ST_Overlaps", MP, "POINT (50 100)") is False
+    assert _rel(spark, "ST_Overlaps", ML_A, ML_B) is True
+    assert _rel(spark, "ST_Overlaps", MPOLY, POLY_B) is True
+    assert _rel(
+        spark, "ST_Overlaps", "MULTIPOINT (1 1, 2 2)", "MULTIPOINT (2 2, 3 3)"
+    ) is True
+
+
+def test_multipart_touches(spark):
+    # :759-766 — the collinear shared run makes ML_A/ML_B interiors
+    # overlap, so they do NOT touch
+    assert _rel(spark, "ST_Touches", MP, "POINT (50 100)") is False
+    assert _rel(spark, "ST_Touches", ML_A, ML_B) is False
+    assert _rel(spark, "ST_Touches", MPOLY, POLY_B) is False
+    # endpoint-only contact still touches
+    assert _rel(
+        spark, "ST_Touches", "LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 0)"
+    ) is True
