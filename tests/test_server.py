@@ -339,3 +339,87 @@ def test_system_metadata_and_transactions(server):
         "transaction_id", "isolation_level", "read_only", "auto_commit_context"
     ]
     assert tx.count() == 0
+
+
+def test_concurrent_sessions_soak(server):
+    """Concurrency soak (round 5): N client threads drive mixed queries
+    through /v1/statement while system.runtime.queries is polled live
+    and kill_query terminates a mid-flight paged query —
+    KillQueryProcedure.java:53 semantics under real thread concurrency,
+    not single-threaded sequencing."""
+    import threading
+
+    eng = server.engine
+    errors: list = []
+    done_counts: list = []
+
+    STATEMENTS = [
+        "SELECT count(*) AS n FROM lineitem",
+        "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 5",
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY 1",
+        "SELECT r_regionkey + 1 AS k FROM region",
+        "SELECT max(l_extendedprice) AS m FROM lineitem",
+    ]
+
+    def worker(seed: int) -> None:
+        try:
+            n_done = 0
+            for i in range(5):
+                sql = STATEMENTS[(seed + i) % len(STATEMENTS)]
+                res = _post(server, sql)
+                rows = _drain(server, res)
+                assert rows, f"no rows for {sql!r}"
+                n_done += 1
+            done_counts.append(n_done)
+        except Exception as exc:  # noqa: BLE001 — collected for the assert
+            errors.append(exc)
+
+    def monitor() -> None:
+        try:
+            for _ in range(8):
+                rows = eng.sql(
+                    "SELECT query_id, state FROM system.runtime.queries"
+                ).collect()
+                assert rows is not None
+                eng.sql(
+                    "SELECT count(*) AS n FROM system.runtime.tasks"
+                ).collect()
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(6)]
+    threads.append(threading.Thread(target=monitor))
+
+    # a paged query left mid-flight, killed while the workers hammer
+    victim = _post(server, "SELECT o_orderkey FROM orders")
+    assert victim["stats"]["state"] == "RUNNING"
+
+    for t in threads:
+        t.start()
+    eng.sql(
+        f"CALL system.runtime.kill_query('{victim['id']}', 'soak kill')"
+    )
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads), "soak thread hung"
+
+    assert errors == []
+    assert done_counts == [5] * 6
+
+    # the victim's next poll reports the administrative kill
+    with urllib.request.urlopen(victim["nextUri"]) as r:
+        page = json.load(r)
+    assert page["stats"]["state"] == "FAILED"
+    assert page["error"]["errorName"] == "ADMINISTRATIVELY_KILLED"
+
+    # registry settled: no RUNNING leftovers from the soak (the
+    # introspection statement itself legitimately snapshots as RUNNING)
+    leftovers = [
+        r.query
+        for r in eng.sql(
+            "SELECT query, state FROM system.runtime.queries"
+        ).collect()
+        if r.state == "RUNNING" and "system.runtime.queries" not in r.query
+    ]
+    assert leftovers == []
