@@ -294,6 +294,97 @@ def source_kafka_offset_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Second split-semantics fixture (round 5): a partition's offset range
+# served by MULTIPLE half-open sub-splits (KafkaSplitManager chunks each
+# partition's [low, high] into messagesPerSplit-sized KafkaSplits;
+# KafkaRecordSet.java:152-178 then enforces [start, end) per split) over
+# segments written INTERLEAVED across partitions and out of offset
+# order.  The union of sub-splits must reconstruct each partition's
+# range exactly once — no loss at the seams, no double-read — whatever
+# the physical file layout.  Includes an empty split ([5, 5)) and a
+# seam split of width 1 ([50, 51)).
+KAFKA_SUBSPLITS = [
+    (0, 0, 100), (0, 100, 213),
+    (1, 7, 50), (1, 50, 51), (1, 51, 10 ** 9),
+    (2, 5, 5), (2, 5, 150),
+]
+
+
+def source_kafka_interleaved_splits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """orders as a 3-partition topic stored as interleaved out-of-order
+    segment files; every sub-split is an INDEPENDENT filtered scan (one
+    KafkaRecordSet per KafkaSplit), unioned and aggregated per
+    partition.  count(*) = count(DISTINCT offset) proves the half-open
+    seams neither drop nor duplicate messages."""
+    from pyspark.sql import Window as W
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    part = (F.col("o_orderkey") % 3).cast("int")
+    w = W.partitionBy(part).orderBy("o_orderkey")
+    topic = orders.select(
+        part.alias("_partition_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("_partition_offset"),
+        F.col("o_orderkey").cast("string").alias("_key"),
+        F.to_json(F.struct("o_orderkey", "o_totalprice")).alias("_message"),
+    )
+    # segment files interleave partitions and offset blocks — the
+    # on-disk order carries no information the split math could lean on
+    seg = topic.withColumn(
+        "_segment",
+        ((F.col("_partition_offset") / 64).cast("int") * 3
+         + F.col("_partition_id")) % 4,
+    )
+    seg_path = _scratch("kafka_interleaved_segments")
+    seg.write.mode("overwrite").partitionBy("_segment").parquet(seg_path)
+    reads = [
+        kafka_segment_read(spark, seg_path, {p: (s, e)})
+        for (p, s, e) in KAFKA_SUBSPLITS
+    ]
+    got = reads[0]
+    for r in reads[1:]:
+        got = got.unionByName(r)
+    parsed = got.select(
+        "_partition_id",
+        "_partition_offset",
+        F.get_json_object("_message", "$.o_orderkey").cast("long").alias("k"),
+    )
+    return (
+        parsed.groupBy("_partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_partition_offset").alias("n_distinct"),
+            F.min("_partition_offset").alias("first_offset"),
+            F.max("_partition_offset").alias("last_offset"),
+            F.sum("k").alias("key_sum"),
+        )
+        .orderBy("_partition_id")
+    )
+
+
+_KAFKA_SUBSPLIT_SQL = """
+WITH topic AS (
+  SELECT CAST(o_orderkey % 3 AS INT) AS p,
+         CAST(row_number() OVER (
+             PARTITION BY o_orderkey % 3
+             ORDER BY o_orderkey) - 1 AS BIGINT) AS off,
+         o_orderkey AS k
+  FROM orders
+), splits(p, s, e) AS (
+  VALUES (0, 0, 100), (0, 100, 213),
+         (1, 7, 50), (1, 50, 51), (1, 51, 1000000000),
+         (2, 5, 5), (2, 5, 150)
+)
+SELECT t.p AS _partition_id, count(*) AS n,
+       count(DISTINCT t.off) AS n_distinct,
+       min(t.off) AS first_offset, max(t.off) AS last_offset,
+       CAST(sum(t.k) AS BIGINT) AS key_sum
+FROM topic t JOIN splits r ON t.p = r.p AND t.off >= r.s AND t.off < r.e
+GROUP BY t.p ORDER BY t.p
+"""
+
+
 _KAFKA_RANGE_SQL = f"""
 WITH topic AS (
   SELECT CAST(o_orderkey % {N_KAFKA_PARTITIONS} AS INT) AS p,
@@ -324,6 +415,7 @@ QUERIES = {
     "source_jdbc_roundtrip": source_jdbc_roundtrip,
     "source_jdbc_split_read": source_jdbc_split_read,
     "source_kafka_offset_range": source_kafka_offset_range,
+    "source_kafka_interleaved_splits": source_kafka_interleaved_splits,
 }
 
 ORACLE = {
@@ -334,4 +426,5 @@ ORACLE = {
     "source_jdbc_roundtrip": _AGG_SQL,
     "source_jdbc_split_read": _JDBC_SPLIT_SQL,
     "source_kafka_offset_range": _KAFKA_RANGE_SQL,
+    "source_kafka_interleaved_splits": _KAFKA_SUBSPLIT_SQL,
 }

@@ -2708,6 +2708,125 @@ def _pass_gs_empty_global(tokens: list[Tok]) -> list[Tok]:
     return res + tokens[limit_i:]
 
 
+def _pass_cube_rollup_empty_global(tokens: list[Tok]) -> list[Tok]:
+    """CUBE/ROLLUP over empty input: compensate the missing global row.
+
+    The reference emits the global ``()`` set's aggregation row even
+    when the (filtered) input is empty (AbstractTestAggregations.
+    testCubeNoInput / testRollupNoInput); Spark's Expand+HashAggregate
+    emits nothing.  The rewrite appends one UNION ALL arm that is free
+    at scale:
+
+    - the arm aggregates ``FROM src WHERE (orig) AND FALSE`` — Catalyst
+      folds it to an empty LocalRelation (PropagateEmptyRelation), so
+      the global aggregate's empty-input values (SUM→NULL, COUNT→0, …)
+      are produced WITHOUT any scan;
+    - the arm is gated by ``HAVING (SELECT count(*) FROM (SELECT 1 FROM
+      src WHERE orig LIMIT 1)) = 0`` — a CollectLimit(1) probe that
+      early-exits at the first matching row on non-empty input (the
+      common case: near-free) and performs one pushdown-filtered scan
+      only when the edge case actually fires.
+
+    tools/plan_audit-style shape asserted in tests: the arm contributes
+    a LocalTableScan + a LIMIT-1 subquery, never a second full
+    aggregation scan.  Applies only to the plain ``GROUP BY CUBE(...)``
+    / ``GROUP BY ROLLUP(...)`` block (no extra keys — a mixed GROUP BY
+    has no global set), no HAVING/DISTINCT/grouping() in the query.
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += (
+                [t]
+                + _pass_cube_rollup_empty_global(tokens[i + 1:close])
+                + [tokens[close]]
+            )
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+    n = len(tokens)
+    idx: dict[str, int] = {}
+    j = 0
+    while j < n:
+        s = tokens[j]
+        if s.text == "(":
+            j = find_matching_paren(tokens, j) + 1
+            continue
+        if s.kind == "ident":
+            u = s.upper
+            if u in ("SELECT", "FROM", "GROUP", "HAVING", "ORDER",
+                     "LIMIT", "WHERE") and u not in idx:
+                idx[u] = j
+            if u in _SETOP_KWS:
+                return tokens
+        j += 1
+    if not {"SELECT", "FROM", "GROUP"} <= idx.keys() or "HAVING" in idx:
+        return tokens
+    if "ORDER" in idx:
+        head = _pass_cube_rollup_empty_global(tokens[: idx["ORDER"]])
+        return head + tokens[idx["ORDER"]:]
+    sel_i, from_i, group_i = idx["SELECT"], idx["FROM"], idx["GROUP"]
+    if not (sel_i < from_i < group_i):
+        return tokens
+    if not (
+        group_i + 3 < n and tokens[group_i + 1].upper == "BY"
+        and tokens[group_i + 2].is_kw("CUBE", "ROLLUP")
+        and tokens[group_i + 3].text == "("
+    ):
+        return tokens
+    close = find_matching_paren(tokens, group_i + 3)
+    limit_i = idx.get("LIMIT", n)
+    if any(tok.kind == "ident" for tok in tokens[close + 1:limit_i]):
+        return tokens  # extra grouping keys — no implicit global set
+    select_seg = tokens[sel_i + 1:from_i]
+    if select_seg and select_seg[0].is_kw("DISTINCT"):
+        return tokens
+    if any(tok.is_kw("GROUPING", "GROUPING_ID") for tok in select_seg):
+        return tokens
+    arm_items: list[list[Tok]] = []
+    for item in split_top_level(select_seg):
+        alias_toks: list[Tok] = []
+        core = item
+        if len(item) >= 3 and item[-2].is_kw("AS") and item[-1].kind == "ident":
+            alias_toks = item[-2:]
+            core = item[:-2]
+        has_agg, bare_ref = _classify_item(core)
+        if has_agg and bare_ref:
+            return tokens
+        arm_items.append((core if has_agg else [ident("NULL")]) + alias_toks)
+    body = tokens[from_i:group_i]  # FROM … [WHERE …]
+    if "WHERE" in idx and from_i < idx["WHERE"] < group_i:
+        w = idx["WHERE"] - from_i
+        dead_body = (
+            body[: w + 1] + [op("(")] + body[w + 1:]
+            + [op(")"), ident("AND"), ident("FALSE")]
+        )
+    else:
+        dead_body = body + [ident("WHERE"), ident("FALSE")]
+    probe = (
+        [op("("), ident("SELECT"), ident("count"), op("("), op("*"),
+         op(")"), ident("FROM"), op("("), ident("SELECT"),
+         Tok("number", "1")]
+        + body
+        + [ident("LIMIT"), Tok("number", "1"), op(")"),
+           ident("__fps_empty_probe__"), op(")")]
+    )
+    arm: list[Tok] = [ident("UNION"), ident("ALL"), ident("SELECT")]
+    for k, it in enumerate(arm_items):
+        if k:
+            arm.append(op(","))
+        arm += it
+    arm += dead_body
+    arm += [ident("HAVING")] + probe + [op("="), Tok("number", "0")]
+    return tokens[:limit_i] + arm + tokens[limit_i:]
+
+
 def _classify_item(core: list[Tok]) -> tuple[bool, bool]:
     """(contains an aggregate call, contains a bare column reference
     outside every aggregate call) — scanned linearly with agg spans
@@ -3036,6 +3155,7 @@ def translate(sql: str) -> str:
     toks = _pass_in_values(toks)
     toks = _pass_order_by_grouping(toks)
     toks = _pass_gs_empty_global(toks)
+    toks = _pass_cube_rollup_empty_global(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)

@@ -68,13 +68,11 @@ KNOWN_DIVERGENCES = {
     # translation time (_pass_exists_no_from / _pass_scalar_no_from /
     # _pass_projected_in); what remains needs a real correlated relation
     # in a position Catalyst refuses (join conditions, GROUP BY keys).
-    # grouping sets over empty input: the reference emits the global ()
-    # set's aggregation row, Spark's Expand+HashAggregate emits nothing
-    "aggregations:testCubeNoInput": "global set over empty input: explicit "
-        "GROUPING SETS () splits into a union arm (translate._pass_gs_"
-        "empty_global), but CUBE/ROLLUP keep the single-scan Expand — "
-        "the compensating arm would re-scan the source for every "
-        "rollup at 100 TB to serve an empty-input edge case",
+    # round 5 removed aggregations:testCubeNoInput: CUBE/ROLLUP now get
+    # a probe-gated compensating global-row arm (translate._pass_cube_
+    # rollup_empty_global) whose aggregation input folds to an empty
+    # LocalRelation — no second full scan at scale (plan-asserted in
+    # test_sqlfront.test_cube_empty_arm_plan_shape).
     "testCustomAdd": "custom_add is a test-harness plugin UDF "
         "(presto-tests/.../CustomAdd.java), not an engine function",
     "aggregations:testSumDataSizeForStats": "$internal$ ANALYZE-only "
