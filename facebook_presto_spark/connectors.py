@@ -431,43 +431,98 @@ class TpchCatalog:
     UNPREFIXED names (``orderkey``, not ``o_orderkey`` —
     ``TpchColumn.getColumnName``).
 
-    Substitution, documented: the reference runs dbgen in-process at any
-    scale factor; this environment ships pre-generated parquet at fixed
-    scale factors, so the connector serves exactly the schemas whose
-    dataset directory exists (``tiny`` → sf0.01) and raises loudly for
-    any other scale factor.  Reads are native parquet scans — pushdown
-    and pruning intact — with a rename-only projection to the
-    reference's column names (zero-cost in Catalyst).
+    In-process generation (round 5): like the reference's embedded
+    dbgen, any requested schema is generated on demand — DuckDB's tpch
+    extension IS dbgen — and cached as parquet, serving ALL EIGHT
+    tables (including partsupp) with the reference's types (prices as
+    DOUBLE, dates as DATE).  Generation is capped at sf ≤
+    ``TPCH_DBGEN_MAX_SF`` (default 1; env
+    ``SPARK_GRAFT_TPCH_MAX_SF`` overrides) — a single-container
+    capacity guard, not a semantics limit.  When the driver's
+    pre-materialized dataset directory exists for a schema, it is
+    preferred for the 7 tables it ships (zero generation cost; its
+    dates are TIMESTAMP — TESTDATA.md's layout); partsupp falls through
+    to dbgen.  Reads are native parquet scans — pushdown and pruning
+    intact — with a rename-only projection to the reference's column
+    names (zero-cost in Catalyst).
     """
 
     BASE = "/root/testdata"
+    GEN_BASE = "/root/repo/.scratch/tpch_dbgen"
     TABLES = ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem")
+              "partsupp", "orders", "lineitem")
     _PREFIX = {"region": "r_", "nation": "n_", "customer": "c_",
-               "supplier": "s_", "part": "p_", "orders": "o_",
-               "lineitem": "l_"}
+               "supplier": "s_", "part": "p_", "partsupp": "ps_",
+               "orders": "o_", "lineitem": "l_"}
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
-    def schema_dir(self, schema: str) -> str:
-        import os
-
+    @staticmethod
+    def _sf(schema: str) -> str:
         schema = schema.lower()
         if schema == "tiny":  # TINY_SCALE_FACTOR = 0.01
-            sf = "0.01"
-        elif schema.startswith("sf"):
-            sf = schema[2:].replace("_", ".")
-        else:
-            raise ValueError(f"Schema tpch.{schema} does not exist")
+            return "0.01"
+        if schema.startswith("sf"):
+            return schema[2:].replace("_", ".")
+        raise ValueError(f"Schema tpch.{schema} does not exist")
+
+    def max_sf(self) -> float:
+        import os
+
+        return float(os.environ.get("SPARK_GRAFT_TPCH_MAX_SF", "1"))
+
+    def schema_dir(self, schema: str) -> str | None:
+        """The pre-materialized dataset dir, or None (dbgen path)."""
+        import os
+
+        sf = self._sf(schema)
         path = os.path.join(self.BASE, f"sf{sf}")
-        if not os.path.isdir(path):
+        if os.path.isdir(path):
+            return path
+        if float(sf) > self.max_sf():
             raise ValueError(
-                f"Schema tpch.{schema} does not exist: scale factor {sf} "
-                f"is not materialized in this environment (available: "
-                f"tiny plus the sf* directories under {self.BASE})"
+                f"Schema tpch.{schema} exceeds this container's dbgen "
+                f"capacity guard (sf {sf} > {self.max_sf()}; raise "
+                f"SPARK_GRAFT_TPCH_MAX_SF to generate it anyway)"
             )
-        return path
+        return None
+
+    def _dbgen_dir(self, schema: str) -> str:
+        """Generate (once) and return the dbgen cache dir for a schema."""
+        import os
+
+        sf = self._sf(schema)
+        out = os.path.join(self.GEN_BASE, f"sf{sf}")
+        if os.path.exists(os.path.join(out, "_DONE")):
+            return out
+        if float(sf) > self.max_sf():
+            raise ValueError(
+                f"Schema tpch.{schema} exceeds this container's dbgen "
+                f"capacity guard (sf {sf} > {self.max_sf()}; raise "
+                f"SPARK_GRAFT_TPCH_MAX_SF to generate it anyway)"
+            )
+        import duckdb
+
+        os.makedirs(out, exist_ok=True)
+        con = duckdb.connect()
+        con.execute("LOAD tpch")
+        con.execute(f"CALL dbgen(sf={sf})")
+        # reference types: DOUBLE prices (TpchColumnType DOUBLE), DATE
+        # dates; decimals are dbgen's physical representation only
+        for t in self.TABLES:
+            cols = con.execute(f"DESCRIBE {t}").fetchall()
+            proj = ", ".join(
+                f"{c}::DOUBLE AS {c}" if ty.startswith("DECIMAL") else c
+                for c, ty, *_ in cols
+            )
+            con.execute(
+                f"COPY (SELECT {proj} FROM {t}) TO '{out}/{t}.parquet' "
+                f"(FORMAT PARQUET)"
+            )
+        con.close()
+        open(os.path.join(out, "_DONE"), "w").close()
+        return out
 
     def list_schemas(self) -> list[str]:
         import os
@@ -476,20 +531,30 @@ class TpchCatalog:
         for d in sorted(os.listdir(self.BASE)):
             if d.startswith("sf"):
                 out.append(d.replace(".", "_"))
+        if os.path.isdir(self.GEN_BASE):
+            for d in sorted(os.listdir(self.GEN_BASE)):
+                if d.startswith("sf"):
+                    name = d.replace(".", "_")
+                    if name not in out:
+                        out.append(name)
         return out
 
     def read(self, schema: str, table: str) -> DataFrame:
         import os
 
         table = table.lower()
-        path = self.schema_dir(schema)
-        if table == "partsupp":
-            raise NotImplementedError(
-                "tpch.partsupp is not part of this environment's generated "
-                "dataset (TESTDATA.md ships 7 of the 8 TPC-H tables)"
-            )
         if table not in self.TABLES:
+            # validates the schema name/capacity before the table error,
+            # matching the reference's resolution order
+            self.schema_dir(schema)
             raise ValueError(f"Table tpch.{schema}.{table} does not exist")
+        path = self.schema_dir(schema)
+        if path is None or not os.path.exists(
+            os.path.join(path, f"{table}.parquet")
+        ):
+            # not materialized (unknown sf, or partsupp which TESTDATA
+            # does not ship) → in-process dbgen, the reference's model
+            path = self._dbgen_dir(schema)
         df = self.spark.read.parquet(os.path.join(path, f"{table}.parquet"))
         prefix = self._PREFIX[table]
         renames = {

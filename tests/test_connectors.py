@@ -336,10 +336,28 @@ def test_tpch_schema_listing_and_errors(eng):
         r["Table"] for r in eng.sql("SHOW TABLES FROM tpch.tiny").collect()
     ]
     assert "lineitem" in tables and "orders" in tables
-    with pytest.raises(ValueError, match="not materialized"):
+    with pytest.raises(ValueError, match="capacity guard"):
         eng.sql("SELECT * FROM tpch.sf1000.orders")
-    with pytest.raises(NotImplementedError, match="partsupp"):
-        eng.sql("SELECT * FROM tpch.tiny.partsupp")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("SELECT * FROM tpch.tiny.nope")
+
+
+def test_tpch_partsupp_dbgen(eng):
+    """partsupp is served by in-process generation (TpchMetadata's
+    embedded dbgen model): 80 rows per part at tiny, reference types
+    (supplycost DOUBLE), unprefixed names."""
+    rows = eng.sql(
+        "SELECT partkey, suppkey, availqty, supplycost "
+        "FROM tpch.tiny.partsupp ORDER BY partkey, suppkey LIMIT 4"
+    ).collect()
+    assert len(rows) == 4 and rows[0]["partkey"] == 1
+    assert isinstance(rows[0]["supplycost"], float)
+    stats = eng.sql("""
+        SELECT count(*) AS n, count(DISTINCT partkey) AS parts
+        FROM tpch.tiny.partsupp
+    """).collect()[0]
+    # dbgen emits 4 suppliers per part (rounding at tiny scale)
+    assert stats["parts"] * 4 == stats["n"] and stats["n"] > 7000
 
 
 def test_tpch_scan_pushdown_survives_rename(eng, spark):
