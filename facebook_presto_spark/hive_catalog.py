@@ -300,6 +300,76 @@ class HiveCatalog:
         if props is not None:
             self.table_props[(new_schema, new_table)] = props
 
+    # -- metadata DELETE (MetadataDeleteOperator / MetadataDelete-
+    # Optimizer.java:92 + HiveMetadata.java:1417) ------------------------
+
+    def delete(self, schema: str, table: str, pred: str | None) -> int:
+        """DELETE FROM hive.s.t [WHERE <partition-key predicate>].
+
+        The reference's hive connector supports DELETE only when whole
+        partitions are deleted (MetadataDeleteOptimizer routes the plan
+        to MetadataDeleteOperator; anything else raises
+        HiveMetadata.java:1417's NOT_SUPPORTED).  Here the predicate is
+        evaluated against the $partitions metadata rows — never the
+        data — and matching partitions are dropped as directories:
+        at 100 TB the operation is proportional to the partition COUNT,
+        not the data size (the returned row count is a partition-pruned
+        count over only the dropped directories)."""
+        if not self._exists(schema, table):
+            raise ValueError(f"Table hive.{schema}.{table} does not exist")
+        qualified = self.qualified(schema, table)
+        part_cols = [
+            c.name for c in self.spark.catalog.listColumns(qualified)
+            if c.isPartition
+        ]
+        if pred is None:
+            n = self.spark.table(qualified).count()
+            self.spark.sql(f"TRUNCATE TABLE {qualified}")
+            return n
+        from facebook_presto_spark.sqlfront.tokens import tokenize
+
+        toks = tokenize(pred)
+        non_partition = [
+            t.text for i, t in enumerate(toks)
+            if t.kind == "ident"
+            and t.text.lower() not in part_cols
+            and t.upper not in (
+                "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE", "FALSE",
+                "BETWEEN", "LIKE", "DATE", "TIMESTAMP", "INTERVAL",
+            )
+            and not (i + 1 < len(toks) and toks[i + 1].text == "(")
+        ]
+        if not part_cols or non_partition:
+            raise ValueError(
+                "This connector only supports delete where one or more "
+                "partitions are deleted entirely"
+            )
+        victims = self.partitions_table(schema, table).filter(pred).collect()
+        if not victims:
+            return 0
+        # partition-pruned count of the rows being dropped (reads only
+        # the victim directories' footers)
+        cond = None
+        for v in victims:
+            this = None
+            for c in part_cols:
+                eq = (
+                    F.col(c).isNull() if v[c] is None else (F.col(c) == v[c])
+                )
+                this = eq if this is None else (this & eq)
+            cond = this if cond is None else (cond | this)
+        n = self.spark.table(qualified).filter(cond).count()
+        for v in victims:
+            spec = ", ".join(
+                f"`{c}` = '{v[c]}'" if v[c] is not None
+                else f"`{c}` = '{HIDDEN_NULL_PARTITION}'"
+                for c in part_cols
+            )
+            self.spark.sql(
+                f"ALTER TABLE {qualified} DROP PARTITION ({spec})"
+            )
+        return n
+
     # -- $partitions (HiveMetadata.java:299-360) -------------------------
 
     def partitions_table(self, schema: str, table: str) -> DataFrame:
@@ -382,6 +452,11 @@ _INSERT_RE = re.compile(
 )
 _DROP_TABLE_RE = re.compile(
     rf"\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?{_T3}\s*;?\s*$", re.I
+)
+_DELETE_RE = re.compile(
+    rf"\s*DELETE\s+FROM\s+{_T3}\s*"
+    rf"(?:WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.I | re.S,
 )
 _RENAME_RE = re.compile(
     rf"\s*ALTER\s+TABLE\s+{_T3}\s+RENAME\s+TO\s+"
@@ -475,6 +550,12 @@ def dispatch(engine, sql: str) -> DataFrame | None:
     if m:
         cat.drop(_strip(m.group(2)), _strip(m.group(3)), bool(m.group(1)))
         return _ok(spark)
+    m = _DELETE_RE.match(sql)
+    if m:
+        n = cat.delete(
+            _strip(m.group(1)), _strip(m.group(2)), m.group("pred")
+        )
+        return spark.createDataFrame([(n,)], "rows bigint")
     m = _CTAS_RE.match(sql)
     if m:
         df = engine.sql(m.group("query"))
@@ -667,14 +748,48 @@ GROUP BY f.o_orderpriority ORDER BY f.o_orderpriority
 """
 
 
+def connector_hive_partition_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-only DELETE (MetadataDeleteOperator parity): the WHERE
+    touches only partition keys, so whole directories drop without
+    reading a data row; the read-back aggregate proves exactly the
+    matching partitions are gone."""
+    eng = _engine(spark, sf_dir)
+    _make_orders_part(eng, "orders_del")
+    eng.sql("""
+        DELETE FROM hive.sales.orders_del
+        WHERE o_orderpriority IN ('3-MEDIUM', '5-LOW')
+    """)
+    return eng.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM hive.sales.orders_del
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+
+
+ORACLE_DELETE = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders
+WHERE (o_totalprice > 150000.0
+   OR (o_totalprice <= 150000.0 AND o_orderpriority = '1-URGENT'))
+  AND o_orderpriority NOT IN ('3-MEDIUM', '5-LOW')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "connector_hive_partitioned_roundtrip": connector_hive_partitioned_roundtrip,
     "connector_hive_partitions_metadata": connector_hive_partitions_metadata,
     "connector_hive_dpp_join": connector_hive_dpp_join,
+    "connector_hive_partition_delete": connector_hive_partition_delete,
 }
 
 ORACLE = {
     "connector_hive_partitioned_roundtrip": ORACLE_ROUNDTRIP,
     "connector_hive_partitions_metadata": ORACLE_PARTITIONS,
     "connector_hive_dpp_join": ORACLE_DPP,
+    "connector_hive_partition_delete": ORACLE_DELETE,
 }

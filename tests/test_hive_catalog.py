@@ -269,3 +269,40 @@ def test_unsupported_property_and_format_raise(eng):
             CREATE TABLE hive.web.badfmt WITH (format = 'RCBINARY')
             AS SELECT * FROM region
         """)
+
+
+def test_partition_delete_metadata_only(eng):
+    """DELETE on partition keys drops whole directories
+    (MetadataDeleteOperator parity); row-level predicates raise the
+    reference's NOT_SUPPORTED message (HiveMetadata.java:1417)."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.del_p
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, r_regionkey FROM region
+    """)
+    n = eng.sql(
+        "DELETE FROM hive.web.del_p WHERE r_regionkey IN (1, 3)"
+    ).collect()[0]["rows"]
+    assert n == 2
+    left = eng.sql(
+        "SELECT r_regionkey FROM hive.web.del_p ORDER BY r_regionkey"
+    ).collect()
+    assert [r["r_regionkey"] for r in left] == [0, 2, 4]
+    parts = eng.sql('SELECT * FROM hive.web."del_p$partitions"').collect()
+    assert len(parts) == 3
+    # no matching partition: 0 rows, no error
+    assert eng.sql(
+        "DELETE FROM hive.web.del_p WHERE r_regionkey = 99"
+    ).collect()[0]["rows"] == 0
+    # non-partition predicate → the reference's NOT_SUPPORTED surface
+    with pytest.raises(ValueError, match="partitions are deleted entirely"):
+        eng.sql("DELETE FROM hive.web.del_p WHERE r_name = 'ASIA'")
+    # unpartitioned table: any WHERE raises; bare DELETE truncates
+    eng.sql("CREATE TABLE hive.web.del_flat AS SELECT * FROM region")
+    with pytest.raises(ValueError, match="partitions are deleted entirely"):
+        eng.sql("DELETE FROM hive.web.del_flat WHERE r_regionkey = 1")
+    assert eng.sql("DELETE FROM hive.web.del_flat").collect()[0]["rows"] == 5
+    assert eng.sql(
+        "SELECT count(*) AS n FROM hive.web.del_flat"
+    ).collect()[0]["n"] == 0
