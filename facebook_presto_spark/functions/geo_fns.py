@@ -195,22 +195,36 @@ def st_envelope(g) -> Column:
 
 # --- measures --------------------------------------------------------------
 
-@register("ST_Area")
-def st_area(g) -> Column:
-    """Shoelace area; interior rings subtract (round 4 — Esri
-    calculateArea2D semantics for polygons with holes)."""
-    def ring_area(c):
-        n = F.size(c)
-        cross = F.aggregate(
-            F.sequence(F.lit(1), n - 1),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at(c, i)["x"] * F.element_at(c, i + 1)["y"]
-            - F.element_at(c, i + 1)["x"] * F.element_at(c, i)["y"],
-        )
-        return F.abs(cross) / 2.0
+def _ring_area_signless(c: Column) -> Column:
+    n = F.size(c)
+    cross = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(c, i)["x"] * F.element_at(c, i + 1)["y"]
+        - F.element_at(c, i + 1)["x"] * F.element_at(c, i)["y"],
+    )
+    return F.abs(cross) / 2.0
 
-    areas = F.transform(_geom_chains(_c(g)), ring_area)
+
+def _part_ring_chains(part: Column) -> Column:
+    """One MULTIPOLYGON part body "((r1), (r2)…)" → auto-closed chains."""
+    return F.transform(
+        F.regexp_extract_all(part, F.lit(r"\(([^()]+)\)"), F.lit(1)),
+        lambda r: _close_ring(_ring_pts(r)),
+    )
+
+
+def _mpoly_parts(g: Column) -> Column:
+    """MULTIPOLYGON WKT → one element per part: "((ring), (hole)…)"."""
+    return F.regexp_extract_all(
+        g, F.lit(r"(\((?:\s*\([^()]*\)\s*,?)+\))"), F.lit(1)
+    )
+
+
+def _chains_area(chains: Column) -> Column:
+    """Exterior-minus-holes area of one part's ring chains."""
+    areas = F.transform(chains, _ring_area_signless)
     return F.element_at(areas, 1) - F.coalesce(
         F.aggregate(
             F.slice(areas, 2, F.greatest(F.size(areas) - 1, F.lit(0))),
@@ -220,65 +234,195 @@ def st_area(g) -> Column:
     )
 
 
+@register("ST_Area")
+def st_area(g) -> Column:
+    """Shoelace area; interior rings subtract (round 4 — Esri
+    calculateArea2D semantics for polygons with holes); MULTIPOLYGON
+    sums its parts (round 5).  Lower-dimension and EMPTY geometries are
+    0 like the reference (testSTArea)."""
+    gc = _c(g)
+    t = _typ(gc)
+    poly = _chains_area(F.transform(_rings(gc), lambda r: _close_ring(_ring_pts(r))))
+    mpoly = F.aggregate(
+        _mpoly_parts(gc), F.lit(0.0),
+        lambda acc, p: acc + _chains_area(_part_ring_chains(p)),
+    )
+    return (
+        F.when(gc.rlike(" EMPTY$"), F.lit(0.0))
+        .when(t == "POLYGON", poly)
+        .when(t == "MULTIPOLYGON", mpoly)
+        .otherwise(F.lit(0.0))
+    )
+
+
 @register("ST_Length")
 def st_length(g) -> Column:
-    c = _coords(g)
-    n = F.size(c)
+    """Sum of segment lengths over every part (round 5 — MULTILINESTRING
+    sums its parts, TestGeoFunctions:400); non-line inputs raise the
+    reference's message (GeoFunctions.java stLength validation)."""
+    gc = _c(g)
+    t = _typ(gc)
+
+    def chain_len(c):
+        n = F.size(c)
+        return F.when(n >= 2, F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.sqrt(
+                F.pow(F.element_at(c, i + 1)["x"] - F.element_at(c, i)["x"], 2)
+                + F.pow(F.element_at(c, i + 1)["y"] - F.element_at(c, i)["y"], 2)
+            ),
+        )).otherwise(F.lit(0.0))
+
+    total = F.aggregate(
+        _chains_multi(gc), F.lit(0.0), lambda acc, c: acc + chain_len(c)
+    )
+    return F.when(
+        _is_line(t), F.when(gc.rlike(" EMPTY$"), F.lit(0.0)).otherwise(total)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ST_Length only applies to LINE_STRING or "
+                      "MULTI_LINE_STRING. Input type is: "),
+                _enum_name(t),
+            )
+        )
+    )
+
+
+def _ring_stats(rc: Column) -> Column:
+    """(|area|, centroid) of one closed ring (shoelace-moment)."""
+    rn = F.size(rc)
+    cross = lambda i: (  # noqa: E731
+        F.element_at(rc, i)["x"] * F.element_at(rc, i + 1)["y"]
+        - F.element_at(rc, i + 1)["x"] * F.element_at(rc, i)["y"]
+    )
+    idx = F.sequence(F.lit(1), rn - 1)
+    a2 = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + cross(i))
+    mx = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc + (F.element_at(rc, i)["x"] + F.element_at(rc, i + 1)["x"]) * cross(i),
+    ) / (F.lit(3.0) * a2)
+    my = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc + (F.element_at(rc, i)["y"] + F.element_at(rc, i + 1)["y"]) * cross(i),
+    ) / (F.lit(3.0) * a2)
+    return F.struct(
+        (F.abs(a2) / 2.0).alias("a"), mx.alias("cx"), my.alias("cy")
+    )
+
+
+def _part_moments(chains: Column) -> Column:
+    """(area, area-weighted moment sums) of one polygon part — the
+    first ring adds, holes subtract.  Every intermediate is an array
+    element or lambda variable so the expression tree stays LINEAR
+    (Python-variable reuse would duplicate whole aggregate subtrees and
+    blow up codegen)."""
     return F.aggregate(
-        F.sequence(F.lit(1), n - 1),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.sqrt(
-            F.pow(F.element_at(c, i + 1)["x"] - F.element_at(c, i)["x"], 2)
-            + F.pow(F.element_at(c, i + 1)["y"] - F.element_at(c, i)["y"], 2)
+        F.transform(chains, _ring_stats),
+        F.struct(F.lit(0).alias("i"), F.lit(0.0).alias("a"),
+                 F.lit(0.0).alias("sx"), F.lit(0.0).alias("sy")),
+        lambda acc, s: F.struct(
+            (acc["i"] + 1).alias("i"),
+            F.when(acc["i"] == 0, s["a"])
+            .otherwise(acc["a"] - s["a"]).alias("a"),
+            F.when(acc["i"] == 0, s["a"] * s["cx"])
+            .otherwise(acc["sx"] - s["a"] * s["cx"]).alias("sx"),
+            F.when(acc["i"] == 0, s["a"] * s["cy"])
+            .otherwise(acc["sy"] - s["a"] * s["cy"]).alias("sy"),
         ),
     )
 
 
 @register("ST_Centroid")
 def st_centroid(g) -> Column:
-    """Point → itself; linestring → vertex mean; polygon → area-weighted
-    centroid (shoelace-moment formula), interior rings subtracting with
-    their |area| weight (round 4 — matches the reference's holed-polygon
-    centroid, TestGeoFunctions.java:209)."""
-    c = _coords(g)
-    n = F.size(c)
-    typ = F.regexp_extract(_c(g), r"^(\w+)", 1)
-    mean_x = F.aggregate(c, F.lit(0.0), lambda a, p: a + p["x"]) / n
-    mean_y = F.aggregate(c, F.lit(0.0), lambda a, p: a + p["y"]) / n
+    """Esri centroid by dimension (round 5, multi-part): point sets →
+    vertex mean; (multi)linestrings → LENGTH-weighted segment-midpoint
+    mean (TestGeoFunctions:205 pins POINT (3 2) for the two-part
+    multiline); (multi)polygons → area-weighted part centroids, holes
+    subtracting (the reference's holed-polygon centroid, :209)."""
+    gc = _c(g)
+    t = _typ(gc)
+    xy = _all_xy(gc)
+    n = F.size(xy)
+    mean_x = F.aggregate(xy, F.lit(0.0), lambda a, p: a + p["x"]) / n
+    mean_y = F.aggregate(xy, F.lit(0.0), lambda a, p: a + p["y"]) / n
 
-    def ring_stats(rc: Column) -> Column:
-        rn = F.size(rc)
-        cross = lambda i: (  # noqa: E731
-            F.element_at(rc, i)["x"] * F.element_at(rc, i + 1)["y"]
-            - F.element_at(rc, i + 1)["x"] * F.element_at(rc, i)["y"]
+    # length-weighted line centroid: per-chain moment structs via
+    # transform (computed once each), then one summing aggregate whose
+    # lambda references the elements — never re-inlined subtrees
+    def chain_moments(c):
+        zero = F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("sx"),
+                        F.lit(0.0).alias("sy"))
+        agg = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.size(c) - 1),
+                lambda i: F.struct(
+                    F.sqrt(
+                        F.pow(F.element_at(c, i + 1)["x"]
+                              - F.element_at(c, i)["x"], 2)
+                        + F.pow(F.element_at(c, i + 1)["y"]
+                                - F.element_at(c, i)["y"], 2)
+                    ).alias("l"),
+                    ((F.element_at(c, i)["x"]
+                      + F.element_at(c, i + 1)["x"]) / 2).alias("mx"),
+                    ((F.element_at(c, i)["y"]
+                      + F.element_at(c, i + 1)["y"]) / 2).alias("my"),
+                ),
+            ),
+            zero,
+            lambda acc, s: F.struct(
+                (acc["l"] + s["l"]).alias("l"),
+                (acc["sx"] + s["l"] * s["mx"]).alias("sx"),
+                (acc["sy"] + s["l"] * s["my"]).alias("sy"),
+            ),
         )
-        idx = F.sequence(F.lit(1), rn - 1)
-        a2 = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + cross(i))
-        mx = F.aggregate(
-            idx, F.lit(0.0),
-            lambda acc, i: acc + (F.element_at(rc, i)["x"] + F.element_at(rc, i + 1)["x"]) * cross(i),
-        ) / (F.lit(3.0) * a2)
-        my = F.aggregate(
-            idx, F.lit(0.0),
-            lambda acc, i: acc + (F.element_at(rc, i)["y"] + F.element_at(rc, i + 1)["y"]) * cross(i),
-        ) / (F.lit(3.0) * a2)
-        return F.struct(
-            (F.abs(a2) / 2.0).alias("a"), mx.alias("cx"), my.alias("cy")
-        )
+        return F.when(F.size(c) >= 2, agg).otherwise(zero)
 
-    stats = F.transform(_geom_chains(_c(g)), ring_stats)
-    first = F.element_at(stats, 1)
-    rest = F.slice(stats, 2, F.greatest(F.size(stats) - 1, F.lit(0)))
-    hole_a = F.aggregate(rest, F.lit(0.0), lambda acc, s: acc + s["a"])
-    hole_mx = F.aggregate(rest, F.lit(0.0), lambda acc, s: acc + s["a"] * s["cx"])
-    hole_my = F.aggregate(rest, F.lit(0.0), lambda acc, s: acc + s["a"] * s["cy"])
-    den = first["a"] - hole_a
-    cx = (first["a"] * first["cx"] - hole_mx) / den
-    cy = (first["a"] * first["cy"] - hole_my) / den
-    px = F.when(typ == "POLYGON", cx).otherwise(mean_x)
-    py = F.when(typ == "POLYGON", cy).otherwise(mean_y)
-    return F.concat(F.lit("POINT ("), _fmt_coord(px), F.lit(" "), _fmt_coord(py), F.lit(")"))
+    line_tot = F.aggregate(
+        F.transform(_chains_multi(gc), chain_moments),
+        F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("sx"),
+                 F.lit(0.0).alias("sy")),
+        lambda acc, s: F.struct(
+            (acc["l"] + s["l"]).alias("l"),
+            (acc["sx"] + s["sx"]).alias("sx"),
+            (acc["sy"] + s["sy"]).alias("sy"),
+        ),
+    )
+
+    # polygon parts: POLYGON is one part; MULTIPOLYGON sums per-part
+    # moments (transform computes each part's struct exactly once)
+    parts = F.when(
+        t == "POLYGON",
+        F.array(F.regexp_extract(gc, r"^POLYGON\s*(\(.*\))\s*$", 1)),
+    ).otherwise(_mpoly_parts(gc))
+    poly_tot = F.aggregate(
+        F.transform(parts, lambda p: _part_moments(_part_ring_chains(p))),
+        F.struct(F.lit(0.0).alias("a"), F.lit(0.0).alias("sx"),
+                 F.lit(0.0).alias("sy")),
+        lambda acc, s: F.struct(
+            (acc["a"] + s["a"]).alias("a"),
+            (acc["sx"] + s["sx"]).alias("sx"),
+            (acc["sy"] + s["sy"]).alias("sy"),
+        ),
+    )
+    px = (
+        F.when(_is_poly(t), poly_tot["sx"] / poly_tot["a"])
+        .when(_is_line(t), line_tot["sx"] / line_tot["l"])
+        .otherwise(mean_x)
+    )
+    py = (
+        F.when(_is_poly(t), poly_tot["sy"] / poly_tot["a"])
+        .when(_is_line(t), line_tot["sy"] / line_tot["l"])
+        .otherwise(mean_y)
+    )
+    return F.when(gc.rlike(" EMPTY$"), F.lit("POINT EMPTY")).otherwise(
+        F.concat(
+            F.lit("POINT ("), _fmt_coord(px), F.lit(" "),
+            _fmt_coord(py), F.lit(")"),
+        )
+    )
 
 
 @register("ST_Distance")

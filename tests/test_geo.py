@@ -762,3 +762,40 @@ def test_multipart_touches(spark):
     assert _rel(
         spark, "ST_Touches", "LINESTRING (0 0, 1 1)", "LINESTRING (1 1, 2 0)"
     ) is True
+
+
+def test_multipart_measures(spark):
+    """testSTCentroid/testSTLength/testSTArea multi-part pins
+    (TestGeoFunctions:150-208, :400) — length-weighted line centroids,
+    area-weighted multipolygon centroids, part-summed length/area,
+    dimension rules (area of lines/points = 0), EMPTY handling, and
+    the ST_Length type error."""
+    import pytest as _pytest
+
+    cases = [
+        ("ST_Centroid", "LINESTRING EMPTY", "POINT EMPTY"),
+        ("ST_Centroid", "MULTIPOINT (1 2, 2 4, 3 6, 4 8)", "POINT (2.5 5)"),
+        ("ST_Centroid", "LINESTRING (1 1, 2 2, 3 3)", "POINT (2 2)"),
+        ("ST_Centroid", "MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))",
+         "POINT (3 2)"),
+        ("ST_Centroid", "POLYGON ((1 1, 5 1, 3 4))", "POINT (3 2)"),
+        ("ST_Centroid",
+         "MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1)), ((2 4, 2 6, 6 6, 6 4)))",
+         "POINT (3.3333333333333335 4)"),
+        ("ST_Centroid",
+         "POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))",
+         "POINT (2.5416666666666665 2.5416666666666665)"),
+    ]
+    for fn, wkt, want in cases:
+        assert one(spark, call(fn, F.lit(wkt))) == want, (fn, wkt)
+    assert one(spark, call(
+        "ST_Length", F.lit("MULTILINESTRING ((1 1, 5 1), (2 4, 4 4))")
+    )) == 6.0
+    assert one(spark, call(
+        "ST_Area",
+        F.lit("MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1)), ((2 4, 2 6, 6 6, 6 4)))"),
+    )) == 12.0
+    assert one(spark, call("ST_Area", F.lit("LINESTRING (1 4, 2 5)"))) == 0.0
+    assert one(spark, call("ST_Area", F.lit("POINT EMPTY"))) == 0.0
+    with _pytest.raises(Exception, match="LINE_STRING or MULTI_LINE_STRING"):
+        one(spark, call("ST_Length", F.lit("POLYGON ((1 1, 1 4, 4 4, 4 1))")))
