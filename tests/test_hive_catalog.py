@@ -306,3 +306,42 @@ def test_partition_delete_metadata_only(eng):
     assert eng.sql(
         "SELECT count(*) AS n FROM hive.web.del_flat"
     ).collect()[0]["n"] == 0
+
+
+def test_bucketed_tables_colocated_join(eng):
+    """bucketed_by/bucket_count through the hive SQL path: two tables
+    bucketed on the join key with equal counts sort-merge-join with no
+    Exchange on either side — the reference's grouped/bucketed
+    execution (SURVEY §4.3), now via catalog.schema.table DDL."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.buck")
+    eng.sql("""
+        CREATE TABLE hive.buck.cust_b
+        WITH (bucketed_by = ARRAY['c_custkey'], bucket_count = 4)
+        AS SELECT c_custkey, c_acctbal FROM customer
+    """)
+    eng.sql("""
+        CREATE TABLE hive.buck.ord_b
+        WITH (bucketed_by = ARRAY['o_custkey'], bucket_count = 4,
+              sorted_by = ARRAY['o_custkey'])
+        AS SELECT o_custkey, o_totalprice FROM orders
+    """)
+    # force the sort-merge path: a broadcast join would skip the
+    # exchange trivially and prove nothing about bucket co-location
+    eng.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = eng.sql("""
+            SELECT count(*) AS n
+            FROM hive.buck.cust_b c JOIN hive.buck.ord_b o
+              ON c.c_custkey = o.o_custkey
+        """)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan, plan
+        join_part = plan.split("SortMergeJoin")[0]
+        assert "Exchange hashpartitioning" not in join_part, plan
+        assert df.collect()[0]["n"] > 0
+    finally:
+        eng.spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # bucket metadata round-trips through SHOW CREATE TABLE
+    text = eng.sql("SHOW CREATE TABLE hive.buck.cust_b").collect()[0][0]
+    assert "bucketed_by = ARRAY['c_custkey']" in text
+    assert "bucket_count = 4" in text
