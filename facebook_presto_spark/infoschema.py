@@ -153,7 +153,11 @@ def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME,
     current_db = spark.catalog.currentDatabase()
     databases = [d.name for d in spark.catalog.listDatabases()]
 
-    schemata = [(catalog_name, d) for d in sorted(set(databases))]
+    schemata = [
+        ("hive", d[len("hive_"):]) if d.startswith("hive_")
+        else (catalog_name, d)
+        for d in sorted(set(databases))
+    ]
 
     tables_rows: list[tuple] = []
     columns_rows: list[tuple] = []
@@ -166,7 +170,14 @@ def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME,
             return
         seen.add((db, table))
         kind = "VIEW" if table.lower() in view_defs else "BASE TABLE"
-        tables_rows.append((catalog_name, db, table, kind))
+        # hive-catalog databases present under their Presto names:
+        # catalog 'hive', schema without the implementation prefix
+        # (the reference serves a per-catalog information_schema)
+        if db.startswith("hive_"):
+            cat, schema_name = "hive", db[len("hive_"):]
+        else:
+            cat, schema_name = catalog_name, db
+        tables_rows.append((cat, schema_name, table, kind))
         try:
             cols = spark.catalog.listColumns(
                 table if is_temp else f"{db}.{table}"
@@ -175,7 +186,7 @@ def refresh(spark: SparkSession, catalog_name: str = CATALOG_NAME,
             return
         for pos, c in enumerate(cols, start=1):
             columns_rows.append((
-                catalog_name, db, table, c.name, pos, None,
+                cat, schema_name, table, c.name, pos, None,
                 "YES" if c.nullable else "NO",
                 presto_type_name(c.dataType), None,
                 # HiveUtil.java:867 — partition keys surface their role

@@ -179,9 +179,12 @@ def test_describe_and_infoschema_partition_key(eng, spark):
         WITH (partitioned_by = ARRAY['r_regionkey'])
         AS SELECT r_name, r_regionkey FROM region
     """)
+    # hive tables present under their Presto names: catalog 'hive',
+    # schema without the implementation prefix
     rows = eng.sql(
         "SELECT column_name, extra_info FROM information_schema.columns "
-        "WHERE table_schema = 'hive_web' AND table_name = 'meta_p'"
+        "WHERE table_catalog = 'hive' AND table_schema = 'web' "
+        "AND table_name = 'meta_p'"
     ).collect()
     info = {r["column_name"]: r["extra_info"] for r in rows}
     assert info["r_regionkey"] == "partition key"
