@@ -430,7 +430,12 @@ class PrestoSparkEngine:
             return self.spark.createDataFrame(rows, "function_name string, implementation string")
         m = _SHOW_STATS_RE.match(presto_sql)
         if m:
-            return self._show_stats(self.spark.table(m.group(1)))
+            name = m.group(1)
+            hm = re.match(r"hive\.(\w+)\.(\w+)$", name, re.I)
+            if hm:
+                # hive catalog tables live in hive_<schema> databases
+                name = f"hive_{hm.group(1).lower()}.{hm.group(2).lower()}"
+            return self._show_stats(self.spark.table(name))
         m = _SHOW_STATS_QUERY_RE.match(presto_sql)
         if m:
             # ShowStatsRewrite over a query: statistics of the RESULT

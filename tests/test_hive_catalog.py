@@ -348,3 +348,18 @@ def test_bucketed_tables_colocated_join(eng):
     text = eng.sql("SHOW CREATE TABLE hive.buck.cust_b").collect()[0][0]
     assert "bucketed_by = ARRAY['c_custkey']" in text
     assert "bucket_count = 4" in text
+
+
+def test_show_stats_for_hive_table(eng):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.stats_p
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, r_regionkey FROM region
+    """)
+    rows = eng.sql("SHOW STATS FOR hive.web.stats_p").collect()
+    names = [r[0] for r in rows]
+    assert "r_name" in names and "r_regionkey" in names
+    # the summary row carries the table row count
+    summary = [r for r in rows if r[0] is None][0]
+    assert summary["row_count"] == 5.0
