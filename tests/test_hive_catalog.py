@@ -363,3 +363,38 @@ def test_show_stats_for_hive_table(eng):
     # the summary row carries the table row count
     summary = [r for r in rows if r[0] is None][0]
     assert summary["row_count"] == 5.0
+
+
+def test_date_partitioned_table_prunes_on_date_literal(eng, spark):
+    """The production pattern: a date-partitioned fact.  Partition
+    values round-trip through the key=value directory names as typed
+    DATEs, and a date-literal filter statically eliminates
+    directories."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.orders_by_day
+        WITH (partitioned_by = ARRAY['ds'])
+        AS SELECT o_orderkey, o_totalprice,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS ds
+        FROM orders
+    """)
+    parts = eng.sql(
+        'SELECT * FROM hive.web."orders_by_day$partitions" ORDER BY ds'
+    ).collect()
+    assert len(parts) > 3
+    import datetime
+
+    assert isinstance(parts[0]["ds"], datetime.date)
+    one_day = parts[1]["ds"].isoformat()
+    plan = _plan(eng.sql(
+        f"SELECT count(*) AS n FROM hive.web.orders_by_day "
+        f"WHERE ds = DATE '{one_day}'"
+    ))
+    assert "PartitionFilters: [" in plan
+    assert f"ds={one_day}" in plan
+    assert f"ds={parts[2]['ds'].isoformat()}" not in plan
+    n = eng.sql(
+        f"SELECT count(*) AS n FROM hive.web.orders_by_day "
+        f"WHERE ds = DATE '{one_day}'"
+    ).collect()[0]["n"]
+    assert n > 0
