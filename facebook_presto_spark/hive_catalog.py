@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from facebook_presto_spark.connectors import (
@@ -203,12 +203,18 @@ class HiveCatalog:
             raise ValueError(
                 "external_location cannot be used with CREATE TABLE AS"
             )
+        # single-pass row count: an observed metric rides along with the
+        # write action instead of a separate df.count() that would execute
+        # the CTAS source twice (at 100 TB, twice the most expensive
+        # write-path operation — and a count that can disagree with what
+        # was written for non-deterministic inputs)
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         writer, _parts = self._writer(df, props)
-        n = df.count()
         self._clear_orphan_location(schema, table)
         writer.mode("overwrite").saveAsTable(self.qualified(schema, table))
         self.table_props[(schema, table)] = dict(props)
-        return n
+        return obs.get["n"]
 
     def create_empty(self, schema: str, table: str, columns: list,
                      props: dict, if_not_exists: bool) -> None:
@@ -263,11 +269,15 @@ class HiveCatalog:
                 f"INSERT has {len(df.columns)} columns; table "
                 f"{schema}.{table} has {len(target.columns)}"
             )
-        n = df.count()
         # positional alignment + dynamic partitioning: only the
-        # partitions present in df are written (append)
-        df.toDF(*target.columns).write.insertInto(qualified)
-        return n
+        # partitions present in df are written (append); the row count
+        # is an observed metric on the same pass (no double execution)
+        obs = Observation()
+        df = df.toDF(*target.columns).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        df.write.insertInto(qualified)
+        return obs.get["n"]
 
     def drop(self, schema: str, table: str, if_exists: bool) -> None:
         if not self._exists(schema, table):
@@ -360,11 +370,15 @@ class HiveCatalog:
             cond = this if cond is None else (cond | this)
         n = self.spark.table(qualified).filter(cond).count()
         for v in victims:
-            spec = ", ".join(
-                f"`{c}` = '{v[c]}'" if v[c] is not None
-                else f"`{c}` = '{HIDDEN_NULL_PARTITION}'"
-                for c in part_cols
-            )
+            # escape partition values: a value containing a quote or
+            # backslash must not break (or reshape) the DROP PARTITION
+            # spec.  Spark's lexer uses backslash escapes inside string
+            # literals, so double-quote the literal and escape \ and "
+            def _lit(value) -> str:
+                s = str(value) if value is not None else HIDDEN_NULL_PARTITION
+                return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+            spec = ", ".join(f"`{c}` = {_lit(v[c])}" for c in part_cols)
             self.spark.sql(
                 f"ALTER TABLE {qualified} DROP PARTITION ({spec})"
             )
@@ -389,12 +403,17 @@ class HiveCatalog:
             f.name: f.dataType
             for f in self.spark.table(qualified).schema.fields
         }
+        from urllib.parse import unquote
+
         rows = []
         for r in self.spark.sql(f"SHOW PARTITIONS {qualified}").collect():
             values = {}
             for piece in r["partition"].split("/"):
                 k, _eq, v = piece.partition("=")
-                values[k] = None if v == HIDDEN_NULL_PARTITION else v
+                # SHOW PARTITIONS reports the Hive directory escaping
+                # (%XX for quotes, spaces, '/', ...); decode back to the
+                # real partition value
+                values[k] = None if v == HIDDEN_NULL_PARTITION else unquote(v)
             rows.append(tuple(values.get(c) for c in part_cols))
         str_df = self.spark.createDataFrame(
             rows, ", ".join(f"`{c}` string" for c in part_cols)

@@ -311,6 +311,66 @@ def test_partition_delete_metadata_only(eng):
     ).collect()[0]["n"] == 0
 
 
+def test_ctas_and_insert_execute_source_once(eng, spark):
+    """The returned row count is an observed metric on the write pass —
+    the CTAS/INSERT source must execute exactly once (round-5 verdict
+    item #2: df.count()-then-write doubled the most expensive write-path
+    operation).  A per-row accumulator UDF in the source counts actual
+    executions: double execution would read 2n."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    cat = hive_catalog.get_catalog(spark)
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(T.LongType())
+    def tick(x):
+        acc.add(1)
+        return x
+
+    src = spark.range(100).select(tick(F.col("id")).alias("id"))
+    n = cat.create_as("web", "once_t", src, {}, if_not_exists=False)
+    assert n == 100
+    assert acc.value == 100, "CTAS source executed more than once"
+
+    acc2 = spark.sparkContext.accumulator(0)
+
+    @F.udf(T.LongType())
+    def tick2(x):
+        acc2.add(1)
+        return x
+
+    src2 = spark.range(40).select(tick2(F.col("id")).alias("id"))
+    n = cat.insert("web", "once_t", src2)
+    assert n == 40
+    assert acc2.value == 40, "INSERT source executed more than once"
+    total = eng.sql("SELECT count(*) AS n FROM hive.web.once_t").collect()
+    assert total[0]["n"] == 140
+
+
+def test_partition_delete_quoted_value(eng, spark):
+    """A partition value containing a single quote must round-trip
+    through DROP PARTITION (ADVICE r5: raw interpolation produced an
+    injection-shaped broken statement)."""
+    from pyspark.sql import Row
+
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    cat = hive_catalog.get_catalog(spark)
+    df = spark.createDataFrame(
+        [Row(v=1, name="O'Brien"), Row(v=2, name="plain")]
+    )
+    cat.create_as(
+        "web", "quoted_p", df,
+        {"partitioned_by": ["name"]}, if_not_exists=False,
+    )
+    n = cat.delete("web", "quoted_p", "name = 'O''Brien'")
+    assert n == 1
+    left = eng.sql("SELECT name FROM hive.web.quoted_p").collect()
+    assert [r["name"] for r in left] == ["plain"]
+
+
 def test_bucketed_tables_colocated_join(eng):
     """bucketed_by/bucket_count through the hive SQL path: two tables
     bucketed on the join key with equal counts sort-merge-join with no

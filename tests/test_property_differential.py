@@ -15,7 +15,7 @@ import os
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -369,16 +369,20 @@ _GS_FORMS = [
 @settings(
     max_examples=15,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(pred=_predicate(1), form_cols=st.sampled_from(_GS_FORMS))
+@example(pred="o_orderkey BETWEEN 1500 AND 1500", form_cols=_GS_FORMS[3])
+@example(pred="o_orderkey BETWEEN 1500 AND 1500", form_cols=_GS_FORMS[4])
 def test_grouping_sets_matches(spark, duck, pred, form_cols):
     """GROUPING SETS / CUBE / ROLLUP through the Presto front-end vs
-    DuckDB.  On empty input, explicit GROUPING SETS with a () arm
-    match DuckDB (the translator's union-arm compensation); CUBE and
-    ROLLUP keep the single-scan Expand and emit nothing — the
-    COVERAGE.md-documented divergence, pinned here as exactly that
-    shape and nothing else."""
+    DuckDB — including the empty-input global row: CUBE/ROLLUP over
+    zero rows emit the ()-arm row (NULL keys + count 0 + NULL sum),
+    matching the reference (AbstractTestAggregations.java:1223
+    testCubeNoInput).  The two @example pins are the round-5
+    falsifying inputs; derandomize keeps the sampling deterministic
+    so the empty-input branch is exercised every run."""
     from facebook_presto_spark.engine import PrestoSparkEngine
 
     eng = PrestoSparkEngine.for_dir(SF_DIR, spark=spark)
@@ -392,14 +396,7 @@ def test_grouping_sets_matches(spark, duck, pred, form_cols):
     )
     got = [tuple(r) for r in eng.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
-    empty_input = duck.execute(
-        f"SELECT count(*) FROM orders WHERE {pred}"
-    ).fetchone()[0] == 0
-    if empty_input and form.startswith(("CUBE", "ROLLUP")):
-        assert got == [], sql
-        assert len(want) == 1 and all(v is None for v in want[0][:-2]), sql
-    else:
-        assert got == want, sql
+    assert got == want, sql
 
 
 @settings(
