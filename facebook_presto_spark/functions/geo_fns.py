@@ -428,14 +428,13 @@ def st_centroid(g) -> Column:
 @register("ST_Distance")
 def st_distance(a, b) -> Column:
     """Min distance over every part pair (multi-part since round 5):
-    the minimum over both directions of vertex-to-chain distance —
-    exact for point↔anything, and for line/polygon pairs whenever the
-    minimum is attained at a vertex (always true for disjoint polylines
-    unless they cross, where the intersecting-segment distance is 0 and
-    covered by the segment test in the join plans).  NULL for EMPTY
-    inputs (TestGeoFunctions:602-606).  A point *inside* a polygon
-    reports distance-to-boundary, where the reference reports 0 —
-    documented, acceptable for the filter/join use cases."""
+    0 when the geometries intersect (segment crossings and
+    point-in-polygon containment short-circuit through ST_Intersects —
+    ADVICE r5 closed the vertex-free-crossing and interior-point
+    cases), otherwise the minimum over both directions of
+    vertex-to-chain distance — exact for disjoint point/line/polygon
+    pairs, where the minimum is attained at a vertex-to-segment
+    projection.  NULL for EMPTY inputs (TestGeoFunctions:602-606)."""
     ga, gb = _c(a), _c(b)
 
     def chain_min(p, c2):
@@ -475,6 +474,8 @@ def st_distance(a, b) -> Column:
     return F.when(
         ga.rlike(" EMPTY$") | gb.rlike(" EMPTY$"),
         F.lit(None).cast("double"),
+    ).when(
+        st_intersects(ga, gb), F.lit(0.0)
     ).otherwise(F.least(dir_min(ga, gb), dir_min(gb, ga)))
 
 

@@ -2672,6 +2672,7 @@ def _pass_gs_empty_global(tokens: list[Tok]) -> list[Tok]:
         return tokens
     if any(tok.is_kw("GROUPING") for tok in select_seg):
         return tokens
+    keys = _grouping_key_names(tokens[group_i + 5:close])
     arm_items: list[list[Tok]] = []
     for item in split_top_level(select_seg):
         alias_toks: list[Tok] = []
@@ -2682,7 +2683,15 @@ def _pass_gs_empty_global(tokens: list[Tok]) -> list[Tok]:
         has_agg, bare_ref = _classify_item(core)
         if has_agg and bare_ref:
             return tokens
-        arm_items.append((core if has_agg else [ident("NULL")]) + alias_toks)
+        if has_agg:
+            arm_items.append(core + alias_toks)
+        else:
+            # evaluate the item at NULL grouping keys: coalesce(k,'x')
+            # must yield 'x' in the global row, constants stay themselves
+            sub = _null_keys(core, keys)
+            if sub is None:
+                return tokens
+            arm_items.append(sub + alias_toks)
     arm: list[Tok] = [ident("SELECT")]
     for k, it in enumerate(arm_items):
         if k:
@@ -2789,6 +2798,7 @@ def _pass_cube_rollup_empty_global(tokens: list[Tok]) -> list[Tok]:
         return tokens
     if any(tok.is_kw("GROUPING", "GROUPING_ID") for tok in select_seg):
         return tokens
+    keys = _grouping_key_names(tokens[group_i + 4:close])
     arm_items: list[list[Tok]] = []
     for item in split_top_level(select_seg):
         alias_toks: list[Tok] = []
@@ -2799,7 +2809,16 @@ def _pass_cube_rollup_empty_global(tokens: list[Tok]) -> list[Tok]:
         has_agg, bare_ref = _classify_item(core)
         if has_agg and bare_ref:
             return tokens
-        arm_items.append((core if has_agg else [ident("NULL")]) + alias_toks)
+        if has_agg:
+            arm_items.append(core + alias_toks)
+        else:
+            # evaluate the item at NULL grouping keys (ADVICE r5: a
+            # composite expression like coalesce(k,'x') must yield 'x'
+            # in the compensating global row, not NULL)
+            sub = _null_keys(core, keys)
+            if sub is None:
+                return tokens
+            arm_items.append(sub + alias_toks)
     body = tokens[from_i:group_i]  # FROM … [WHERE …]
     if "WHERE" in idx and from_i < idx["WHERE"] < group_i:
         w = idx["WHERE"] - from_i
@@ -2861,6 +2880,75 @@ def _classify_item(core: list[Tok]) -> tuple[bool, bool]:
                 ):
                     bare_ref = True
     return has_agg, bare_ref
+
+
+def _ref_name(t: Tok) -> str:
+    if t.kind == "qident":
+        return t.text[1:-1].replace('""', '"').lower()
+    return t.text.lower()
+
+
+def _null_keys(core: list[Tok], keys: set[str]) -> list[Tok] | None:
+    """Replace grouping-key references in a select item with NULL so the
+    expression EVALUATES at the global set's NULL keys (coalesce(k,'x')
+    → coalesce(NULL,'x') → 'x'), instead of nulling the whole item.
+    Qualified chains (t.k) collapse to a single NULL.  Returns None when
+    a reference shape is ambiguous (struct access on a key) — callers
+    abort the rewrite."""
+    out: list[Tok] = []
+    agg_stack: list[int] = []
+    depth = 0
+    i = 0
+    n = len(core)
+    while i < n:
+        t = core[i]
+        nxt = core[i + 1] if i + 1 < n else None
+        prev = core[i - 1] if i else None
+        if t.text == "(":
+            if prev is not None and prev.kind == "ident" and prev.upper in _AGG_NAMES:
+                agg_stack.append(depth)
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if agg_stack and agg_stack[-1] == depth:
+                agg_stack.pop()
+        is_ref = (
+            not agg_stack
+            and t.kind in ("ident", "qident")
+            and not (nxt is not None and nxt.text == "(")
+            and not (prev is not None and (prev.text == "." or prev.is_kw("AS")))
+        )
+        if is_ref and _ref_name(t) in keys:
+            if nxt is not None and nxt.text == ".":
+                return None  # struct access on a key — can't NULL safely
+            out.append(ident("NULL"))
+            i += 1
+            continue
+        if (
+            is_ref
+            and nxt is not None and nxt.text == "."
+            and i + 2 < n and core[i + 2].kind in ("ident", "qident")
+            and _ref_name(core[i + 2]) in keys
+            and not (i + 3 < n and core[i + 3].text in (".", "("))
+        ):
+            out.append(ident("NULL"))
+            i += 3
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _grouping_key_names(seg: list[Tok]) -> set[str]:
+    """Identifier names appearing in a grouping-set/CUBE/ROLLUP key list.
+    Qualified chains contribute only their FINAL part (t.k → k): the
+    qualifier must not be treated as a key or bare `o` references — and
+    the o-of-o.k chain start — would misclassify."""
+    return {
+        _ref_name(t) for i, t in enumerate(seg)
+        if t.kind in ("ident", "qident")
+        and not (i + 1 < len(seg) and seg[i + 1].text == ".")
+    }
 
 
 def _pass_grouping_sets_for_grouping_fn(tokens: list[Tok]) -> list[Tok]:

@@ -66,6 +66,21 @@ def test_distance(spark):
         call("ST_Distance", F.lit("POINT (0 5)"), F.lit("LINESTRING (0 -1, 0 1)")),
     )
     assert d == 4.0
+    # ADVICE r5: vertex-free crossing segments are distance 0 (the
+    # vertex-to-chain minimum alone would report a positive distance)
+    d = one(
+        spark,
+        call("ST_Distance", F.lit("LINESTRING (0 -1, 0 1)"),
+             F.lit("LINESTRING (-1 0, 1 0)")),
+    )
+    assert d == 0.0
+    # interior point: the reference reports 0, not distance-to-boundary
+    d = one(
+        spark,
+        call("ST_Distance", F.lit("POINT (0.5 0.5)"),
+             F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")),
+    )
+    assert d == 0.0
 
 
 def test_contains_ray_casting(spark):

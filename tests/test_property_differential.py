@@ -399,6 +399,31 @@ def test_grouping_sets_matches(spark, duck, pred, form_cols):
     assert got == want, sql
 
 
+@pytest.mark.parametrize("pred", ["o_orderkey < 50", "o_orderkey < 0"])
+@pytest.mark.parametrize("form", [
+    "CUBE (o_orderstatus)",
+    "ROLLUP (o_orderstatus)",
+    "GROUPING SETS ((o_orderstatus), ())",
+])
+def test_grouping_key_expressions_in_global_row(spark, duck, pred, form):
+    """Composite expressions over grouping keys must be EVALUATED at
+    NULL keys in the global row — coalesce(k,'x') yields 'x', constants
+    stay themselves (ADVICE r5: the compensating arm previously nulled
+    whole items) — on empty AND non-empty input."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(SF_DIR, spark=spark)
+    sql = (
+        "SELECT coalesce(o_orderstatus, 'none') AS k, 'tag' AS t0, "
+        "count(*) AS n "
+        f"FROM orders WHERE {pred} GROUP BY {form} "
+        "ORDER BY k NULLS FIRST, n"
+    )
+    got = [tuple(r) for r in eng.sql(sql).collect()]
+    want = [tuple(r) for r in duck.execute(sql).fetchall()]
+    assert got == want, sql
+
+
 @settings(
     max_examples=15,
     deadline=None,

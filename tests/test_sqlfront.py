@@ -624,6 +624,36 @@ def test_cube_rollup_empty_global_arm():
     assert "UNION ALL" in out3
 
 
+def test_empty_global_arm_evaluates_key_expressions():
+    # ADVICE r5: composite expressions over grouping keys must be
+    # EVALUATED at NULL keys in the compensating arm, not nulled whole
+    out = translate(
+        "SELECT coalesce(k, 'x') AS a, count(*) AS n "
+        "FROM t GROUP BY CUBE (k)"
+    )
+    assert "coalesce(NULL, 'x')" in out.partition("UNION ALL")[2]
+    out2 = translate(
+        "SELECT coalesce(k, 'x') AS a, sum(v) AS s "
+        "FROM t GROUP BY GROUPING SETS ((k), ())"
+    )
+    assert "coalesce(NULL, 'x')" in out2.partition("UNION ALL")[2]
+    # constants stay themselves (previously nulled — wrong on every input)
+    out3 = translate(
+        "SELECT 'tag' AS t0, k, count(*) AS n FROM t GROUP BY CUBE (k)"
+    )
+    arm3 = out3.partition("UNION ALL")[2]
+    assert "'tag'" in arm3 and "NULL" in arm3
+    # qualified references collapse to one NULL
+    out4 = translate(
+        "SELECT o.k, count(*) AS n FROM orders o GROUP BY CUBE (o.k)"
+    )
+    assert "UNION ALL SELECT NULL" in out4
+    # struct access on a key is ambiguous — rewrite aborts
+    assert "UNION ALL" not in translate(
+        "SELECT k.f, count(*) AS n FROM t GROUP BY CUBE (k)"
+    )
+
+
 def test_cube_empty_arm_plan_shape(engine):
     """The compensating arm must cost nothing at scale: its aggregation
     input is an empty LocalRelation (zero scans) and the emptiness gate
