@@ -230,24 +230,14 @@ def dispatch(engine, sql: str):
     return None
 
 
-_TXN_RE = re.compile(
-    r"\s*(START\s+TRANSACTION|COMMIT|ROLLBACK)\b", re.IGNORECASE
-)
 _CALL_RE = re.compile(r"\s*CALL\s+", re.IGNORECASE)
 
 
 def reject_unsupported(sql: str) -> None:
-    """Loud, specific failures for the transaction / procedure surface
-    (StartTransactionTask.java:37, CallTask.java:60): Spark's writers
-    commit per statement (two-phase per job), so multi-statement
-    transactions cannot be honored, and no connector procedures exist."""
-    if _TXN_RE.match(sql):
-        raise NotImplementedError(
-            "transactions (START TRANSACTION/COMMIT/ROLLBACK) are not "
-            "supported: Spark commits writes per statement (per-job "
-            "two-phase commit); there is no multi-statement transaction "
-            "context to manage (reference: StartTransactionTask.java)"
-        )
+    """Loud, specific failure for the connector-procedure surface
+    (CallTask.java:60).  Transactions are handled in transactions.py
+    since round 6 (session-scoped contexts with single-statement write
+    semantics)."""
     if _CALL_RE.match(sql):
         raise NotImplementedError(
             "CALL is not supported for connector procedures "

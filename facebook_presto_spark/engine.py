@@ -151,6 +151,33 @@ class PrestoSparkEngine:
         # persists ViewDefinition JSON in the metastore —
         # MetadataManager.getViews; session-scoped here, like the views)
         self._views: dict[str, str] = {}
+        # transaction contexts (StartTransactionTask/CommitTask/
+        # RollbackTask — transactions.py); the CURRENT transaction is
+        # thread-local: one protocol request = one thread = one
+        # header-rebuilt session, like the reference
+        from facebook_presto_spark.transactions import TransactionManager
+
+        self.transactions = TransactionManager()
+        import threading as _threading
+
+        self._txn_tl = _threading.local()
+
+    def current_transaction(self) -> str | None:
+        return getattr(self._txn_tl, "tid", None)
+
+    def set_current_transaction(self, tid: str | None) -> None:
+        self._txn_tl.tid = tid
+
+    @property
+    def txn_event(self) -> tuple | None:
+        """('started'|'cleared', tid) from the last transaction-control
+        statement on this thread — the server reads it to emit
+        X-Presto-Started-Transaction-Id / X-Presto-Clear-Transaction-Id."""
+        return getattr(self._txn_tl, "event", None)
+
+    @txn_event.setter
+    def txn_event(self, value: tuple | None) -> None:
+        self._txn_tl.event = value
 
     @classmethod
     def for_dir(cls, sf_dir: str = DEFAULT_SF_DIR, spark: SparkSession | None = None) -> "PrestoSparkEngine":
@@ -260,6 +287,15 @@ class PrestoSparkEngine:
             # name prefix only
             self.spark.catalog.setCurrentDatabase(m.group(2))
             return self.spark.sql("SELECT true AS ok WHERE false")
+        from facebook_presto_spark import transactions as txn
+
+        # transaction control (START TRANSACTION/COMMIT/ROLLBACK —
+        # SqlBase.g4:90-92); then the READ ONLY write guard for every
+        # statement running inside an explicit transaction
+        handled = txn.dispatch(self, presto_sql)
+        if handled is not None:
+            return handled
+        txn.check_write(self, presto_sql)
         from facebook_presto_spark import connectors
 
         # connector-catalog DDL/DML (memory/blackhole/localfile) — ahead
@@ -338,7 +374,10 @@ class PrestoSparkEngine:
             # system.runtime.{queries,nodes,tasks} — rebuilt from the
             # live registry/SparkContext, then addressed as the
             # system_runtime database (catalog prefixes are names here)
-            systemtables.refresh(self.spark, self.runtime)
+            systemtables.refresh(
+                self.spark, self.runtime,
+                transactions=self.transactions.rows(),
+            )
             presto_sql = systemtables.rewrite_names(presto_sql)
         if systemtables.references_system_jdbc(presto_sql):
             # system.jdbc.* — the JDBC DatabaseMetaData surface

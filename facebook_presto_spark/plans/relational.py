@@ -1012,10 +1012,46 @@ ORDER BY query
 """
 
 
+def meta_transactions(spark, sf_dir: str):
+    """START TRANSACTION → system.runtime.transactions → ROLLBACK
+    (StartTransactionTask/RollbackTask + TransactionsSystemTable,
+    transactions.py): the live-row projection is deterministic, and the
+    post-ROLLBACK count proves the context ended."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    eng.sql(
+        "START TRANSACTION READ ONLY, ISOLATION LEVEL REPEATABLE READ"
+    )
+    live = eng.sql(
+        "SELECT isolation_level, read_only, auto_commit_context, "
+        "written_catalog FROM system.runtime.transactions"
+    ).collect()
+    eng.sql("ROLLBACK")
+    after = eng.sql(
+        "SELECT count(*) FROM system.runtime.transactions"
+    ).collect()[0][0]
+    rows = [tuple(r) + (int(after),) for r in live]
+    return spark.createDataFrame(
+        rows,
+        "isolation_level string, read_only boolean, "
+        "auto_commit_context boolean, written_catalog string, "
+        "after_rollback bigint",
+    )
+
+
+META_TRANSACTIONS_ORACLE = """
+SELECT 'REPEATABLE READ' AS isolation_level, true AS read_only,
+       false AS auto_commit_context, CAST(NULL AS VARCHAR) AS written_catalog,
+       CAST(0 AS BIGINT) AS after_rollback
+"""
+
+
 QUERIES = {
     "meta_information_schema": meta_information_schema,
     "meta_system_runtime": meta_system_runtime,
     "meta_system_jdbc": meta_system_jdbc,
+    "meta_transactions": meta_transactions,
     "lateral_topk": lateral_topk,
     "assign_unique_id": assign_unique_id,
     "window_rank": window_rank,
@@ -1100,4 +1136,5 @@ ORACLE = {
     "meta_information_schema": META_INFOSCHEMA_ORACLE,
     "meta_system_runtime": META_SYSTEM_RUNTIME_ORACLE,
     "meta_system_jdbc": META_SYSTEM_JDBC_ORACLE,
+    "meta_transactions": META_TRANSACTIONS_ORACLE,
 }

@@ -233,6 +233,14 @@ class _Handler(BaseHTTPRequestHandler):
                 reply_headers["X-Presto-Deallocated-Prepare"] = _up.quote(
                     m.group(1).lower(), safe=""
                 )
+            # X-Presto-Transaction-Id: the client replays its transaction
+            # id per request (PrestoHeaders.java:35; the Session is
+            # rebuilt from headers) — bind it to this request's thread
+            txn_id = (self.headers.get("X-Presto-Transaction-Id") or "").strip()
+            if txn_id and txn_id.upper() != "NONE":
+                engine.transactions.get(txn_id)  # raises for unknown ids
+                engine.set_current_transaction(txn_id)
+            engine.txn_event = None
             props = [
                 prop.partition("=")
                 for prop in (self.headers.get("X-Presto-Session") or "").split(",")
@@ -249,6 +257,14 @@ class _Handler(BaseHTTPRequestHandler):
                 for name, _, value in props:
                     set_session_property(engine.spark, name.strip(), value.strip())
             df = engine.sql(sql)
+            ev = engine.txn_event
+            if ev is not None:
+                # PrestoHeaders.java:36-37 — the client adopts/clears its
+                # transaction id from these response headers
+                if ev[0] == "started":
+                    reply_headers["X-Presto-Started-Transaction-Id"] = ev[1]
+                else:
+                    reply_headers["X-Presto-Clear-Transaction-Id"] = "true"
             schema = df.schema
             # toLocalIterator streams partition-by-partition: the driver
             # holds at most one partition + one page, never the result
@@ -274,6 +290,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         finally:
             engine.runtime.exit()
+            engine.set_current_transaction(None)
             if snap:
                 from facebook_presto_spark.properties import restore_confs
 

@@ -62,9 +62,9 @@ TABLE_SCHEMAS = {
         ("created", "timestamp"), ("start", "timestamp"),
         ("last_heartbeat", "timestamp"), ("end", "timestamp"),
     ),
-    # TransactionsSystemTable.java:61-68 — always empty here: Spark
-    # commits per statement, so no multi-statement transaction ever
-    # exists to list (the honest zero-row serving of a true fact)
+    # TransactionsSystemTable.java:61-68 — fed from the engine's
+    # TransactionManager (transactions.py): one row per live explicit
+    # transaction (START TRANSACTION … COMMIT/ROLLBACK)
     "transactions": (
         ("transaction_id", "string"), ("isolation_level", "string"),
         ("read_only", "boolean"), ("auto_commit_context", "boolean"),
@@ -210,8 +210,10 @@ def _values_view(spark: SparkSession, name: str, rows: list[tuple]) -> None:
     spark.sql(f"CREATE OR REPLACE VIEW system_runtime.`{name}` AS {body}")
 
 
-def refresh(spark: SparkSession, registry: RuntimeQueryRegistry) -> None:
-    """(Re)build system_runtime.{queries,nodes,tasks} from live state."""
+def refresh(spark: SparkSession, registry: RuntimeQueryRegistry,
+            transactions: list[tuple] | None = None) -> None:
+    """(Re)build system_runtime.{queries,nodes,tasks,transactions} from
+    live state."""
     spark.sql("CREATE DATABASE IF NOT EXISTS system_runtime")
     sc = spark.sparkContext
     _values_view(spark, "queries", registry.rows())
@@ -232,7 +234,7 @@ def refresh(spark: SparkSession, registry: RuntimeQueryRegistry) -> None:
             now, now, now, None,
         ))
     _values_view(spark, "tasks", tasks)
-    _values_view(spark, "transactions", [])
+    _values_view(spark, "transactions", transactions or [])
 
 
 # -- system.metadata (CatalogSystemTable.java:44-48,

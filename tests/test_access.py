@@ -61,11 +61,60 @@ def test_grant_validation_errors(engine):
         engine.sql("GRANT SELECT ON no_such_table TO alice")
 
 
-def test_transactions_and_call_fail_loudly(engine):
-    for q in ("START TRANSACTION", "COMMIT", "ROLLBACK"):
-        with pytest.raises(NotImplementedError, match="transactions"):
+def test_transactions_session_context(engine):
+    """START TRANSACTION/COMMIT/ROLLBACK as session-scoped contexts
+    (round 6, transactions.py): reference error surfaces from
+    StartTransactionTask/CommitTask/InMemoryTransactionManager."""
+    # COMMIT/ROLLBACK outside a transaction (CommitTask.java)
+    for q in ("COMMIT", "ROLLBACK", "COMMIT WORK"):
+        with pytest.raises(ValueError, match="No transaction in progress"):
             engine.sql(q)
-    # CALL system.runtime.kill_query is now a real procedure
+    # plain begin/commit round-trip
+    engine.sql("START TRANSACTION")
+    with pytest.raises(ValueError, match="Nested transactions not supported"):
+        engine.sql("START TRANSACTION")
+    engine.sql("COMMIT")
+    # read-only transaction rejects writes with the reference text
+    # (InMemoryTransactionManager.java:456); reads still run
+    engine.sql("START TRANSACTION READ ONLY, ISOLATION LEVEL SERIALIZABLE")
+    assert engine.sql("SELECT 1 AS x").collect()[0].x == 1
+    with pytest.raises(ValueError, match="Cannot execute write in a read-only"):
+        engine.sql("CREATE TABLE memory.default.t_txn AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="Cannot execute write in a read-only"):
+        engine.sql("INSERT INTO memory.default.t_txn VALUES (2)")
+    # the live transaction shows in system.runtime.transactions
+    row = engine.sql(
+        "SELECT isolation_level, read_only FROM system.runtime.transactions"
+    ).collect()
+    assert [(r.isolation_level, r.read_only) for r in row] == [
+        ("SERIALIZABLE", True)
+    ]
+    engine.sql("ROLLBACK")
+    assert engine.sql(
+        "SELECT count(*) AS n FROM system.runtime.transactions"
+    ).collect()[0].n == 0
+    # duplicate modes (StartTransactionTask.extract*)
+    with pytest.raises(ValueError, match="Multiple transaction isolation"):
+        engine.sql(
+            "START TRANSACTION ISOLATION LEVEL READ COMMITTED, "
+            "ISOLATION LEVEL SERIALIZABLE"
+        )
+    with pytest.raises(ValueError, match="Multiple transaction read modes"):
+        engine.sql("START TRANSACTION READ ONLY, READ WRITE")
+    # read-write transaction allows writes, records the written catalog
+    engine.sql("START TRANSACTION READ WRITE")
+    engine.sql("CREATE TABLE memory.default.t_txn2 AS SELECT 1 AS x")
+    row = engine.sql(
+        "SELECT written_catalog, catalogs FROM system.runtime.transactions"
+    ).collect()
+    assert row[0].written_catalog == "memory"
+    assert "memory" in row[0].catalogs
+    engine.sql("COMMIT")
+    engine.sql("DROP TABLE memory.default.t_txn2")
+
+
+def test_call_fails_loudly(engine):
+    # CALL system.runtime.kill_query is a real procedure
     # (systemtables.py, round 4): unknown ids get the reference's
     # NOT_FOUND error; other connector procedures still raise loudly
     with pytest.raises(ValueError, match="Target query not found"):

@@ -33,6 +33,18 @@ def _post(server, sql: str) -> dict:
         return json.load(r)
 
 
+def _post_headers(server, sql: str, headers: dict) -> tuple[dict, dict]:
+    """(payload, response headers) for transaction-header round-trips."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.server_port}/v1/statement",
+        data=sql.encode(),
+        method="POST",
+        headers={"X-Presto-User": "test", **headers},
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.load(r), dict(r.headers)
+
+
 def _drain(server, first: dict) -> list:
     rows = list(first.get("data") or [])
     nxt = first.get("nextUri")
@@ -311,11 +323,57 @@ def test_system_jdbc_metadata(server):
     assert {"nation", "orders", "lineitem"} <= tables
 
 
+def test_transaction_header_roundtrip(server):
+    """The JDBC client's transaction flow (PrestoHeaders.java:35-37 +
+    StatementClientV1): START TRANSACTION returns
+    X-Presto-Started-Transaction-Id; subsequent statements replay it as
+    X-Presto-Transaction-Id; writes inside a READ ONLY transaction fail
+    with InMemoryTransactionManager.java:456's message; COMMIT/ROLLBACK
+    return X-Presto-Clear-Transaction-Id."""
+    res, hdr = _post_headers(server, "START TRANSACTION READ ONLY", {})
+    assert res["error"] is None
+    tid = hdr["X-Presto-Started-Transaction-Id"]
+    assert tid
+    # a read inside the transaction works and shows in the system table
+    res, _h = _post_headers(
+        server,
+        "SELECT transaction_id, read_only FROM system.runtime.transactions",
+        {"X-Presto-Transaction-Id": tid},
+    )
+    rows = _drain(server, res)
+    assert [tid, True] in rows
+    # a write is rejected with the reference's READ_ONLY_VIOLATION text
+    res, _h = _post_headers(
+        server,
+        "CREATE TABLE memory.default.txn_w AS SELECT 1 AS x",
+        {"X-Presto-Transaction-Id": tid},
+    )
+    assert res["stats"]["state"] == "FAILED"
+    assert "read-only transaction" in res["error"]["message"]
+    # ROLLBACK clears: response carries the clear header, table empties
+    res, hdr = _post_headers(
+        server, "ROLLBACK", {"X-Presto-Transaction-Id": tid}
+    )
+    assert res["error"] is None
+    assert hdr["X-Presto-Clear-Transaction-Id"] == "true"
+    res, _h = _post_headers(
+        server, "SELECT count(*) AS n FROM system.runtime.transactions", {}
+    )
+    assert _drain(server, res) == [[0]]
+    # an unknown/expired id fails loudly, not silently autocommits
+    res, _h = _post_headers(
+        server, "SELECT 1", {"X-Presto-Transaction-Id": tid}
+    )
+    assert res["stats"]["state"] == "FAILED"
+    assert "Unknown transaction ID" in res["error"]["message"]
+
+
 def test_system_metadata_and_transactions(server):
     """system.metadata.{catalogs,table_properties} (CatalogSystemTable,
     AbstractPropertiesSystemTable) + system.runtime.transactions
-    (TransactionsSystemTable — always empty: Spark commits per
-    statement, no multi-statement transaction ever exists)."""
+    (TransactionsSystemTable — empty outside an explicit transaction;
+    the live-transaction rows are covered in
+    test_transaction_header_roundtrip / test_access.py)."""
     eng = server.engine
     cats = {
         r.catalog_name: r.connector_id
