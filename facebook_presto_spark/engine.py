@@ -472,8 +472,16 @@ class PrestoSparkEngine:
             name = m.group(1)
             hm = re.match(r"hive\.(\w+)\.(\w+)$", name, re.I)
             if hm:
-                # hive catalog tables live in hive_<schema> databases
-                name = f"hive_{hm.group(1).lower()}.{hm.group(2).lower()}"
+                # hive tables: METADATA-ONLY stats (parquet footers +
+                # partition directories — HiveMetadata.getTableStatistics
+                # parity; the reference never scans for SHOW STATS, and
+                # at 100 TB neither should we).  Column-level stats for
+                # data columns are NULL, like a metastore without
+                # ANALYZE; SHOW STATS FOR (SELECT …) stays the live
+                # computed path.
+                return self._show_stats_hive_meta(
+                    hm.group(1).lower(), hm.group(2).lower()
+                )
             return self._show_stats(self.spark.table(name))
         m = _SHOW_STATS_QUERY_RE.match(presto_sql)
         if m:
@@ -613,6 +621,31 @@ class PrestoSparkEngine:
             "nulls_fraction double, row_count double, low_value string, high_value string",
         )
 
+    def _show_stats_hive_meta(self, schema: str, table: str) -> DataFrame:
+        """SHOW STATS FOR hive.s.t from metadata only (round 6): the
+        summary row_count comes from parquet footers, partition-column
+        stats from the key=value directory names; data columns carry
+        NULL stats — the reference's exact shape for a hive table
+        without ANALYZE-collected column statistics."""
+        from facebook_presto_spark import hive_catalog
+
+        cat = hive_catalog.get_catalog(self.spark)
+        total, part_stats = cat.metadata_stats(schema, table)
+        df = self.spark.table(cat.qualified(schema, table))
+        out = []
+        for f in df.schema.fields:
+            if f.name in part_stats:
+                size, ndv, nf, lo, hi = part_stats[f.name]
+                out.append((f.name, size, ndv, nf, None, lo, hi))
+            else:
+                out.append((f.name, None, None, None, None, None, None))
+        out.append((None, None, None, None, float(total), None, None))
+        return self.spark.createDataFrame(
+            out,
+            "column_name string, data_size double, distinct_values_count double, "
+            "nulls_fraction double, row_count double, low_value string, high_value string",
+        )
+
     def _show_create_table(self, name: str) -> DataFrame:
         """SHOW CREATE TABLE (ShowQueriesRewrite.visitShowCreate TABLE
         arm): render a Presto-dialect CREATE TABLE from the live schema
@@ -621,9 +654,13 @@ class PrestoSparkEngine:
         from facebook_presto_spark.infoschema import presto_type_name
 
         m = re.match(r"hive\.(\w+)\.(\w+)$", name.strip(), re.I)
+        display = None
         if m:
-            # hive catalog tables live in hive_<schema> databases
+            # hive catalog tables live in hive_<schema> databases; the
+            # rendered statement keeps the PRESTO name so the output
+            # re-executes through the hive dispatch verbatim
             name = f"hive_{m.group(1).lower()}.{m.group(2).lower()}"
+            display = f"hive.{m.group(1).lower()}.{m.group(2).lower()}"
         bare = name.strip('"').split(".")[-1].lower()
         if bare in self._views:
             raise ValueError(
@@ -635,11 +672,21 @@ class PrestoSparkEngine:
             f'   "{f.name}" {presto_type_name(f.dataType.simpleString())}'
             for f in df.schema.fields
         )
-        text = f'CREATE TABLE {bare} (\n{cols}\n)'
+        text = f'CREATE TABLE {display or bare} (\n{cols}\n)'
         # catalog tables render their layout as the reference's WITH
         # table-property clause (HiveTableProperties names), recovered
         # from the session catalog's partition/bucket metadata
         props = []
+        if display is not None:
+            # hive tables advertise their storage format too
+            # (HiveTableProperties) — the re-executable WITH clause
+            provider = {
+                r["col_name"]: r["data_type"]
+                for r in self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {name}"
+                ).collect()
+            }.get("Provider", "parquet")
+            props.append(f"format = '{provider.upper()}'")
         try:
             columns = self.spark.catalog.listColumns(name)
             parts = [c.name for c in columns if c.isPartition]

