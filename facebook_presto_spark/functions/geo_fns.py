@@ -552,12 +552,29 @@ def _inner_groups(g: Column) -> Column:
     return F.regexp_extract_all(g, F.lit(r"\(([^()]+)\)"), F.lit(1))
 
 
-def _chains_multi(g: Column) -> Column:
-    """``_geom_chains`` extended over MULTI* parts (round 5): every ring
-    of every MULTIPOLYGON part (auto-closed), every MULTILINESTRING
-    part, and each MULTIPOINT point as its own 1-element chain.  Ray-
-    cast parity over all rings of all (disjoint) parts is still correct
-    even-odd containment; segment walks never bridge parts."""
+# balanced-paren matcher to depth 3 (MULTIPOLYGON bodies) — enough for
+# any non-collection WKT part inside a GEOMETRYCOLLECTION
+_D1 = r"\([^()]*\)"
+_D2 = rf"\((?:[^()]|{_D1})*\)"
+_D3 = rf"\((?:[^()]|{_D2})*\)"
+_GC_PART_RE = (
+    r"((?:MULTIPOLYGON|MULTILINESTRING|MULTIPOINT|POLYGON|LINESTRING|POINT)"
+    rf"\s*(?:EMPTY|{_D3}))"
+)
+
+
+def _gc_parts(g: Column) -> Column:
+    """Top-level parts of a GEOMETRYCOLLECTION WKT as an array of part
+    WKTs (one nesting level — nested collections are the documented
+    out-of-scope shape; the reference's Esri kernel flattens them)."""
+    return F.regexp_extract_all(g, F.lit(_GC_PART_RE), F.lit(1))
+
+
+def _is_gc(t: Column) -> Column:
+    return t == "GEOMETRYCOLLECTION"
+
+
+def _chains_multi_base(g: Column) -> Column:
     t = _typ(g)
     return (
         F.when(t == "POLYGON",
@@ -571,6 +588,20 @@ def _chains_multi(g: Column) -> Column:
               F.transform(_all_xy(g), lambda p: F.array(p)))
         .otherwise(F.array(_coords(g)))
     )
+
+
+def _chains_multi(g: Column) -> Column:
+    """``_geom_chains`` extended over MULTI* parts (round 5): every ring
+    of every MULTIPOLYGON part (auto-closed), every MULTILINESTRING
+    part, and each MULTIPOINT point as its own 1-element chain.  Ray-
+    cast parity over all rings of all (disjoint) parts is still correct
+    even-odd containment; segment walks never bridge parts.  Round 6:
+    GEOMETRYCOLLECTION flattens to the chains of its parts (so the
+    segment/distance kernels accept collections natively)."""
+    return F.when(
+        _is_gc(_typ(g)),
+        F.flatten(F.transform(_gc_parts(g), _chains_multi_base)),
+    ).otherwise(_chains_multi_base(g))
 
 
 def _is_poly(t: Column) -> Column:
@@ -624,24 +655,45 @@ def _mid_xy(g: Column) -> Column:
     )
 
 
-@register("ST_Contains")
-def st_contains(outer, inner) -> Column:
-    """Type-dispatched containment (GeoFunctions.java stContains),
-    multi-part since round 5:
-
-    - (multi)polygon outer: every inner vertex passes even-odd parity
-      over all rings of all parts (hole-aware; points in a hole are
-      outside).  Polygon⊇polygon remains all-vertices-inside (exact
-      for convex outer rings — documented approximation).
-    - (multi)linestring outer: every inner vertex AND segment midpoint
-      lies on the outer chains (false for polygon inners by dimension).
-    - (multi)point outer: inner is a point set and every inner point is
-      a member (TestGeoFunctions:663 MULTIPOINT ∋ POINT)."""
-    go, gi = _c(outer), _c(inner)
+def _contains_base(go: Column, gi: Column) -> Column:
+    """Containment for non-collection inputs — see st_contains."""
     to, ti = _typ(go), _typ(gi)
     inner_pts = _all_xy(gi)
-    poly_case = F.forall(
-        inner_pts, lambda p: _point_in_geom(p["x"], p["y"], go)
+    in_closure = lambda p: (  # noqa: E731
+        _point_in_geom(p["x"], p["y"], go)
+        | _point_on_boundary_geom(p["x"], p["y"], go)
+    )
+    strictly_in = lambda p: _strictly_inside_geom(p["x"], p["y"], go)  # noqa: E731
+    # polygon outer (round 6 — edge-intersection + vertex test, closing
+    # the all-vertices-inside simplification):
+    #  - every inner vertex AND segment midpoint in the closure
+    #  - no transversal crossing between inner segments and outer rings
+    #    (an inner edge exiting between two inside vertices crosses)
+    #  - polygon inner: no outer-ring vertex strictly inside the inner
+    #    (an outer HOLE swallowed by the inner means inner ⊄ outer)
+    #  - line inner: some vertex or midpoint strictly inside (OGC:
+    #    interiors must intersect — a line lying ON the boundary is not
+    #    contained); point inner: strictly inside (boundary points are
+    #    not contained, Esri `contains`)
+    poly_case = (
+        F.forall(inner_pts, in_closure)
+        & F.forall(_mid_xy(gi), in_closure)
+        & ~_segments_intersect_geom(gi, go, proper=True)
+        & (
+            F.when(
+                _is_poly(ti),
+                ~F.exists(
+                    _all_xy(go),
+                    lambda q: _strictly_inside_geom(q["x"], q["y"], gi),
+                ),
+            )
+            .when(
+                _is_line(ti),
+                F.exists(inner_pts, strictly_in)
+                | F.exists(_mid_xy(gi), strictly_in),
+            )
+            .otherwise(F.forall(inner_pts, strictly_in))
+        )
     )
     line_case = (
         ~_is_poly(ti)
@@ -662,6 +714,37 @@ def st_contains(outer, inner) -> Column:
         F.when(_is_poly(to), poly_case)
         .when(_is_line(to), line_case)
         .otherwise(point_case)
+    )
+
+
+@register("ST_Contains")
+def st_contains(outer, inner) -> Column:
+    """Type-dispatched containment (GeoFunctions.java stContains),
+    multi-part since round 5, point-set-correct since round 6:
+
+    - (multi)polygon outer: every inner vertex and segment midpoint in
+      the closure, NO transversal edge crossing with the outer rings,
+      plus the per-inner-kind interior conditions (_contains_base) —
+      the round-5 all-vertices-inside simplification is closed.
+    - (multi)linestring outer: every inner vertex AND segment midpoint
+      lies on the outer chains (false for polygon inners by dimension).
+    - (multi)point outer: inner is a point set and every inner point is
+      a member (TestGeoFunctions:663 MULTIPOINT ∋ POINT).
+    - GEOMETRYCOLLECTION (round 6, GeoFunctions.java:993 accepts any
+      geometry): a collection inner is contained iff EVERY part is
+      (exact); a collection outer contains iff SOME part does —
+      documented approximation: an inner straddling two parts needs the
+      union overlay.  One nesting level."""
+    go, gi = _c(outer), _c(inner)
+    return F.when(
+        go.rlike(" EMPTY$") | gi.rlike(" EMPTY$"), F.lit(False)
+    ).otherwise(
+        F.forall(
+            _parts_or_self(gi),
+            lambda q: F.exists(
+                _parts_or_self(go), lambda p: _contains_base(p, q)
+            ),
+        )
     )
 
 
@@ -785,17 +868,24 @@ def _strictly_inside_geom(px, py, g: Column) -> Column:
 
 
 def _is_chain_endpoint(px: Column, py: Column, g: Column) -> Column:
-    """Point equals the first or last vertex of any chain — the
-    (approximate) boundary of a (multi)linestring.  (The exact OGC
-    boundary applies a mod-2 rule at shared endpoints; endpoint-of-any-
-    part is the documented simplification.)"""
-    return F.exists(
-        _chains_multi(g),
-        lambda c: (
-            ((px == F.element_at(c, 1)["x"]) & (py == F.element_at(c, 1)["y"]))
-            | ((px == F.element_at(c, -1)["x"]) & (py == F.element_at(c, -1)["y"]))
-        ),
+    """OGC mod-2 boundary of a (multi)linestring (round 6): the point is
+    a part-endpoint an ODD number of times.  A point where two parts
+    meet end-to-end — or a closed ring's shared start/end — is interior,
+    not boundary (the rule the round-5 endpoint-of-any-part
+    simplification missed)."""
+    count = F.aggregate(
+        _chains_multi(g), F.lit(0),
+        lambda acc, c: acc
+        + F.when(
+            (px == F.element_at(c, 1)["x"]) & (py == F.element_at(c, 1)["y"]),
+            1,
+        ).otherwise(0)
+        + F.when(
+            (px == F.element_at(c, -1)["x"]) & (py == F.element_at(c, -1)["y"]),
+            1,
+        ).otherwise(0),
     )
+    return count % 2 == 1
 
 
 def _pt_in_interior(px: Column, py: Column, g: Column, t: Column) -> Column:
@@ -862,17 +952,8 @@ def _collinear_run(ga: Column, gb: Column) -> Column:
     )
 
 
-@register("ST_Intersects")
-def st_intersects(a, b) -> Column:
-    """Exact for point/linestring/polygon pairs — hole-aware since
-    round 4, multi-part since round 5: segment-pair orientation tests
-    run over every ring of every part (incl. collinear touches), the
-    point probes run over every vertex (so a part fully inside the
-    other is found whichever part it is), and point-kind sides test
-    every member point (GeoFunctions.java stIntersects; same truth
-    table as Esri's ``intersects``).  An envelope pre-test keeps the
-    common join case a cheap reject."""
-    ga, gb = _c(a), _c(b)
+def _intersects_base(ga: Column, gb: Column) -> Column:
+    """Intersection for non-collection inputs — see st_intersects."""
     ta, tb = _typ(ga), _typ(gb)
     axy, bxy = _all_xy(ga), _all_xy(gb)
     xs = lambda c: F.transform(c, lambda p: p["x"])  # noqa: E731
@@ -896,6 +977,40 @@ def st_intersects(a, b) -> Column:
         .when(_is_point(tb), F.exists(
             bxy, lambda p: _pt_in_closure(p["x"], p["y"], ga, ta)))
         .otherwise(both)
+    )
+
+
+def _parts_or_self(g: Column) -> Column:
+    """GEOMETRYCOLLECTION → its top-level parts; anything else → a
+    1-element array of itself.  Lets the relation predicates dispatch
+    collections with ONE copy of the base expression tree (a 4-branch
+    when() would quadruple analysis/codegen cost)."""
+    return F.when(_is_gc(_typ(g)), _gc_parts(g)).otherwise(F.array(g))
+
+
+@register("ST_Intersects")
+def st_intersects(a, b) -> Column:
+    """Exact for point/linestring/polygon pairs — hole-aware since
+    round 4, multi-part since round 5: segment-pair orientation tests
+    run over every ring of every part (incl. collinear touches), the
+    point probes run over every vertex (so a part fully inside the
+    other is found whichever part it is), and point-kind sides test
+    every member point (GeoFunctions.java stIntersects; same truth
+    table as Esri's ``intersects``).  An envelope pre-test keeps the
+    common join case a cheap reject.  GEOMETRYCOLLECTION sides (round
+    6, GeoFunctions.java:1050 accepts any geometry) dispatch over the
+    parts — exact, since intersection distributes over union; one
+    nesting level."""
+    ga, gb = _c(a), _c(b)
+    return F.when(
+        ga.rlike(" EMPTY$") | gb.rlike(" EMPTY$"), F.lit(False)
+    ).otherwise(
+        F.exists(
+            _parts_or_self(ga),
+            lambda p: F.exists(
+                _parts_or_self(gb), lambda q: _intersects_base(p, q)
+            ),
+        )
     )
 
 
@@ -1036,18 +1151,53 @@ def st_overlaps(a, b) -> Column:
 
 @register("ST_Equals")
 def st_equals(a, b) -> Column:
-    """GeoFunctions.java stEquals, as coordinate-set equality: same type
-    and the same vertex multiset across all parts (order/orientation-
-    insensitive) — exact for points and for rings/lines with identical
-    vertex spellings."""
+    """GeoFunctions.java stEquals — POINT-SET equality (round 6): the
+    fast path is same-type + same vertex multiset; otherwise two
+    same-dimension geometries are equal iff each covers the other,
+    with the mutual-coverage test specialized per dimension (so
+    ``LINESTRING (0 0, 2 0)`` equals ``LINESTRING (0 0, 1 0, 2 0)`` —
+    the collinear-vertex-insertion case the round-5 vertex-multiset
+    simplification reported unequal — and a MULTIPOINT with a
+    duplicated member equals the deduplicated POINT set)."""
     ga, gb = _c(a), _c(b)
+    ta, tb = _typ(ga), _typ(gb)
     key = lambda g: F.array_sort(  # noqa: E731
         F.transform(
             _all_xy(g),
             lambda p: F.concat(p["x"].cast("string"), F.lit(":"), p["y"].cast("string")),
         )
     )
-    return (_typ(ga) == _typ(gb)) & (key(ga) == key(gb))
+    multiset = (ta == tb) & (key(ga) == key(gb))
+    # dimension-specialized mutual coverage (cheaper than two full
+    # st_contains trees; same point-set semantics):
+    point_eq = F.array_sort(F.array_distinct(key(ga))) == F.array_sort(
+        F.array_distinct(key(gb))
+    )
+    on = lambda p, g: _point_on_boundary_geom(p["x"], p["y"], g)  # noqa: E731
+    line_eq = (
+        F.forall(_all_xy(ga), lambda p: on(p, gb))
+        & F.forall(_mid_xy(ga), lambda p: on(p, gb))
+        & F.forall(_all_xy(gb), lambda p: on(p, ga))
+        & F.forall(_mid_xy(gb), lambda p: on(p, ga))
+    )
+    closure = lambda p, g: (  # noqa: E731
+        _point_in_geom(p["x"], p["y"], g) | _point_on_boundary_geom(p["x"], p["y"], g)
+    )
+    poly_eq = (
+        F.forall(_all_xy(ga), lambda p: closure(p, gb))
+        & F.forall(_all_xy(gb), lambda p: closure(p, ga))
+        & ~_segments_intersect_geom(ga, gb, proper=True)
+        # equal point sets have equal area — rejects a holed twin whose
+        # hole vertices sit inside the other's closure
+        & (st_area(ga) == st_area(gb))
+    )
+    by_dim = (
+        F.when(_is_point(ta) & _is_point(tb), point_eq)
+        .when(_is_line(ta) & _is_line(tb), line_eq)
+        .when(_is_poly(ta) & _is_poly(tb), poly_eq)
+        .otherwise(F.lit(False))
+    )
+    return multiset | by_dim
 
 
 # --- Bing tiles (BingTileFunctions.java — Mercator quadtree) ---------------
@@ -1279,30 +1429,100 @@ def st_exterior_ring(g) -> Column:
     )
 
 
+def _ring_signed_area(c: Column) -> Column:
+    n = F.size(c)
+    return F.aggregate(
+        F.sequence(F.lit(1), n - 1), F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(c, i)["x"] * F.element_at(c, i + 1)["y"]
+        - F.element_at(c, i + 1)["x"] * F.element_at(c, i)["y"],
+    ) / 2.0
+
+
 @register("ST_Boundary")
 def st_boundary(g) -> Column:
-    """Topological boundary (GeoFunctions.java stBoundary): polygon →
-    MULTILINESTRING of its (closed) ring, linestring → MULTIPOINT of its
-    endpoints, point → MULTIPOINT EMPTY — the reference's WKT shapes."""
+    """Topological boundary (GeoFunctions.java stBoundary), multi-part
+    + OGC-exact since round 6: point kinds → MULTIPOINT EMPTY; line
+    kinds → MULTIPOINT of the part-endpoints with ODD multiplicity (the
+    mod-2 rule: end-to-end part joins and closed rings contribute no
+    boundary); polygon kinds → MULTILINESTRING of every ring of every
+    part, closed, exterior rings oriented counter-clockwise (the
+    reference's Esri boundary normalizes orientation —
+    testSTBoundary's reversed multipolygon ring)."""
     gc = _c(g)
     t = _typ(gc)
-    c = _coords(gc)
-    first, last = F.element_at(c, 1), F.element_at(c, -1)
-    closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
-    ring = F.when(closed, c).otherwise(F.concat(c, F.array(first)))
     pt = lambda p: F.concat(  # noqa: E731
         F.lit("("), _fmt_coord(p["x"]), F.lit(" "), _fmt_coord(p["y"]), F.lit(")")
     )
+    # line kinds: endpoints of all parts, kept iff their multiplicity in
+    # the endpoint list is odd, deduplicated at first occurrence
+    chains = _chains_multi(gc)
+    ends = F.flatten(
+        F.transform(
+            chains, lambda c: F.array(F.element_at(c, 1), F.element_at(c, -1))
+        )
+    )
+    mult = lambda e: F.size(  # noqa: E731
+        F.filter(ends, lambda o: (o["x"] == e["x"]) & (o["y"] == e["y"]))
+    )
+    n_ends = F.size(ends)
+    odd = F.filter(
+        ends,
+        lambda e, i: (mult(e) % 2 == 1)
+        & (
+            F.aggregate(
+                F.sequence(F.lit(1), n_ends), n_ends + F.lit(1),
+                lambda acc, j: F.when(
+                    (F.element_at(ends, j)["x"] == e["x"])
+                    & (F.element_at(ends, j)["y"] == e["y"])
+                    & (j - 1 < acc),
+                    j - 1,
+                ).otherwise(acc),
+            )
+            == i
+        ),
+    )
+    line_bound = F.when(
+        F.size(odd) > 0,
+        F.concat(
+            F.lit("MULTIPOINT ("),
+            F.array_join(F.transform(odd, pt), ", "),
+            F.lit(")"),
+        ),
+    ).otherwise(F.lit("MULTIPOINT EMPTY"))
+    # polygon kinds: every ring of every part, closed; exterior rings
+    # (ring 1 of each part) CCW, holes CW — Esri's normalized output
+    parts = F.when(
+        t == "POLYGON",
+        F.array(F.regexp_extract(gc, r"^POLYGON\s*(\(.*\))\s*$", 1)),
+    ).otherwise(_mpoly_parts(gc))
+    ring_wkt = lambda ring, want_ccw: _chain_wkt(  # noqa: E731
+        F.when(
+            F.when(want_ccw, _ring_signed_area(ring) >= 0)
+            .otherwise(_ring_signed_area(ring) <= 0),
+            ring,
+        ).otherwise(F.reverse(ring))
+    )
+    poly_rings = F.flatten(
+        F.transform(
+            parts,
+            lambda p: F.transform(
+                _part_ring_chains(p),
+                lambda ring, ri: F.concat(
+                    F.lit("("), ring_wkt(ring, ri == 0), F.lit(")")
+                ),
+            ),
+        )
+    )
+    poly_bound = F.concat(
+        F.lit("MULTILINESTRING ("),
+        F.array_join(poly_rings, ", "),
+        F.lit(")"),
+    )
     return (
-        F.when(t == "POINT", F.lit("MULTIPOINT EMPTY"))
-        .when(
-            t == "LINESTRING",
-            F.concat(F.lit("MULTIPOINT ("), pt(first), F.lit(", "), pt(last), F.lit(")")),
-        )
-        .when(
-            t == "POLYGON",
-            F.concat(F.lit("MULTILINESTRING (("), _chain_wkt(ring), F.lit("))")),
-        )
+        F.when(gc.rlike(" EMPTY$") | _is_point(t), F.lit("MULTIPOINT EMPTY"))
+        .when(_is_line(t), line_bound)
+        .when(_is_poly(t), poly_bound)
     )
 
 

@@ -65,12 +65,23 @@ def geo_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# even-odd parity AND not-on-boundary: ST_Contains(polygon, point) is
+# INTERIOR membership (round 6 — Esri `contains` excludes the boundary),
+# so the oracle tests the same point-set
 _PIP = """
-    list_sum(list_transform(generate_series(1, len(ring) - 1), i ->
+    (list_sum(list_transform(generate_series(1, len(ring) - 1), i ->
       CASE WHEN ((ring[i][2] > py) <> (ring[i+1][2] > py))
             AND px < ring[i][1] + (ring[i+1][1] - ring[i][1])
                      * (py - ring[i][2]) / (ring[i+1][2] - ring[i][2])
       THEN 1 ELSE 0 END)) % 2 = 1
+    AND NOT list_sum(list_transform(generate_series(1, len(ring) - 1), i ->
+      CASE WHEN (ring[i+1][1] - ring[i][1]) * (py - ring[i][2])
+                 = (ring[i+1][2] - ring[i][2]) * (px - ring[i][1])
+            AND px >= least(ring[i][1], ring[i+1][1])
+            AND px <= greatest(ring[i][1], ring[i+1][1])
+            AND py >= least(ring[i][2], ring[i+1][2])
+            AND py <= greatest(ring[i][2], ring[i+1][2])
+      THEN 1 ELSE 0 END)) > 0)
 """
 
 GEO_CONTAINS_JOIN_SQL = (

@@ -814,3 +814,97 @@ def test_multipart_measures(spark):
     assert one(spark, call("ST_Area", F.lit("POINT EMPTY"))) == 0.0
     with _pytest.raises(Exception, match="LINE_STRING or MULTI_LINE_STRING"):
         one(spark, call("ST_Length", F.lit("POLYGON ((1 1, 1 4, 4 4, 4 1))")))
+
+
+# --- point-set semantics closures (round 6) ----------------------------------
+# The four residual simplifications from the round-5 verdict: polygon ⊇
+# polygon via edge-intersection + vertex test, OGC mod-2 multiline
+# boundary, ST_Equals as true point-set equality, and native
+# GEOMETRYCOLLECTION dispatch (GeoFunctions.java:993/1050 accept any
+# geometry kind).
+
+
+def test_polygon_contains_polygon_edge_cases(spark):
+    # all inner VERTICES inside a concave outer, but the edges exit
+    # through the notch — all-vertices-only reported true
+    notched = "POLYGON ((0 0, 10 0, 10 10, 6 10, 6 4, 4 4, 4 10, 0 10))"
+    assert _rel(spark, "ST_Contains", notched,
+                "POLYGON ((2 6, 8 6, 8 8, 2 8))") is False
+    assert _rel(spark, "ST_Contains", notched,
+                "LINESTRING (2 6, 8 6)") is False
+    # an outer HOLE swallowed by the inner polygon
+    holed = "POLYGON ((0 0, 10 0, 10 10, 0 10), (4 4, 4 6, 6 6, 6 4))"
+    assert _rel(spark, "ST_Contains", holed,
+                "POLYGON ((3 3, 7 3, 7 7, 3 7))") is False
+    # identical polygons contain each other; reference cases still hold
+    assert _rel(spark, "ST_Contains", "POLYGON ((1 1, 1 3, 3 3, 3 1))",
+                "POLYGON ((3 3, 3 1, 1 1, 1 3))") is True
+    assert _rel(spark, "ST_Contains", "POLYGON ((0 0, 0 4, 4 4, 4 0))",
+                "POLYGON ((1 1, 1 2, 2 2, 2 1))") is True
+    # OGC interior rule: a line lying ON the boundary is not contained
+    assert _rel(spark, "ST_Contains", "POLYGON ((0 0, 0 4, 4 4, 4 0))",
+                "LINESTRING (0 1, 0 2)") is False
+    assert _rel(spark, "ST_Contains", "POLYGON ((0 0, 0 4, 4 4, 4 0))",
+                "LINESTRING (1 1, 2 2)") is True
+
+
+def test_multiline_mod2_boundary(spark):
+    # two parts meeting end-to-end: the shared point is INTERIOR
+    joined = "MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))"
+    assert one(spark, call("ST_Boundary", F.lit(joined))) == \
+        "MULTIPOINT ((0 0), (2 2))"
+    # a closed ring linestring has an empty boundary
+    assert one(spark, call(
+        "ST_Boundary", F.lit("LINESTRING (0 0, 1 0, 1 1, 0 0)")
+    )) == "MULTIPOINT EMPTY"
+    # testSTBoundary reference values (incl. the reversed multipolygon
+    # ring — Esri normalizes exterior rings CCW)
+    assert one(spark, call("ST_Boundary", F.lit(ML_A))) == \
+        "MULTIPOINT ((1 1), (5 1), (2 4), (4 4))"
+    assert one(spark, call("ST_Boundary", F.lit(
+        "MULTIPOLYGON (((1 1, 1 3, 3 3, 3 1)), ((0 0, 0 2, 2 2, 2 0)))"
+    ))) == ("MULTILINESTRING ((1 1, 3 1, 3 3, 1 3, 1 1), "
+            "(0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert one(spark, call(
+        "ST_Boundary", F.lit("MULTIPOINT (1 2, 2 4, 3 6, 4 8)")
+    )) == "MULTIPOINT EMPTY"
+    # the end-to-end join point is INTERIOR under mod-2: a point there
+    # is within, not touching; a true endpoint still touches
+    assert _rel(spark, "ST_Touches", joined, "POINT (1 1)") is False
+    assert _rel(spark, "ST_Touches", joined, "POINT (0 0)") is True
+
+
+def test_equals_point_set(spark):
+    # collinear vertex insertion — the same point set
+    assert _rel(spark, "ST_Equals", "LINESTRING (0 0, 2 0)",
+                "LINESTRING (0 0, 1 0, 2 0)") is True
+    # duplicated multipoint member vs the deduplicated set
+    assert _rel(spark, "ST_Equals", "MULTIPOINT (50 100, 50 100)",
+                "POINT (50 100)") is True
+    # still unequal when the sets differ
+    assert _rel(spark, "ST_Equals", "LINESTRING (0 0, 0 1)",
+                "LINESTRING (1 1, 1 0)") is False
+    assert _rel(spark, "ST_Equals", MPOLY, POLY_B) is False
+
+
+def test_geometrycollection_relations(spark):
+    gc = "GEOMETRYCOLLECTION (POINT (5 1), LINESTRING (3 4, 4 4))"
+    assert _rel(spark, "ST_Intersects", gc, "LINESTRING (3 4, 5 4)") is True
+    assert _rel(spark, "ST_Intersects", gc, "POINT (9 9)") is False
+    assert _rel(spark, "ST_Disjoint", gc, "POINT (5 1)") is False
+    assert _rel(
+        spark, "ST_Contains",
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 0 4, 4 4, 4 0)), POINT (9 9))",
+        "POINT (1 1)",
+    ) is True
+    # collection inner: contained iff EVERY part is (exact)
+    assert _rel(
+        spark, "ST_Contains", "POLYGON ((0 0, 0 9, 9 9, 9 0))",
+        "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (2 2, 3 3))",
+    ) is True
+    assert _rel(
+        spark, "ST_Contains", "POLYGON ((0 0, 0 9, 9 9, 9 0))",
+        "GEOMETRYCOLLECTION (POINT (1 1), POINT (99 99))",
+    ) is False
+    # ST_Distance over a collection (chains flatten across parts)
+    assert _rel(spark, "ST_Distance", gc, "POINT (5 4)") == 1.0
