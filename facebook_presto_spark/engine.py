@@ -65,6 +65,7 @@ _ALTER_RE = re.compile(
 _USE_RE = re.compile(
     r"^\s*USE\s+(?:([A-Za-z_]\w*)\s*\.\s*)?([A-Za-z_]\w*)\s*;?\s*$", re.I
 )
+_SET_PATH_RE = re.compile(r"^\s*SET\s+PATH\s+(.+?)\s*;?\s*$", re.I | re.S)
 _EXPLAIN_OPTS_RE = re.compile(r"^\s*EXPLAIN\s*\(([^)]*)\)\s*(.+)$", re.I | re.S)
 
 
@@ -161,6 +162,25 @@ class PrestoSparkEngine:
         import threading as _threading
 
         self._txn_tl = _threading.local()
+        # SQL path (SetPathTask / X-Presto-Path) — session state like
+        # the transaction id, thread-local for the protocol server
+        self._path_tl = _threading.local()
+
+    def current_path(self) -> str:
+        return getattr(self._path_tl, "value", "") or ""
+
+    def set_current_path(self, path: str) -> None:
+        self._path_tl.value = path
+
+    @property
+    def path_event(self) -> str | None:
+        """The path set by the last SET PATH on this thread — the server
+        reads it to emit X-Presto-Set-Path."""
+        return getattr(self._path_tl, "event", None)
+
+    @path_event.setter
+    def path_event(self, value: str | None) -> None:
+        self._path_tl.event = value
 
     def current_transaction(self) -> str | None:
         return getattr(self._txn_tl, "tid", None)
@@ -296,6 +316,34 @@ class PrestoSparkEngine:
         if handled is not None:
             return handled
         txn.check_write(self, presto_sql)
+        m = _SET_PATH_RE.match(presto_sql)
+        if m:
+            # SET PATH (SqlBase.g4 setPath → SetPathTask.java): a comma
+            # list of [catalog.]schema elements, kept as session state
+            # (thread-local like the transaction id; the protocol server
+            # round-trips it via X-Presto-Path / X-Presto-Set-Path).
+            # Function resolution here is a single flat registry, so the
+            # path's only observable effect is current_path — same as a
+            # reference deployment with no session functions installed.
+            spec = m.group(1).strip().rstrip(";").strip()
+            elem = r'(?:"[^"]+"|\w+)(?:\s*\.\s*(?:"[^"]+"|\w+))?'
+            if not re.fullmatch(rf"{elem}(?:\s*,\s*{elem})*", spec):
+                raise ValueError(f"mismatched input '{spec}' expecting path")
+            self._path_tl.value = spec
+            self._path_tl.event = spec
+            return self.spark.sql("SELECT true AS ok WHERE false")
+        if re.search(r"\bcurrent_path\b", presto_sql, re.I):
+            # current_path (FunctionRegistry session function): resolves
+            # to the session's raw path string at translation time
+            from facebook_presto_spark.connectors import (
+                _sub_outside_literals,
+            )
+
+            lit = "'" + self.current_path().replace("'", "''") + "'"
+            presto_sql = _sub_outside_literals(
+                re.compile(r"\bcurrent_path\b(?:\s*\(\s*\))?", re.I),
+                lambda _m: lit, presto_sql,
+            )
         from facebook_presto_spark import connectors
 
         # connector-catalog DDL/DML (memory/blackhole/localfile) — ahead

@@ -241,6 +241,12 @@ class _Handler(BaseHTTPRequestHandler):
                 engine.transactions.get(txn_id)  # raises for unknown ids
                 engine.set_current_transaction(txn_id)
             engine.txn_event = None
+            # X-Presto-Path: the client replays its SQL path per request
+            # (PrestoHeaders.java:22); SET PATH answers X-Presto-Set-Path
+            engine.set_current_path(
+                (self.headers.get("X-Presto-Path") or "").strip()
+            )
+            engine.path_event = None
             props = [
                 prop.partition("=")
                 for prop in (self.headers.get("X-Presto-Session") or "").split(",")
@@ -265,6 +271,8 @@ class _Handler(BaseHTTPRequestHandler):
                     reply_headers["X-Presto-Started-Transaction-Id"] = ev[1]
                 else:
                     reply_headers["X-Presto-Clear-Transaction-Id"] = "true"
+            if engine.path_event is not None:
+                reply_headers["X-Presto-Set-Path"] = engine.path_event
             schema = df.schema
             # toLocalIterator streams partition-by-partition: the driver
             # holds at most one partition + one page, never the result

@@ -113,6 +113,21 @@ def test_transactions_session_context(engine):
     engine.sql("DROP TABLE memory.default.t_txn2")
 
 
+def test_set_path_and_current_path(engine):
+    """SET PATH (SetPathTask.java) as session state + the current_path
+    session function (round 6)."""
+    assert engine.sql("SELECT current_path AS p").collect()[0].p == ""
+    engine.sql("SET PATH spark.default, extra_schema")
+    assert engine.sql("SELECT current_path AS p").collect()[0].p == \
+        "spark.default, extra_schema"
+    # function-call spelling resolves too
+    assert engine.sql("SELECT current_path() AS p").collect()[0].p == \
+        "spark.default, extra_schema"
+    with pytest.raises(ValueError, match="expecting path"):
+        engine.sql("SET PATH 'not an identifier'")
+    engine.set_current_path("")
+
+
 def test_call_fails_loudly(engine):
     # CALL system.runtime.kill_query is a real procedure
     # (systemtables.py, round 4): unknown ids get the reference's

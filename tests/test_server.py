@@ -368,6 +368,22 @@ def test_transaction_header_roundtrip(server):
     assert "Unknown transaction ID" in res["error"]["message"]
 
 
+def test_set_path_headers(server):
+    """SET PATH answers X-Presto-Set-Path; the client replays it as
+    X-Presto-Path (PrestoHeaders.java:22,29)."""
+    res, hdr = _post_headers(server, "SET PATH memory.default", {})
+    assert res["error"] is None
+    assert hdr["X-Presto-Set-Path"] == "memory.default"
+    res, _h = _post_headers(
+        server, "SELECT current_path AS p",
+        {"X-Presto-Path": "memory.default"},
+    )
+    assert _drain(server, res) == [["memory.default"]]
+    # without the replayed header the path is session-default empty
+    res, _h = _post_headers(server, "SELECT current_path AS p", {})
+    assert _drain(server, res) == [[""]]
+
+
 def test_system_metadata_and_transactions(server):
     """system.metadata.{catalogs,table_properties} (CatalogSystemTable,
     AbstractPropertiesSystemTable) + system.runtime.transactions
