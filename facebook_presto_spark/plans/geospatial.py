@@ -468,13 +468,14 @@ def geo_wkb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             call("ST_Point", (ix + 1).cast("double"), (iy + 3).cast("double")),
         ),
     )
+    env = call("ST_EnvelopeAsPts", poly)
     return cust.select(
         "c_custkey",
         call("ST_GeomFromBinary", call("ST_AsBinary", poly)).alias("rt_poly"),
         call("ST_NumInteriorRing", poly).alias("n_holes"),
         call("ST_InteriorRingN", poly, F.lit(1)).alias("hole1"),
-        F.element_at(call("ST_EnvelopeAsPts", poly), 1).alias("env_lo"),
-        F.element_at(call("ST_EnvelopeAsPts", poly), 2).alias("env_hi"),
+        F.element_at(env, 1).alias("env_lo"),
+        F.element_at(env, 2).alias("env_hi"),
         call("ST_NumGeometries", mp).alias("ngeom"),
         call("ST_GeometryN", mp, F.lit(2)).alias("part2"),
         line.alias("line2"),

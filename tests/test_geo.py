@@ -644,19 +644,25 @@ def test_holed_polygon_semantics(spark):
 
 
 def test_multi_part_composition(spark):
-    """MULTI* relation work composes through ST_Geometries — the
-    documented multi-geometry path (geo_fns.py module docstring)."""
+    """MULTI* relation work composes through ST_Geometries — exploded
+    to rows, since the round-8 kernel-routed predicates are Arrow UDFs
+    and cannot sit inside a higher-order lambda.  (Direct multi-part
+    calls need no decomposition: the DE-9IM kernel is natively
+    multi-part — see test_multipart_*.)"""
     mp = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((10 10, 12 10, 12 12, 10 12, 10 10)))"
     from facebook_presto_spark.functions import geo_fns as G
 
     def multi_intersects(m, g):
-        return F.exists(call("ST_Geometries", F.lit(m)),
-                        lambda part: G.st_intersects(part, F.lit(g)))
+        parts = spark.range(1).select(
+            F.explode(call("ST_Geometries", F.lit(m))).alias("part")
+        )
+        flags = parts.select(G.st_intersects(F.col("part"), F.lit(g)).alias("v"))
+        return flags.agg(F.max("v")).collect()[0][0]
 
-    assert one(spark, multi_intersects(
-        mp, "POLYGON ((11 11, 13 11, 13 13, 11 13, 11 11))")) is True
-    assert one(spark, multi_intersects(
-        mp, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")) is False
+    assert multi_intersects(
+        mp, "POLYGON ((11 11, 13 11, 13 13, 11 13, 11 11))") is True
+    assert multi_intersects(
+        mp, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))") is False
     # extremes span every part
     assert one(spark, call("ST_XMax", F.lit(mp))) == 12.0
     assert one(spark, call("ST_YMin", F.lit(mp))) == 0.0

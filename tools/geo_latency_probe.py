@@ -1,11 +1,20 @@
 """Measure geometry relation-predicate plan-compile + execute latency.
 
-Round-7 probe for the r6 verdict's compile-latency finding: times each
-geo_* selfcheck entry end-to-end at a given SF dir and a single-row
-predicate compile for the relation family.
+Probe for the r6/r7 verdict compile-latency finding: times each
+relation predicate end-to-end on a single row (plan analysis included),
+then the spatial-join queries at a given SF dir.  Run before/after any
+predicate-implementation change; results are recorded in SCALE.md.
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, "/root/repo")
+# executor Python workers need the repo on their path too (the Arrow
+# kernel UDFs import facebook_presto_spark.functions.geo_kernel)
+os.environ["PYTHONPATH"] = (
+    "/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", "")
+)
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -30,20 +39,27 @@ def main():
         [("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (5 5)")],
         "a string, b string",
     )
+    # untimed warm-up: JVM/session/Arrow-path initialization must not
+    # land in the first timed predicate (ADVICE r7)
+    one.select(call("ST_Contains", F.col("a"), F.col("b")).alias("r")).collect()
     for name in ["ST_Contains", "ST_Intersects", "ST_Equals", "ST_Touches",
                  "ST_Crosses", "ST_Overlaps", "ST_Distance"]:
-        t0 = time.time()
+        t0 = time.perf_counter()
         one.select(call(name, F.col("a"), F.col("b")).alias("r")).collect()
-        print(f"{name:15s} single-row: {time.time() - t0:7.2f}s", flush=True)
+        print(f"{name:15s} single-row: {time.perf_counter() - t0:7.2f}s",
+              flush=True)
 
-    for qname in ["geo_contains_join", "geo_distance_join", "geo_kdb_join"]:
+    for qname in ["geo_contains_join", "geo_distance_join",
+                  "geo_spatial_partition_join"]:
         fn = g.QUERIES.get(qname)
         if fn is None:
+            print(f"WARNING: no query named {qname!r} in geospatial.QUERIES",
+                  flush=True)
             continue
-        t0 = time.time()
+        t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
-        print(f"{qname:20s} end-to-end: {time.time() - t0:7.2f}s rows={n}",
-              flush=True)
+        print(f"{qname:26s} end-to-end: {time.perf_counter() - t0:7.2f}s "
+              f"rows={n}", flush=True)
     spark.stop()
 
 
