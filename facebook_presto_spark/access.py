@@ -230,18 +230,10 @@ def dispatch(engine, sql: str):
     return None
 
 
-_CALL_RE = re.compile(r"\s*CALL\s+", re.IGNORECASE)
-
-
 def reject_unsupported(sql: str) -> None:
-    """Loud, specific failure for the connector-procedure surface
-    (CallTask.java:60).  Transactions are handled in transactions.py
-    since round 6 (session-scoped contexts with single-statement write
-    semantics)."""
-    if _CALL_RE.match(sql):
-        raise NotImplementedError(
-            "CALL is not supported for connector procedures "
-            "(CallTask.java) — no Spark-session equivalent here; the "
-            "system procedure CALL system.runtime.kill_query(id, msg) "
-            "IS supported (systemtables.py)"
-        )
+    """CALL statements are fully handled upstream since round 8
+    (procedures.dispatch — the connector-procedure registry with
+    CallTask.java binding semantics; system.runtime.kill_query in
+    systemtables.py), so nothing is rejected here anymore.  Kept as the
+    engine's hook point for any future statement family that needs a
+    loud, specific failure instead of a translation error."""

@@ -377,6 +377,13 @@ class PrestoSparkEngine:
         called = systemtables.dispatch_call(self, presto_sql)
         if called is not None:
             return called
+        from facebook_presto_spark import procedures
+
+        # connector procedures (CallTask.java → ProcedureRegistry) —
+        # raises the reference texts for every CALL failure mode
+        called = procedures.dispatch(self, presto_sql)
+        if called is not None:
+            return called
         access.reject_unsupported(presto_sql)
         from facebook_presto_spark import infoschema
 

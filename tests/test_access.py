@@ -131,11 +131,14 @@ def test_set_path_and_current_path(engine):
 def test_call_fails_loudly(engine):
     # CALL system.runtime.kill_query is a real procedure
     # (systemtables.py, round 4): unknown ids get the reference's
-    # NOT_FOUND error; other connector procedures still raise loudly
+    # NOT_FOUND error; unregistered connector procedures raise the
+    # ProcedureRegistry.resolve text (procedures.py, round 8)
     with pytest.raises(ValueError, match="Target query not found"):
         engine.sql("CALL system.runtime.kill_query('x')")
-    with pytest.raises(NotImplementedError, match="CALL"):
+    with pytest.raises(ValueError, match="Procedure not registered"):
         engine.sql("CALL hive.system.sync_partition_metadata('a', 'b', 'c')")
+    with pytest.raises(ValueError, match="Catalog nope does not exist"):
+        engine.sql("CALL nope.system.create_empty_partition('a', 'b')")
 
 
 def test_enforcement_denies_and_allows(engine):

@@ -551,3 +551,96 @@ def test_date_partitioned_table_prunes_on_date_literal(eng, spark):
         f"WHERE ds = DATE '{one_day}'"
     ).collect()[0]["n"]
     assert n > 0
+
+
+def test_call_create_empty_partition_roundtrip(eng):
+    """CALL hive.system.create_empty_partition (procedures.py, round 8 —
+    CreateEmptyPartitionProcedure.java): creates the key=value
+    directory, registers it in SHOW PARTITIONS / "t$partitions", counts
+    zero rows; reference error texts for mismatched columns, existing
+    partitions, and unregistered procedures."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.web")
+    eng.sql("""
+        CREATE TABLE hive.web.orders_ep
+        WITH (partitioned_by = ARRAY['o_orderpriority'])
+        AS SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    """)
+    before = {
+        r["o_orderpriority"]
+        for r in eng.sql(
+            'SELECT * FROM hive.web."orders_ep$partitions"'
+        ).collect()
+    }
+    assert "9-EMPTY" not in before
+    eng.sql("""
+        CALL hive.system.create_empty_partition(
+            'web', 'orders_ep', ARRAY['o_orderpriority'], ARRAY['9-EMPTY'])
+    """)
+    after = {
+        r["o_orderpriority"]
+        for r in eng.sql(
+            'SELECT * FROM hive.web."orders_ep$partitions"'
+        ).collect()
+    }
+    assert "9-EMPTY" in after
+    n = eng.sql(
+        "SELECT count(*) AS n FROM hive.web.orders_ep "
+        "WHERE o_orderpriority = '9-EMPTY'"
+    ).collect()[0]["n"]
+    assert n == 0
+    # named-argument form (CallTask binds by name)
+    eng.sql("""
+        CALL hive.system.create_empty_partition(
+            schema_name => 'web', table_name => 'orders_ep',
+            partition_columns => ARRAY['o_orderpriority'],
+            partition_values => ARRAY['8-NAMED'])
+    """)
+    # reference error texts
+    with pytest.raises(ValueError, match="Partition already exists"):
+        eng.sql("""
+            CALL hive.system.create_empty_partition(
+                'web', 'orders_ep', ARRAY['o_orderpriority'],
+                ARRAY['9-EMPTY'])
+        """)
+    with pytest.raises(
+        ValueError,
+        match="doesn't match actual partition column names",
+    ):
+        eng.sql("""
+            CALL hive.system.create_empty_partition(
+                'web', 'orders_ep', ARRAY['wrong_col'], ARRAY['x'])
+        """)
+    with pytest.raises(ValueError, match="Too few arguments"):
+        eng.sql(
+            "CALL hive.system.create_empty_partition('web', 'orders_ep')"
+        )
+    with pytest.raises(ValueError, match="cannot be mixed"):
+        eng.sql("""
+            CALL hive.system.create_empty_partition(
+                'web', table_name => 'orders_ep')
+        """)
+    # non-partitioned table → same INVALID_PROCEDURE_ARGUMENT text
+    eng.sql("""
+        CREATE TABLE hive.web.flat_ep AS
+        SELECT o_orderkey FROM orders LIMIT 5
+    """)
+    with pytest.raises(
+        ValueError,
+        match="doesn't match actual partition column names",
+    ):
+        eng.sql("""
+            CALL hive.system.create_empty_partition(
+                'web', 'flat_ep', ARRAY['o_orderpriority'], ARRAY['x'])
+        """)
+    # no CALL inside an explicit transaction (CallTask.java:73)
+    eng.sql("START TRANSACTION")
+    try:
+        with pytest.raises(ValueError, match="autocommit"):
+            eng.sql("""
+                CALL hive.system.create_empty_partition(
+                    'web', 'orders_ep', ARRAY['o_orderpriority'],
+                    ARRAY['7-TXN'])
+            """)
+    finally:
+        eng.sql("ROLLBACK")
