@@ -316,6 +316,10 @@ class PrestoSparkEngine:
         if handled is not None:
             return handled
         txn.check_write(self, presto_sql)
+        # hive/memory CTAS/INSERT/DELETE inside an explicit transaction
+        # register compensating actions so ROLLBACK undoes them
+        # (transactions.py round 8 — undo-log staging)
+        txn.stage_write(self, presto_sql)
         m = _SET_PATH_RE.match(presto_sql)
         if m:
             # SET PATH (SqlBase.g4 setPath → SetPathTask.java): a comma

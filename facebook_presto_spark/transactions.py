@@ -24,16 +24,19 @@ Reference surface:
 
 Spark-first semantics: Spark commits every write per statement (one
 two-phase-commit job each), so a transaction here is a session-scoped
-CONTEXT with single-statement write semantics — it carries the
-isolation level and access mode, REJECTS writes in READ ONLY
-transactions with the reference's message, lists live transactions in
-``system.runtime.transactions``, and round-trips the protocol headers.
-ROLLBACK ends the context without undoing statements that already
-committed — the documented divergence (COVERAGE.md); the reference's
-hive connector behaves the same way for already-flushed partitions
-only at the metastore level, so read-only enforcement is the part a
-migrating JDBC client (``setAutoCommit(false)`` → READ ONLY checks)
-actually exercises.
+CONTEXT — it carries the isolation level and access mode, REJECTS
+writes in READ ONLY transactions with the reference's message, lists
+live transactions in ``system.runtime.transactions``, and round-trips
+the protocol headers.  Since round 8, hive/memory CTAS/INSERT/DELETE
+inside an explicit transaction register compensating actions in an
+undo log (``stage_write`` below), so ROLLBACK restores the
+pre-transaction table state — the file-retention analogue of the
+reference's SemiTransactionalHiveMetastore staging.  Writes stay
+visible between statements (READ UNCOMMITTED is the engine default,
+like the reference's TransactionManager.java:30) and within the
+transaction (read-your-writes).  Statements outside the staged set
+(ALTER/DROP/GRANT …) keep single-statement semantics — the narrowed
+residual divergence (COVERAGE.md).
 """
 
 from __future__ import annotations
@@ -51,7 +54,8 @@ DEFAULT_ISOLATION = "READ UNCOMMITTED"  # TransactionManager.java:30
 
 class TransactionInfo:
     __slots__ = ("tid", "isolation", "read_only", "auto_commit",
-                 "create_time", "last_active", "written_catalog", "catalogs")
+                 "create_time", "last_active", "written_catalog", "catalogs",
+                 "undo", "backup_dirs")
 
     def __init__(self, tid: str, isolation: str, read_only: bool,
                  auto_commit: bool = False):
@@ -63,6 +67,11 @@ class TransactionInfo:
         self.last_active = self.create_time
         self.written_catalog: str | None = None
         self.catalogs: list[str] = []
+        # round 8: compensating actions for hive/memory writes staged
+        # inside this transaction (stage_write), run in reverse on
+        # ROLLBACK; backup_dirs holds the .txn_undo file retention
+        self.undo: list = []
+        self.backup_dirs: list[str] = []
 
 
 class TransactionManager:
@@ -184,12 +193,20 @@ def dispatch(engine, sql: str):
         engine.set_current_transaction(tid)
         engine.txn_event = ("started", tid)
         return engine.spark.sql("SELECT true AS ok WHERE false")
-    m = _COMMIT_RE.match(sql) or _ROLLBACK_RE.match(sql)
-    if m:
+    is_commit = bool(_COMMIT_RE.match(sql))
+    if is_commit or _ROLLBACK_RE.match(sql):
         tid = engine.current_transaction()
         if tid is None:
             # CommitTask.java / RollbackTask.java — NOT_IN_TRANSACTION
             raise ValueError("No transaction in progress")
+        info = engine.transactions.get(tid)
+        if not is_commit:
+            # run the compensating actions in reverse statement order
+            # (stage_write) — the rollback path of the reference's
+            # SemiTransactionalHiveMetastore
+            for undo in reversed(info.undo):
+                undo()
+        _discard_staging(info)
         engine.transactions.end(tid)
         engine.set_current_transaction(None)
         engine.txn_event = ("cleared", tid)
@@ -218,3 +235,216 @@ def check_write(engine, sql: str) -> None:
     if m and m.group(1).lower() in ("hive", "memory", "blackhole", "tpch"):
         catalog = m.group(1).lower()
     engine.transactions.touch(tid, catalog=catalog, wrote=is_write)
+
+
+# ---------------------------------------------------------------------------
+# write staging (round 8) — undo log per transaction
+#
+# Reference: the hive connector stages writes in
+# SemiTransactionalHiveMetastore (presto-hive/.../metastore/
+# SemiTransactionalHiveMetastore.java) — data lands immediately, the
+# metastore mutations queue until commit, and rollback discards them
+# with the written files.  The Spark-first equivalent is an UNDO LOG:
+# each CTAS/INSERT/DELETE against hive.* or memory.* inside an explicit
+# transaction registers a compensating action, executed in reverse on
+# ROLLBACK.  Writes stay immediately visible (READ UNCOMMITTED — the
+# engine's default isolation, TransactionManager.java:30 — and
+# read-your-writes inside the transaction), and the compensation is
+# metadata-proportional, never data-proportional:
+#
+# - CTAS/CREATE → drop the created table;
+# - hive INSERT → delete the files the insert added (parquet part
+#   files are append-only and uniquely named) and drop any partitions
+#   it created — an O(new files) directory operation;
+# - hive DELETE → hard-link every live data file into a warehouse-side
+#   .txn_undo staging dir first (zero-copy on the same filesystem, the
+#   same retention cost class as the reference keeping replaced files
+#   until commit), then restore links + re-register partitions on
+#   rollback;
+# - memory INSERT → re-pin the pre-insert cached DataFrame
+#   (localCheckpoint keeps it materialized after the view re-pins).
+# ---------------------------------------------------------------------------
+
+_STAGE_NAME = r'(?:"[^"]+"|[A-Za-z_]\w*)'
+_STAGE_RE = re.compile(
+    rf"\s*(?P<op>CREATE\s+TABLE(?:\s+IF\s+NOT\s+EXISTS)?|INSERT\s+INTO|"
+    rf"DELETE\s+FROM)\s+(?P<cat>hive|memory)\s*\.\s*"
+    rf"(?P<schema>{_STAGE_NAME})\s*\.\s*(?P<table>{_STAGE_NAME})",
+    re.I,
+)
+
+
+def _local_path(uri: str):
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    if p.scheme not in ("", "file"):
+        return None
+    return unquote(p.path)
+
+
+def _partition_specs(spark, qualified: str):
+    """Raw SHOW PARTITIONS strings, or None for unpartitioned tables."""
+    try:
+        return [r["partition"]
+                for r in spark.sql(f"SHOW PARTITIONS {qualified}").collect()]
+    except Exception:
+        return None
+
+
+def _spec_sql(spec: str) -> str:
+    """'k=v/k2=v2' (Hive directory escaping) → backtick-quoted partition
+    spec literal for ALTER TABLE ADD/DROP PARTITION."""
+    from urllib.parse import unquote
+
+    parts = []
+    for piece in spec.split("/"):
+        k, _eq, v = piece.partition("=")
+        val = unquote(v).replace("\\", "\\\\").replace('"', '\\"')
+        parts.append(f'`{k}` = "{val}"')
+    return ", ".join(parts)
+
+
+def _backup_files(spark, qualified: str) -> dict:
+    """Hard-link every current data file into a .txn_undo staging dir;
+    {original_path: backup_path}.  Same-filesystem links are O(1) per
+    file; cross-device (external locations) falls back to a copy."""
+    import os
+    import shutil
+    import uuid as _uuid
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    wh = _local_path(warehouse) or warehouse
+    bdir = os.path.join(wh, ".txn_undo", _uuid.uuid4().hex)
+    backup = {}
+    for uri in spark.table(qualified).inputFiles():
+        path = _local_path(uri)
+        if path is None or not os.path.exists(path):
+            continue
+        dst = os.path.join(bdir, path.lstrip("/"))
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(path, dst)
+        except OSError:
+            shutil.copy2(path, dst)
+        backup[path] = dst
+    return backup
+
+
+def stage_write(engine, sql: str) -> None:
+    """Register a compensating action on the current transaction for a
+    hive.*/memory.* CTAS/INSERT/DELETE; no-op outside a transaction or
+    for other statements (they keep single-statement semantics)."""
+    tid = engine.current_transaction()
+    if tid is None:
+        return
+    m = _STAGE_RE.match(sql)
+    if m is None:
+        return
+    info = engine.transactions.get(tid)
+    op = re.sub(r"\s+", " ", m.group("op").upper())
+    schema = m.group("schema").strip('"')
+    table = m.group("table").strip('"')
+    spark = engine.spark
+
+    if m.group("cat").lower() == "memory":
+        from facebook_presto_spark.connectors import get_catalogs
+
+        mem = get_catalogs(spark).memory
+        if op.startswith("CREATE TABLE"):
+            if (schema, table) not in mem.tables:
+                info.undo.append(
+                    lambda: mem.drop(schema, table, if_exists=True)
+                )
+        elif op == "INSERT INTO" and (schema, table) in mem.tables:
+            view = mem.tables[(schema, table)]
+            prev = spark.table(view).localCheckpoint(eager=True)
+
+            def undo_mem_insert():
+                if mem.tables.get((schema, table)) != view:
+                    return
+                spark.catalog.uncacheTable(view)
+                mem._pin(view, prev)
+
+            info.undo.append(undo_mem_insert)
+        return
+
+    from facebook_presto_spark.hive_catalog import get_catalog
+
+    cat = get_catalog(spark)
+    if op.startswith("CREATE TABLE"):
+        if not cat._exists(schema, table):
+            info.undo.append(lambda: cat.drop(schema, table, if_exists=True))
+        return
+    if not cat._exists(schema, table):
+        return  # the statement itself will fail; nothing to compensate
+    qualified = cat.qualified(schema, table)
+    parts_before = _partition_specs(spark, qualified)
+
+    if op == "INSERT INTO":
+        files_before = set(spark.table(qualified).inputFiles())
+
+        def undo_insert():
+            import os
+
+            spark.catalog.refreshTable(qualified)
+            for uri in set(spark.table(qualified).inputFiles()) - files_before:
+                path = _local_path(uri)
+                if path and os.path.exists(path):
+                    os.remove(path)
+            if parts_before is not None:
+                added = set(_partition_specs(spark, qualified) or []) - set(
+                    parts_before
+                )
+                for spec in added:
+                    spark.sql(
+                        f"ALTER TABLE {qualified} "
+                        f"DROP PARTITION ({_spec_sql(spec)})"
+                    )
+            spark.catalog.refreshTable(qualified)
+
+        info.undo.append(undo_insert)
+        return
+
+    # DELETE FROM — retain the current files via hard links
+    backup = _backup_files(spark, qualified)
+    if backup:
+        import os
+
+        info.backup_dirs.append(
+            os.path.commonpath(list(backup.values()))
+        )
+
+    def undo_delete():
+        import os
+        import shutil
+
+        for orig, bk in backup.items():
+            if not os.path.exists(orig):
+                os.makedirs(os.path.dirname(orig), exist_ok=True)
+                try:
+                    os.link(bk, orig)
+                except OSError:
+                    shutil.copy2(bk, orig)
+        if parts_before is not None:
+            now = set(_partition_specs(spark, qualified) or [])
+            for spec in parts_before:
+                if spec not in now:
+                    spark.sql(
+                        f"ALTER TABLE {qualified} "
+                        f"ADD PARTITION ({_spec_sql(spec)})"
+                    )
+        spark.catalog.refreshTable(qualified)
+
+    info.undo.append(undo_delete)
+
+
+def _discard_staging(info: TransactionInfo) -> None:
+    """Drop the undo log and its file retention (COMMIT, or after a
+    completed ROLLBACK)."""
+    import shutil
+
+    info.undo.clear()
+    for d in info.backup_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    info.backup_dirs.clear()
