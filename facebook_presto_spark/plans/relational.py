@@ -444,7 +444,7 @@ GROUP BY o_orderstatus
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentile (continuous) — the deterministic core of
     approx_percentile (ApproximateLongPercentileAggregations.java); the
-    sketch-based variant is in approx_aggs (rows-only check)."""
+    sketch-based variant is in approx_aggs (value-gated)."""
     li = _t(spark, sf_dir, "lineitem")
     qc = cents("l_quantity")
     return li.groupBy("l_returnflag").agg(
@@ -465,14 +465,53 @@ FROM lineitem GROUP BY l_returnflag
 
 def approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_distinct (HLL, ApproximateCountDistinctAggregation.java:43) and
-    approx_percentile — sketch outputs are engine-specific, so the driver
-    records the weaker rows-only check (no oracle entry by design)."""
+    approx_percentile (ApproximateLongPercentileAggregations.java) —
+    value-gated since round 8: sketch outputs are engine-specific, so the
+    hash-compared columns are the EXACT distinct count plus boolean
+    accuracy gates the oracle asserts TRUE — approx_distinct within
+    3×rsd of exact (Spark's default rsd=0.05, the same maxStandardError
+    contract the reference validates), and the approx median within
+    rank-ε of the true 0.5 quantile (tie-robust: rank_lt ≤ 0.5+ε and
+    rank_le ≥ 0.5−ε; ε=0.01 ≫ the 1e-4 error of Spark's default
+    accuracy=10000 KLL-style sketch)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n"),
     )
+    eps = 0.01
+    ranked = li.join(F.broadcast(sk), "l_returnflag").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.sum(F.when(F.col("l_quantity") <= F.col("approx_median"), 1)
+              .otherwise(0)).alias("rank_le"),
+        F.sum(F.when(F.col("l_quantity") < F.col("approx_median"), 1)
+              .otherwise(0)).alias("rank_lt"),
+        F.first("approx_parts").alias("approx_parts"),
+        F.first("exact_parts").alias("exact_parts"),
+        F.first("n").alias("n"),
+    )
+    return ranked.select(
+        "l_returnflag",
+        F.col("exact_parts").cast("long").alias("exact_parts"),
+        (F.abs(F.col("approx_parts") - F.col("exact_parts"))
+         <= F.greatest(F.col("exact_parts") * 0.15, F.lit(8.0)))
+        .alias("distinct_within_rsd"),
+        ((F.col("rank_lt") / F.col("n") <= 0.5 + eps)
+         & (F.col("rank_le") / F.col("n") >= 0.5 - eps))
+        .alias("median_within_rank_eps"),
+    )
+
+
+APPROX_AGGS_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS distinct_within_rsd,
+       TRUE AS median_within_rank_eps
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 def agg_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,7 +1152,9 @@ ORACLE = {
     "agg_array_collect": AGG_ARRAY_SQL,
     "agg_histogram": AGG_HISTOGRAM_SQL,
     "agg_percentile": AGG_PERCENTILE_SQL,
-    # approx_aggs: engine-specific sketch internals → rows-only check
+    # approx_aggs: value-gated since round 8 — exact distinct count is
+    # hash-compared directly; sketch accuracy asserts as boolean gates
+    "approx_aggs": APPROX_AGGS_SQL,
     "agg_checksum": AGG_CHECKSUM_SQL,
     "setop_union_all": SETOP_UNION_ALL_SQL,
     "setop_union_distinct": SETOP_UNION_DISTINCT_SQL,

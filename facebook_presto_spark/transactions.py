@@ -305,10 +305,11 @@ def _spec_sql(spec: str) -> str:
     return ", ".join(parts)
 
 
-def _backup_files(spark, qualified: str) -> dict:
+def _backup_files(spark, qualified: str) -> tuple:
     """Hard-link every current data file into a .txn_undo staging dir;
-    {original_path: backup_path}.  Same-filesystem links are O(1) per
-    file; cross-device (external locations) falls back to a copy."""
+    returns (staging_root, {original_path: backup_path}).  Same-
+    filesystem links are O(1) per file; cross-device (external
+    locations) falls back to a copy."""
     import os
     import shutil
     import uuid as _uuid
@@ -328,7 +329,7 @@ def _backup_files(spark, qualified: str) -> dict:
         except OSError:
             shutil.copy2(path, dst)
         backup[path] = dst
-    return backup
+    return bdir, backup
 
 
 def stage_write(engine, sql: str) -> None:
@@ -407,13 +408,9 @@ def stage_write(engine, sql: str) -> None:
         return
 
     # DELETE FROM — retain the current files via hard links
-    backup = _backup_files(spark, qualified)
+    bdir, backup = _backup_files(spark, qualified)
     if backup:
-        import os
-
-        info.backup_dirs.append(
-            os.path.commonpath(list(backup.values()))
-        )
+        info.backup_dirs.append(bdir)
 
     def undo_delete():
         import os

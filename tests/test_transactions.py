@@ -1,0 +1,203 @@
+"""Transaction write-staging (transactions.py stage_write, round 8).
+
+The reference stages connector writes in SemiTransactionalHiveMetastore
+(presto-hive/src/main/java/com/facebook/presto/hive/metastore/
+SemiTransactionalHiveMetastore.java): data files land immediately,
+metastore mutations queue, and rollback discards both.  Our Spark-first
+equivalent is an undo log of compensating actions registered per
+staged statement; these tests pin the contract the round-6/7 verdicts
+asked for — INSERT → ROLLBACK leaves the table byte-identical.
+"""
+
+import os
+
+import pytest
+
+from facebook_presto_spark import hive_catalog
+from facebook_presto_spark.connectors import get_catalogs
+from facebook_presto_spark.engine import PrestoSparkEngine
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+
+
+@pytest.fixture(autouse=True)
+def _clean(eng, spark):
+    yield
+    # end any transaction a failed test left open, then drop test tables
+    try:
+        eng.sql("ROLLBACK")
+    except ValueError:
+        pass
+    cat = hive_catalog.get_catalog(spark)
+    for schema in cat.list_schemas():
+        for table in cat.list_tables(schema):
+            cat.drop(schema, table, if_exists=True)
+        if schema != "default":
+            cat.drop_schema(schema, if_exists=True)
+    mem = get_catalogs(spark).memory
+    for key in list(mem.tables):
+        mem.drop(*key, if_exists=True)
+
+
+def _files(spark, qualified):
+    spark.catalog.refreshTable(qualified)
+    return sorted(spark.table(qualified).inputFiles())
+
+
+def test_hive_insert_rollback_restores_table(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("""
+        CREATE TABLE hive.txn.t_ins AS
+        SELECT n_nationkey, n_name FROM nation
+    """)
+    qualified = hive_catalog.get_catalog(spark).qualified("txn", "t_ins")
+    before_files = _files(spark, qualified)
+    before_rows = sorted(
+        eng.sql("SELECT * FROM hive.txn.t_ins").collect()
+    )
+
+    eng.sql("START TRANSACTION")
+    eng.sql("INSERT INTO hive.txn.t_ins VALUES (999, 'STAGED')")
+    # read-your-writes inside the transaction (READ UNCOMMITTED default)
+    n = eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_ins WHERE n_nationkey = 999"
+    ).collect()[0].n
+    assert n == 1
+    eng.sql("ROLLBACK")
+
+    # byte-identical: same file set on disk, same rows
+    assert _files(spark, qualified) == before_files
+    assert sorted(eng.sql("SELECT * FROM hive.txn.t_ins").collect()) \
+        == before_rows
+
+
+def test_hive_insert_commit_keeps_rows(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("""
+        CREATE TABLE hive.txn.t_commit AS
+        SELECT n_nationkey FROM nation
+    """)
+    eng.sql("START TRANSACTION")
+    eng.sql("INSERT INTO hive.txn.t_commit VALUES (777)")
+    eng.sql("COMMIT")
+    n = eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_commit WHERE n_nationkey = 777"
+    ).collect()[0].n
+    assert n == 1
+    # COMMIT discarded the undo retention
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    undo = os.path.join(warehouse, ".txn_undo")
+    assert not os.path.exists(undo) or os.listdir(undo) == []
+
+
+def test_hive_ctas_rollback_drops_table(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("START TRANSACTION")
+    eng.sql("""
+        CREATE TABLE hive.txn.t_ctas AS SELECT r_regionkey FROM region
+    """)
+    assert eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_ctas"
+    ).collect()[0].n == 5
+    eng.sql("ROLLBACK")
+    assert not hive_catalog.get_catalog(spark)._exists("txn", "t_ctas")
+
+
+def test_hive_delete_rollback_restores_rows(eng, spark):
+    """Partition delete (the hive connector's only DELETE form —
+    HiveMetadata metadata delete) rolled back: files hard-linked into
+    .txn_undo are restored and the partition re-registered."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("""
+        CREATE TABLE hive.txn.t_del
+        WITH (partitioned_by = ARRAY['n_regionkey'])
+        AS SELECT n_nationkey, n_regionkey FROM nation
+    """)
+    before = sorted(eng.sql("SELECT * FROM hive.txn.t_del").collect())
+    eng.sql("START TRANSACTION")
+    eng.sql("DELETE FROM hive.txn.t_del WHERE n_regionkey = 1")
+    n = eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_del WHERE n_regionkey = 1"
+    ).collect()[0].n
+    assert n == 0
+    eng.sql("ROLLBACK")
+    assert sorted(eng.sql("SELECT * FROM hive.txn.t_del").collect()) == before
+
+
+def test_hive_partitioned_insert_rollback_drops_new_partition(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("""
+        CREATE TABLE hive.txn.t_part
+        WITH (partitioned_by = ARRAY['n_regionkey'])
+        AS SELECT n_nationkey, n_regionkey FROM nation
+    """)
+    parts_before = sorted(
+        r[0] for r in eng.sql("SHOW PARTITIONS hive.txn.t_part").collect()
+    )
+    eng.sql("START TRANSACTION")
+    eng.sql("INSERT INTO hive.txn.t_part VALUES (888, 99)")
+    eng.sql("ROLLBACK")
+    parts_after = sorted(
+        r[0] for r in eng.sql("SHOW PARTITIONS hive.txn.t_part").collect()
+    )
+    assert parts_after == parts_before
+    assert eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_part WHERE n_nationkey = 888"
+    ).collect()[0].n == 0
+
+
+def test_memory_insert_rollback_restores_view(eng, spark):
+    eng.sql("""
+        CREATE TABLE memory.default.t_mem AS
+        SELECT r_regionkey AS k FROM region
+    """)
+    eng.sql("START TRANSACTION")
+    eng.sql("INSERT INTO memory.default.t_mem VALUES (42)")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM memory.default.t_mem"
+    ).collect()[0].n == 6
+    eng.sql("ROLLBACK")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM memory.default.t_mem"
+    ).collect()[0].n == 5
+    assert eng.sql(
+        "SELECT count(*) AS n FROM memory.default.t_mem WHERE k = 42"
+    ).collect()[0].n == 0
+
+
+def test_memory_ctas_rollback_drops_table(eng, spark):
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE TABLE memory.default.t_mem2 AS SELECT 1 AS x")
+    eng.sql("ROLLBACK")
+    mem = get_catalogs(spark).memory
+    assert ("default", "t_mem2") not in mem.tables
+
+
+def test_multi_statement_rollback_reverse_order(eng, spark):
+    """Two staged statements undo in reverse order: CTAS then INSERT
+    into it — rollback removes both without the insert-undo seeing a
+    dropped table."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE TABLE hive.txn.t_multi AS SELECT 1 AS x")
+    eng.sql("INSERT INTO hive.txn.t_multi VALUES (2)")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_multi"
+    ).collect()[0].n == 2
+    eng.sql("ROLLBACK")
+    assert not hive_catalog.get_catalog(spark)._exists("txn", "t_multi")
+
+
+def test_writes_outside_transaction_unstaged(eng, spark):
+    """No transaction → no undo log; statements commit immediately."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_auto AS SELECT 1 AS x")
+    eng.sql("INSERT INTO hive.txn.t_auto VALUES (2)")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_auto"
+    ).collect()[0].n == 2
