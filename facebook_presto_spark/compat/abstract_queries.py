@@ -149,6 +149,42 @@ def extract_all() -> list[DiffCase]:
     return out
 
 
+@dataclass
+class FailCase:
+    case_id: str      # testMethodName#k
+    sql: str          # must be REJECTED by the engine
+    message: str      # the reference's expected error regex
+
+
+def extract_fails(path: str = ABSTRACT_TEST_QUERIES) -> list["FailCase"]:
+    """Extract every pure-literal ``assertQueryFails(sql, regex)`` call —
+    the reference's REJECTION corpus (AbstractTestQueryFramework.java:
+    assertQueryFails runs the query and asserts it fails with a message
+    matching the given regex)."""
+    src = open(path).read()
+    methods = [(m.start(), m.group(1)) for m in _TEST_RE.finditer(src)]
+    fail_re = re.compile(r"\bassertQueryFails\s*\(")
+    cases: list[FailCase] = []
+    counters: dict[str, int] = {}
+    for m in fail_re.finditer(src):
+        name = "unknown"
+        for pos, meth in methods:
+            if pos < m.start():
+                name = meth
+            else:
+                break
+        args = _java_string_args(src, m.end() - 1)
+        if not args or len(args) < 2 or not args[0].strip():
+            continue
+        sql = args[0].strip()
+        if not sql.upper().startswith(("SELECT", "WITH", "VALUES", "(")):
+            continue
+        k = counters.get(name, 0)
+        counters[name] = k + 1
+        cases.append(FailCase(f"{name}#{k}", sql, args[1].strip()))
+    return cases
+
+
 def extract(path: str = ABSTRACT_TEST_QUERIES) -> list[DiffCase]:
     src = open(path).read()
     # map positions → enclosing test method name
