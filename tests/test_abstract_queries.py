@@ -73,8 +73,10 @@ KNOWN_DIVERGENCES = {
     # rollup_empty_global) whose aggregation input folds to an empty
     # LocalRelation — no second full scan at scale (plan-asserted in
     # test_sqlfront.test_cube_empty_arm_plan_shape).
-    "testCustomAdd": "custom_add is a test-harness plugin UDF "
-        "(presto-tests/.../CustomAdd.java), not an engine function",
+    # round 8 removed testCustomAdd: the differential env now installs
+    # the test plugin (compat/test_plugin.py) exactly like the
+    # reference's framework does (AbstractTestQueries.java:108
+    # .scalars(CustomAdd.class)), so custom_add compares normally.
     "aggregations:testSumDataSizeForStats": "$internal$ ANALYZE-only "
         "aggregate (SumDataSizeForStats.java — SURVEY §2.3: internal, skip)",
     "aggregations:testMaxDataSizeForStats": "$internal$ ANALYZE-only "
@@ -211,6 +213,11 @@ def diff_env(spark, sf_dir):
     from facebook_presto_spark.engine import PrestoSparkEngine
 
     engine = PrestoSparkEngine.for_dir(SF_DIR, spark=spark)
+    # install the reference test framework's scalar plugin
+    # (AbstractTestQueries.java:108 .scalars(CustomAdd.class))
+    from facebook_presto_spark.compat import test_plugin
+
+    test_plugin.install(spark)
     # the REAL TPC-H tiny dataset (dbgen sf0.01) under connector column
     # names — the exact relations the reference's hardcoded expected rows
     # were computed on
