@@ -193,6 +193,46 @@ def test_multi_statement_rollback_reverse_order(eng, spark):
     assert not hive_catalog.get_catalog(spark)._exists("txn", "t_multi")
 
 
+def test_two_inserts_same_table_rollback(eng, spark):
+    """Two staged INSERTs into one table: each undo removes only the
+    files its own statement added (files_before snapshots nest), so
+    reverse-order rollback restores the original file set exactly."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_twice AS SELECT 1 AS x")
+    qualified = hive_catalog.get_catalog(spark).qualified("txn", "t_twice")
+    before = _files(spark, qualified)
+    eng.sql("START TRANSACTION")
+    eng.sql("INSERT INTO hive.txn.t_twice VALUES (2)")
+    eng.sql("INSERT INTO hive.txn.t_twice VALUES (3)")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_twice"
+    ).collect()[0].n == 3
+    eng.sql("ROLLBACK")
+    assert _files(spark, qualified) == before
+    assert eng.sql(
+        "SELECT count(*) AS n FROM hive.txn.t_twice"
+    ).collect()[0].n == 1
+
+
+def test_rollback_after_failed_statement_is_harmless(eng, spark):
+    """A staged statement that then FAILS leaves a no-op undo entry:
+    rollback still restores the pre-transaction state without error."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("""
+        CREATE TABLE hive.txn.t_failstmt AS
+        SELECT n_nationkey, n_regionkey FROM nation
+    """)
+    before = sorted(eng.sql("SELECT * FROM hive.txn.t_failstmt").collect())
+    eng.sql("START TRANSACTION")
+    # row-level hive DELETE raises (partition-delete-only connector)
+    # AFTER stage_write already registered its compensation
+    with pytest.raises(ValueError, match="partitions are deleted"):
+        eng.sql("DELETE FROM hive.txn.t_failstmt WHERE n_nationkey = 3")
+    eng.sql("ROLLBACK")
+    assert sorted(eng.sql("SELECT * FROM hive.txn.t_failstmt").collect()) \
+        == before
+
+
 def test_writes_outside_transaction_unstaged(eng, spark):
     """No transaction → no undo log; statements commit immediately."""
     eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
