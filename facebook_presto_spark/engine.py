@@ -238,6 +238,13 @@ class PrestoSparkEngine:
         from facebook_presto_spark.sqlfront import sql_udfs
 
         sql_udfs.install(spark)
+        # the geospatial plugin's scalars, registered under their
+        # reference names so engine.sql reaches them (geo_sql.py —
+        # round 8; parity with the Column builders is pinned by
+        # tests/test_geo_sql.py)
+        from facebook_presto_spark.functions import geo_sql
+
+        geo_sql.install(spark)
         # runtime-typed JSON field renderer for CAST(ROW(…) AS JSON)
         # (RowToJsonCast.java): dispatches on the VALUE's runtime type,
         # so struct-typed columns render as JSON arrays like the

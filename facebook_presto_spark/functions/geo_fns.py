@@ -1096,49 +1096,49 @@ def st_convex_hull(g) -> Column:
 
     @F.pandas_udf("string")
     def hull(col):
-        import re
-
-        def fmt(v):
-            return str(int(v)) if float(v).is_integer() else repr(v)
-
-        out = []
-        for wkt in col:
-            if wkt is None:
-                out.append(None)
-                continue
-            pts = sorted({
-                (float(a), float(b))
-                for a, b in re.findall(r"(-?[\d.]+)\s+(-?[\d.]+)", wkt)
-            })
-            if len(pts) == 1:
-                out.append(f"POINT ({fmt(pts[0][0])} {fmt(pts[0][1])})")
-                continue
-
-            def half(seq):
-                h = []
-                for pt in seq:
-                    while len(h) >= 2 and (
-                        (h[-1][0] - h[-2][0]) * (pt[1] - h[-2][1])
-                        - (h[-1][1] - h[-2][1]) * (pt[0] - h[-2][0])
-                    ) <= 0:
-                        h.pop()
-                    h.append(pt)
-                return h
-
-            lower, upper = half(pts), half(reversed(pts))
-            ring = lower[:-1] + upper[:-1]
-            if len(ring) < 3:
-                a, b = pts[0], pts[-1]
-                out.append(
-                    f"LINESTRING ({fmt(a[0])} {fmt(a[1])}, {fmt(b[0])} {fmt(b[1])})"
-                )
-                continue
-            ring.append(ring[0])
-            body = ", ".join(f"{fmt(x)} {fmt(y)}" for x, y in ring)
-            out.append(f"POLYGON (({body}))")
-        return pd.Series(out)
+        return pd.Series([_py_convex_hull(wkt) for wkt in col])
 
     return hull(_c(g))
+
+
+def _py_convex_hull(wkt):
+    """Per-row monotone-chain hull shared by the Column builder above
+    and the SQL-path registration (geo_sql.py)."""
+    import re
+
+    def fmt(v):
+        return str(int(v)) if float(v).is_integer() else repr(v)
+
+    if wkt is None:
+        return None
+    pts = sorted({
+        (float(a), float(b))
+        for a, b in re.findall(r"(-?[\d.]+)\s+(-?[\d.]+)", wkt)
+    })
+    if not pts:  # EMPTY input — no vertices, no hull
+        return None
+    if len(pts) == 1:
+        return f"POINT ({fmt(pts[0][0])} {fmt(pts[0][1])})"
+
+    def half(seq):
+        h = []
+        for pt in seq:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (pt[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (pt[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(pt)
+        return h
+
+    lower, upper = half(pts), half(reversed(pts))
+    ring = lower[:-1] + upper[:-1]
+    if len(ring) < 3:
+        a, b = pts[0], pts[-1]
+        return f"LINESTRING ({fmt(a[0])} {fmt(a[1])}, {fmt(b[0])} {fmt(b[1])})"
+    ring.append(ring[0])
+    body = ", ".join(f"{fmt(x)} {fmt(y)}" for x, y in ring)
+    return f"POLYGON (({body}))"
 
 
 # --- geometry_to_bing_tiles (BingTileFunctions.java:349) -------------------
@@ -1157,86 +1157,88 @@ def geometry_to_bing_tiles(g, zoom) -> Column:
     refinement stage and hit the round-3-documented JIT-size traps;
     the Mercator math below is the same integer-exact formula, now in
     NumPy-scalar form."""
-    import math as _m
-
     import pandas as pd
 
     @F.pandas_udf("array<struct<x:int,y:int,zoom:int>>")
     def tiles(cg, cz):
-        from facebook_presto_spark.functions import geo_kernel as gk
-
-        MAX_LAT = 85.05112878
-
-        def lat_lng_to_tile(lat, lng, zoom):
-            map_size = 1 << zoom
-            x = int(min(max(_m.floor((lng + 180.0) / 360.0 * map_size), 0),
-                        map_size - 1))
-            clat = min(max(lat, -MAX_LAT), MAX_LAT)
-            s = _m.sin(_m.radians(clat))
-            fy = 0.5 - _m.log((1 + s) / (1 - s)) / (4 * _m.pi)
-            y = int(min(max(_m.floor(fy * map_size), 0), map_size - 1))
-            return x, y
-
-        def tile_west(x, zoom):
-            return x / (1 << zoom) * 360.0 - 180.0
-
-        def tile_north(y, zoom):
-            fy = 0.5 - y / (1 << zoom)
-            return 90.0 - 360.0 * _m.atan(_m.exp(-fy * 2 * _m.pi)) / _m.pi
-
-        def is_point_or_rectangle(bag, env):
-            if bag.paths:
-                return False
-            if bag.polys:
-                if len(bag.polys) != 1 or len(bag.polys[0]) != 1 or bag.points:
-                    return False
-                ring = bag.polys[0][0]
-                corners = {
-                    (env[0], env[1]), (env[2], env[1]),
-                    (env[2], env[3]), (env[0], env[3]),
-                }
-                return len(ring) == 4 and {tuple(p) for p in ring} == corners
-            return len(bag.points) == 1
-
-        out = []
-        for w, z in zip(cg, cz):
-            if w is None or z is None:
-                out.append(None)
-                continue
-            z = int(z)
-            bag = gk.parse_wkt(w)
-            env = gk.envelope_of(bag)
-            if env is None:
-                out.append([])
-                continue
-            xmin, ymin, xmax, ymax = env
-            ulx, uly = lat_lng_to_tile(ymax, xmin, z)
-            lrx, lry = lat_lng_to_tile(ymin, xmax, z)
-            # lower-right corner only touching a tile border shifts
-            # left/up (getTileCoveringLowerRightCorner)
-            if tile_west(lrx, z) == xmax and lrx > ulx:
-                lrx -= 1
-            if tile_north(lry, z) == ymin and lry > uly:
-                lry -= 1
-            simple = is_point_or_rectangle(bag, env)
-            kept = []
-            for tx in range(ulx, lrx + 1):
-                for ty in range(uly, lry + 1):
-                    if not simple:
-                        west, east = tile_west(tx, z), tile_west(tx + 1, z)
-                        north, south = tile_north(ty, z), tile_north(ty + 1, z)
-                        rect = gk.parse_wkt(
-                            f"POLYGON (({west} {south}, {east} {south}, "
-                            f"{east} {north}, {west} {north}, "
-                            f"{west} {south}))"
-                        )
-                        if gk.intersection(rect, bag).is_empty():
-                            continue
-                    kept.append({"x": tx, "y": ty, "zoom": z})
-            out.append(kept)
-        return pd.Series(out)
+        return pd.Series([_py_geometry_to_bing_tiles(w, z)
+                          for w, z in zip(cg, cz)])
 
     return tiles(_c(g), _lit(zoom).cast("int"))
+
+
+def _py_geometry_to_bing_tiles(w, z):
+    """Per-row tile cover shared by the Column builder above and the
+    SQL-path registration (geo_sql.py)."""
+    import math as _m
+
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    MAX_LAT = 85.05112878
+
+    def lat_lng_to_tile(lat, lng, zoom):
+        map_size = 1 << zoom
+        x = int(min(max(_m.floor((lng + 180.0) / 360.0 * map_size), 0),
+                    map_size - 1))
+        clat = min(max(lat, -MAX_LAT), MAX_LAT)
+        s = _m.sin(_m.radians(clat))
+        fy = 0.5 - _m.log((1 + s) / (1 - s)) / (4 * _m.pi)
+        y = int(min(max(_m.floor(fy * map_size), 0), map_size - 1))
+        return x, y
+
+    def tile_west(x, zoom):
+        return x / (1 << zoom) * 360.0 - 180.0
+
+    def tile_north(y, zoom):
+        fy = 0.5 - y / (1 << zoom)
+        return 90.0 - 360.0 * _m.atan(_m.exp(-fy * 2 * _m.pi)) / _m.pi
+
+    def is_point_or_rectangle(bag, env):
+        if bag.paths:
+            return False
+        if bag.polys:
+            if len(bag.polys) != 1 or len(bag.polys[0]) != 1 or bag.points:
+                return False
+            ring = bag.polys[0][0]
+            corners = {
+                (env[0], env[1]), (env[2], env[1]),
+                (env[2], env[3]), (env[0], env[3]),
+            }
+            return len(ring) == 4 and {tuple(p) for p in ring} == corners
+        return len(bag.points) == 1
+
+    if w is None or z is None:
+        return None
+    z = int(z)
+    bag = gk.parse_wkt(w)
+    env = gk.envelope_of(bag)
+    if env is None:
+        return []
+    xmin, ymin, xmax, ymax = env
+    ulx, uly = lat_lng_to_tile(ymax, xmin, z)
+    lrx, lry = lat_lng_to_tile(ymin, xmax, z)
+    # lower-right corner only touching a tile border shifts left/up
+    # (getTileCoveringLowerRightCorner)
+    if tile_west(lrx, z) == xmax and lrx > ulx:
+        lrx -= 1
+    if tile_north(lry, z) == ymin and lry > uly:
+        lry -= 1
+    simple = is_point_or_rectangle(bag, env)
+    kept = []
+    for tx in range(ulx, lrx + 1):
+        for ty in range(uly, lry + 1):
+            if not simple:
+                west, east = tile_west(tx, z), tile_west(tx + 1, z)
+                north, south = tile_north(ty, z), tile_north(ty + 1, z)
+                rect = gk.parse_wkt(
+                    f"POLYGON (({west} {south}, {east} {south}, "
+                    f"{east} {north}, {west} {north}, "
+                    f"{west} {south}))"
+                )
+                if gk.intersection(rect, bag).is_empty():
+                    continue
+            kept.append({"x": tx, "y": ty, "zoom": z})
+    return kept
 
 
 # --- WKT constructors / validators (GeoFunctions.java:136-233) -------------
@@ -1729,58 +1731,63 @@ def geometry_invalid_reason(g) -> Column:
     when they self-intersect, else as valid — documented simplification."""
     import pandas as pd
 
-    def jfmt(v):
-        return repr(float(v))
-
-    def reason(w):
-        tag, _rest = _py_tag_rest(w)
-        parts = _py_geometries(w)
-        if tag == "MULTIPOINT":
-            seen = {}
-            for p in parts:
-                _t, xy = _py_parse(p)
-                if xy in seen:
-                    return "Repeated points at or near (%s %s) and (%s %s)" % (
-                        jfmt(xy[0]), jfmt(xy[1]), jfmt(xy[0]), jfmt(xy[1])
-                    )
-                seen[xy] = True
-            return None
-        for part in parts:
-            ptag, data = _py_parse(part)
-            if ptag == "POINT" or data is None:
-                continue
-            chains = data if ptag == "POLYGON" else [data]
-            for chain in chains:
-                for i in range(1, len(chain)):
-                    if chain[i] == chain[i - 1]:
-                        return "Degenerate segments at or near (%s %s)" % (
-                            jfmt(chain[i][0]), jfmt(chain[i][1])
-                        )
-                # transversal self-crossing between non-adjacent segments
-                for i in range(len(chain) - 1):
-                    for j in range(i + 2, len(chain) - 1):
-                        a, b = chain[i], chain[i + 1]
-                        c, d = chain[j], chain[j + 1]
-                        o = lambda p, q, r: (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])  # noqa: E731
-                        s = lambda v: (v > 0) - (v < 0)  # noqa: E731
-                        if (
-                            s(o(a, b, c)) * s(o(a, b, d)) < 0
-                            and s(o(c, d, a)) * s(o(c, d, b)) < 0
-                        ):
-                            return (
-                                "Intersecting or overlapping segments at or near "
-                                "(%s %s) and (%s %s)"
-                                % (jfmt(a[0]), jfmt(a[1]), jfmt(c[0]), jfmt(c[1]))
-                            )
-        return None
-
     @F.pandas_udf("string")
     def why(col):
         return pd.Series(
-            [None if w is None else reason(w) for w in col], dtype="object"
+            [None if w is None else _py_invalid_reason(w) for w in col],
+            dtype="object",
         )
 
     return why(_c(g))
+
+
+def _py_invalid_reason(w):
+    """Per-row invalid-reason shared by the Column builder above and
+    the SQL-path registration (geo_sql.py)."""
+
+    def jfmt(v):
+        return repr(float(v))
+
+    tag, _rest = _py_tag_rest(w)
+    parts = _py_geometries(w)
+    if tag == "MULTIPOINT":
+        seen = {}
+        for p in parts:
+            _t, xy = _py_parse(p)
+            if xy in seen:
+                return "Repeated points at or near (%s %s) and (%s %s)" % (
+                    jfmt(xy[0]), jfmt(xy[1]), jfmt(xy[0]), jfmt(xy[1])
+                )
+            seen[xy] = True
+        return None
+    for part in parts:
+        ptag, data = _py_parse(part)
+        if ptag == "POINT" or data is None:
+            continue
+        chains = data if ptag == "POLYGON" else [data]
+        for chain in chains:
+            for i in range(1, len(chain)):
+                if chain[i] == chain[i - 1]:
+                    return "Degenerate segments at or near (%s %s)" % (
+                        jfmt(chain[i][0]), jfmt(chain[i][1])
+                    )
+            # transversal self-crossing between non-adjacent segments
+            for i in range(len(chain) - 1):
+                for j in range(i + 2, len(chain) - 1):
+                    a, b = chain[i], chain[i + 1]
+                    c, d = chain[j], chain[j + 1]
+                    o = lambda p, q, r: (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])  # noqa: E731
+                    s = lambda v: (v > 0) - (v < 0)  # noqa: E731
+                    if (
+                        s(o(a, b, c)) * s(o(a, b, d)) < 0
+                        and s(o(c, d, a)) * s(o(c, d, b)) < 0
+                    ):
+                        return (
+                            "Intersecting or overlapping segments at or near "
+                            "(%s %s) and (%s %s)"
+                            % (jfmt(a[0]), jfmt(a[1]), jfmt(c[0]), jfmt(c[1]))
+                        )
+    return None
 
 
 # --- overlay family (GeoFunctions.java ST_Union:619, geometry_union:627,

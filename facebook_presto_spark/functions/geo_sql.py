@@ -1,0 +1,1078 @@
+"""SQL-path registration for the geospatial library.
+
+The reference registers the presto-geospatial plugin's functions in the
+same FunctionRegistry every SQL statement resolves against
+(GeoFunctions.java / BingTileFunctions.java annotations), so a migrating
+user writes ``SELECT ST_Distance(a.geom, b.geom) FROM …`` as plain SQL.
+This engine's geo library (functions/geo_fns.py) was Column-API-first;
+this module closes the SQL gap by registering every scalar geo function
+as an Arrow-batched pandas UDF under its reference name via
+``spark.udf.register`` — ``install(spark)`` runs from the engine's UDF
+bootstrap, so ``engine.sql`` reaches the exact same surface.
+
+Parity contract: each per-row implementation here MIRRORS the Column
+builder in geo_fns.py (same arithmetic order, same formatting rule, same
+error texts); the kernel-backed names (relation predicates, overlay,
+buffer, simplify, relate, distance, WKB, parts accessors, convex hull,
+bing tile cover, KdbTree partitions) call the SAME shared per-row code
+(geo_kernel.py and the ``_py_*`` helpers in geo_fns.py), so those agree
+by construction.  ``tests/test_geo_sql.py`` sweeps every registered name
+over a geometry battery and requires EXACT equality between the SQL path
+and the Column path — the drift gate.
+
+The three geo aggregates (geometry_union_agg, convex_hull_agg,
+spatial_partitioning) cannot be scalar SQL UDFs; sqlfront/functions.py
+rewrites them to collect_list compositions over the scalars here, the
+same spelling their Column builders use.  ``bing_tile`` is the one
+overloaded name (quadkey vs x,y,zoom) — the 3-arg form registers under
+the reference name and sqlfront rewrites the 1-arg form to
+``bing_tile_from_quadkey``.
+
+Scale shape: identical to the round-8 kernel routing — per-row work
+behind one Arrow boundary per call, embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from facebook_presto_spark.functions import geo_fns as gf
+
+_PAIR_RE = re.compile(r"(-?[\d.]+(?:[eE][+-]?\d+)?\s+-?[\d.]+(?:[eE][+-]?\d+)?)")
+_NUM_RE = re.compile(r"\s+")
+
+
+def _java_double_str(v: float) -> str:
+    """Java Double.toString — what Spark's double→string cast produces
+    (mirrors _fmt_coord's input).  Shortest round-trip digits; plain
+    decimal for 1e-3 ≤ |v| < 1e7, else computerized scientific with a
+    capital E."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    if v == 0.0:
+        return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
+    a = abs(v)
+    if 1e-3 <= a < 1e7:
+        # repr() is shortest-round-trip; within this range Python also
+        # prints plain decimal, but normalize the integral spelling
+        s = repr(v)
+        if "e" in s or "E" in s:  # repr switched early (never in-range)
+            s = f"{v:.17g}"
+        if "." not in s:
+            s += ".0"
+        return s
+    # scientific: one digit before the point, E exponent
+    s = repr(v)
+    if "e" in s:
+        mant, exp = s.split("e")
+        if "." not in mant:
+            mant += ".0"
+        return f"{mant}E{int(exp)}"
+    # repr stayed plain (e.g. 1e16 prints 1e+16 → handled above; big
+    # ints like 12345678.0): convert manually
+    m, e = f"{v:e}".split("e")
+    m = m.rstrip("0").rstrip(".")
+    if "." not in m:
+        m += ".0"
+    return f"{m}E{int(e)}"
+
+
+def _fmtc(v: float) -> str:
+    """Mirror _fmt_coord: double→string with the trailing '.0' stripped."""
+    s = _java_double_str(float(v))
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _tag(w: str) -> str:
+    m = re.match(r"^(\w+)", w)
+    return m.group(1) if m else ""
+
+
+def _is_empty(w: str) -> bool:
+    return bool(re.search(r" EMPTY$", w))
+
+
+def _body(w: str) -> str:
+    """Mirror geo_fns._body: first ring / coordinate run of the WKT."""
+    m = re.search(r"^\w+\s*\(\(?([^()]*)\)?\)", w)
+    return m.group(1) if m else ""
+
+
+def _coords(w: str) -> list:
+    """Mirror geo_fns._coords: first-ring [(x, y)] (None entries for
+    unparseable tokens, like a failed Catalyst cast)."""
+    out = []
+    for p in re.split(r"\s*,\s*", _body(w)):
+        toks = _NUM_RE.split(p.strip())
+        try:
+            out.append((float(toks[0]), float(toks[1])))
+        except (IndexError, ValueError):
+            out.append(None)
+    return out
+
+
+def _all_xy(w: str) -> list:
+    """Mirror geo_fns._all_xy: every coordinate pair in the text."""
+    return [
+        tuple(float(t) for t in _NUM_RE.split(p))
+        for p in _PAIR_RE.findall(w)
+    ]
+
+
+def _inner_groups(w: str) -> list:
+    return re.findall(r"\(([^()]+)\)", w)
+
+
+def _ring_pts(body: str) -> list:
+    return [
+        tuple(float(t) for t in _NUM_RE.split(p.strip()))
+        for p in re.split(r"\s*,\s*", body)
+    ]
+
+
+def _close_ring(c: list) -> list:
+    return c if c and c[0] == c[-1] else c + [c[0]]
+
+
+def _rings(w: str) -> list:
+    """Mirror geo_fns._rings: POLYGON ring bodies, exterior first."""
+    m = re.match(r"^POLYGON\s*\((.*)\)\s*$", w)
+    if not m:
+        return []
+    return [re.sub(r"^\s*\(|\)\s*$", "", r)
+            for r in re.split(r"\)\s*,\s*\(", m.group(1))]
+
+
+def _mpoly_parts(w: str) -> list:
+    return re.findall(r"(\((?:\s*\([^()]*\)\s*,?)+\))", w)
+
+
+_GC_PART_RE = re.compile(gf._GC_PART_RE)
+
+
+def _gc_parts(w: str) -> list:
+    return _GC_PART_RE.findall(w)
+
+
+def _chains_multi_base(w: str) -> list:
+    t = _tag(w)
+    if t == "POLYGON":
+        return [_close_ring(_ring_pts(r)) for r in _rings(w)]
+    if t == "MULTIPOLYGON":
+        return [_close_ring(_ring_pts(r)) for r in _inner_groups(w)]
+    if t == "MULTILINESTRING":
+        return [_ring_pts(r) for r in _inner_groups(w)]
+    if t == "MULTIPOINT":
+        return [[p] for p in _all_xy(w)]
+    return [[p for p in _coords(w) if p is not None]]
+
+
+def _chains_multi(w: str) -> list:
+    if _tag(w) == "GEOMETRYCOLLECTION":
+        out = []
+        for part in _gc_parts(w):
+            out.extend(_chains_multi_base(part))
+        return out
+    return _chains_multi_base(w)
+
+
+_ENUM = {
+    "LINESTRING": "LINE_STRING", "MULTILINESTRING": "MULTI_LINE_STRING",
+    "MULTIPOINT": "MULTI_POINT", "MULTIPOLYGON": "MULTI_POLYGON",
+    "GEOMETRYCOLLECTION": "GEOMETRY_COLLECTION",
+}
+
+
+def _enum_name(t: str) -> str:
+    return _ENUM.get(t, t)
+
+
+# --- constructors / conversions --------------------------------------------
+
+def st_point(x, y):
+    if x is None or y is None:
+        return None
+    return f"POINT ({_fmtc(x)} {_fmtc(y)})"
+
+
+def st_geometry_from_text(w):
+    if w is None:
+        return None
+    return re.sub(r"^(\w+)\s*\(", r"\1 (", w.strip(), count=1)
+
+
+def _validated_type(name: str, w, expect: str):
+    if w is None:
+        return None
+    g = st_geometry_from_text(w)
+    if _tag(g) != expect:
+        raise ValueError(
+            f"{name} only applies to {_ENUM.get(expect, expect)}. "
+            f"Input type is: {_enum_name(_tag(g))}"
+        )
+    return g
+
+
+def st_line_from_text(w):
+    return _validated_type("ST_LineFromText", w, "LINESTRING")
+
+
+def st_polygon(w):
+    return _validated_type("ST_Polygon", w, "POLYGON")
+
+
+def _pts_xy(arr):
+    out = []
+    for g in arr:
+        toks = _NUM_RE.split(_body(g)) if g is not None else []
+        out.append((float(toks[0]), float(toks[1])) if len(toks) >= 2 else None)
+    return out
+
+
+def _xy_body(xy) -> str:
+    return ", ".join(f"{_fmtc(x)} {_fmtc(y)}" for x, y in xy)
+
+
+def st_line_string(arr):
+    if arr is None:
+        return None
+    bad = [g for g in arr if _tag(g or "") != "POINT"]
+    if bad:
+        raise ValueError(
+            f"ST_LineString takes only an array of valid points, "
+            f"{bad[0]} was passed"
+        )
+    xy = _pts_xy(arr)
+    for i in range(1, len(xy)):
+        if xy[i] == xy[i - 1]:
+            raise ValueError(
+                "Invalid input to ST_LineString: consecutive duplicate points"
+            )
+    if len(arr) <= 1:
+        return "LINESTRING EMPTY"
+    return f"LINESTRING ({_xy_body(xy)})"
+
+
+def st_multi_point(arr):
+    if arr is None:
+        return None
+    if any(g is None or _tag(g) != "POINT" or _is_empty(g) for g in arr):
+        raise ValueError("Invalid input to ST_MultiPoint: non-point element")
+    if len(arr) == 0:
+        return None
+    return f"MULTIPOINT ({_xy_body(_pts_xy(arr))})"
+
+
+# --- accessors --------------------------------------------------------------
+
+def st_x(w):
+    c = _coords(w)[0] if w is not None and _coords(w) else None
+    return None if c is None else c[0]
+
+
+def st_y(w):
+    c = _coords(w)[0] if w is not None and _coords(w) else None
+    return None if c is None else c[1]
+
+
+def _minmax(w, idx, fn):
+    if w is None:
+        return None
+    xy = _all_xy(w)
+    return fn(p[idx] for p in xy) if xy else None
+
+
+def st_num_points(w):
+    if w is None:
+        return None
+    if _is_empty(w):
+        return 0
+    total = len(_all_xy(w))
+    if _tag(w) in ("POLYGON", "MULTIPOLYGON"):
+        closures = 0
+        for r in _inner_groups(w):
+            pts = _ring_pts(r)
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                closures += 1
+        return total - closures
+    return total
+
+
+def st_is_closed(w):
+    if w is None:
+        return None
+    c = [p for p in _coords(w)]
+    if not c or c[0] is None or c[-1] is None:
+        return None
+    return c[0] == c[-1]
+
+
+def st_envelope(w):
+    if w is None:
+        return None
+    c = [p for p in _coords(w) if p is not None]
+    if not c:
+        return None
+    xmin, xmax = min(p[0] for p in c), max(p[0] for p in c)
+    ymin, ymax = min(p[1] for p in c), max(p[1] for p in c)
+
+    def pt(a, b):
+        return f"{_fmtc(a)} {_fmtc(b)}"
+
+    return ("POLYGON ((" + pt(xmin, ymin) + ", " + pt(xmax, ymin) + ", "
+            + pt(xmax, ymax) + ", " + pt(xmin, ymax) + ", "
+            + pt(xmin, ymin) + "))")
+
+
+def st_envelope_as_pts(w):
+    if w is None or _is_empty(w):
+        return None
+    xy = _all_xy(w)
+    if not xy:
+        return None
+    xmin, xmax = min(p[0] for p in xy), max(p[0] for p in xy)
+    ymin, ymax = min(p[1] for p in xy), max(p[1] for p in xy)
+    return [f"POINT ({_fmtc(xmin)} {_fmtc(ymin)})",
+            f"POINT ({_fmtc(xmax)} {_fmtc(ymax)})"]
+
+
+def st_start_point(w):
+    if w is None or _tag(w) != "LINESTRING":
+        return None
+    c = _coords(w)
+    if not c or c[0] is None:
+        return None
+    return f"POINT ({_fmtc(c[0][0])} {_fmtc(c[0][1])})"
+
+
+def st_end_point(w):
+    if w is None or _tag(w) != "LINESTRING":
+        return None
+    c = _coords(w)
+    if not c or c[-1] is None:
+        return None
+    return f"POINT ({_fmtc(c[-1][0])} {_fmtc(c[-1][1])})"
+
+
+def st_point_n(w, n):
+    if w is None or n is None:
+        return None
+    c = _coords(w)
+    n = int(n)
+    if n < 1 or n > len(c) or c[n - 1] is None:
+        return None
+    return f"POINT ({_fmtc(c[n - 1][0])} {_fmtc(c[n - 1][1])})"
+
+
+def _self_proper_cross(c: list) -> bool:
+    n = len(c)
+    for i in range(n - 1):
+        for j in range(i + 2, n - 1):
+            a, b, cc, d = c[i], c[i + 1], c[j], c[j + 1]
+            o = lambda p, q, r: (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])  # noqa: E731
+            s = lambda v: (v > 0) - (v < 0)  # noqa: E731
+            if s(o(a, b, cc)) * s(o(a, b, d)) < 0 and \
+                    s(o(cc, d, a)) * s(o(cc, d, b)) < 0:
+                return True
+    return False
+
+
+def st_is_ring(w):
+    if w is None or _tag(w) != "LINESTRING":
+        return None
+    closed = st_is_closed(w)
+    if closed is None:
+        return None
+    return closed and not _self_proper_cross(
+        [p for p in _coords(w) if p is not None])
+
+
+def st_is_simple(w):
+    if w is None:
+        return None
+    if _tag(w) == "POINT":
+        return True
+    return not _self_proper_cross([p for p in _coords(w) if p is not None])
+
+
+def st_is_empty(w):
+    return None if w is None else _is_empty(w)
+
+
+def st_dimension(w):
+    if w is None:
+        return None
+    t = _tag(w)
+    if t in ("POINT", "MULTIPOINT"):
+        return 0
+    if t in ("LINESTRING", "MULTILINESTRING"):
+        return 1
+    return 2
+
+
+def _chain_wkt(c: list) -> str:
+    return ", ".join(f"{_fmtc(p[0])} {_fmtc(p[1])}" for p in c)
+
+
+def st_exterior_ring(w):
+    if w is None or _tag(w) != "POLYGON":
+        return None
+    return f"LINESTRING ({_chain_wkt([p for p in _coords(w) if p is not None])})"
+
+
+def _require_polygon(name: str, w):
+    if _tag(w) != "POLYGON":
+        raise ValueError(
+            f"{name} only applies to POLYGON. "
+            f"Input type is: {_enum_name(_tag(w))}"
+        )
+
+
+def st_num_interior_ring(w):
+    if w is None:
+        return None
+    _require_polygon("ST_NumInteriorRing", w)
+    if _is_empty(w):
+        return None
+    return len(_rings(w)) - 1
+
+
+def st_interior_ring_n(w, n):
+    if w is None:
+        return None
+    _require_polygon("ST_InteriorRingN", w)
+    if n is None:
+        return None
+    rings = _rings(w)
+    n = int(n)
+    if n < 1 or n > len(rings) - 1:
+        return None
+    return f"LINESTRING ({rings[n]})"
+
+
+def st_interior_rings(w):
+    if w is None:
+        return None
+    _require_polygon("ST_InteriorRings", w)
+    if _is_empty(w):
+        return None
+    return [f"LINESTRING ({r})" for r in _rings(w)[1:]]
+
+
+# --- measures ----------------------------------------------------------------
+
+def _ring_area_signless(c: list) -> float:
+    acc = 0.0
+    for i in range(len(c) - 1):
+        acc = acc + c[i][0] * c[i + 1][1] - c[i + 1][0] * c[i][1]
+    return abs(acc) / 2.0
+
+
+def _chains_area(chains: list) -> float:
+    areas = [_ring_area_signless(c) for c in chains]
+    hole_sum = 0.0
+    for a in areas[1:]:
+        hole_sum = hole_sum + a
+    return areas[0] - hole_sum
+
+
+def _part_ring_chains(part: str) -> list:
+    return [_close_ring(_ring_pts(r)) for r in _inner_groups(part)]
+
+
+def st_area(w):
+    if w is None:
+        return None
+    if _is_empty(w):
+        return 0.0
+    t = _tag(w)
+    if t == "POLYGON":
+        return _chains_area([_close_ring(_ring_pts(r)) for r in _rings(w)])
+    if t == "MULTIPOLYGON":
+        acc = 0.0
+        for p in _mpoly_parts(w):
+            acc = acc + _chains_area(_part_ring_chains(p))
+        return acc
+    return 0.0
+
+
+def st_length(w):
+    if w is None:
+        return None
+    t = _tag(w)
+    if t not in ("LINESTRING", "MULTILINESTRING"):
+        raise ValueError(
+            "ST_Length only applies to LINE_STRING or MULTI_LINE_STRING. "
+            f"Input type is: {_enum_name(t)}"
+        )
+    if _is_empty(w):
+        return 0.0
+    total = 0.0
+    for c in _chains_multi(w):
+        if len(c) >= 2:
+            for i in range(len(c) - 1):
+                total = total + math.sqrt(
+                    (c[i + 1][0] - c[i][0]) ** 2 + (c[i + 1][1] - c[i][1]) ** 2
+                )
+    return total
+
+
+def st_centroid(w):
+    if w is None:
+        return None
+    if _is_empty(w):
+        return "POINT EMPTY"
+    t = _tag(w)
+    if t in ("POLYGON", "MULTIPOLYGON"):
+        parts = ([re.match(r"^POLYGON\s*(\(.*\))\s*$", w).group(1)]
+                 if t == "POLYGON" else _mpoly_parts(w))
+        ta = sx = sy = 0.0
+        for p in parts:
+            pa = psx = psy = 0.0
+            for ri, rc in enumerate(_part_ring_chains(p)):
+                a2 = mx = my = 0.0
+                for i in range(len(rc) - 1):
+                    cr = rc[i][0] * rc[i + 1][1] - rc[i + 1][0] * rc[i][1]
+                    a2 += cr
+                    mx += (rc[i][0] + rc[i + 1][0]) * cr
+                    my += (rc[i][1] + rc[i + 1][1]) * cr
+                cx, cy = mx / (3.0 * a2), my / (3.0 * a2)
+                a = abs(a2) / 2.0
+                if ri == 0:
+                    pa, psx, psy = a, a * cx, a * cy
+                else:
+                    pa, psx, psy = pa - a, psx - a * cx, psy - a * cy
+            ta, sx, sy = ta + pa, sx + psx, sy + psy
+        px, py = sx / ta, sy / ta
+    elif t in ("LINESTRING", "MULTILINESTRING"):
+        tl = sx = sy = 0.0
+        for c in _chains_multi(w):
+            if len(c) < 2:
+                continue
+            for i in range(len(c) - 1):
+                seg = math.sqrt(
+                    (c[i + 1][0] - c[i][0]) ** 2 + (c[i + 1][1] - c[i][1]) ** 2
+                )
+                tl += seg
+                sx += seg * (c[i][0] + c[i + 1][0]) / 2
+                sy += seg * (c[i][1] + c[i + 1][1]) / 2
+        px, py = sx / tl, sy / tl
+    else:
+        xy = _all_xy(w)
+        px = sum(p[0] for p in xy) / len(xy)
+        py = sum(p[1] for p in xy) / len(xy)
+    return f"POINT ({_fmtc(px)} {_fmtc(py)})"
+
+
+_POINT_RE = re.compile(gf._POINT_RE)
+
+
+def st_distance(wa, wb):
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    if wa is None or wb is None:
+        return None
+    ma, mb = _POINT_RE.match(wa), _POINT_RE.match(wb)
+    if ma and mb:
+        dx = float(ma.group(1)) - float(mb.group(1))
+        dy = float(ma.group(2)) - float(mb.group(2))
+        return math.sqrt(dx * dx + dy * dy)
+    return gk.geom_distance(wa, wb)
+
+
+def line_locate_point(wl, wp):
+    if wl is None or wp is None:
+        return None
+    if _tag(wl) != "LINESTRING" or _tag(wp) != "POINT" \
+            or _is_empty(wl) or _is_empty(wp):
+        return None
+    c = [p for p in _coords(wl) if p is not None]
+    p = _coords(wp)[0]
+    seg_lens = [
+        math.sqrt((c[i + 1][0] - c[i][0]) ** 2 + (c[i + 1][1] - c[i][1]) ** 2)
+        for i in range(len(c) - 1)
+    ]
+    total = 0.0
+    for sl in seg_lens:
+        total = total + sl
+    best = None
+    prefix = 0.0
+    for i in range(len(c) - 1):
+        p1, p2 = c[i], c[i + 1]
+        dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+        len2 = dx * dx + dy * dy
+        if len2 == 0:
+            t = 0.0
+        else:
+            t = min(max(((p[0] - p1[0]) * dx + (p[1] - p1[1]) * dy) / len2,
+                        0.0), 1.0)
+        qx, qy = p1[0] + t * dx, p1[1] + t * dy
+        dist = math.sqrt((p[0] - qx) ** 2 + (p[1] - qy) ** 2)
+        frac = (prefix + t * seg_lens[i]) / total
+        if best is None or (dist, frac) < best:
+            best = (dist, frac)
+        prefix += seg_lens[i]
+    return None if best is None else best[1]
+
+
+_EARTH_RADIUS_KM = 6371.01
+
+
+def great_circle_distance(lat1, lng1, lat2, lng2):
+    if None in (lat1, lng1, lat2, lng2):
+        return None
+    rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
+    sin1, cos1 = math.sin(rlat1), math.cos(rlat1)
+    sin2, cos2 = math.sin(rlat2), math.cos(rlat2)
+    dlng = math.radians(lng1) - math.radians(lng2)
+    cos_dlng = math.cos(dlng)
+    t1 = cos2 * math.sin(dlng)
+    t2 = cos1 * sin2 - sin1 * cos2 * cos_dlng
+    t3 = sin1 * sin2 + cos1 * cos2 * cos_dlng
+    return math.atan2(math.sqrt(t1 * t1 + t2 * t2), t3) * _EARTH_RADIUS_KM
+
+
+def _ring_signed_area(c: list) -> float:
+    acc = 0.0
+    for i in range(len(c) - 1):
+        acc = acc + c[i][0] * c[i + 1][1] - c[i + 1][0] * c[i][1]
+    return acc / 2.0
+
+
+def st_boundary(w):
+    if w is None:
+        return None
+    t = _tag(w)
+    if _is_empty(w) or t in ("POINT", "MULTIPOINT"):
+        return "MULTIPOINT EMPTY"
+    if t not in ("LINESTRING", "MULTILINESTRING",
+                 "POLYGON", "MULTIPOLYGON"):
+        return None  # mirror the builder's when-chain (no GC branch)
+    if t in ("LINESTRING", "MULTILINESTRING"):
+        ends = []
+        for c in _chains_multi(w):
+            ends.append(c[0])
+            ends.append(c[-1])
+        odd, seen = [], set()
+        for e in ends:
+            if e in seen:
+                continue
+            if ends.count(e) % 2 == 1:
+                odd.append(e)
+            seen.add(e)
+        if not odd:
+            return "MULTIPOINT EMPTY"
+        return "MULTIPOINT (" + ", ".join(
+            f"({_fmtc(p[0])} {_fmtc(p[1])})" for p in odd) + ")"
+    # polygon kinds
+    parts = ([re.match(r"^POLYGON\s*(\(.*\))\s*$", w).group(1)]
+             if t == "POLYGON" else _mpoly_parts(w))
+    rings_out = []
+    for p in parts:
+        for ri, ring in enumerate(_part_ring_chains(p)):
+            want_ccw = ri == 0
+            sa = _ring_signed_area(ring)
+            keep = sa >= 0 if want_ccw else sa <= 0
+            r = ring if keep else list(reversed(ring))
+            rings_out.append("(" + _chain_wkt(r) + ")")
+    return "MULTILINESTRING (" + ", ".join(rings_out) + ")"
+
+
+# --- kernel-backed (shared per-row code — parity by construction) ----------
+
+def _relation(op):
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    def rel(wa, wb):
+        if wa is None or wb is None:
+            return None
+        return gk.relation(op, wa, wb)
+
+    return rel
+
+
+def st_within(wi, wo):
+    return _relation("contains")(wo, wi)
+
+
+def _overlay(op_name):
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    op = getattr(gk, op_name)
+
+    def run(wa, wb):
+        if wa is None or wb is None:
+            return None
+        return gk.render(op(gk.parse_wkt(wa), gk.parse_wkt(wb)))
+
+    return run
+
+
+def geometry_union(arr):
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    if arr is None:
+        return None
+    acc = None
+    for w in arr:
+        if w is None:
+            continue
+        bag = gk.parse_wkt(w)
+        acc = bag if acc is None else gk.union(acc, bag)
+    return None if acc is None else gk.render(acc)
+
+
+def convex_hull_of_collection(arr):
+    """Scalar backing for the convex_hull_agg rewrite: hull of the
+    pooled vertex set (ConvexHullAggregation.java semantics, same
+    pooling spelling as the Column builder)."""
+    if arr is None or len(arr) == 0:
+        return None
+    return gf._py_convex_hull(
+        "GEOMETRYCOLLECTION (" + ", ".join(arr) + ")"
+    )
+
+
+def st_buffer(w, d):
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    if w is None or d is None:
+        return None
+    d = float(d)
+    if math.isnan(d):
+        raise ValueError("distance is NaN")
+    if d < 0:
+        raise ValueError("distance is negative")
+    bag = gk.parse_wkt(w)
+    if bag.is_empty():
+        return None
+    if d == 0:
+        return gk.render(bag)
+    if math.isinf(d):
+        return "MULTIPOLYGON EMPTY"
+    return gk.render(gk.buffer_bag(bag, d))
+
+
+def simplify_geometry(w, t):
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    if w is None or t is None:
+        return None
+    t = float(t)
+    if math.isnan(t):
+        raise ValueError("distanceTolerance is NaN")
+    if t < 0:
+        raise ValueError("distanceTolerance is negative")
+    bag = gk.parse_wkt(w)
+    return gk.render(bag) if t == 0 else gk.render(gk.simplify_bag(bag, t))
+
+
+def st_relate(wa, wb, pattern):
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    if wa is None or wb is None or pattern is None:
+        return None
+    return gk.relate_match(
+        gk.de9im(gk.parse_wkt(wa), gk.parse_wkt(wb)), pattern)
+
+
+def _spatial_partitions_cacheable():
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    trees = {}
+
+    def run2(t, w):
+        if t is None or w is None:
+            return None
+        if t not in trees:
+            trees[t] = gk.kdb_tree_from_json(t)
+        return gk.spatial_partitions(trees[t], w, None)
+
+    def run3(t, w, d):
+        if t is None or w is None or d is None:
+            return None
+        if t not in trees:
+            trees[t] = gk.kdb_tree_from_json(t)
+        return gk.spatial_partitions(trees[t], w, d)
+
+    return run2, run3
+
+
+def spatial_partitioning_build(arr, count):
+    """Scalar backing for the spatial_partitioning aggregate rewrite."""
+    from facebook_presto_spark.functions import geo_kernel as gk
+
+    if arr is None or len(arr) == 0 or count is None:
+        return None
+    return gk.build_spatial_partitioning(
+        [w for w in arr if w is not None], int(count))
+
+
+# --- bing tiles --------------------------------------------------------------
+
+_MAX_LAT = 85.05112878
+_MIN_LAT = -85.05112878
+
+
+def bing_tile(x, y, zoom):
+    if x is None or y is None or zoom is None:
+        return None
+    return {"x": int(x), "y": int(y), "zoom": int(zoom)}
+
+
+def bing_tile_from_quadkey(qk):
+    if qk is None:
+        return None
+    z = len(qk)
+    tx = ty = 0
+    for i, d in enumerate(qk):  # most-significant digit first
+        bit = 1 << (z - i - 1)
+        d = int(d)
+        tx += d % 2 * bit
+        ty += d // 2 * bit
+    return {"x": tx, "y": ty, "zoom": z}
+
+
+def bing_tile_at(lat, lng, zoom):
+    if lat is None or lng is None or zoom is None:
+        return None
+    lat_c = min(max(float(lat), _MIN_LAT), _MAX_LAT)
+    zoom = int(zoom)
+    map_size = 2.0 ** zoom
+    fx = (float(lng) + 180.0) / 360.0
+    sin_lat = math.sin(math.radians(lat_c))
+    fy = 0.5 - math.log((1.0 + sin_lat) / (1.0 - sin_lat)) / (4.0 * math.pi)
+    tile_x = int(min(max(math.floor(fx * map_size), 0), map_size - 1))
+    tile_y = int(min(max(math.floor(fy * map_size), 0), map_size - 1))
+    return {"x": tile_x, "y": tile_y, "zoom": zoom}
+
+
+def bing_tile_quadkey(t):
+    if t is None:
+        return None
+    out = []
+    for i in range(t["zoom"], 0, -1):
+        bit = 1 << (i - 1)
+        out.append(str((t["x"] // bit) % 2 + (t["y"] // bit) % 2 * 2))
+    return "".join(out)
+
+
+def bing_tiles_around(lat, lng, zoom):
+    if lat is None or lng is None or zoom is None:
+        return None
+    center = bing_tile_at(lat, lng, zoom)
+    max_idx = int(2.0 ** int(zoom)) - 1
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            nx, ny = center["x"] + dx, center["y"] + dy
+            if 0 <= nx <= max_idx and 0 <= ny <= max_idx:
+                out.append({"x": nx, "y": ny, "zoom": int(zoom)})
+    return out
+
+
+def bing_tile_zoom_level(t):
+    return None if t is None else t["zoom"]
+
+
+def bing_tile_coordinates(t):
+    return None if t is None else {"x": t["x"], "y": t["y"]}
+
+
+def bing_tile_polygon(t):
+    if t is None:
+        return None
+    map_size = 2.0 ** t["zoom"]
+    lng_w = t["x"] / map_size * 360.0 - 180.0
+    lng_e = (t["x"] + 1) / map_size * 360.0 - 180.0
+
+    def lat_of(ty):
+        fy = 0.5 - ty / map_size
+        return 90.0 - 360.0 * math.atan(math.exp(-fy * 2 * math.pi)) / math.pi
+
+    lat_n, lat_s = lat_of(float(t["y"])), lat_of(float(t["y"] + 1))
+
+    def pt(a, b):
+        return f"{_fmtc(a)} {_fmtc(b)}"
+
+    return ("POLYGON ((" + pt(lng_w, lat_s) + ", " + pt(lng_e, lat_s) + ", "
+            + pt(lng_e, lat_n) + ", " + pt(lng_w, lat_n) + ", "
+            + pt(lng_w, lat_s) + "))")
+
+
+# --- registration ------------------------------------------------------------
+
+_TILE_T = "x int, y int, zoom int"
+
+
+def _specs():
+    """name → (row_fn, return type).  Built lazily so geo_kernel only
+    imports on install."""
+    run2, run3 = _spatial_partitions_cacheable()
+    return {
+        # constructors / conversions
+        "ST_Point": (st_point, "string"),
+        "ST_GeometryFromText": (st_geometry_from_text, "string"),
+        "ST_AsText": (lambda w: w, "string"),
+        "ST_GeometryType": (lambda w: None if w is None else _tag(w), "string"),
+        "ST_LineFromText": (st_line_from_text, "string"),
+        "ST_Polygon": (st_polygon, "string"),
+        "ST_LineString": (st_line_string, "string"),
+        "ST_MultiPoint": (st_multi_point, "string"),
+        "ST_AsBinary": (
+            lambda w: None if w is None else gf._py_wkb_enc(*gf._py_parse(w)),
+            "binary"),
+        "ST_GeomFromBinary": (
+            lambda b: None if b is None
+            else gf._py_render(*gf._py_wkb_dec(bytes(b))[0]), "string"),
+        # accessors
+        "ST_X": (st_x, "double"),
+        "ST_Y": (st_y, "double"),
+        "ST_XMin": (lambda w: _minmax(w, 0, min), "double"),
+        "ST_XMax": (lambda w: _minmax(w, 0, max), "double"),
+        "ST_YMin": (lambda w: _minmax(w, 1, min), "double"),
+        "ST_YMax": (lambda w: _minmax(w, 1, max), "double"),
+        "ST_NumPoints": (st_num_points, "bigint"),
+        "ST_IsClosed": (st_is_closed, "boolean"),
+        "ST_IsEmpty": (st_is_empty, "boolean"),
+        "ST_IsRing": (st_is_ring, "boolean"),
+        "ST_IsSimple": (st_is_simple, "boolean"),
+        "ST_IsValid": (st_is_simple, "boolean"),
+        "ST_Dimension": (st_dimension, "bigint"),
+        "ST_CoordDim": (lambda w: None if w is None else 2, "tinyint"),
+        "ST_CoordinateDimension": (
+            lambda w: None if w is None else 2, "bigint"),
+        "ST_Envelope": (st_envelope, "string"),
+        "ST_Boundary": (st_boundary, "string"),
+        "ST_EnvelopeAsPts": (st_envelope_as_pts, "array<string>"),
+        "ST_StartPoint": (st_start_point, "string"),
+        "ST_EndPoint": (st_end_point, "string"),
+        "ST_PointN": (st_point_n, "string"),
+        "ST_ExteriorRing": (st_exterior_ring, "string"),
+        "ST_NumInteriorRing": (st_num_interior_ring, "bigint"),
+        "ST_InteriorRingN": (st_interior_ring_n, "string"),
+        "ST_InteriorRings": (st_interior_rings, "array<string>"),
+        "ST_NumGeometries": (
+            lambda w: None if w is None else len(gf._py_geometries(w)), "int"),
+        "ST_Geometries": (
+            lambda w: None if w is None else (gf._py_geometries(w) or None),
+            "array<string>"),
+        "ST_GeometryN": (
+            lambda w, n: None if w is None or n is None else (
+                gf._py_geometries(w)[int(n) - 1]
+                if 1 <= int(n) <= len(gf._py_geometries(w)) else None),
+            "string"),
+        "geometry_invalid_reason": (
+            lambda w: None if w is None else gf._py_invalid_reason(w),
+            "string"),
+        # measures
+        "ST_Area": (st_area, "double"),
+        "ST_Length": (st_length, "double"),
+        "ST_Centroid": (st_centroid, "string"),
+        "ST_Distance": (st_distance, "double"),
+        "line_locate_point": (line_locate_point, "double"),
+        "great_circle_distance": (great_circle_distance, "double"),
+        # relation predicates (kernel — same code path as the builders)
+        "ST_Contains": (_relation("contains"), "boolean"),
+        "ST_Within": (st_within, "boolean"),
+        "ST_Intersects": (_relation("intersects"), "boolean"),
+        "ST_Disjoint": (_relation("disjoint"), "boolean"),
+        "ST_Touches": (_relation("touches"), "boolean"),
+        "ST_Crosses": (_relation("crosses"), "boolean"),
+        "ST_Overlaps": (_relation("overlaps"), "boolean"),
+        "ST_Equals": (_relation("equals"), "boolean"),
+        "ST_Relate": (st_relate, "boolean"),
+        # overlay family (kernel)
+        "ST_Union": (_overlay("union"), "string"),
+        "ST_Intersection": (_overlay("intersection"), "string"),
+        "ST_Difference": (_overlay("difference"), "string"),
+        "ST_SymDifference": (_overlay("symdifference"), "string"),
+        "geometry_union": (geometry_union, "string"),
+        "ST_Buffer": (st_buffer, "string"),
+        "simplify_geometry": (simplify_geometry, "string"),
+        "ST_ConvexHull": (gf._py_convex_hull, "string"),
+        "presto_convex_hull_of_collection": (
+            convex_hull_of_collection, "string"),
+        "presto_spatial_partitioning_build": (
+            spatial_partitioning_build, "string"),
+        "spatial_partitions": (run2, "array<int>"),
+        "presto_spatial_partitions_dist": (run3, "array<int>"),
+        # bing tiles
+        "bing_tile": (bing_tile, _TILE_T),
+        "bing_tile_from_quadkey": (bing_tile_from_quadkey, _TILE_T),
+        "bing_tile_at": (bing_tile_at, _TILE_T),
+        "bing_tile_quadkey": (bing_tile_quadkey, "string"),
+        "bing_tile_zoom_level": (bing_tile_zoom_level, "tinyint"),
+        "bing_tile_coordinates": (bing_tile_coordinates, "x int, y int"),
+        "bing_tile_polygon": (bing_tile_polygon, "string"),
+        "bing_tiles_around": (
+            bing_tiles_around, f"array<struct<{_TILE_T}>>"),
+        "geometry_to_bing_tiles": (
+            gf._py_geometry_to_bing_tiles,
+            f"array<struct<{_TILE_T}>>"),
+    }
+
+
+def _row_udf(fn, ret: str):
+    """Wrap a per-row function as an Arrow-batched pandas UDF.  Struct
+    returns need a DataFrame; everything else maps a Series tuple-wise."""
+    import inspect
+
+    nargs = len(inspect.signature(fn).parameters)
+    struct_ret = "," in ret and not ret.strip().startswith("array")
+
+    def _norm(col):
+        # struct-typed arguments arrive as a pd.DataFrame → dict rows
+        if isinstance(col, pd.DataFrame):
+            recs = col.to_dict("records")
+            return [
+                None if all(v is None for v in r.values()) else r
+                for r in recs
+            ]
+        return col
+
+    if struct_ret:
+        fields = [f.strip().split()[0] for f in ret.split(",")]
+
+        def run(*cols):
+            rows = [fn(*vals) for vals in zip(*(_norm(c) for c in cols))]
+            return pd.DataFrame(
+                [[None] * len(fields) if r is None
+                 else [r[f] for f in fields] for r in rows],
+                columns=fields,
+            )
+    else:
+        def run(*cols):
+            return pd.Series(
+                [fn(*vals) for vals in zip(*(_norm(c) for c in cols))],
+                dtype="object")
+
+    run.__name__ = "presto_geo_fn"
+    rtype = f"struct<{ret}>" if struct_ret else ret
+    # fixed positional arity so Spark validates calls like the reference
+    args = ", ".join(f"c{i}" for i in range(nargs))
+    ns = {"run": run}
+    exec(f"def shim({args}):\n    return run({args})", ns)  # noqa: S102
+    return F.pandas_udf(ns["shim"], rtype)
+
+
+_INSTALLED = "_presto_geo_sql_installed"
+
+
+def install(spark: SparkSession) -> None:
+    """Register every geo scalar as a SQL-callable function (idempotent
+    per session)."""
+    if spark.conf.get(f"spark.{_INSTALLED}", None) == "true":
+        return
+    for name, (fn, ret) in _specs().items():
+        spark.udf.register(name, _row_udf(fn, ret))
+    spark.conf.set(f"spark.{_INSTALLED}", "true")

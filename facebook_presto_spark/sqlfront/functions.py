@@ -696,6 +696,45 @@ def _normalize(args: Args) -> list[Tok]:
     return _call("presto_normalize", args[0], form)
 
 
+def _bing_tile(args: Args) -> list[Tok]:
+    # BingTileFunctions.java: bing_tile(quadkey) vs bing_tile(x, y, zoom)
+    # — SQL UDFs cannot overload by arity, so the 1-arg form dispatches
+    # to the quadkey decoder registered by functions/geo_sql.py
+    if len(args) == 1:
+        return _call("bing_tile_from_quadkey", args[0])
+    return _call("bing_tile", *args)
+
+
+def _spatial_partitions(args: Args) -> list[Tok]:
+    # GeoFunctions.java:1130-1199 — the 3-arg (distance) form has
+    # distinct NULL semantics, registered under its own name
+    if len(args) == 3:
+        return _call("presto_spatial_partitions_dist", *args)
+    return _call("spatial_partitions", *args)
+
+
+def _geometry_union_agg(args: Args) -> list[Tok]:
+    # aggregation/GeometryUnionAgg.java — union is commutative and
+    # associative, so collect_list + the n-ary union scalar is exact
+    # (the same spelling the Column builder uses)
+    return _call("geometry_union", _call("collect_list", args[0]))
+
+
+def _convex_hull_agg(args: Args) -> list[Tok]:
+    # aggregation/ConvexHullAggregation.java — hull of the pooled
+    # vertex set
+    return _call("presto_convex_hull_of_collection",
+                 _call("collect_list", args[0]))
+
+
+def _spatial_partitioning(args: Args) -> list[Tok]:
+    # SpatialPartitioningAggregateFunction.java — KdbTree build over
+    # the collected sample; partition count defaults to 100
+    count = args[1] if len(args) == 2 else [Tok("number", "100")]
+    return _call("presto_spatial_partitioning_build",
+                 _call("collect_list", args[0]), count)
+
+
 def _width_bucket(args: Args) -> list[Tok]:
     # width_bucket(x, bins_array) 2-arg form: count of sorted bin bounds
     # ≤ x (MathFunctions.java binary search)
@@ -1200,6 +1239,13 @@ RULES: dict[str, object] = {
     "millisecond": _millisecond,
     "normalize": _normalize,
     "width_bucket": _width_bucket,
+    # geospatial (presto-geospatial plugin; scalars register by name in
+    # functions/geo_sql.py — only overloads/aggregates need rewrites)
+    "bing_tile": _bing_tile,
+    "spatial_partitions": _spatial_partitions,
+    "geometry_union_agg": _geometry_union_agg,
+    "convex_hull_agg": _convex_hull_agg,
+    "spatial_partitioning": _spatial_partitioning,
     "multimap_agg": _multimap_agg,
     "map_union": _map_union,
     "reduce_agg": _reduce_agg,
