@@ -223,6 +223,7 @@ class PrestoSparkEngine:
         SQL and everything else resolve identically)."""
         from facebook_presto_spark.functions import (
             binary_fns,
+            math_fns,
             ml_fns,
             string_fns,
         )
@@ -230,6 +231,7 @@ class PrestoSparkEngine:
         for name, udf in {
             **binary_fns.SQL_UDFS,
             **string_fns.SQL_UDFS,
+            **math_fns.SQL_UDFS,
             **ml_fns.SQL_UDFS,
         }.items():
             spark.udf.register(name, udf)

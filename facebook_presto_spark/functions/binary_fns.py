@@ -53,10 +53,13 @@ register("from_big_endian_64")(lambda b: F.conv(F.hex(_c(b)), 16, 10).cast("bigi
 
 
 def _hmac(algo: str):
-    # Presto hmac_* return VARBINARY (HmacFunctions.java)
-    def build(key, data) -> Column:
+    # hmac_*(data, key) → VARBINARY — the reference's argument order is
+    # MESSAGE first, key second (HmacFunctions.java:32-56
+    # ``hmacSha256(Slice slice, Slice key)``); round 8 fixed a swapped
+    # (key, data) spelling here.
+    def build(data, key) -> Column:
         @F.pandas_udf(BinaryType())
-        def _h(k: pd.Series, d: pd.Series) -> pd.Series:
+        def _h(d: pd.Series, k: pd.Series) -> pd.Series:
             return pd.Series(
                 [
                     None
@@ -66,11 +69,11 @@ def _hmac(algo: str):
                         dd.encode() if isinstance(dd, str) else bytes(dd),
                         algo,
                     ).digest()
-                    for kk, dd in zip(k, d)
+                    for dd, kk in zip(d, k)
                 ]
             )
 
-        return _h(_c(key), _c(data))
+        return _h(_c(data), _c(key))
 
     return build
 
@@ -132,10 +135,36 @@ def _ipaddress_udf(col: pd.Series) -> pd.Series:
 register("ipaddress", slow_path=True)(lambda s: _ipaddress_udf(_c(s)))
 
 # name → UDF object, for SQL-level registration by the engine
+def _hmac_sql_udf(algo: str):
+    # SQL-path twin of _hmac below — hmac_*(data, key), reference order
+    @F.pandas_udf(BinaryType())
+    def _h(d: pd.Series, k: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if (kk is None or dd is None)
+                else hmac_mod.new(
+                    kk.encode() if isinstance(kk, str) else bytes(kk),
+                    dd.encode() if isinstance(dd, str) else bytes(dd),
+                    algo,
+                ).digest()
+                for dd, kk in zip(d, k)
+            ]
+        )
+
+    return _h
+
+
 SQL_UDFS = {
     "url_encode": _url_encode_udf,
     "url_decode": _url_decode_udf,
     "presto_ipaddress": _ipaddress_udf,
+    # hmac + IEEE754 family: pandas-UDF-only (no JVM surface), so the
+    # SQL path registers them directly (round 8)
+    "hmac_md5": _hmac_sql_udf("md5"),
+    "hmac_sha1": _hmac_sql_udf("sha1"),
+    "hmac_sha256": _hmac_sql_udf("sha256"),
+    "hmac_sha512": _hmac_sql_udf("sha512"),
 }
 
 
@@ -237,3 +266,17 @@ def to_ieee754_32(x) -> Column:
 def from_ieee754_32(b) -> Column:
     from pyspark.sql.types import FloatType
     return _ieee754_udf(">f", True, FloatType())(_c(b))
+
+
+def _register_ieee754_sql_udfs():
+    from pyspark.sql.types import DoubleType, FloatType
+
+    SQL_UDFS.update({
+        "to_ieee754_64": _ieee754_udf(">d", False, DoubleType()),
+        "from_ieee754_64": _ieee754_udf(">d", True, DoubleType()),
+        "to_ieee754_32": _ieee754_udf(">f", False, FloatType()),
+        "from_ieee754_32": _ieee754_udf(">f", True, FloatType()),
+    })
+
+
+_register_ieee754_sql_udfs()

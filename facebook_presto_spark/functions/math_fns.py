@@ -115,39 +115,44 @@ def normal_cdf(mean, sd, v) -> Column:
     return _cdf(_c(mean).cast("double"), _c(sd).cast("double"), _c(v).cast("double"))
 
 
+# Acklam's rational approximation of probit — |rel err| < 1.2e-9,
+# matching the reference's airlift implementation to well below any
+# practical tolerance.  Module-level so the SQL-path UDFs below share it.
+_PROBIT_A = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+             1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+_PROBIT_B = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+             6.680131188771972e01, -1.328068155288572e01)
+_PROBIT_C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+             -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
+_PROBIT_D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+             3.754408661907416e00)
+
+
+def _probit(p_):
+    A, B, C, D = _PROBIT_A, _PROBIT_B, _PROBIT_C, _PROBIT_D
+    if p_ is None or not (0.0 < p_ < 1.0):
+        return None
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p_ < plow:
+        q = math.sqrt(-2 * math.log(p_))
+        num = ((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q + C[5]
+        den = (((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1
+        return num / den
+    if p_ > phigh:
+        q = math.sqrt(-2 * math.log(1 - p_))
+        num = ((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q + C[5]
+        den = (((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1
+        return -num / den
+    q = p_ - 0.5
+    r = q * q
+    num = (((((A[0] * r + A[1]) * r + A[2]) * r + A[3]) * r + A[4]) * r + A[5]) * q
+    den = ((((B[0] * r + B[1]) * r + B[2]) * r + B[3]) * r + B[4]) * r + 1
+    return num / den
+
+
 @register("inverse_normal_cdf", slow_path=True)
 def inverse_normal_cdf(mean, sd, p) -> Column:
-    # Acklam's rational approximation of probit — |rel err| < 1.2e-9,
-    # matching the reference's airlift implementation to well below any
-    # practical tolerance.
-    A = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
-         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
-    B = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
-         6.680131188771972e01, -1.328068155288572e01)
-    C = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
-         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
-    D = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
-         3.754408661907416e00)
-
-    def probit(p_):
-        if p_ is None or not (0.0 < p_ < 1.0):
-            return None
-        plow, phigh = 0.02425, 1 - 0.02425
-        if p_ < plow:
-            q = math.sqrt(-2 * math.log(p_))
-            num = ((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q + C[5]
-            den = (((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1
-            return num / den
-        if p_ > phigh:
-            q = math.sqrt(-2 * math.log(1 - p_))
-            num = ((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q + C[5]
-            den = (((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1
-            return -num / den
-        q = p_ - 0.5
-        r = q * q
-        num = (((((A[0] * r + A[1]) * r + A[2]) * r + A[3]) * r + A[4]) * r + A[5]) * q
-        den = ((((B[0] * r + B[1]) * r + B[2]) * r + B[3]) * r + B[4]) * r + 1
-        return num / den
+    probit = _probit
 
     @F.pandas_udf(DoubleType())
     def _icdf(m: pd.Series, s: pd.Series, pp: pd.Series) -> pd.Series:
@@ -266,3 +271,64 @@ def inverse_beta_cdf(a, b, p) -> Column:
         )
 
     return _icdf(_c(a).cast("double"), _c(b).cast("double"), _c(p).cast("double"))
+
+
+# --- SQL-path twins (engine._register_sql_udfs) -----------------------------
+# The CDF family has no JVM surface, so engine.sql reaches it through
+# these standalone pandas UDFs — the same per-row arithmetic as the
+# Column builders above (round 8; previously UNRESOLVED_ROUTINE in SQL).
+
+def _inv_beta(ai: float, bi: float, pi: float) -> float:
+    if pi <= 0.0:
+        return 0.0
+    if pi >= 1.0:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    for _ in range(100):
+        mid = (lo + hi) / 2.0
+        if _betainc(ai, bi, mid) < pi:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+@F.pandas_udf(DoubleType())
+def _normal_cdf_udf(m: pd.Series, s: pd.Series, x: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if xx is None
+         else 0.5 * (1.0 + math.erf((float(xx) - float(mm))
+                                    / (float(ss) * math.sqrt(2.0))))
+         for mm, ss, xx in zip(m, s, x)], dtype="float64")
+
+
+@F.pandas_udf(DoubleType())
+def _inverse_normal_cdf_udf(m: pd.Series, s: pd.Series,
+                            pp: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if (z is None or mm is None)
+         else float(mm) + float(ss) * _probit(float(z))
+         for mm, ss, z in zip(m, s, pp)], dtype="float64")
+
+
+@F.pandas_udf(DoubleType())
+def _beta_cdf_udf(aa: pd.Series, bb: pd.Series, xx: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if x is None else _betainc(float(ai), float(bi), float(x))
+         for ai, bi, x in zip(aa, bb, xx)], dtype="float64")
+
+
+@F.pandas_udf(DoubleType())
+def _inverse_beta_cdf_udf(aa: pd.Series, bb: pd.Series,
+                          pp: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if p_ is None else _inv_beta(float(ai), float(bi), float(p_))
+         for ai, bi, p_ in zip(aa, bb, pp)], dtype="float64")
+
+
+SQL_UDFS = {
+    "normal_cdf": _normal_cdf_udf,
+    "inverse_normal_cdf": _inverse_normal_cdf_udf,
+    "beta_cdf": _beta_cdf_udf,
+    "inverse_beta_cdf": _inverse_beta_cdf_udf,
+}

@@ -56,9 +56,14 @@ def test_normalize(spark):
 
 
 def test_hmac(spark):
-    # varbinary result, as in the reference (HmacFunctions.java)
+    # varbinary result, reference argument order: hmac_*(data, key)
+    # (HmacFunctions.java:48 ``hmacSha256(Slice slice, Slice key)``)
     expected = hmac_mod.new(b"key", b"msg", "sha256").digest()
-    assert bytes(one(spark, call("hmac_sha256", F.lit("key"), F.lit("msg")))) == expected
+    assert bytes(one(spark, call("hmac_sha256", F.lit("msg"), F.lit("key")))) == expected
+    # the reference's own test vector (TestVarbinaryFunctions style):
+    # hmac of empty message with key 'key'
+    expected_empty = hmac_mod.new(b"key", b"", "md5").digest()
+    assert bytes(one(spark, call("hmac_md5", F.lit(""), F.lit("key")))) == expected_empty
 
 
 def test_digests_are_varbinary(spark):
@@ -443,3 +448,40 @@ def test_numeric_histogram(spark):
         "SELECT numeric_histogram(4, x) AS h FROM (VALUES (5.0),(5.0)) t(x)"
     ).collect()[0]
     assert h1 == {5.0: 2.0}
+
+
+def test_slow_path_names_reach_sql(spark, sf_dir):
+    """Every pandas-UDF-backed (slow-path) registry name resolves from
+    SQL text through engine.sql — the reference registers all functions
+    in ONE FunctionRegistry, so the SQL path must reach the same
+    surface (round 8: hmac/CDF/IEEE754 were UNRESOLVED_ROUTINE)."""
+    import hmac as hm
+    import math
+    import struct
+
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    row = eng.sql("""
+        SELECT hmac_sha256(to_utf8('msg'), to_utf8('key')) AS h,
+               hmac_md5(to_utf8('m'), to_utf8('k')) AS h2,
+               normal_cdf(0.0, 1.0, 1.0) AS nc,
+               inverse_normal_cdf(0.0, 1.0, normal_cdf(0.0, 1.0, 0.7)) AS inc,
+               beta_cdf(2.0, 3.0, 0.5) AS bc,
+               inverse_beta_cdf(2.0, 3.0, beta_cdf(2.0, 3.0, 0.4)) AS ibc,
+               from_ieee754_64(to_ieee754_64(1.5)) AS f64,
+               from_ieee754_32(to_ieee754_32(REAL '0.5')) AS f32,
+               to_ieee754_64(1.0) AS b64,
+               word_stem('running') AS ws,
+               url_encode('a b') AS ue,
+               normalize('schon') AS nz
+    """).collect()[0]
+    assert bytes(row.h) == hm.new(b"key", b"msg", "sha256").digest()
+    assert bytes(row.h2) == hm.new(b"k", b"m", "md5").digest()
+    assert abs(row.nc - 0.5 * (1 + math.erf(1 / math.sqrt(2)))) < 1e-12
+    assert abs(row.inc - 0.7) < 1e-8
+    assert abs(row.bc - 0.6875) < 1e-12
+    assert abs(row.ibc - 0.4) < 1e-9
+    assert row.f64 == 1.5 and row.f32 == 0.5
+    assert bytes(row.b64) == struct.pack(">d", 1.0)
+    assert row.ws == "runn" and row.ue == "a+b"  # same stemmer as test_word_stem
