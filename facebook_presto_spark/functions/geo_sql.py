@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import math
 import re
+import struct
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -47,11 +48,199 @@ _PAIR_RE = re.compile(r"(-?[\d.]+(?:[eE][+-]?\d+)?\s+-?[\d.]+(?:[eE][+-]?\d+)?)"
 _NUM_RE = re.compile(r"\s+")
 
 
+# bit width of 5^i (index 0 is 0, matching the JDK's N_5_BITS table)
+_N5BITS = tuple((5 ** i).bit_length() if i else 0 for i in range(27))
+
+
+def _jtrunc_div(a: int, b: int):
+    """Java's idiv/irem pair: quotient truncates toward zero, remainder
+    takes the dividend's sign (Python's divmod floors instead)."""
+    q = abs(a) // abs(b)
+    if (a < 0) != (b < 0):
+        q = -q
+    return q, a - q * b
+
+
+def _jdtoa(v: float):
+    """Digit string + decimal exponent of Java's legacy Double.toString
+    for finite v > 0 (value == 0.<digits> × 10^decExp10).
+
+    Spark's double→string cast delegates to Double.toString, and on the
+    JVMs Spark supports (< 19, before JDK-4511638/Ryū) that is NOT the
+    shortest round-trip decimal.  This reimplements the semantics of
+    jdk.internal.math.FloatingDecimal.dtoa — reconstructed from its
+    disassembled bytecode and validated by fuzzing millions of bit
+    patterns against the host JVM and Spark's cast — so the SQL path's
+    WKT coordinates match the Column path byte-for-byte at every
+    magnitude.  The behaviors that differ from Python's repr():
+      * integral doubles ≤ 2^63 print the EXACT integer, minus the
+        trailing decimal digits guaranteed insignificant by the binary
+        exponent (round-half-up on the residue) — not shortest;
+      * other values run Steele & White's free-format loop (CACM '90)
+        with a symmetric half-ulp stopping test (quarter-ulp at
+        power-of-two boundaries) seeded by a float log10 ESTIMATE that
+        can sit one too high near powers of ten, which Java resolves by
+        emitting the leading zero when the high test already holds;
+      * the loop runs in 32-bit, 64-bit, or big-integer arithmetic
+        depending on operand widths; the small paths let the scaled
+        half-ulp OVERFLOW (wrapping two's-complement, stopping when it
+        goes non-positive) and test high with strict >, while the big
+        path tests high with ≥ — all faithfully mirrored."""
+    bits = struct.unpack("<Q", struct.pack("<d", v))[0]
+    raw_exp = (bits >> 52) & 0x7FF
+    frac = bits & ((1 << 52) - 1)
+    if raw_exp == 0:  # subnormal: normalize like FloatingDecimal does
+        shift = 53 - frac.bit_length()
+        fract = frac << shift
+        bin_exp = -1022 - shift
+        nsig = 53 - shift
+    else:
+        fract = frac | (1 << 52)
+        bin_exp = raw_exp - 1023
+        nsig = 53
+    tz = (fract & -fract).bit_length() - 1
+    n_fract_bits = 53 - tz
+    n_tiny = max(0, n_fract_bits - bin_exp - 1)  # sig bits right of point
+
+    # integral fast path (developLongDigits): exact integer, minus the
+    # insignificant trailing digits, round-half-up on the residue
+    if -21 <= bin_exp <= 62 and n_tiny == 0:
+        n = fract << (bin_exp - 52) if bin_exp >= 52 else \
+            fract >> (52 - bin_exp)
+        insig = 0
+        if bin_exp > nsig and 1 < bin_exp - nsig - 1 < 64:
+            insig = len(str(1 << (bin_exp - nsig - 1))) - 1
+        if insig:
+            p = 10 ** insig
+            n, r = divmod(n, p)
+            if r >= p >> 1:
+                n += 1
+        s = str(n)
+        return s.rstrip("0") or "0", len(s) + insig
+
+    # estimateDecExp: floor of a float linear approximation of log10(v)
+    # — may be one too high close below a power of ten; the digit loop
+    # compensates (bug-compatibly) below
+    d2 = struct.unpack(
+        "<d", struct.pack("<Q", 0x3FF0000000000000 | (fract & 0xFFFFFFFFFFFFF))
+    )[0]
+    dec_exp = math.floor(
+        (d2 - 1.5) * 0.289529654 + 0.176091259 + bin_exp * 0.301029995663981
+    )
+    b5 = max(0, -dec_exp)
+    b2 = b5 + n_tiny + bin_exp
+    s5 = max(0, dec_exp)
+    s2 = s5 + n_tiny
+    m5 = b5
+    m2 = b2 - nsig
+    fq = fract >> tz
+    b2 -= n_fract_bits - 1
+    c2f = min(b2, s2)
+    b2 -= c2f
+    s2 -= c2f
+    m2 -= c2f
+    if n_fract_bits == 1:  # power of two: the gap below is half an ulp
+        m2 -= 1
+    if m2 < 0:
+        b2 -= m2
+        s2 -= m2
+        m2 = 0
+
+    b_bits = n_fract_bits + b2 + (_N5BITS[b5] if b5 < 27 else 3 * b5)
+    tens_bits = s2 + 1 + (_N5BITS[s5 + 1] if s5 + 1 < 27 else 3 * (s5 + 1))
+    digits = []
+    if b_bits < 64 and tens_bits < 64:
+        # int/long path: two's-complement wrap at the Java width
+        width = 32 if b_bits < 32 and tens_bits < 32 else 64
+        mod, sgn = 1 << width, 1 << (width - 1)
+
+        def w(x):
+            x &= mod - 1
+            return x - mod if x & sgn else x
+
+        B = w(w(w(fq) * 5 ** b5) << b2)
+        S = w(5 ** s5 << s2)
+        M = w(5 ** m5 << m2)
+        ten_s = w(S * 10)
+        q, r = _jtrunc_div(B, S)
+        B = w(10 * r)
+        M = w(10 * M)
+        low = B < M
+        high = w(B + M) > ten_s  # strict in the small paths
+        if q == 0 and not high:
+            dec_exp -= 1
+        else:
+            digits.append(q)
+        if dec_exp < -3 or dec_exp >= 8:
+            low = high = False  # E-form always gets a second digit
+        while not low and not high:
+            q, r = _jtrunc_div(B, S)
+            B = w(10 * r)
+            M = w(10 * M)
+            digits.append(q)
+            if M > 0:
+                low = B < M
+                high = w(B + M) > ten_s
+            else:  # the scaled half-ulp overflowed: Java stops here
+                low = high = True
+        ldd = 0
+        if high and low:
+            # Java: lowDigitDifference = (B << 1) - tenS, BOTH ops
+            # wrapping — the sign of the wrapped difference, not a
+            # true comparison
+            ldd = w(w(B << 1) - ten_s)
+    else:
+        # FDBigInteger path: exact arithmetic, INCLUSIVE high test
+        B = fq * 5 ** b5 << b2
+        S = 5 ** s5 << s2
+        M = 10 * 5 ** m5 << m2  # constructed pre-scaled by ten
+        ten_s = 10 * S
+        q, r = divmod(B, S)
+        B = r * 10
+        low = B < M
+        high = B + M >= ten_s
+        if q == 0 and not high:
+            dec_exp -= 1
+        else:
+            digits.append(q)
+        if dec_exp < -3 or dec_exp >= 8:
+            low = high = False
+        while not low and not high:
+            q, r = divmod(B, S)
+            B = r * 10
+            M *= 10
+            digits.append(q)
+            low = B < M
+            high = B + M >= ten_s
+        ldd = 0
+        if high and low:
+            t = B << 1
+            ldd = (t > ten_s) - (t < ten_s)
+
+    if high:
+        roundup = True
+        if low:
+            if ldd == 0:  # exact tie → round half even on the digit
+                roundup = bool(digits[-1] & 1)
+            elif ldd < 0:
+                roundup = False
+        if roundup:  # Java's roundup(): carry keeps the digit count
+            i = len(digits) - 1
+            while i > 0 and digits[i] == 9:
+                digits[i] = 0
+                i -= 1
+            if digits[i] == 9:
+                digits[i] = 1
+                dec_exp += 1
+            else:
+                digits[i] += 1
+    return "".join(chr(48 + d) for d in digits), dec_exp + 1
+
+
 def _java_double_str(v: float) -> str:
     """Java Double.toString — what Spark's double→string cast produces
-    (mirrors _fmt_coord's input).  Shortest round-trip digits; plain
-    decimal for 1e-3 ≤ |v| < 1e7, else computerized scientific with a
-    capital E."""
+    (mirrors _fmt_coord's input): plain decimal for 1e-3 ≤ |v| < 1e7,
+    else computerized scientific with a capital E, digits per _jdtoa."""
     if v != v:
         return "NaN"
     if v == float("inf"):
@@ -60,36 +249,35 @@ def _java_double_str(v: float) -> str:
         return "-Infinity"
     if v == 0.0:
         return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
-    a = abs(v)
-    if 1e-3 <= a < 1e7:
-        # repr() is shortest-round-trip; within this range Python also
-        # prints plain decimal, but normalize the integral spelling
-        s = repr(v)
-        if "e" in s or "E" in s:  # repr switched early (never in-range)
-            s = f"{v:.17g}"
-        if "." not in s:
-            s += ".0"
-        return s
-    # scientific: one digit before the point, E exponent
-    s = repr(v)
-    if "e" in s:
-        mant, exp = s.split("e")
-        if "." not in mant:
-            mant += ".0"
-        return f"{mant}E{int(exp)}"
-    # repr stayed plain (e.g. 1e16 prints 1e+16 → handled above; big
-    # ints like 12345678.0): convert manually
-    m, e = f"{v:e}".split("e")
-    m = m.rstrip("0").rstrip(".")
-    if "." not in m:
-        m += ".0"
-    return f"{m}E{int(e)}"
+    sign = "-" if v < 0 else ""
+    digits, e10 = _jdtoa(abs(v))
+    if 0 < e10 < 8:
+        if e10 >= len(digits):
+            return f"{sign}{digits}{'0' * (e10 - len(digits))}.0"
+        return f"{sign}{digits[:e10]}.{digits[e10:]}"
+    if -3 < e10 <= 0:
+        return f"{sign}0.{'0' * -e10}{digits}"
+    mant = digits[0] + "." + (digits[1:] or "0")
+    return f"{sign}{mant}E{e10 - 1}"
 
 
 def _fmtc(v: float) -> str:
     """Mirror _fmt_coord: double→string with the trailing '.0' stripped."""
     s = _java_double_str(float(v))
     return s[:-2] if s.endswith(".0") else s
+
+
+def _ieee_div(n: float, d: float) -> float:
+    """Double division with IEEE-754 zero semantics (what the Column
+    path's Spark arithmetic does): 0/0 → NaN, n/±0 → ±Infinity — instead
+    of Python's ZeroDivisionError, so degenerate geometries (zero-area
+    rings, zero-length linestrings) diverge on neither path."""
+    try:
+        return n / d
+    except ZeroDivisionError:
+        if n == 0.0 or n != n:
+            return float("nan")
+        return math.copysign(1.0, n) * math.copysign(1.0, d) * float("inf")
 
 
 def _tag(w: str) -> str:
@@ -545,14 +733,14 @@ def st_centroid(w):
                     a2 += cr
                     mx += (rc[i][0] + rc[i + 1][0]) * cr
                     my += (rc[i][1] + rc[i + 1][1]) * cr
-                cx, cy = mx / (3.0 * a2), my / (3.0 * a2)
+                cx, cy = _ieee_div(mx, 3.0 * a2), _ieee_div(my, 3.0 * a2)
                 a = abs(a2) / 2.0
                 if ri == 0:
                     pa, psx, psy = a, a * cx, a * cy
                 else:
                     pa, psx, psy = pa - a, psx - a * cx, psy - a * cy
             ta, sx, sy = ta + pa, sx + psx, sy + psy
-        px, py = sx / ta, sy / ta
+        px, py = _ieee_div(sx, ta), _ieee_div(sy, ta)
     elif t in ("LINESTRING", "MULTILINESTRING"):
         tl = sx = sy = 0.0
         for c in _chains_multi(w):
@@ -565,7 +753,7 @@ def st_centroid(w):
                 tl += seg
                 sx += seg * (c[i][0] + c[i + 1][0]) / 2
                 sy += seg * (c[i][1] + c[i + 1][1]) / 2
-        px, py = sx / tl, sy / tl
+        px, py = _ieee_div(sx, tl), _ieee_div(sy, tl)
     else:
         xy = _all_xy(w)
         px = sum(p[0] for p in xy) / len(xy)

@@ -37,6 +37,17 @@ BATTERY = [
      "LINESTRING (3 4, 5 4)"),
     ("LINESTRING EMPTY", "POINT EMPTY"),
     ("POLYGON EMPTY", "POINT (1 1)"),
+    # >7-significant-digit coordinates in Java's scientific bands
+    # ([1e7, 1e16) and [1e-4, 1e-3)) — Web-Mercator-scale values whose
+    # Double.toString is scientific with a long mantissa, pinning the
+    # SQL path's _jdtoa against Spark's double→string cast
+    ("LINESTRING (20037508.342789244 -20037508.342789244, "
+     "12345678.9 87654321.125)",
+     "POINT (20037508.342789244 0.00012345)"),
+    ("POLYGON ((10000000.5 10000000.5, 30000000.25 10000000.5, "
+     "30000000.25 30000000.75, 10000000.5 30000000.75, "
+     "10000000.5 10000000.5))",
+     "POINT (0.00056789012 0.0009999999999)"),
 ]
 
 LINES = [g for g, _ in BATTERY if g.startswith(("LINESTRING", "MULTILINE"))]
