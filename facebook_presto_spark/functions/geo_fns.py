@@ -1870,8 +1870,15 @@ def geometry_union(arr) -> Column:
 def geometry_union_agg(g) -> Column:
     """Aggregate union (presto-geospatial aggregation/GeometryUnionAgg
     .java) — union is commutative/associative, so the collect_list +
-    n-ary-union spelling is order-insensitive; Spark's partial
-    collect_list keeps the shuffle at one row per group."""
+    n-ary-union spelling is order-insensitive.
+
+    SCALE NOTE: as a bare Column expression this collects a whole
+    group's geometries into one array in one task.  The engine's SQL
+    front end respells qualifying blocks as an exact two-phase
+    aggregation (sqlfront/translate._pass_two_phase_geo_agg) so no task
+    ever holds more than one input partition's worth; DataFrame-API
+    callers aggregating groups that may be hot should use
+    geometry_union_agg_df instead of this expression."""
     return geometry_union(F.collect_list(_c(g)))
 
 
@@ -1880,7 +1887,10 @@ def convex_hull_agg(g) -> Column:
     """Aggregate convex hull (aggregation/ConvexHullAggregation.java):
     the hull of the union of inputs is the hull of the pooled vertex
     set, which the existing monotone-chain kernel computes from any
-    WKT, so pooling via GEOMETRYCOLLECTION text is exact."""
+    WKT, so pooling via GEOMETRYCOLLECTION text is exact.
+
+    SCALE NOTE: single-array spelling — see geometry_union_agg; the
+    bounded-state DataFrame path is convex_hull_agg_df."""
     return st_convex_hull(
         F.concat(
             F.lit("GEOMETRYCOLLECTION ("),
@@ -1888,6 +1898,56 @@ def convex_hull_agg(g) -> Column:
             F.lit(")"),
         )
     )
+
+
+def _two_phase_geo_agg_df(df, group_cols, g, partial: Column, merge,
+                          alias: str):
+    """Shared two-phase shape for the geometry aggregates: phase 1
+    groups by (keys…, spark_partition_id()) so each partial aggregates
+    only rows co-resident in one input partition (state bounded by
+    spark.sql.files.maxPartitionBytes however hot the key); phase 2
+    merges ≤ numPartitions partials per key.  Mirrors the SQL front
+    end's _pass_two_phase_geo_agg and the reference's bounded
+    accumulators (GeometryUnionAgg.java, ConvexHullAggregation.java)."""
+    keys = [F.col(k) if isinstance(k, str) else k for k in group_cols]
+    staged = df.select(*keys, _c(g).alias("__fps_g"),
+                       F.spark_partition_id().alias("__fps_salt"))
+    part = staged.groupBy(*[c for c in keys] + [F.col("__fps_salt")]) \
+        .agg(partial.alias("__fps_gp"))
+    return part.groupBy(*keys).agg(merge.alias(alias))
+
+
+def geometry_union_agg_df(df, group_cols, g, alias: str = "union_geom"):
+    """Bounded-state geometry_union_agg over a DataFrame: exact
+    two-phase union (union of partial unions).  Partials merge in
+    source-partition order, so the result is deterministic and matches
+    the single-phase expression's row order."""
+    merge = geometry_union(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("__fps_salt").alias("s"),
+                         F.col("__fps_gp").alias("g")))),
+            lambda x: x["g"],
+        )
+    )
+    return _two_phase_geo_agg_df(
+        df, group_cols, g,
+        geometry_union(F.collect_list(F.col("__fps_g"))), merge, alias)
+
+
+def convex_hull_agg_df(df, group_cols, g, alias: str = "hull_geom"):
+    """Bounded-state convex_hull_agg over a DataFrame: exact two-phase
+    hull (hull of partial hulls — the hull of a union equals the hull
+    of the pooled vertex set, so merging partial hulls is exact)."""
+    partial = st_convex_hull(
+        F.concat(F.lit("GEOMETRYCOLLECTION ("),
+                 F.array_join(F.collect_list(F.col("__fps_g")), ", "),
+                 F.lit(")")))
+    merge = st_convex_hull(
+        F.concat(F.lit("GEOMETRYCOLLECTION ("),
+                 F.array_join(F.collect_list(F.col("__fps_gp")), ", "),
+                 F.lit(")")))
+    return _two_phase_geo_agg_df(df, group_cols, g, partial, merge, alias)
 
 
 @register("ST_Buffer")

@@ -715,14 +715,18 @@ def _spatial_partitions(args: Args) -> list[Tok]:
 
 def _geometry_union_agg(args: Args) -> list[Tok]:
     # aggregation/GeometryUnionAgg.java — union is commutative and
-    # associative, so collect_list + the n-ary union scalar is exact
-    # (the same spelling the Column builder uses)
+    # associative, so collect_list + the n-ary union scalar is exact.
+    # This single-array spelling is the FALLBACK: qualifying aggregate
+    # blocks were already respelled as a bounded-state two-phase
+    # aggregation by translate._pass_two_phase_geo_agg before function
+    # rewriting; only blocks that pass (DISTINCT/HAVING/windows/
+    # non-decomposable sibling aggregates…) reach here.
     return _call("geometry_union", _call("collect_list", args[0]))
 
 
 def _convex_hull_agg(args: Args) -> list[Tok]:
     # aggregation/ConvexHullAggregation.java — hull of the pooled
-    # vertex set
+    # vertex set; fallback spelling, see _geometry_union_agg
     return _call("presto_convex_hull_of_collection",
                  _call("collect_list", args[0]))
 

@@ -3215,6 +3215,260 @@ def _pass_catalog_qualifier(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+# the two geometry aggregates whose naive spelling collects a whole
+# group into one array (geo_fns.geometry_union_agg / convex_hull_agg)
+_GEO_2P_AGGS = {"geometry_union_agg", "convex_hull_agg"}
+# aggregates with an exact partial/merge decomposition the two-phase
+# rewrite knows how to spell (besides the geo pair)
+_GEO_2P_SIMPLE = {"sum", "min", "max", "bool_and", "bool_or", "every",
+                  "arbitrary", "any_value"}
+# recognizable aggregate names with NO simple decomposition — their
+# presence next to a geo aggregate aborts the rewrite (single-phase
+# fallback keeps correctness; only scale suffers)
+_GEO_2P_OTHER_AGGS = {
+    "avg", "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
+    "var_samp", "skewness", "kurtosis", "corr", "covar_pop", "covar_samp",
+    "regr_intercept", "regr_slope", "array_agg", "map_agg", "map_union",
+    "multimap_agg", "histogram", "numeric_histogram", "approx_distinct",
+    "approx_percentile", "approx_set", "merge", "checksum",
+    "geometric_mean", "bitwise_and_agg", "bitwise_or_agg", "reduce_agg",
+    "set_agg", "set_union", "min_by", "max_by", "count_if", "listagg",
+    "qdigest_agg", "merge_qdigest", "learn_classifier",
+    "learn_libsvm_classifier", "spatial_partitioning", "collect_list",
+    "collect_set", "first", "last", "percentile_approx", "grouping",
+    "make_set_digest", "merge_set_digest",
+}
+
+
+def _geo2p_scan_aggs(seg: list[Tok]):
+    """Yield (start, close, name, args) for every decomposable aggregate
+    call in ``seg``, skipping paren groups that hold their own SELECT
+    (subqueries own their aggregates).  Returns None to signal an
+    aborting construct: an OVER/FILTER clause, a DISTINCT argument, a
+    multi-arg min/max/count, or a known non-decomposable aggregate."""
+    found = []
+    i = 0
+    n = len(seg)
+    while i < n:
+        t = seg[i]
+        if t.text == "(":
+            close = find_matching_paren(seg, i)
+            inner = seg[i + 1:close]
+            if any(x.is_kw("SELECT") for x in _depth0_iter(inner)):
+                i = close + 1  # subquery: its aggregates are its own
+                continue
+            sub = _geo2p_scan_aggs(inner)
+            if sub is None:
+                return None
+            found += [(i + 1 + a, i + 1 + b, nm, ar) for a, b, nm, ar in sub]
+            i = close + 1
+            continue
+        if t.is_kw("OVER", "FILTER"):
+            return None
+        if t.kind == "ident" and i + 1 < n and seg[i + 1].text == "(":
+            name = t.text.lower()
+            if name in _GEO_2P_OTHER_AGGS:
+                return None
+            if name in _GEO_2P_AGGS or name in _GEO_2P_SIMPLE or name == "count":
+                close = find_matching_paren(seg, i + 1)
+                args = seg[i + 2:close]
+                if close + 1 < n and seg[close + 1].is_kw("FILTER"):
+                    return None
+                if args and args[0].is_kw("DISTINCT"):
+                    return None
+                if name == "count" and len(args) == 1 and args[0].text == "*":
+                    found.append((i, close, "count*", []))
+                elif len(split_top_level(args)) == 1 and args:
+                    found.append((i, close, name, args))
+                else:
+                    return None  # multi-arg forms (max(x, n)…) keep 1-phase
+                i = close + 1
+                continue
+        i += 1
+    return found
+
+
+def _depth0_iter(seg: list[Tok]):
+    """Tokens of ``seg`` at its own paren depth."""
+    j = 0
+    while j < len(seg):
+        if seg[j].text == "(":
+            j = find_matching_paren(seg, j) + 1
+            continue
+        yield seg[j]
+        j += 1
+
+
+def _pass_two_phase_geo_agg(tokens: list[Tok]) -> list[Tok]:
+    """geometry_union_agg / convex_hull_agg → exact two-phase aggregation.
+
+    The reference's accumulators (presto-geospatial aggregation/
+    GeometryUnionAgg.java, ConvexHullAggregation.java) keep bounded
+    per-task state; the naive Spark spelling — a scalar over
+    collect_list(g) — materializes every geometry of a group in ONE
+    task, which OOMs a hot group at scale.  Union and convex hull are
+    both exactly mergeable (union of partial unions, hull of partial
+    hulls), so qualifying aggregate blocks are respelled as:
+
+      phase 1  group by (keys…, spark_partition_id()) — each subgroup
+               lives entirely inside one input partition, so the
+               collected array is bounded by spark.sql.files
+               .maxPartitionBytes no matter how hot the key;
+      phase 2  group by (keys…) over ≤ numPartitions partials per key.
+
+    The union merge sorts partials by their source partition id so the
+    result is deterministic and matches the single-phase row order.
+    Other aggregates in the same SELECT are decomposed alongside
+    (count→sum of counts, sum/min/max/bool_*→same-function merge); a
+    block with an aggregate we can't decompose, DISTINCT, FILTER,
+    HAVING, windows, qualified/expression group keys, or set operators
+    falls back to the single-phase spelling (sqlfront/functions.py
+    _geometry_union_agg) — correct, just not the 100-TB shape.
+    """
+    if not any(t.kind == "ident" and t.text.lower() in _GEO_2P_AGGS
+               for t in tokens):
+        return tokens
+    # rewrite inner subqueries first
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            out += [t] + _pass_two_phase_geo_agg(tokens[i + 1:close]) \
+                + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+    new = _geo2p_rewrite_level(tokens)
+    return new if new is not None else tokens
+
+
+def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
+    """Rewrite THIS level's SELECT block (subqueries already handled).
+    Returns None when the level doesn't qualify."""
+    # geo agg still present outside any subquery at this level?
+    probe = _geo2p_scan_aggs(tokens)
+    if probe is None or not any(nm in _GEO_2P_AGGS for _, _, nm, _ in probe):
+        return None
+    # clause indices at this level's depth 0
+    idx: dict[str, int] = {}
+    j = 0
+    n = len(tokens)
+    while j < n:
+        t = tokens[j]
+        if t.text == "(":
+            j = find_matching_paren(tokens, j) + 1
+            continue
+        if t.kind == "ident":
+            u = t.upper
+            if u in ("SELECT", "FROM", "WHERE", "GROUP", "HAVING",
+                     "ORDER", "LIMIT") and u not in idx:
+                idx[u] = j
+            if u in ("UNION", "INTERSECT", "EXCEPT"):
+                return None  # set-op level: keep single-phase
+        j += 1
+    if "SELECT" not in idx or "FROM" not in idx or "HAVING" in idx:
+        return None
+    sel_i, from_i = idx["SELECT"], idx["FROM"]
+    if not sel_i < from_i:
+        return None
+    if tokens[sel_i + 1].is_kw("DISTINCT"):
+        return None
+    bounds = sorted(v for k, v in idx.items() if v > from_i)
+    from_end = bounds[0] if bounds else n
+    where_i = idx.get("WHERE")
+    where_end = min((b for b in bounds if where_i is not None
+                     and b > where_i), default=n) if where_i else None
+    group_i = idx.get("GROUP")
+    if group_i is not None and not (group_i + 1 < n
+                                    and tokens[group_i + 1].upper == "BY"):
+        return None
+    group_end = min((b for b in bounds if group_i is not None
+                     and b > group_i), default=n) if group_i is not None else None
+    tail_start = min((idx[k] for k in ("ORDER", "LIMIT") if k in idx),
+                     default=n)
+    if not (where_i is None or from_end == where_i):
+        return None
+    items = tokens[sel_i + 1:from_i]
+    from_seg = tokens[from_i + 1:from_end]
+    where_seg = tokens[where_i + 1:where_end] if where_i else []
+    group_seg = tokens[group_i + 2:group_end] if group_i is not None else []
+    tail_seg = tokens[tail_start:]
+    prefix = tokens[:sel_i]  # WITH clause, if any
+    if not from_seg:
+        return None
+    # keys must be bare identifiers (exposed by the mid query under
+    # their own names so the outer block reads them verbatim)
+    keys: list[Tok] = []
+    if group_seg:
+        for key in split_top_level(group_seg):
+            if len(key) != 1 or key[0].kind not in ("ident", "qident") \
+                    or key[0].upper in ("ROLLUP", "CUBE", "GROUPING"):
+                return None
+            keys.append(key[0])
+    # aggregates referenced by ORDER BY/LIMIT would read columns the
+    # mid query doesn't expose — bail rather than fail downstream
+    agg_names = _GEO_2P_AGGS | _GEO_2P_SIMPLE | _GEO_2P_OTHER_AGGS | {"count"}
+    if any(t.kind == "ident" and t.text.lower() in agg_names
+           for t in tail_seg):
+        return None
+    aggs = _geo2p_scan_aggs(items)
+    if aggs is None or not aggs:
+        return None
+    # build the three layers
+    k_sql = ", ".join(render([k]) for k in keys)
+    inner_cols = [render([k]) for k in keys]
+    mid_cols: list[str] = []
+    merges: list[str] = []
+    for i, (_s, _e, name, args) in enumerate(aggs):
+        a, g = f"__fps_a{i}", f"__fps_gp{i}"
+        if name != "count*":
+            inner_cols.append(f"{render(args)} AS {a}")
+        if name == "geometry_union_agg":
+            mid_cols.append(f"geometry_union(collect_list({a})) AS {g}")
+            merges.append(
+                "geometry_union(transform(array_sort(collect_list("
+                f"named_struct('s', __fps_salt, 'g', {g}))), x -> x.g))")
+        elif name == "convex_hull_agg":
+            mid_cols.append(
+                f"presto_convex_hull_of_collection(collect_list({a})) AS {g}")
+            merges.append(
+                f"presto_convex_hull_of_collection(collect_list({g}))")
+        elif name == "count*":
+            mid_cols.append(f"count(*) AS {g}")
+            merges.append(f"CAST(coalesce(sum({g}), 0) AS BIGINT)")
+        elif name == "count":
+            mid_cols.append(f"count({a}) AS {g}")
+            merges.append(f"CAST(coalesce(sum({g}), 0) AS BIGINT)")
+        else:  # sum/min/max/bool_and/bool_or/every/arbitrary/any_value
+            mid_cols.append(f"{name}({a}) AS {g}")
+            merges.append(f"{name}({g})")
+    inner_cols.append("spark_partition_id() AS __fps_salt")
+    inner = f"SELECT {', '.join(inner_cols)} FROM {render(from_seg)}"
+    if where_seg:
+        inner += f" WHERE {render(where_seg)}"
+    mid_keys = (k_sql + ", " if keys else "") + "__fps_salt"
+    mid = (f"SELECT {mid_keys}, {', '.join(mid_cols)} "
+           f"FROM ( {inner} ) GROUP BY {mid_keys}")
+    # outer select list: original items with each aggregate call span
+    # replaced by its merge expression (replace back-to-front so spans
+    # stay valid)
+    out_items = list(items)
+    for (s, e, _nm, _ar), merge in sorted(zip(aggs, merges),
+                                          key=lambda p: -p[0][0]):
+        out_items[s:e + 1] = tokenize(merge)
+    outer = f"SELECT {render(out_items)} FROM ( {mid} )"
+    if keys:
+        outer += f" GROUP BY {k_sql}"
+    if tail_seg:
+        outer += " " + render(tail_seg)
+    return prefix + tokenize(outer)
+
+
 def translate(sql: str) -> str:
     """Presto-dialect SQL → Spark-SQL string."""
     toks = tokenize(sql)
@@ -3245,6 +3499,7 @@ def translate(sql: str) -> str:
     toks = _pass_gs_empty_global(toks)
     toks = _pass_cube_rollup_empty_global(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)
+    toks = _pass_two_phase_geo_agg(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)
     toks = _pass_misc(toks)

@@ -1,0 +1,159 @@
+"""Two-phase geometry aggregates (round 9).
+
+The reference's GeometryUnionAgg.java / ConvexHullAggregation.java keep
+bounded per-task accumulator state; sqlfront/translate.
+_pass_two_phase_geo_agg gives engine.sql the same property by respelling
+qualifying aggregate blocks as (keys…, spark_partition_id()) partials
+followed by a per-key merge.  This suite pins:
+
+* exact agreement between the two-phase SQL path, the single-phase
+  Column expression, and the bounded DataFrame helpers, over
+  multi-partition input;
+* the documented fallbacks (non-decomposable sibling aggregate,
+  DISTINCT, HAVING) staying single-phase AND correct;
+* the scale contract: one group holding ≥1M geometries aggregates
+  without any task collecting the whole group (the plan groups by
+  __fps_salt first), at default task memory.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from facebook_presto_spark.engine import PrestoSparkEngine
+from facebook_presto_spark.functions import call
+from facebook_presto_spark.functions import geo_kernel as gk
+from facebook_presto_spark.functions.geo_fns import (
+    convex_hull_agg_df,
+    geometry_union_agg_df,
+)
+from facebook_presto_spark.sqlfront.translate import translate
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+
+
+def _geo_df(spark, parts=7):
+    rows = []
+    for i in range(60):
+        k = i % 3
+        if i % 5 == 0:
+            rows.append((k, f"POLYGON (({i} 0, {i + 2} 0, {i + 2} 2, "
+                            f"{i} 2, {i} 0))"))
+        elif i % 5 == 1:
+            rows.append((k, f"LINESTRING ({i} {i}, {i + 1} {i})"))
+        else:
+            rows.append((k, f"POINT ({i} {i % 7})"))
+    return spark.createDataFrame(rows, "k int, g string").repartition(parts)
+
+
+def test_two_phase_matches_single_phase(eng, spark):
+    df = _geo_df(spark)
+    df.createOrReplaceTempView("geo2p")
+    sql = translate("SELECT k, geometry_union_agg(g) AS u, "
+                    "convex_hull_agg(g) AS h FROM geo2p GROUP BY k")
+    assert "__fps_salt" in sql, "two-phase rewrite did not fire"
+    got = {r.k: (r.u, r.h) for r in eng.sql(
+        "SELECT k, geometry_union_agg(g) AS u, convex_hull_agg(g) AS h "
+        "FROM geo2p GROUP BY k").collect()}
+    want = {r.k: (r.u, r.h) for r in df.groupBy("k").agg(
+        call("geometry_union_agg", F.col("g")).alias("u"),
+        call("convex_hull_agg", F.col("g")).alias("h")).collect()}
+    assert set(got) == set(want) == {0, 1, 2}
+    for k in got:
+        assert gk.canonical(got[k][0]) == gk.canonical(want[k][0]), k
+        assert gk.canonical(got[k][1]) == gk.canonical(want[k][1]), k
+
+
+def test_df_helpers_match_single_phase(spark):
+    df = _geo_df(spark)
+    u2 = {r.k: r.u for r in
+          geometry_union_agg_df(df, ["k"], F.col("g"), "u").collect()}
+    h2 = {r.k: r.h for r in
+          convex_hull_agg_df(df, ["k"], F.col("g"), "h").collect()}
+    one = {r.k: (r.u, r.h) for r in df.groupBy("k").agg(
+        call("geometry_union_agg", F.col("g")).alias("u"),
+        call("convex_hull_agg", F.col("g")).alias("h")).collect()}
+    for k, (u, h) in one.items():
+        assert gk.canonical(u2[k]) == gk.canonical(u)
+        assert gk.canonical(h2[k]) == gk.canonical(h)
+
+
+def test_sibling_aggregates_decompose(eng, spark):
+    df = _geo_df(spark)
+    df.createOrReplaceTempView("geo2p_sib")
+    sql = translate(
+        "SELECT k, count(*) AS c, count(g) AS cg, min(g) AS lo, "
+        "max(g) AS hi, ST_Area(convex_hull_agg(g)) AS a "
+        "FROM geo2p_sib GROUP BY k")
+    assert "__fps_salt" in sql
+    got = {r.k: r for r in eng.sql(
+        "SELECT k, count(*) AS c, count(g) AS cg, min(g) AS lo, "
+        "max(g) AS hi, ST_Area(convex_hull_agg(g)) AS a "
+        "FROM geo2p_sib GROUP BY k").collect()}
+    want = {r.k: r for r in eng.spark.sql(
+        "SELECT k, count(*) AS c, count(g) AS cg, min(g) AS lo, "
+        "max(g) AS hi FROM geo2p_sib GROUP BY k").collect()}
+    hull_area = {r.k: r.a for r in df.groupBy("k").agg(
+        call("ST_Area", call("convex_hull_agg", F.col("g"))).alias("a")
+    ).collect()}
+    for k, w in want.items():
+        assert (got[k].c, got[k].cg, got[k].lo, got[k].hi) == \
+            (w.c, w.cg, w.lo, w.hi)
+        assert got[k].a == pytest.approx(hull_area[k]) and got[k].a > 0
+
+
+def test_fallbacks_stay_single_phase_and_correct(eng, spark):
+    _geo_df(spark).createOrReplaceTempView("geo2p_fb")
+    for q in (
+        # avg has no decomposition spelled here
+        "SELECT k, avg(k) AS m, ST_NumPoints(geometry_union_agg(g)) AS n "
+        "FROM geo2p_fb GROUP BY k",
+        # HAVING
+        "SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n FROM geo2p_fb "
+        "GROUP BY k HAVING count(*) > 1",
+        # DISTINCT argument
+        "SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n, "
+        "count(DISTINCT g) AS d FROM geo2p_fb GROUP BY k",
+    ):
+        assert "__fps_salt" not in translate(q), q
+        rows = eng.sql(q).collect()  # still executes correctly
+        assert len(rows) == 3 and all(r.n > 0 for r in rows)
+
+
+def test_global_aggregate_and_empty_input(eng, spark):
+    _geo_df(spark).createOrReplaceTempView("geo2p_g")
+    row = eng.sql("SELECT count(*) AS c, "
+                  "ST_GeometryType(convex_hull_agg(g)) AS t "
+                  "FROM geo2p_g").collect()[0]
+    assert row.c == 60 and row.t == "POLYGON"
+    row = eng.sql("SELECT count(*) AS c, geometry_union_agg(g) AS u "
+                  "FROM geo2p_g WHERE k > 99").collect()[0]
+    assert row.c == 0 and row.u is None
+
+
+def test_one_hot_group_scales(eng, spark):
+    """One group, 1,000,000 geometries, default task memory.
+
+    The naive spelling would collect all 1M WKT strings into a single
+    array in one task; the two-phase plan's first aggregation groups by
+    spark_partition_id(), so no task ever sees more than one input
+    partition.  Union inputs snap to a 40×25 grid (the reference's
+    union semantics dedupe coincident points), the hull pools all 1M
+    vertices — both must come back exact."""
+    spark.range(1_000_000).selectExpr(
+        "1 AS k",
+        "concat('POINT (', id % 40, ' ', (id * 7) % 25, ')') AS g",
+    ).repartition(32).createOrReplaceTempView("geo2p_big")
+    sql = translate("SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n, "
+                    "convex_hull_agg(g) AS h FROM geo2p_big GROUP BY k")
+    assert "__fps_salt" in sql
+    row = eng.sql(
+        "SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n, "
+        "convex_hull_agg(g) AS h FROM geo2p_big GROUP BY k").collect()[0]
+    assert row.n == 200  # lcm(40, 25) distinct (id%40, 7·id%25) pairs
+    hull = gk.parse_wkt(row.h)
+    xs = [p[0] for p in hull.polys[0][0]]
+    ys = [p[1] for p in hull.polys[0][0]]
+    assert (min(xs), max(xs), min(ys), max(ys)) == (0.0, 39.0, 0.0, 24.0)
