@@ -31,6 +31,7 @@ def _modules():
         presto_sql,
         relational,
         skew,
+        tpcds,
         tpch,
     )
     from facebook_presto_spark import connectors, ddl, hive_catalog, sources
@@ -47,7 +48,7 @@ def _modules():
     return (
         tpch, presto_sql, relational, aggregates, functions_showcase, ddl,
         sources, connectors, hive_catalog, dedup, similarity, text,
-        curation, multimodal, stream_windows, geospatial, ml, skew,
+        curation, multimodal, stream_windows, geospatial, ml, skew, tpcds,
     )
 
 

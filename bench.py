@@ -34,6 +34,15 @@ HEADLINE = [f"tpch_q{i:02d}" for i in range(1, 23)] + [
     "agg_hll_sketch",
     # the SQL front-end path (translation overhead must stay negligible)
     "prestosql_q06",
+    # TPC-DS rung (round 9): the plan shapes TPC-H lacks — deep CTEs,
+    # ROLLUP + windowed rank, LAG over self-joins (data staged by the
+    # first prewarm run via plans.tpcds.stage_dir, outside the timing)
+    "tpcds_q01",
+    "tpcds_q36",
+    "tpcds_q47",
+    "tpcds_q57",
+    "tpcds_q67",
+    "tpcds_q95",
 ]
 
 

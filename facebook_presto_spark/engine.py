@@ -327,8 +327,12 @@ class PrestoSparkEngine:
         txn.check_write(self, presto_sql)
         # hive/memory CTAS/INSERT/DELETE inside an explicit transaction
         # register compensating actions so ROLLBACK undoes them
-        # (transactions.py round 8 — undo-log staging)
+        # (transactions.py round 8 — undo-log staging); metadata
+        # statements (ALTER/DROP TABLE, CREATE/DROP VIEW) stage too
+        # since round 9, per SemiTransactionalHiveMetastore's staged
+        # renames and drops
         txn.stage_write(self, presto_sql)
+        txn.stage_ddl(self, presto_sql)
         m = _SET_PATH_RE.match(presto_sql)
         if m:
             # SET PATH (SqlBase.g4 setPath → SetPathTask.java): a comma

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import hmac as hmac_mod
+import re
 import urllib.parse
 
 import pandas as pd
@@ -280,3 +281,87 @@ def _register_ieee754_sql_udfs():
 
 
 _register_ieee754_sql_udfs()
+
+
+# --- ANALYZE-internal data-size estimate ------------------------------------
+
+def _parse_spark_type(s: str):
+    """Parse Spark's typeof() rendering into (kind, children) for the
+    size model below.  Handles array<…>, map<k,v>, struct<n:t,…>,
+    decimal(p,s); everything else is a leaf."""
+    s = s.strip()
+    for tag in ("array", "map", "struct"):
+        if s.startswith(tag + "<") and s.endswith(">"):
+            body = s[len(tag) + 1:-1]
+            parts, depth, start = [], 0, 0
+            for i, ch in enumerate(body):
+                if ch in "<(":
+                    depth += 1
+                elif ch in ">)":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    parts.append(body[start:i])
+                    start = i + 1
+            parts.append(body[start:])
+            if tag == "struct":
+                parts = [p.split(":", 1)[1] for p in parts]
+            return (tag, [_parse_spark_type(p) for p in parts])
+    if s.startswith("decimal"):
+        m = re.match(r"decimal\((\d+)", s)
+        return ("decimal", int(m.group(1)) if m else 38)
+    return (s, None)
+
+
+_STATS_FIXED_WIDTH = {
+    "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4, "integer": 4,
+    "float": 4, "real": 4, "date": 4, "bigint": 8, "double": 8,
+    "timestamp": 8, "timestamp_ntz": 8,
+}
+
+
+def _stats_size(v, t) -> int:
+    """Per-value estimated data size, the reference's
+    Block.getEstimatedDataSizeForStats model (SumDataSizeForStats.java /
+    MaxDataSizeForStats.java test contract, AbstractTestAggregations
+    .java:751-790): raw value bytes only — UTF-8 length for varchar,
+    byte length for varbinary, the fixed physical width for primitives
+    (int 4, bigint 8, …), and the recursive element sum for
+    array/map/row with NO per-entry overhead."""
+    if v is None:
+        return 0
+    kind, sub = t
+    if kind == "array":
+        return sum(_stats_size(e, sub[0]) for e in v)
+    if kind == "map":
+        return sum(_stats_size(k, sub[0]) + _stats_size(x, sub[1])
+                   for k, x in v.items())
+    if kind == "struct":
+        return sum(_stats_size(f, ft) for f, ft in zip(v, sub))
+    if kind in ("string", "varchar", "char"):
+        return len(v.encode("utf-8"))
+    if kind in ("binary", "varbinary"):
+        return len(v)
+    if kind == "decimal":
+        return 8 if sub <= 18 else 16
+    return _STATS_FIXED_WIDTH.get(kind, 8)
+
+
+def _data_size_for_stats_udf():
+    # row-at-a-time by design, like engine.presto_json_field: the size
+    # model dispatches on the runtime type string and arbitrarily nested
+    # Python values (Row/list/dict), and the only callers are the hidden
+    # $internal$ ANALYZE aggregates — never a scan-path operator
+    _cache: dict = {}
+
+    def _sz(v, ts):
+        t = _cache.get(ts)
+        if t is None:
+            t = _cache[ts] = _parse_spark_type(ts)
+        return _stats_size(v, t)
+
+    from pyspark.sql.types import LongType
+
+    return F.udf(_sz, LongType())
+
+
+SQL_UDFS["presto_data_size_for_stats"] = _data_size_for_stats_udf()

@@ -1,0 +1,191 @@
+"""TPC-DS rung — six representative decision-support queries.
+
+The reference benchmarks TPC-DS alongside TPC-H
+(presto-benchto-benchmarks/src/main/resources/benchmarks/presto/
+tpcds.yaml:1-30) and ships the full query corpus as product tests
+(presto-product-tests/.../testcases/tpcds/*.sql); tests/test_tpcds.py
+already runs every corpus query against DuckDB.  This module promotes
+six of them — picked for the plan shapes TPC-H doesn't exercise — into
+the driver contract (queries()/oracle_sql()) and the bench set:
+
+  q01  deep CTE + correlated scalar subquery over the CTE
+  q36  ROLLUP + RANK() OVER (PARTITION BY GROUPING(…))
+  q47  CTE + LAG/LEAD windows over a yearly self-join
+  q57  the q47 shape on the catalog channel (window-heavy)
+  q67  ROLLUP over 8 keys + RANK partition on category — the heaviest
+       aggregation/window combination in the suite
+  q95  WITH-clause reuse (ws_wh self-join) + EXISTS semi-joins
+
+Query text is loaded from the reference's product-test corpus at run
+time (the same public TPC-DS spec text dsdgen ships); data comes from
+DuckDB's built-in dsdgen at the scale matching the requested sf_dir,
+staged once under .scratch/ and registered as tpcds_-prefixed temp
+views so the shared TPC-H view names (customer, …) are never shadowed.
+Both sides strip the trailing LIMIT (ties under LIMIT are
+engine-defined; the full ordered multiset is the stronger check — see
+tests/test_tpcds.py) and wrap the query in a positional column-alias
+list so the driver's name-sorted hash compare aligns columns.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCDS_REF = (
+    "/root/reference/presto-product-tests/src/main/resources/sql-tests/"
+    "testcases/tpcds"
+)
+_SCRATCH = "/root/repo/.scratch"
+
+# picked queries → one marker per output column for the positional
+# alias wrap: "" = pass through, "c" = money → exact integer cents
+# (the repo's TPC-H integer-cents determinism: Spark aggregates money
+# as exact DECIMAL, DuckDB's avg() goes through double — rounding the
+# final value to cents on BOTH sides makes the hash compare exact),
+# "m" = ratio → exact integer millionths
+PICKS: dict[str, tuple[str, ...]] = {
+    "q01": ("",),                                    # c_customer_id
+    "q36": ("m", "", "", "", ""),                    # gross_margin ratio
+    "q47": ("", "", "", "", "", "", "c", "c", "c", "c"),
+    "q57": ("", "", "", "", "", "c", "c", "c", "c"),
+    "q67": ("", "", "", "", "", "", "", "", "c", ""),  # sumsales
+    "q95": ("", "c", "c"),                           # shipping, profit
+}
+
+_TABLES = (
+    "call_center", "catalog_page", "catalog_returns", "catalog_sales",
+    "customer", "customer_address", "customer_demographics", "date_dim",
+    "household_demographics", "income_band", "inventory", "item",
+    "promotion", "reason", "ship_mode", "store", "store_returns",
+    "store_sales", "time_dim", "warehouse", "web_page", "web_returns",
+    "web_sales", "web_site",
+)
+
+_TABLE_RE = re.compile(r"\b(" + "|".join(_TABLES) + r")\b")
+
+
+def _sf_for(sf_dir: str) -> str:
+    """TPC-DS scale matching the driver's sf_dir: the correctness gate
+    (sf0.001/sf0.01) compares at dsdgen sf0.01 — the scale the
+    reference's expected results were computed on — and the bench rung
+    (sf0.1) at dsdgen sf0.1."""
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return "0.1" if float(tail) >= 0.1 else "0.01"
+    except ValueError:
+        return "0.01"
+
+
+def stage_dir(sf: str) -> str:
+    """Generate (once) and return the parquet staging dir for dsdgen
+    sf; generation is seconds at 0.01 and ~a minute at 0.1, amortized
+    across every query of a driver/bench run."""
+    stage = f"{_SCRATCH}/tpcds_sf{sf}"
+    if not glob.glob(os.path.join(stage, "*.parquet")):
+        import duckdb
+
+        os.makedirs(stage, exist_ok=True)
+        con = duckdb.connect()
+        con.execute(f"CALL dsdgen(sf={sf})")
+        for (t,) in con.execute("show tables").fetchall():
+            con.execute(
+                f"COPY (SELECT * FROM {t}) TO '{stage}/{t}.parquet' "
+                f"(FORMAT PARQUET)"
+            )
+        con.close()
+    return stage
+
+
+def _load(name: str) -> str:
+    path = os.path.join(TPCDS_REF, f"{name}.sql")
+    sql = "\n".join(
+        ln for ln in open(path).read().splitlines()
+        if not ln.startswith("--")
+    ).strip().rstrip(";")
+    sql = re.sub(r"\bLIMIT\s+\d+\s*$", "", sql, flags=re.I).strip()
+    # prefix every table reference so the staged views never collide
+    # with the shared TPC-H names (customer, …)
+    return _TABLE_RE.sub(lambda m: f"tpcds_{m.group(1)}", sql)
+
+
+def _wrap(sql: str, markers: tuple[str, ...]) -> str:
+    scale = {"c": 100, "m": 1000000}
+    outer = []
+    for i, mk in enumerate(markers, 1):
+        if mk in scale:
+            outer.append(
+                f"CAST(round(CAST(c{i} AS DOUBLE) * {scale[mk]}) AS BIGINT)"
+                f" AS c{i}")
+        else:
+            outer.append(f"c{i}")
+    inner = ", ".join(f"c{i}" for i in range(1, len(markers) + 1))
+    return f"SELECT {', '.join(outer)} FROM ( {sql} ) AS tpcds_q({inner})"
+
+
+def _runner(name: str,
+            markers: tuple[str, ...]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from facebook_presto_spark.sqlfront import translate
+
+        stage = stage_dir(_sf_for(sf_dir))
+        for t in _TABLES:
+            spark.sql(
+                f"CREATE OR REPLACE TEMP VIEW tpcds_{t} AS "
+                f"SELECT * FROM parquet.`{stage}/{t}.parquet`"
+            )
+        return spark.sql(translate(_wrap(_load(name), markers)))
+
+    return run
+
+
+def _oracle(name: str, markers: tuple[str, ...]) -> str:
+    """DuckDB side: the same rewritten text with the staged parquet
+    bound through a WITH header (CTE names shadow the pre-registered
+    TPC-H views)."""
+    stage = stage_dir("0.01")
+    sql = _wrap(_load(name), markers)
+    header = ", ".join(
+        f"tpcds_{t} AS (SELECT * FROM read_parquet('{stage}/{t}.parquet'))"
+        for t in _TABLES
+    )
+    m = re.match(r"\s*WITH\s+", sql, re.I)
+    if m:
+        return f"WITH {header}, " + sql[m.end():]
+    return f"WITH {header} " + sql
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    f"tpcds_{name}": _runner(name, n) for name, n in PICKS.items()
+}
+
+# Oracle text is built lazily: rendering it stages the sf0.01 dataset,
+# which must not happen at module import.  NOT a dict subclass —
+# dict.update() takes the raw-storage fast path on dict subclasses and
+# would copy unevaluated placeholders; for a Mapping it goes through
+# keys()/__getitem__.
+from collections.abc import Mapping
+
+
+class _LazyOracle(Mapping):
+    def __init__(self):
+        self._cache: dict[str, str] = {}
+
+    def __iter__(self):
+        return iter(f"tpcds_{name}" for name in PICKS)
+
+    def __len__(self):
+        return len(PICKS)
+
+    def __getitem__(self, key: str) -> str:
+        if key not in self._cache:
+            name = key.removeprefix("tpcds_")
+            self._cache[key] = _oracle(name, PICKS[name])
+        return self._cache[key]
+
+
+ORACLE = _LazyOracle()

@@ -713,6 +713,27 @@ def _spatial_partitions(args: Args) -> list[Tok]:
     return _call("spatial_partitions", *args)
 
 
+def _data_size_for_stats(agg: str):
+    # SumDataSizeForStats.java / MaxDataSizeForStats.java — the hidden
+    # ANALYZE-support aggregates ("$internal$…", hidden=true): sum/max
+    # of Block.getEstimatedDataSizeForStats per value.  Spelled as a
+    # plain sum/max over the runtime-typed size scalar
+    # (binary_fns.presto_data_size_for_stats), which keeps Spark's
+    # partial aggregation.  typeof() feeds the scalar the static type so
+    # fixed-width sizes (int 4, bigint 8, …) match the reference.
+    def rule(args: Args) -> list[Tok]:
+        arg = list(args[0])
+        # the engine spells CAST(x AS CHAR(n)) as rpad(substring(…));
+        # the reference strips trailing spaces when casting to char and
+        # sizes the STRIPPED value (AbstractTestAggregations.java:757),
+        # so unwrap the pad for the size estimate
+        if arg and arg[0].kind == "ident" and arg[0].text.lower() == "rpad":
+            arg = _call("rtrim", arg)
+        return _call(agg, _call("presto_data_size_for_stats", arg,
+                                _call("typeof", arg)))
+    return rule
+
+
 def _geometry_union_agg(args: Args) -> list[Tok]:
     # aggregation/GeometryUnionAgg.java — union is commutative and
     # associative, so collect_list + the n-ary union scalar is exact.
@@ -1250,6 +1271,10 @@ RULES: dict[str, object] = {
     "geometry_union_agg": _geometry_union_agg,
     "convex_hull_agg": _convex_hull_agg,
     "spatial_partitioning": _spatial_partitioning,
+    # hidden ANALYZE-support aggregates (quoted-name-only in the
+    # reference; translate._pass_functions resolves quoted calls)
+    "$internal$sum_data_size_for_stats": _data_size_for_stats("sum"),
+    "$internal$max_data_size_for_stats": _data_size_for_stats("max"),
     "multimap_agg": _multimap_agg,
     "map_union": _map_union,
     "reduce_agg": _reduce_agg,

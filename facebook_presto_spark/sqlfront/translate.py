@@ -242,6 +242,109 @@ _UNNEST_ALIAS_STOP = (
 )
 
 
+_JOINISH = ("CROSS", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "NATURAL")
+
+
+def _pass_lateral_join_fixup(tokens: list[Tok]) -> list[Tok]:
+    """Make _pass_unnest's LATERAL VIEW output composable with joins.
+
+    Spark's grammar hangs lateral views off the END of the whole FROM
+    relation, so two Presto shapes land on text Spark can't parse:
+
+    * ``FROM UNNEST(…) t(a, b) CROSS JOIN r`` — a lateral view followed
+      by a join → wrap the dummy-base lateral view as a derived table
+      ``( SELECT a, b FROM (SELECT 1) … LATERAL VIEW … ) t`` so the
+      join applies to a plain relation (testUnnest#12/#24 shapes);
+    * ``FROM ( r CROSS JOIN UNNEST(r.a) t(col) )`` — a PARENTHESIZED
+      relation containing a lateral view → the parens are redundant
+      once the unnest is a lateral view, so strip them
+      (testCrossJoinUnnestWithUnion#0 shape).
+
+    Both activations were Spark ParseExceptions before, so the fixup
+    cannot regress a previously working query.
+    """
+    # recurse first so nested subqueries are already fixed
+    out: list[Tok] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t.text == "(":
+            close = find_matching_paren(tokens, i)
+            inner = _pass_lateral_join_fixup(tokens[i + 1:close])
+            # paren-strip: a parenthesized relation whose body holds a
+            # top-level LATERAL VIEW, not followed by an alias/join —
+            # only valid (and only emitted) directly under FROM
+            follows_from = bool(out) and out[-1].is_kw("FROM")
+            has_lv = any(
+                x.is_kw("LATERAL") for x in _depth0_iter(inner)
+            ) and any(x.is_kw("VIEW") for x in _depth0_iter(inner))
+            nxt = tokens[close + 1] if close + 1 < len(tokens) else None
+            tail_ok = nxt is None or nxt.is_kw(
+                "GROUP", "WHERE", "ORDER", "LIMIT", "HAVING", "UNION",
+                "INTERSECT", "EXCEPT") or nxt.text in (")", ";")
+            if follows_from and has_lv and tail_ok:
+                out.extend(inner)
+            else:
+                out += [t] + inner + [tokens[close]]
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    tokens = out
+
+    # wrap: FROM (SELECT 1) __unnest_base LATERAL VIEW fn(…) a AS c,…
+    # followed by a join keyword
+    j = 0
+    n = len(tokens)
+    while j < n:
+        if not tokens[j].is_kw("FROM"):
+            j += 1
+            continue
+        k = j + 1
+        # dummy base emitted by _pass_unnest's FROM-position branch?
+        if not (k + 4 < n and tokens[k].text == "("
+                and tokens[k + 1].is_kw("SELECT")
+                and tokens[k + 2].text == "1" and tokens[k + 3].text == ")"
+                and tokens[k + 4].text == "__unnest_base"):
+            j += 1
+            continue
+        p = k + 5
+        cols: list[str] = []
+        alias = None
+        while p + 1 < n and tokens[p].is_kw("LATERAL") \
+                and tokens[p + 1].is_kw("VIEW"):
+            p += 2
+            while p < n and tokens[p].text != "(":
+                p += 1
+            p = find_matching_paren(tokens, p) + 1
+            if p < n and tokens[p].kind == "ident":
+                alias = tokens[p].text
+                p += 1
+            if p < n and tokens[p].is_kw("AS"):
+                p += 1
+                while p < n and tokens[p].kind == "ident":
+                    cols.append(tokens[p].text)
+                    p += 1
+                    if p < n and tokens[p].text == ",":
+                        p += 1
+                    else:
+                        break
+        if alias and cols and p < n and tokens[p].is_kw(*_JOINISH):
+            wrapped = [tokens[j], op("("), ident("SELECT")]
+            for ci, c in enumerate(cols):
+                if ci:
+                    wrapped.append(op(","))
+                wrapped.append(ident(c))
+            wrapped += [ident("FROM")] + tokens[j + 1:p] \
+                + [op(")"), ident(alias)]
+            tokens = tokens[:j] + wrapped + tokens[p:]
+            n = len(tokens)
+            j += len(wrapped)
+            continue
+        j = p if p > j else j + 1
+    return tokens
+
+
 def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -304,23 +407,38 @@ def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
             i = j
 
         if len(exprs) > 1:
-            if with_ord:
-                raise NotImplementedError(
-                    "UNNEST of multiple arrays WITH ORDINALITY is not supported"
-                )
             # UNNEST(a1, a2, …) zips the arrays positionally
             # (UnnestOperator.java NULL-pads the shorter ones — exactly
-            # arrays_zip + inline semantics).
+            # arrays_zip + inline semantics).  WITH ORDINALITY zips a
+            # 1-based sequence as the LAST array: its length is the max
+            # input size, so it never pads and never extends (the CASE
+            # guards sequence(1, 0), which Spark renders descending).
             zipped: list[Tok] = [ident("arrays_zip"), op("(")]
             for k, e in enumerate(exprs):
                 if k:
                     zipped.append(op(","))
                 zipped.extend(e)
+            if with_ord:
+                longest: list[Tok] = [ident("greatest"), op("(")]
+                for k, e in enumerate(exprs):
+                    if k:
+                        longest.append(op(","))
+                    longest.extend(_call("size", e))
+                longest.append(op(")"))
+                zipped.append(op(","))
+                zipped.extend(
+                    [ident("CASE"), ident("WHEN")] + longest
+                    + [op("<="), Tok("number", "0"), ident("THEN"),
+                       ident("array"), op("("), op(")"), ident("ELSE"),
+                       ident("sequence"), op("("), Tok("number", "1"),
+                       op(",")] + longest + [op(")"), ident("END")]
+                )
             zipped.append(op(")"))
             out.extend([ident("LATERAL"), ident("VIEW")])
             out.extend(_call("inline", zipped))
             out.append(ident(alias))
-            if len(cols) == len(exprs):  # user-specified column list
+            # user-specified column list (ordinality adds one column)
+            if len(cols) == len(exprs) + (1 if with_ord else 0):
                 out.append(ident("AS"))
                 for k, c in enumerate(cols):
                     if k:
@@ -2042,17 +2160,48 @@ def _pass_functions(tokens: list[Tok]) -> list[Tok]:
     while i < len(tokens):
         t = tokens[i]
         if (
-            t.kind == "ident" and i + 1 < len(tokens) and tokens[i + 1].text == "("
+            t.kind in ("ident", "qident") and i + 1 < len(tokens)
+            and tokens[i + 1].text == "("
         ):
             close = find_matching_paren(tokens, i + 1)
             inner = tokens[i + 2:close]
-            name = t.text.lower()
+            # quoted function names resolve like bare ones — the
+            # reference's hidden aggregates are only reachable quoted
+            # ("$internal$sum_data_size_for_stats"(x), SqlBase.g4
+            # quotedIdentifier in qualifiedName position)
+            name = (t.text.lower() if t.kind == "ident"
+                    else t.text[1:-1].replace('""', '"').lower())
             if inner:
                 args = [_pass_functions(a) for a in split_top_level(inner)]
             else:
                 args = []
-            if name in RULES and not _looks_like_keyword_use(t):
-                out.extend(RULES[name](args))  # type: ignore[operator]
+            if name in RULES and (t.kind == "qident"
+                                  or not _looks_like_keyword_use(t)):
+                body = RULES[name](args)  # type: ignore[operator]
+                # aggregate FILTER clause (SqlBase.g4 filter): when the
+                # rewrite buried the aggregate inside an expression
+                # (array_agg ORDER BY → transform(sort_array(
+                # collect_list(…)))…), a trailing FILTER must attach to
+                # the inner collect_list, not the outer scalar — splice
+                # it there when the rewrite holds exactly one
+                nxt = close + 1
+                if (nxt + 1 < len(tokens) and tokens[nxt].is_kw("FILTER")
+                        and tokens[nxt + 1].text == "("):
+                    fclose = find_matching_paren(tokens, nxt + 1)
+                    cl_sites = [k for k, b in enumerate(body)
+                                if b.kind == "ident"
+                                and b.text == "collect_list"
+                                and k + 1 < len(body)
+                                and body[k + 1].text == "("]
+                    if len(cl_sites) == 1 and not (
+                            body[0].kind == "ident"
+                            and body[0].text == "collect_list"):
+                        suffix = _pass_functions(tokens[nxt:fclose + 1])
+                        cl_end = find_matching_paren(body, cl_sites[0] + 1)
+                        body = (body[:cl_end + 1] + suffix
+                                + body[cl_end + 1:])
+                        close = fclose
+                out.extend(body)
             elif name in RENAME:
                 out.extend(_call(RENAME[name], *args))
             else:
@@ -3480,6 +3629,7 @@ def translate(sql: str) -> str:
     toks = _pass_tz_literals(toks)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
+    toks = _pass_lateral_join_fixup(toks)
     toks = _pass_values_lambda(toks)
     toks = _pass_map_in(toks)
     toks = _pass_real_decimal_coercion(toks)

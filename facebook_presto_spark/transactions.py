@@ -34,9 +34,12 @@ pre-transaction table state — the file-retention analogue of the
 reference's SemiTransactionalHiveMetastore staging.  Writes stay
 visible between statements (READ UNCOMMITTED is the engine default,
 like the reference's TransactionManager.java:30) and within the
-transaction (read-your-writes).  Statements outside the staged set
-(ALTER/DROP/GRANT …) keep single-statement semantics — the narrowed
-residual divergence (COVERAGE.md).
+transaction (read-your-writes).  Since round 9 metadata statements
+stage too (``stage_ddl``: ALTER TABLE RENAME TO / ADD COLUMN / RENAME
+COLUMN / DROP COLUMN, DROP TABLE, CREATE/DROP VIEW — the same set
+SemiTransactionalHiveMetastore queues).  The remaining
+single-statement residual is session/authorization state (GRANT/
+REVOKE, SET SESSION, schema CREATE/DROP) — documented in COVERAGE.md.
 """
 
 from __future__ import annotations
@@ -55,7 +58,7 @@ DEFAULT_ISOLATION = "READ UNCOMMITTED"  # TransactionManager.java:30
 class TransactionInfo:
     __slots__ = ("tid", "isolation", "read_only", "auto_commit",
                  "create_time", "last_active", "written_catalog", "catalogs",
-                 "undo", "backup_dirs")
+                 "undo", "backup_dirs", "rolling_back")
 
     def __init__(self, tid: str, isolation: str, read_only: bool,
                  auto_commit: bool = False):
@@ -72,6 +75,9 @@ class TransactionInfo:
         # ROLLBACK; backup_dirs holds the .txn_undo file retention
         self.undo: list = []
         self.backup_dirs: list[str] = []
+        # set while ROLLBACK replays the undo log, so compensating
+        # statements executed through engine.sql don't re-stage
+        self.rolling_back = False
 
 
 class TransactionManager:
@@ -202,10 +208,14 @@ def dispatch(engine, sql: str):
         info = engine.transactions.get(tid)
         if not is_commit:
             # run the compensating actions in reverse statement order
-            # (stage_write) — the rollback path of the reference's
-            # SemiTransactionalHiveMetastore
-            for undo in reversed(info.undo):
-                undo()
+            # (stage_write/stage_ddl) — the rollback path of the
+            # reference's SemiTransactionalHiveMetastore
+            info.rolling_back = True
+            try:
+                for undo in reversed(list(info.undo)):
+                    undo()
+            finally:
+                info.rolling_back = False
         _discard_staging(info)
         engine.transactions.end(tid)
         engine.set_current_transaction(None)
@@ -343,6 +353,8 @@ def stage_write(engine, sql: str) -> None:
     if m is None:
         return
     info = engine.transactions.get(tid)
+    if info.rolling_back:
+        return
     op = re.sub(r"\s+", " ", m.group("op").upper())
     schema = m.group("schema").strip('"')
     table = m.group("table").strip('"')
@@ -434,6 +446,211 @@ def stage_write(engine, sql: str) -> None:
         spark.catalog.refreshTable(qualified)
 
     info.undo.append(undo_delete)
+
+
+# ---------------------------------------------------------------------------
+# metadata-statement staging (round 9) — DDL joins the undo log
+#
+# The reference's SemiTransactionalHiveMetastore stages renames and
+# drops too (setTableStatistics/renameTable/dropTable queue until
+# commit).  Compensations stay metadata- or O(files)-proportional:
+#
+# - ALTER TABLE … RENAME TO         → rename back (pure metadata);
+# - ALTER TABLE … ADD COLUMN        → restore the pre-ALTER dataSchema
+#   through ExternalCatalog.alterTableDataSchema (pure metadata — the
+#   exact inverse of Spark's metadata-only ADD COLUMNS);
+# - ALTER … RENAME/DROP COLUMN, DROP TABLE hive.* → table snapshot:
+#   capture the re-executable SHOW CREATE text + partition specs and
+#   hard-link the live files into .txn_undo (zero-copy); rollback drops
+#   whatever exists, re-runs the CREATE, restores links, re-registers
+#   partitions;
+# - DROP TABLE memory.*             → re-pin the checkpointed DataFrame;
+# - CREATE [OR REPLACE] VIEW / DROP VIEW → drop the created view, or
+#   re-run the recorded Presto-dialect definition.
+# ---------------------------------------------------------------------------
+
+_DDL_T3 = rf"(?P<cat>hive|memory)\s*\.\s*(?P<schema>{_STAGE_NAME})\s*\.\s*" \
+          rf"(?P<table>{_STAGE_NAME})"
+_DDL_RENAME_RE = re.compile(
+    rf"\s*ALTER\s+TABLE\s+{_DDL_T3}\s+RENAME\s+TO\s+"
+    rf"(?:(?:hive|memory)\s*\.\s*)?(?:(?P<nschema>{_STAGE_NAME})\s*\.\s*)?"
+    rf"(?P<ntable>{_STAGE_NAME})\s*;?\s*$",
+    re.I,
+)
+_DDL_ADDCOL_RE = re.compile(
+    rf"\s*ALTER\s+TABLE\s+{_DDL_T3}\s+ADD\s+COLUMN\s+", re.I)
+_DDL_DESTRUCTIVE_RE = re.compile(
+    rf"\s*ALTER\s+TABLE\s+{_DDL_T3}\s+(?:RENAME|DROP)\s+COLUMN\s+", re.I)
+_DDL_DROP_RE = re.compile(
+    rf"\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_DDL_T3}\s*;?\s*$", re.I)
+_DDL_CREATE_VIEW_RE = re.compile(
+    r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+", re.I)
+_DDL_DROP_VIEW_RE = re.compile(
+    r"\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s*;?\s*$", re.I)
+
+
+def _snapshot_hive_table(engine, schema: str, table: str,
+                         info: TransactionInfo) -> None:
+    """Full-compensation snapshot for destructive hive DDL: the
+    re-executable SHOW CREATE text (round-5 surface), the partition
+    specs, and hard links to every live data file."""
+    spark = engine.spark
+    from facebook_presto_spark.hive_catalog import get_catalog
+
+    cat = get_catalog(spark)
+    qualified = cat.qualified(schema, table)
+    create_sql = engine.sql(
+        f"SHOW CREATE TABLE hive.{schema}.{table}").collect()[0][0]
+    parts = _partition_specs(spark, qualified)
+    bdir, backup = _backup_files(spark, qualified)
+    if backup:
+        info.backup_dirs.append(bdir)
+
+    def undo():
+        import os
+        import shutil
+
+        cat2 = get_catalog(spark)
+        cat2.drop(schema, table, if_exists=True)
+        engine.sql(create_sql).collect()
+        for orig, bk in backup.items():
+            if not os.path.exists(orig):
+                os.makedirs(os.path.dirname(orig), exist_ok=True)
+                try:
+                    os.link(bk, orig)
+                except OSError:
+                    shutil.copy2(bk, orig)
+        if parts:
+            now = set(_partition_specs(spark, qualified) or [])
+            for spec in parts:
+                if spec not in now:
+                    spark.sql(f"ALTER TABLE {qualified} "
+                              f"ADD PARTITION ({_spec_sql(spec)})")
+        spark.catalog.refreshTable(qualified)
+
+    info.undo.append(undo)
+
+
+def stage_ddl(engine, sql: str) -> None:
+    """Register compensating actions for metadata statements (ALTER/
+    DROP TABLE, CREATE/DROP VIEW) inside an explicit transaction, per
+    SemiTransactionalHiveMetastore's staged renames and drops."""
+    tid = engine.current_transaction()
+    if tid is None:
+        return
+    info = engine.transactions.get(tid)
+    if info.rolling_back:
+        return
+    spark = engine.spark
+
+    m = _DDL_RENAME_RE.match(sql)
+    if m:
+        cat_name = m.group("cat").lower()
+        schema = m.group("schema").strip('"')
+        table = m.group("table").strip('"')
+        nschema = (m.group("nschema") or schema).strip('"')
+        ntable = m.group("ntable").strip('"')
+        if cat_name == "hive":
+            from facebook_presto_spark.hive_catalog import get_catalog
+
+            cat = get_catalog(spark)
+            if cat._exists(schema, table):
+                info.undo.append(
+                    lambda: get_catalog(spark).rename(
+                        nschema, ntable, schema, table))
+        else:
+            from facebook_presto_spark.connectors import get_catalogs
+
+            mem = get_catalogs(spark).memory
+            if (schema, table) in mem.tables:
+                info.undo.append(
+                    lambda: mem.rename(nschema, ntable, schema, table))
+        return
+
+    m = _DDL_ADDCOL_RE.match(sql)
+    if m and m.group("cat").lower() == "hive":
+        schema = m.group("schema").strip('"')
+        table = m.group("table").strip('"')
+        from facebook_presto_spark.hive_catalog import get_catalog
+
+        cat = get_catalog(spark)
+        if not cat._exists(schema, table):
+            return
+        db = cat.db_name(schema)
+        jcat = spark._jsparkSession.sessionState().catalog()
+        jident = spark._jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+            table, spark._jvm.scala.Some(db))
+        pre_schema = jcat.getTableMetadata(jident).dataSchema().json()
+
+        def undo_addcol():
+            # the metadata-only inverse of ADD COLUMNS; SessionCatalog's
+            # public path refuses dropped columns, the external catalog
+            # applies the recorded pre-ALTER schema verbatim
+            jc = spark._jsparkSession.sessionState().catalog()
+            jc.externalCatalog().alterTableDataSchema(
+                db, table,
+                spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+                    pre_schema))
+            spark.catalog.refreshTable(f"{db}.{table}")
+
+        info.undo.append(undo_addcol)
+        return
+
+    m = _DDL_DESTRUCTIVE_RE.match(sql) or _DDL_DROP_RE.match(sql)
+    if m:
+        schema = m.group("schema").strip('"')
+        table = m.group("table").strip('"')
+        if m.group("cat").lower() == "hive":
+            from facebook_presto_spark.hive_catalog import get_catalog
+
+            if get_catalog(spark)._exists(schema, table):
+                _snapshot_hive_table(engine, schema, table, info)
+        else:
+            from facebook_presto_spark.connectors import get_catalogs
+
+            mem = get_catalogs(spark).memory
+            view = mem.tables.get((schema, table))
+            if view is not None and _DDL_DROP_RE.match(sql):
+                prev = spark.table(view).localCheckpoint(eager=True)
+
+                def undo_mem_drop():
+                    mem.tables[(schema, table)] = view
+                    mem._pin(view, prev)
+
+                info.undo.append(undo_mem_drop)
+        return
+
+    m = _DDL_CREATE_VIEW_RE.match(sql)
+    if m:
+        name = m.group(1).strip('"').split(".")[-1].lower()
+        prev = engine._views.get(name)
+
+        def undo_create_view():
+            if prev is None:
+                try:
+                    spark.catalog.dropTempView(name)
+                except Exception:
+                    pass
+                engine._views.pop(name, None)
+            else:
+                spark.sql(engine.translate(
+                    f"CREATE OR REPLACE VIEW {name} AS {prev}"))
+                engine._views[name] = prev
+
+        info.undo.append(undo_create_view)
+        return
+
+    m = _DDL_DROP_VIEW_RE.match(sql)
+    if m:
+        name = m.group(1).strip('"').split(".")[-1].lower()
+        prev = engine._views.get(name)
+        if prev is not None:
+            def undo_drop_view():
+                spark.sql(engine.translate(
+                    f"CREATE OR REPLACE VIEW {name} AS {prev}"))
+                engine._views[name] = prev
+
+            info.undo.append(undo_drop_view)
 
 
 def _discard_staging(info: TransactionInfo) -> None:

@@ -77,10 +77,11 @@ KNOWN_DIVERGENCES = {
     # the test plugin (compat/test_plugin.py) exactly like the
     # reference's framework does (AbstractTestQueries.java:108
     # .scalars(CustomAdd.class)), so custom_add compares normally.
-    "aggregations:testSumDataSizeForStats": "$internal$ ANALYZE-only "
-        "aggregate (SumDataSizeForStats.java — SURVEY §2.3: internal, skip)",
-    "aggregations:testMaxDataSizeForStats": "$internal$ ANALYZE-only "
-        "aggregate (MaxDataSizeForStats.java — SURVEY §2.3: internal, skip)",
+    # round 9 removed testSumDataSizeForStats / testMaxDataSizeForStats:
+    # the hidden "$internal$" aggregates are implemented (sqlfront/
+    # functions._data_size_for_stats over binary_fns.
+    # presto_data_size_for_stats), so the corpus now has ZERO known
+    # divergences.
 }
 
 # The engine reproduces the reference's double→integer cast bit-for-bit
@@ -97,6 +98,13 @@ ORACLE_OVERRIDES = {
     "testCast#6": "SELECT CAST(floor(totalprice + 0.5) AS BIGINT) FROM orders",
     "testTry#0": "SELECT linenumber, sum(100/(CAST(floor(tax*10 + 0.5) AS "
                  "BIGINT))) FROM lineitem GROUP BY linenumber",
+    # The reference hardcodes 725468 because H2 can't express "size of
+    # the trailing-space-stripped char value" — that constant encodes
+    # ITS dbgen run's comments, which differ from DuckDB's dsdgen
+    # output; spell the same semantics over the shared data instead
+    # (AbstractTestAggregations.java:757-759)
+    "aggregations:testSumDataSizeForStats#1":
+        "SELECT sum(length(rtrim(comment))) FROM orders",
 }
 
 
@@ -232,7 +240,7 @@ def test_abstract_queries_differential(diff_env):
     engine, con = diff_env
     cases = aq.extract_all()
     ran = failed = oracle_skip = nondet = dataset_golden = 0
-    known = subset = smoked = 0
+    known = subset = smoked = runtime_shape = 0
     failures: list[str] = []
     smoke_failures: list[str] = []
     for case in cases:
@@ -252,15 +260,31 @@ def test_abstract_queries_differential(diff_env):
             # DuckDB can't stand in for H2 on this text — still require
             # the ENGINE to run the Presto query (execution smoke): every
             # query the reference's tests run must at least execute.
+            # Tolerated errors are CLASSIFIED, never silently dropped:
+            # a column the tiny dbgen subset genuinely lacks, or a
+            # data-shaped runtime error during execution, are counted;
+            # anything the translator/analyzer rejects is a failure —
+            # the reference runs this text.
             oracle_skip += 1
             try:
                 engine.sql(case.sql).collect()
                 smoked += 1
             except Exception as e:
                 msg = str(e)
-                if "UNRESOLVED_COLUMN" in msg or "UNRESOLVED_ROUTINE" not in msg:
-                    continue  # synthetic-subset column / runtime shape
-                smoke_failures.append(f"{case.case_id}: {msg[:120]}")
+                kind = type(e).__name__
+                if "UNRESOLVED_ROUTINE" in msg:
+                    smoke_failures.append(
+                        f"{case.case_id}: missing function: {msg[:140]}")
+                elif "UNRESOLVED_COLUMN" in msg or "UNRESOLVED_FIELD" in msg:
+                    subset += 1
+                elif kind in ("AnalysisException", "ParseException",
+                              "ValueError", "KeyError",
+                              "NotImplementedError", "IndexError"):
+                    smoke_failures.append(
+                        f"{case.case_id}: translator error {kind}: "
+                        f"{msg[:140]}")
+                else:
+                    runtime_shape += 1  # executed, data-shaped error
             continue
         count_only = (
             re.search(r"\bLIMIT\b", case.sql, re.I)
@@ -285,10 +309,11 @@ def test_abstract_queries_differential(diff_env):
             )
     summary = (
         f"{ran} compared, {failed} failed, {oracle_skip} oracle-skipped "
-        f"(of which {smoked} engine-smoked ok, "
-        f"{len(smoke_failures)} missing-function), "
+        f"(of which {smoked} engine-smoked ok, {subset} subset-column, "
+        f"{runtime_shape} runtime-shape, "
+        f"{len(smoke_failures)} missing-function/translator-error), "
         f"{dataset_golden} dataset-specific-golden, {known} known-divergence, "
-        f"{subset} synthetic-subset, {nondet} nondeterministic of {len(cases)}"
+        f"{nondet} nondeterministic of {len(cases)}"
     )
     print(summary)
     assert not failures, summary + "\n" + "\n".join(failures[:40])

@@ -80,16 +80,31 @@ def eng(spark):
         df.createOrReplaceTempView(name)
 
 
+# exception categories that count as a deliberate REJECTION — the
+# analyzer/parser/translator refusing the statement, like the
+# reference's SemanticException.  Anything else (Py4JJavaError from a
+# UDF, SparkException mid-execution, a stray TypeError) means the
+# engine ACCEPTED the statement and then crashed — that is a bug, not
+# rejection parity, and fails the suite by name.
+_REJECTION_KINDS = {"AnalysisException", "ParseException",
+                    "ValueError", "NotImplementedError"}
+
+
 def test_fail_corpus_rejection_parity(eng):
     cases = aq.extract_fails()
     assert len(cases) >= 30, "extraction regressed"
-    wrong_accepts, wrong_rejects = [], []
+    wrong_accepts, wrong_rejects, crashes = [], [], []
     for case in cases:
         try:
             eng.sql(case.sql).collect()
             accepted = True
-        except Exception:
+        except Exception as e:
             accepted = False
+            kind = type(e).__name__
+            if kind not in _REJECTION_KINDS:
+                crashes.append(
+                    f"{case.case_id}: {kind} is a crash, not a "
+                    f"rejection: {str(e).splitlines()[0][:120]}")
         if accepted and case.case_id not in ACCEPTED:
             wrong_accepts.append(
                 f"{case.case_id}: engine accepted; reference rejects "
@@ -101,6 +116,7 @@ def test_fail_corpus_rejection_parity(eng):
             )
     assert not wrong_accepts, "\n".join(wrong_accepts)
     assert not wrong_rejects, "\n".join(wrong_rejects)
+    assert not crashes, "\n".join(crashes)
 
 
 def test_fail_corpus_classification_is_current(eng):

@@ -241,3 +241,153 @@ def test_writes_outside_transaction_unstaged(eng, spark):
     assert eng.sql(
         "SELECT count(*) AS n FROM hive.txn.t_auto"
     ).collect()[0].n == 2
+
+
+# --- round 9: metadata-statement staging (stage_ddl) ------------------------
+# SemiTransactionalHiveMetastore stages renames and drops alongside the
+# write path; these pin DDL → ROLLBACK round-trips.
+
+
+def test_alter_rename_rollback_renames_back(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_rn AS SELECT n_nationkey FROM nation")
+    eng.sql("START TRANSACTION")
+    eng.sql("ALTER TABLE hive.txn.t_rn RENAME TO hive.txn.t_rn2")
+    assert eng.sql("SELECT count(*) AS c FROM hive.txn.t_rn2").collect()[0].c == 25
+    eng.sql("ROLLBACK")
+    cat = hive_catalog.get_catalog(spark)
+    assert cat._exists("txn", "t_rn") and not cat._exists("txn", "t_rn2")
+    assert eng.sql("SELECT count(*) AS c FROM hive.txn.t_rn").collect()[0].c == 25
+
+
+def test_alter_add_column_rollback_restores_schema(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_ac AS "
+            "SELECT n_nationkey, n_name FROM nation")
+    qualified = hive_catalog.get_catalog(spark).qualified("txn", "t_ac")
+    before_files = _files(spark, qualified)
+    before_schema = spark.table(qualified).schema
+    eng.sql("START TRANSACTION")
+    eng.sql("ALTER TABLE hive.txn.t_ac ADD COLUMN extra DOUBLE")
+    assert "extra" in spark.table(qualified).columns
+    eng.sql("ROLLBACK")
+    # metadata-only compensation: schema back, files untouched
+    assert spark.table(qualified).schema == before_schema
+    assert _files(spark, qualified) == before_files
+    assert eng.sql("SELECT count(*) AS c FROM hive.txn.t_ac").collect()[0].c == 25
+
+
+def test_alter_add_column_commit_keeps_column(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_acc AS SELECT n_nationkey FROM nation")
+    eng.sql("START TRANSACTION")
+    eng.sql("ALTER TABLE hive.txn.t_acc ADD COLUMN extra DOUBLE")
+    eng.sql("COMMIT")
+    qualified = hive_catalog.get_catalog(spark).qualified("txn", "t_acc")
+    assert "extra" in spark.table(qualified).columns
+
+
+def test_drop_table_rollback_restores_data(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_dr AS "
+            "SELECT n_nationkey, n_name FROM nation")
+    before = sorted(
+        tuple(r) for r in eng.sql("SELECT * FROM hive.txn.t_dr").collect())
+    eng.sql("START TRANSACTION")
+    eng.sql("DROP TABLE hive.txn.t_dr")
+    cat = hive_catalog.get_catalog(spark)
+    assert not cat._exists("txn", "t_dr")
+    eng.sql("ROLLBACK")
+    assert cat._exists("txn", "t_dr")
+    after = sorted(
+        tuple(r) for r in eng.sql("SELECT * FROM hive.txn.t_dr").collect())
+    assert after == before
+
+
+def test_drop_partitioned_table_rollback_restores_partitions(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("""
+        CREATE TABLE hive.txn.t_dp WITH (partitioned_by = ARRAY['n_regionkey'])
+        AS SELECT n_nationkey, n_regionkey FROM nation
+    """)
+    before = sorted(
+        tuple(r) for r in eng.sql("SELECT * FROM hive.txn.t_dp").collect())
+    eng.sql("START TRANSACTION")
+    eng.sql("DROP TABLE hive.txn.t_dp")
+    eng.sql("ROLLBACK")
+    after = sorted(
+        tuple(r) for r in eng.sql("SELECT * FROM hive.txn.t_dp").collect())
+    assert after == before and len(after) == 25
+
+
+def test_drop_column_rollback_restores_column_data(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_dc AS "
+            "SELECT n_nationkey, n_name FROM nation")
+    before = sorted(
+        tuple(r) for r in eng.sql("SELECT * FROM hive.txn.t_dc").collect())
+    eng.sql("START TRANSACTION")
+    eng.sql("ALTER TABLE hive.txn.t_dc DROP COLUMN n_name")
+    assert spark.table(
+        hive_catalog.get_catalog(spark).qualified("txn", "t_dc")
+    ).columns == ["n_nationkey"]
+    eng.sql("ROLLBACK")
+    after = sorted(
+        tuple(r) for r in eng.sql("SELECT * FROM hive.txn.t_dc").collect())
+    assert after == before
+
+
+def test_memory_drop_table_rollback(eng, spark):
+    eng.sql("CREATE TABLE memory.default.m_dr AS "
+            "SELECT n_nationkey FROM nation")
+    eng.sql("START TRANSACTION")
+    eng.sql("DROP TABLE memory.default.m_dr")
+    eng.sql("ROLLBACK")
+    assert eng.sql(
+        "SELECT count(*) AS c FROM memory.default.m_dr").collect()[0].c == 25
+
+
+def test_create_view_rollback_drops_view(eng, spark):
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE VIEW txn_v1 AS SELECT n_nationkey FROM nation")
+    assert eng.sql("SELECT count(*) AS c FROM txn_v1").collect()[0].c == 25
+    eng.sql("ROLLBACK")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM txn_v1").collect()
+
+
+def test_drop_view_rollback_restores_view(eng, spark):
+    eng.sql("CREATE VIEW txn_v2 AS SELECT n_nationkey FROM nation")
+    eng.sql("START TRANSACTION")
+    eng.sql("DROP VIEW txn_v2")
+    eng.sql("ROLLBACK")
+    assert eng.sql("SELECT count(*) AS c FROM txn_v2").collect()[0].c == 25
+    row = eng.sql("SHOW CREATE VIEW txn_v2").collect()[0]
+    assert "SELECT n_nationkey FROM nation" in row[0]
+    eng.sql("DROP VIEW txn_v2")
+
+
+def test_replace_view_rollback_restores_previous_definition(eng, spark):
+    eng.sql("CREATE VIEW txn_v3 AS SELECT n_nationkey FROM nation")
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE OR REPLACE VIEW txn_v3 AS SELECT n_name FROM nation")
+    assert eng.sql("SELECT * FROM txn_v3").columns == ["n_name"]
+    eng.sql("ROLLBACK")
+    assert eng.sql("SELECT * FROM txn_v3").columns == ["n_nationkey"]
+    eng.sql("DROP VIEW txn_v3")
+
+
+def test_mixed_write_and_ddl_rollback_reverse_order(eng, spark):
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_mix AS SELECT n_nationkey FROM nation")
+    eng.sql("START TRANSACTION")
+    eng.sql("INSERT INTO hive.txn.t_mix SELECT n_nationkey FROM nation")
+    eng.sql("ALTER TABLE hive.txn.t_mix RENAME TO hive.txn.t_mix2")
+    eng.sql("INSERT INTO hive.txn.t_mix2 SELECT n_nationkey FROM nation")
+    assert eng.sql(
+        "SELECT count(*) AS c FROM hive.txn.t_mix2").collect()[0].c == 75
+    eng.sql("ROLLBACK")
+    cat = hive_catalog.get_catalog(spark)
+    assert cat._exists("txn", "t_mix") and not cat._exists("txn", "t_mix2")
+    assert eng.sql(
+        "SELECT count(*) AS c FROM hive.txn.t_mix").collect()[0].c == 25

@@ -39,9 +39,19 @@ def main():
         [("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "POINT (5 5)")],
         "a string, b string",
     )
-    # untimed warm-up: JVM/session/Arrow-path initialization must not
-    # land in the first timed predicate (ADVICE r7)
-    one.select(call("ST_Contains", F.col("a"), F.col("b")).alias("r")).collect()
+    # No probe-local warm-up query (round-9 verdict item 6): the
+    # engine's geo install now warms the Python workers + Arrow lane on
+    # a background thread (geo_sql._warm_kernel_async); the probe waits
+    # for THAT — the production amortization — and then every predicate
+    # it times is a true warm-session measurement.
+    from facebook_presto_spark.functions import geo_sql
+
+    t0 = time.perf_counter()
+    geo_sql.install(spark)
+    geo_sql.warm_join(spark)
+    print(f"install+background warm: {time.perf_counter() - t0:7.2f}s "
+          "(engine-construction cost, amortized off the query path)",
+          flush=True)
     for name in ["ST_Contains", "ST_Intersects", "ST_Equals", "ST_Touches",
                  "ST_Crosses", "ST_Overlaps", "ST_Distance"]:
         t0 = time.perf_counter()
