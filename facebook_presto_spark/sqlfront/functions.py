@@ -15,6 +15,7 @@ import re
 
 from facebook_presto_spark.sqlfront.tokens import (
     Tok,
+    find_matching_paren,
     ident,
     op,
     split_top_level,
@@ -1062,6 +1063,26 @@ def _try(args: Args) -> list[Tok]:
                 "THEN CAST(NULL AS BIGINT) ELSE abs(__A__) END)",
                 a=arg,
             )
+        # try(MAP(k, v)): MapConstructor.java raises on NULL or
+        # duplicate keys and TryFunction turns that into NULL; Spark's
+        # NULL_MAP_KEY / DUPLICATED_MAP_KEY are runtime errors ANSI-off
+        # doesn't soften, so guard both conditions explicitly
+        # (AbstractTestQueries testMaps "map key cannot be null" shape)
+        if (
+            len(inner) >= 3 and inner[0].kind == "ident"
+            and inner[0].text.lower() == "map_from_arrays"
+            and inner[1].text == "("
+            and find_matching_paren(inner, 1) == len(inner) - 1
+        ):
+            kv = split_top_level(inner[2:-1])
+            if len(kv) == 2:
+                return _template(
+                    "(CASE WHEN __K__ IS NULL "
+                    "OR exists(__K__, __fps_tk -> __fps_tk IS NULL) "
+                    "OR size(__K__) <> size(array_distinct(__K__)) "
+                    "THEN NULL ELSE map_from_arrays(__K__, __V__) END)",
+                    k=kv[0], v=kv[1],
+                )
     # Everything else: evaluate the expression directly.  The session runs
     # with ANSI off, so the error classes Presto's TRY suppresses
     # (division by zero inside comparisons, malformed JSON, bad radixes)

@@ -3372,7 +3372,7 @@ _GEO_2P_AGGS = {"geometry_union_agg", "convex_hull_agg"}
 _GEO_2P_SIMPLE = {"sum", "min", "max", "bool_and", "bool_or", "every",
                   "arbitrary", "any_value"}
 # recognizable aggregate names with NO simple decomposition — their
-# presence next to a geo aggregate aborts the rewrite (single-phase
+# presence next to a two-phase trigger aborts the rewrite (single-phase
 # fallback keeps correctness; only scale suffers)
 _GEO_2P_OTHER_AGGS = {
     "avg", "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
@@ -3380,13 +3380,19 @@ _GEO_2P_OTHER_AGGS = {
     "regr_intercept", "regr_slope", "array_agg", "map_agg", "map_union",
     "multimap_agg", "histogram", "numeric_histogram", "approx_distinct",
     "approx_percentile", "approx_set", "merge", "checksum",
-    "geometric_mean", "bitwise_and_agg", "bitwise_or_agg", "reduce_agg",
+    "geometric_mean", "bitwise_and_agg", "bitwise_or_agg",
     "set_agg", "set_union", "min_by", "max_by", "count_if", "listagg",
     "qdigest_agg", "merge_qdigest", "learn_classifier",
     "learn_libsvm_classifier", "spatial_partitioning", "collect_list",
     "collect_set", "first", "last", "percentile_approx", "grouping",
     "make_set_digest", "merge_set_digest",
 }
+
+# aggregates whose single-phase spelling materializes a whole group in
+# one task AND that merge exactly — their presence alone triggers the
+# two-phase restructure (the geo pair, the TypedHeap top-n forms, and
+# reduce_agg whose combine_fn exists precisely for partial-state merge)
+_GEO_2P_TRIGGERS = _GEO_2P_AGGS | {"reduce_agg", "min_n", "max_n"}
 
 
 def _geo2p_scan_aggs(seg: list[Tok]):
@@ -3418,19 +3424,30 @@ def _geo2p_scan_aggs(seg: list[Tok]):
             name = t.text.lower()
             if name in _GEO_2P_OTHER_AGGS:
                 return None
-            if name in _GEO_2P_AGGS or name in _GEO_2P_SIMPLE or name == "count":
+            if name in _GEO_2P_AGGS or name in _GEO_2P_SIMPLE \
+                    or name in ("count", "reduce_agg"):
                 close = find_matching_paren(seg, i + 1)
                 args = seg[i + 2:close]
                 if close + 1 < n and seg[close + 1].is_kw("FILTER"):
                     return None
                 if args and args[0].is_kw("DISTINCT"):
                     return None
-                if name == "count" and len(args) == 1 and args[0].text == "*":
+                argv = split_top_level(args) if args else []
+                if name == "count" and len(argv) == 1 \
+                        and args[0].text == "*":
                     found.append((i, close, "count*", []))
-                elif len(split_top_level(args)) == 1 and args:
-                    found.append((i, close, name, args))
+                elif name == "reduce_agg" and len(argv) == 4:
+                    found.append((i, close, "reduce_agg", argv))
+                elif name in ("min", "max") and len(argv) == 2:
+                    # min(x, n)/max(x, n): top-n array (TypedHeap);
+                    # mergeable only when n is a plain literal
+                    if len(argv[1]) != 1 or argv[1][0].kind != "number":
+                        return None
+                    found.append((i, close, f"{name}_n", argv))
+                elif len(argv) == 1 and args:
+                    found.append((i, close, name, argv))
                 else:
-                    return None  # multi-arg forms (max(x, n)…) keep 1-phase
+                    return None  # unknown arity: keep single-phase
                 i = close + 1
                 continue
         i += 1
@@ -3467,14 +3484,21 @@ def _pass_two_phase_geo_agg(tokens: list[Tok]) -> list[Tok]:
 
     The union merge sorts partials by their source partition id so the
     result is deterministic and matches the single-phase row order.
-    Other aggregates in the same SELECT are decomposed alongside
-    (count→sum of counts, sum/min/max/bool_*→same-function merge); a
-    block with an aggregate we can't decompose, DISTINCT, FILTER,
-    HAVING, windows, qualified/expression group keys, or set operators
-    falls back to the single-phase spelling (sqlfront/functions.py
-    _geometry_union_agg) — correct, just not the 100-TB shape.
+
+    The same restructure triggers for the OTHER single-array aggregates
+    with an exact merge: min(x, n)/max(x, n) (TypedHeap — the top-n of
+    pooled per-partition top-ns is the global top-n) and reduce_agg
+    (ReduceAggregationFunction — partial folds with the input lambda
+    merge with the COMBINE lambda, the distributed contract that
+    parameter exists for).  Other aggregates in the same SELECT are
+    decomposed alongside (count→sum of counts, sum/min/max/bool_*→
+    same-function merge); a block with an aggregate we can't decompose,
+    DISTINCT, FILTER, HAVING, windows, qualified/expression group keys,
+    or set operators falls back to the single-phase spelling
+    (sqlfront/functions.py) — correct, just not the 100-TB shape.
     """
-    if not any(t.kind == "ident" and t.text.lower() in _GEO_2P_AGGS
+    trigger_names = _GEO_2P_AGGS | {"reduce_agg", "min", "max"}
+    if not any(t.kind == "ident" and t.text.lower() in trigger_names
                for t in tokens):
         return tokens
     # rewrite inner subqueries first
@@ -3499,9 +3523,10 @@ def _pass_two_phase_geo_agg(tokens: list[Tok]) -> list[Tok]:
 def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     """Rewrite THIS level's SELECT block (subqueries already handled).
     Returns None when the level doesn't qualify."""
-    # geo agg still present outside any subquery at this level?
+    # trigger aggregate still present outside any subquery at this level?
     probe = _geo2p_scan_aggs(tokens)
-    if probe is None or not any(nm in _GEO_2P_AGGS for _, _, nm, _ in probe):
+    if probe is None or not any(nm in _GEO_2P_TRIGGERS
+                                for _, _, nm, _ in probe):
         return None
     # clause indices at this level's depth 0
     idx: dict[str, int] = {}
@@ -3573,10 +3598,10 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     inner_cols = [render([k]) for k in keys]
     mid_cols: list[str] = []
     merges: list[str] = []
-    for i, (_s, _e, name, args) in enumerate(aggs):
+    for i, (_s, _e, name, argv) in enumerate(aggs):
         a, g = f"__fps_a{i}", f"__fps_gp{i}"
         if name != "count*":
-            inner_cols.append(f"{render(args)} AS {a}")
+            inner_cols.append(f"{render(argv[0])} AS {a}")
         if name == "geometry_union_agg":
             mid_cols.append(f"geometry_union(collect_list({a})) AS {g}")
             merges.append(
@@ -3593,6 +3618,32 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
         elif name == "count":
             mid_cols.append(f"count({a}) AS {g}")
             merges.append(f"CAST(coalesce(sum({g}), 0) AS BIGINT)")
+        elif name in ("min_n", "max_n"):
+            # TypedHeap top-n: the partial is the fallback rule's own
+            # spelling over the subgroup; the merge re-selects the top n
+            # of ≤ n·numPartitions pooled candidates — exact (top-n of
+            # unioned top-ns is the global top-n, ties kept as values)
+            asc = "true" if name == "min_n" else "false"
+            n_lit = argv[1][0].text
+            mid_cols.append(
+                f"slice(sort_array(collect_list({a}), {asc}), 1, {n_lit})"
+                f" AS {g}")
+            merges.append(
+                f"slice(sort_array(flatten(collect_list({g})), {asc}),"
+                f" 1, {n_lit})")
+        elif name == "reduce_agg":
+            # ReduceAggregationFunction: fold the subgroup with the
+            # input lambda from the initial state; merge the partial
+            # states with the COMBINE lambda — the exact distributed
+            # contract the reference's combine function exists for.
+            # RULES["reduce_agg"] supplies the fallback's aggregate()
+            # spelling (including its accumulator-type coercion).
+            partial = render(RULES["reduce_agg"](
+                [[ident(a)], argv[1], argv[2], argv[3]]))
+            merge = render(RULES["reduce_agg"](
+                [[ident(g)], argv[1], argv[3], argv[3]]))
+            mid_cols.append(f"{partial} AS {g}")
+            merges.append(merge)
         else:  # sum/min/max/bool_and/bool_or/every/arbitrary/any_value
             mid_cols.append(f"{name}({a}) AS {g}")
             merges.append(f"{name}({g})")

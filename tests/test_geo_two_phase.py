@@ -157,3 +157,86 @@ def test_one_hot_group_scales(eng, spark):
     xs = [p[0] for p in hull.polys[0][0]]
     ys = [p[1] for p in hull.polys[0][0]]
     assert (min(xs), max(xs), min(ys), max(ys)) == (0.0, 39.0, 0.0, 24.0)
+
+
+# --- property-based equivalence: two-phase vs single-phase ------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_GEOM_POOL = [
+    "POINT (0 0)", "POINT (3 4)", "POINT (-2 7)", "POINT (3 4)",
+    "LINESTRING (0 0, 5 0)", "LINESTRING (1 1, 1 6, 4 6)",
+    "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))",
+    "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))",
+    "POLYGON ((10 0, 12 0, 12 2, 10 2, 10 0))",
+    "MULTIPOINT (1 2, 3 4)",
+    "GEOMETRYCOLLECTION (POINT (5 1), LINESTRING (3 4, 4 4))",
+    None,
+]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),
+                  st.sampled_from(_GEOM_POOL)),
+        min_size=1, max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_two_phase_property_equivalence(eng, spark, rows, parts):
+    """For ANY grouped dataset and partitioning, the two-phase SQL plan
+    must produce the same union and hull (canonically) as the
+    single-phase Column expression — including NULL geometries and
+    groups living entirely in one partition."""
+    df = spark.createDataFrame(rows, "k int, g string").repartition(parts)
+    df.createOrReplaceTempView("geo2p_prop")
+    got = {r.k: (r.u, r.h) for r in eng.sql(
+        "SELECT k, geometry_union_agg(g) AS u, convex_hull_agg(g) AS h "
+        "FROM geo2p_prop GROUP BY k").collect()}
+    want = {r.k: (r.u, r.h) for r in df.groupBy("k").agg(
+        call("geometry_union_agg", F.col("g")).alias("u"),
+        call("convex_hull_agg", F.col("g")).alias("h")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for gv, wv in zip(got[k], want[k]):
+            if wv is None or gv is None:
+                assert gv == wv, (k, gv, wv)
+            else:
+                assert gk.canonical(gv) == gk.canonical(wv), (k, gv, wv)
+
+
+# --- two-phase for the other exactly-mergeable single-array aggregates ------
+
+
+def test_top_n_and_reduce_agg_two_phase(eng, spark):
+    """min(x,n)/max(x,n) (TypedHeap) and reduce_agg share the geo
+    aggregates' single-array scale problem and their exact merge —
+    the restructure triggers on them alone and values stay exact."""
+    assert "__fps_salt" in translate(
+        "SELECT k, max(x, 3) AS m FROM t GROUP BY k")
+    assert "__fps_salt" in translate(
+        "SELECT k, reduce_agg(x, 0, (s, v) -> s + v, (a, b) -> a + b) "
+        "AS r FROM t GROUP BY k")
+    # 1-arg min/max are natively partial-aggregated: no restructure
+    assert "__fps_salt" not in translate(
+        "SELECT k, min(x) AS m FROM t GROUP BY k")
+    rows = [(i % 3, i * 7 % 23) for i in range(60)]
+    spark.createDataFrame(rows, "k int, x int").repartition(6) \
+        .createOrReplaceTempView("t2p_topn")
+    by_k: dict[int, list[int]] = {}
+    for k, x in rows:
+        by_k.setdefault(k, []).append(x)
+    got = {r.k: (r.m3, r.m4, r.r, r.c) for r in eng.sql(
+        "SELECT k, max(x, 3) AS m3, min(x, 4) AS m4, "
+        "reduce_agg(x, 0, (s, v) -> s + v, (a, b) -> a + b) AS r, "
+        "count(*) AS c FROM t2p_topn GROUP BY k").collect()}
+    for k, xs in by_k.items():
+        assert got[k][0] == sorted(xs, reverse=True)[:3]
+        assert got[k][1] == sorted(xs)[:4]
+        assert got[k][2] == sum(xs) and got[k][3] == len(xs)
+    # global (no GROUP BY) form
+    row = eng.sql("SELECT max(x, 5) AS m FROM t2p_topn").collect()[0]
+    assert row.m == sorted((x for _, x in rows), reverse=True)[:5]
