@@ -249,12 +249,53 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def ddl_txn_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction staging end-to-end (transactions.stage_write/
+    stage_ddl — the undo-log analogue of SemiTransactionalHiveMetastore
+    staging): CTAS nation into hive, then inside an explicit
+    transaction DELETE a slice, INSERT duplicates, ADD a column, and
+    RENAME the table — and ROLLBACK.  The returned relation is the
+    RESTORED table; the oracle is plain nation, so the driver's hash
+    compare proves rollback restored schema, rows, and name exactly."""
+    from facebook_presto_spark.catalog import register_views
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    register_views(spark, sf_dir)
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txnq")
+    eng.sql("DROP TABLE IF EXISTS hive.txnq.nation_rt")
+    eng.sql("DROP TABLE IF EXISTS hive.txnq.nation_rt2")
+    eng.sql("CREATE TABLE hive.txnq.nation_rt "
+            "WITH (partitioned_by = ARRAY['n_regionkey']) AS "
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    eng.sql("START TRANSACTION")
+    # hive DELETE must drop whole partitions (HiveMetadata's
+    # "only supports delete where one or more partitions are deleted
+    # entirely") — n_regionkey is the partition key
+    eng.sql("DELETE FROM hive.txnq.nation_rt WHERE n_regionkey = 0")
+    eng.sql("INSERT INTO hive.txnq.nation_rt "
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    eng.sql("ALTER TABLE hive.txnq.nation_rt ADD COLUMN extra DOUBLE")
+    eng.sql("ALTER TABLE hive.txnq.nation_rt RENAME TO hive.txnq.nation_rt2")
+    eng.sql("ROLLBACK")
+    return eng.sql(
+        "SELECT n_nationkey, n_regionkey, n_name FROM hive.txnq.nation_rt "
+        "ORDER BY n_nationkey")
+
+
+ORACLE_TXN = """
+SELECT n_nationkey, n_regionkey, n_name FROM nation ORDER BY n_nationkey
+"""
+
+
 QUERIES = {
     "ddl_ctas_roundtrip": ddl_ctas_roundtrip,
     "ddl_insert_delete_roundtrip": ddl_insert_delete_roundtrip,
+    "ddl_txn_rollback_roundtrip": ddl_txn_rollback_roundtrip,
 }
 
 ORACLE = {
     "ddl_ctas_roundtrip": ORACLE_CTAS,
     "ddl_insert_delete_roundtrip": ORACLE_DML,
+    "ddl_txn_rollback_roundtrip": ORACLE_TXN,
 }

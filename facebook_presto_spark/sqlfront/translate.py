@@ -2572,7 +2572,19 @@ def _pass_order_by_grouping(tokens: list[Tok], _ctr: list[int] | None = None) ->
         var = f"__ord{_ctr[0]}"
         hoists.append((var, expr))
         new_items.append([ident(var)] + item[end:])
-    if not hoists:
+    # Spark resolves ORDER BY source-scope references through a plain
+    # Aggregate (ResolveReferences adds the missing attribute), but NOT
+    # through the Expand that GROUPING SETS/ROLLUP/CUBE plan to — there
+    # an item like ``ORDER BY -a`` with ``SELECT a AS foo`` is an
+    # UNRESOLVED_COLUMN.  Presto resolves it against the source scope
+    # (StatementAnalyzer orderBy), so under an Expand-producing GROUP BY
+    # run the resolve-against-output hoist below even when no
+    # grouping()/window/subquery item forced one already.
+    gs_group = group_i is not None and any(
+        tok.is_kw("GROUPING", "ROLLUP", "CUBE")
+        for tok in _depth0_iter(tokens[group_i + 2:order_i])
+    )
+    if not hoists and not gs_group:
         return tokens
     # The wrap hides source/group-key columns from ORDER BY: a plain item
     # referencing a column absent from the SELECT list (Presto's
@@ -2599,6 +2611,8 @@ def _pass_order_by_grouping(tokens: list[Tok], _ctr: list[int] | None = None) ->
                 (var, _substitute_aliases(expr, tokens[sel_i + 1:from_i]))
             )
             new_items[k] = [ident(var)] + item[end:]
+    if not hoists:  # gs_group alone, but every item resolves: no wrap
+        return tokens
     inner = list(tokens[sel_i:from_i])
     for var, expr in hoists:
         inner += [op(","), op("(")] + expr + [op(")"), ident("AS"), ident(var)]
