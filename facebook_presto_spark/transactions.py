@@ -206,20 +206,26 @@ def dispatch(engine, sql: str):
             # CommitTask.java / RollbackTask.java — NOT_IN_TRANSACTION
             raise ValueError("No transaction in progress")
         info = engine.transactions.get(tid)
-        if not is_commit:
-            # run the compensating actions in reverse statement order
-            # (stage_write/stage_ddl) — the rollback path of the
-            # reference's SemiTransactionalHiveMetastore
-            info.rolling_back = True
-            try:
-                for undo in reversed(list(info.undo)):
-                    undo()
-            finally:
-                info.rolling_back = False
-        _discard_staging(info)
-        engine.transactions.end(tid)
-        engine.set_current_transaction(None)
-        engine.txn_event = ("cleared", tid)
+        try:
+            if not is_commit:
+                # run the compensating actions in reverse statement
+                # order (stage_write/stage_ddl) — the rollback path of
+                # the reference's SemiTransactionalHiveMetastore
+                info.rolling_back = True
+                try:
+                    for undo in reversed(list(info.undo)):
+                        undo()
+                finally:
+                    info.rolling_back = False
+        finally:
+            # a failing compensation must still TERMINATE the
+            # transaction (the reference's rollback is terminal too) —
+            # otherwise the session is stuck inside a stale transaction
+            # and the retention dirs are stranded
+            _discard_staging(info)
+            engine.transactions.end(tid)
+            engine.set_current_transaction(None)
+            engine.txn_event = ("cleared", tid)
         return engine.spark.sql("SELECT true AS ok WHERE false")
     return None
 

@@ -813,3 +813,25 @@ def test_sketch_sql_surface():
     # plain cardinality over arrays untouched, even slice-shaped ones
     out = translate("SELECT cardinality(slice(array_distinct(a), 1, 5)) FROM t")
     assert "cardinality_setdigest" not in out
+
+
+def test_order_by_source_scope_through_grouping_sets(engine):
+    """ORDER BY -a with a renamed output (SELECT a AS foo) resolves
+    against the SOURCE scope in Presto; Spark resolves it through a
+    plain Aggregate but not through the Expand GROUPING SETS/ROLLUP/
+    CUBE plan to (AbstractTestQueries
+    testOrderByWithOutputColumnReference#27) — the order-by-grouping
+    wrap hoists it as a hidden sort column."""
+    rows = [tuple(r) for r in engine.sql(
+        "SELECT a AS foo FROM (values (1,2),(3,2)) t(a,b) "
+        "GROUP BY GROUPING SETS ((a), (a, b)) HAVING b IS NOT NULL "
+        "ORDER BY -a").collect()]
+    assert rows == [(3,), (1,)]
+    rows = [tuple(r) for r in engine.sql(
+        "SELECT a AS foo FROM (values (1,2),(3,2)) t(a,b) "
+        "GROUP BY ROLLUP(a) ORDER BY -a").collect()]
+    assert rows == [(3,), (1,), (None,)]
+    # items that resolve against the output keep the plain spelling
+    out = translate("SELECT a AS foo FROM t GROUP BY ROLLUP(a) "
+                    "ORDER BY foo DESC")
+    assert "__obg" not in out
