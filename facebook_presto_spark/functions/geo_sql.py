@@ -1267,8 +1267,13 @@ def install(spark: SparkSession) -> None:
     _warm_kernel_async(spark)
 
 
-_WARM_STARTED: set = set()
-_WARM_THREADS: dict = {}
+# keyed by the session OBJECT (weakly): id(spark) would be reused after
+# GC — a later session could silently skip warm-up — and a plain dict
+# would retain a thread per dead session.  Entries vanish with the
+# session; presence of the key doubles as the started flag.
+import weakref
+
+_WARM_THREADS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _warm_kernel_async(spark: SparkSession) -> None:
@@ -1283,10 +1288,8 @@ def _warm_kernel_async(spark: SparkSession) -> None:
     warm-up query."""
     import threading
 
-    key = id(spark)
-    if key in _WARM_STARTED:
+    if spark in _WARM_THREADS:
         return
-    _WARM_STARTED.add(key)
 
     def _warm():
         try:
@@ -1309,12 +1312,12 @@ def _warm_kernel_async(spark: SparkSession) -> None:
             pass  # warm-up is best-effort; real queries surface errors
 
     th = threading.Thread(target=_warm, daemon=True, name="fps-geo-warm")
-    _WARM_THREADS[key] = th
+    _WARM_THREADS[spark] = th
     th.start()
 
 
 def warm_join(spark: SparkSession, timeout: float = 30.0) -> None:
     """Block until the session's kernel warm-up finished (probes)."""
-    th = _WARM_THREADS.get(id(spark))
+    th = _WARM_THREADS.get(spark)
     if th is not None:
         th.join(timeout)

@@ -127,12 +127,21 @@ def _wrap(sql: str, markers: tuple[str, ...]) -> str:
     return f"SELECT {', '.join(outer)} FROM ( {sql} ) AS tpcds_q({inner})"
 
 
+# the dsdgen scale the runner staged last, so a same-process oracle
+# binds the SAME data the Spark side read (the driver's hash-compare
+# runs query-then-oracle per key): without this, a compare run at a
+# bench-scale sf_dir would diverge by construction with no diagnostic
+_LAST_STAGED_SF: list[str | None] = [None]
+
+
 def _runner(name: str,
             markers: tuple[str, ...]) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from facebook_presto_spark.sqlfront import translate
 
-        stage = stage_dir(_sf_for(sf_dir))
+        scale = _sf_for(sf_dir)
+        _LAST_STAGED_SF[0] = scale
+        stage = stage_dir(scale)
         for t in _TABLES:
             spark.sql(
                 f"CREATE OR REPLACE TEMP VIEW tpcds_{t} AS "
@@ -143,11 +152,11 @@ def _runner(name: str,
     return run
 
 
-def _oracle(name: str, markers: tuple[str, ...]) -> str:
+def _oracle(name: str, markers: tuple[str, ...], sf: str = "0.01") -> str:
     """DuckDB side: the same rewritten text with the staged parquet
     bound through a WITH header (CTE names shadow the pre-registered
     TPC-H views)."""
-    stage = stage_dir("0.01")
+    stage = stage_dir(sf)
     sql = _wrap(_load(name), markers)
     header = ", ".join(
         f"tpcds_{t} AS (SELECT * FROM read_parquet('{stage}/{t}.parquet'))"
@@ -173,7 +182,7 @@ from collections.abc import Mapping
 
 class _LazyOracle(Mapping):
     def __init__(self):
-        self._cache: dict[str, str] = {}
+        self._cache: dict[tuple[str, str], str] = {}
 
     def __iter__(self):
         return iter(f"tpcds_{name}" for name in PICKS)
@@ -182,10 +191,15 @@ class _LazyOracle(Mapping):
         return len(PICKS)
 
     def __getitem__(self, key: str) -> str:
-        if key not in self._cache:
+        # bind the scale the runner actually staged (the driver compares
+        # query-then-oracle in one process); 0.01 — the correctness-gate
+        # scale — when no runner has executed yet
+        sf = _LAST_STAGED_SF[0] or "0.01"
+        ck = (key, sf)
+        if ck not in self._cache:
             name = key.removeprefix("tpcds_")
-            self._cache[key] = _oracle(name, PICKS[name])
-        return self._cache[key]
+            self._cache[ck] = _oracle(name, PICKS[name], sf)
+        return self._cache[ck]
 
 
 ORACLE = _LazyOracle()

@@ -1076,8 +1076,12 @@ def _try(args: Args) -> list[Tok]:
         ):
             kv = split_top_level(inner[2:-1])
             if len(kv) == 2:
+                # mismatched lengths too: MapConstructor.java:137 "Key
+                # and value arrays must be the same length" is an
+                # INVALID_FUNCTION_ARGUMENT TryFunction converts to NULL
                 return _template(
-                    "(CASE WHEN __K__ IS NULL "
+                    "(CASE WHEN __K__ IS NULL OR __V__ IS NULL "
+                    "OR size(__K__) <> size(__V__) "
                     "OR exists(__K__, __fps_tk -> __fps_tk IS NULL) "
                     "OR size(__K__) <> size(array_distinct(__K__)) "
                     "THEN NULL ELSE map_from_arrays(__K__, __V__) END)",

@@ -3409,6 +3409,78 @@ _GEO_2P_OTHER_AGGS = {
 _GEO_2P_TRIGGERS = _GEO_2P_AGGS | {"reduce_agg", "min_n", "max_n"}
 
 
+def _strip_outer_parens(seg: list[Tok]) -> list[Tok]:
+    while len(seg) >= 2 and seg[0].text == "(" \
+            and find_matching_paren(seg, 0) == len(seg) - 1:
+        seg = seg[1:-1]
+    return seg
+
+
+def _reduce_agg_identity_init(init: list[Tok], combine: list[Tok]) -> bool:
+    """True when ``init`` is PROVABLY the identity of ``combine`` for the
+    recognized combine shapes ``(a, b) -> a (+|*|AND|OR) b``.  The
+    reference seeds initialState once per partial aggregation state and
+    its combine never re-seeds (ReduceAggregationFunction.java:162-216),
+    so the two-phase restructure is only exact — i.e. only matches the
+    single-state fold — when combining with init is a no-op.  Anything
+    unrecognized answers False and the caller keeps the single-phase
+    spelling (correct for every init, just not the 100-TB shape)."""
+    lam = _strip_outer_parens(list(combine))
+    # params: (a, b) ->
+    if not lam or lam[0].text != "(":
+        return False
+    close = find_matching_paren(lam, 0)
+    params = [t.text.lower() for t in lam[1:close] if t.kind == "ident"]
+    if len(params) != 2 or close + 1 >= len(lam) \
+            or lam[close + 1].text != "->":
+        return False
+    body = _strip_outer_parens(lam[close + 2:])
+    # unwrap one CAST(body AS type)
+    if len(body) >= 4 and body[0].is_kw("CAST") and body[1].text == "(" \
+            and find_matching_paren(body, 1) == len(body) - 1:
+        inner = body[2:-1]
+        k = next((j for j in range(len(inner))
+                  if inner[j].is_kw("AS")), None)
+        if k is not None:
+            body = _strip_outer_parens(inner[:k])
+    if len(body) != 3 or body[0].kind != "ident" or body[2].kind != "ident":
+        return False
+    if {body[0].text.lower(), body[2].text.lower()} != set(params):
+        return False
+    op_t = body[1]
+    ini = _strip_outer_parens(list(init))
+    # unwrap CAST(lit AS type) on the init too
+    if len(ini) >= 4 and ini[0].is_kw("CAST") and ini[1].text == "(" \
+            and find_matching_paren(ini, 1) == len(ini) - 1:
+        inner = ini[2:-1]
+        k = next((j for j in range(len(inner))
+                  if inner[j].is_kw("AS")), None)
+        if k is not None:
+            ini = _strip_outer_parens(inner[:k])
+    neg = False
+    if len(ini) == 2 and ini[0].text in ("-", "+"):
+        neg = ini[0].text == "-"
+        ini = ini[1:]
+    if len(ini) != 1:
+        return False
+    lit = ini[0]
+    if op_t.text in ("+", "*"):
+        if lit.kind != "number":
+            return False
+        try:
+            v = float(lit.text)
+        except ValueError:
+            return False
+        if neg:
+            v = -v
+        return v == 0.0 if op_t.text == "+" else v == 1.0
+    if op_t.is_kw("AND"):
+        return lit.is_kw("TRUE") and not neg
+    if op_t.is_kw("OR"):
+        return lit.is_kw("FALSE") and not neg
+    return False
+
+
 def _geo2p_scan_aggs(seg: list[Tok]):
     """Yield (start, close, name, args) for every decomposable aggregate
     call in ``seg``, skipping paren groups that hold their own SELECT
@@ -3451,6 +3523,16 @@ def _geo2p_scan_aggs(seg: list[Tok]):
                         and args[0].text == "*":
                     found.append((i, close, "count*", []))
                 elif name == "reduce_agg" and len(argv) == 4:
+                    # Exact two-phase needs the initial state to be a
+                    # combine identity: the reference seeds initialState
+                    # once per partial state and combine() never
+                    # re-seeds (ReduceAggregationFunction.java:162-216),
+                    # so a non-identity init would be counted once per
+                    # partition.  Only rewrite when init is PROVABLY the
+                    # identity of a recognized combine shape; otherwise
+                    # the whole level keeps the single-phase spelling.
+                    if not _reduce_agg_identity_init(argv[1], argv[3]):
+                        return None
                     found.append((i, close, "reduce_agg", argv))
                 elif name in ("min", "max") and len(argv) == 2:
                     # min(x, n)/max(x, n): top-n array (TypedHeap);
@@ -3651,11 +3733,20 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
             # states with the COMBINE lambda — the exact distributed
             # contract the reference's combine function exists for.
             # RULES["reduce_agg"] supplies the fallback's aggregate()
-            # spelling (including its accumulator-type coercion).
+            # spelling (including its accumulator-type coercion).  The
+            # merge fold is seeded with the FIRST partial, not the
+            # initial state — the reference's combine never re-seeds
+            # (ReduceAggregationFunction.java:189-216), and re-applying
+            # init here would count it twice.  (The rewrite only
+            # triggers when init is a provable combine identity — see
+            # _reduce_agg_identity_init — since each per-partition
+            # partial already folds from init once.)
             partial = render(RULES["reduce_agg"](
                 [[ident(a)], argv[1], argv[2], argv[3]]))
-            merge = render(RULES["reduce_agg"](
-                [[ident(g)], argv[1], argv[3], argv[3]]))
+            comb = render(argv[3])
+            ps = f"collect_list({g})"
+            merge = (f"aggregate(slice({ps}, 2, size({ps}) - 1), "
+                     f"element_at({ps}, 1), {comb})")
             mid_cols.append(f"{partial} AS {g}")
             merges.append(merge)
         else:  # sum/min/max/bool_and/bool_or/every/arbitrary/any_value

@@ -206,26 +206,47 @@ def dispatch(engine, sql: str):
             # CommitTask.java / RollbackTask.java — NOT_IN_TRANSACTION
             raise ValueError("No transaction in progress")
         info = engine.transactions.get(tid)
+        failures: list[Exception] = []
+        retained: list[str] = []
         try:
             if not is_commit:
                 # run the compensating actions in reverse statement
                 # order (stage_write/stage_ddl) — the rollback path of
-                # the reference's SemiTransactionalHiveMetastore
+                # the reference's SemiTransactionalHiveMetastore.  One
+                # failing undo must NOT abort the rest: every remaining
+                # compensation is still attempted, and the failures are
+                # aggregated into the raised error.
                 info.rolling_back = True
                 try:
                     for undo in reversed(list(info.undo)):
-                        undo()
+                        try:
+                            undo()
+                        except Exception as exc:
+                            failures.append(exc)
                 finally:
                     info.rolling_back = False
         finally:
             # a failing compensation must still TERMINATE the
             # transaction (the reference's rollback is terminal too) —
-            # otherwise the session is stuck inside a stale transaction
-            # and the retention dirs are stranded
-            _discard_staging(info)
+            # otherwise the session is stuck inside a stale transaction.
+            # But when any undo failed, KEEP the .txn_undo retention:
+            # it is the only material for repairing the part-rolled-back
+            # table state, and discarding it would destroy the evidence.
+            if failures:
+                retained = list(info.backup_dirs)
+                info.undo.clear()
+                info.backup_dirs.clear()
+            else:
+                _discard_staging(info)
             engine.transactions.end(tid)
             engine.set_current_transaction(None)
             engine.txn_event = ("cleared", tid)
+        if failures:
+            msgs = "; ".join(f"{type(e).__name__}: {e}" for e in failures)
+            raise RuntimeError(
+                f"rollback: {len(failures)} compensating action(s) failed "
+                f"({msgs}); transaction terminated, file retention kept at "
+                f"{retained}") from failures[0]
         return engine.spark.sql("SELECT true AS ok WHERE false")
     return None
 

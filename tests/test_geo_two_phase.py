@@ -240,3 +240,45 @@ def test_top_n_and_reduce_agg_two_phase(eng, spark):
     # global (no GROUP BY) form
     row = eng.sql("SELECT max(x, 5) AS m FROM t2p_topn").collect()[0]
     assert row.m == sorted((x for _, x in rows), reverse=True)[:5]
+
+
+def test_reduce_agg_non_identity_init_single_phase(eng, spark):
+    """reduce_agg with an initial state that is NOT the combine identity
+    must NOT be restructured: the reference seeds initialState once per
+    state and combine never re-seeds (ReduceAggregationFunction.java:
+    162-216), so a two-phase plan would count init once per partition.
+    The single-phase fallback folds init exactly once."""
+    assert "__fps_salt" not in translate(
+        "SELECT k, reduce_agg(x, 5, (s, v) -> s + v, (a, b) -> a + b) "
+        "AS r FROM t GROUP BY k")
+    # multiplicative identity DOES trigger; non-identity 0 must not
+    assert "__fps_salt" in translate(
+        "SELECT k, reduce_agg(x, 1, (s, v) -> s * v, (a, b) -> a * b) "
+        "AS r FROM t GROUP BY k")
+    assert "__fps_salt" not in translate(
+        "SELECT k, reduce_agg(x, 0, (s, v) -> s * v, (a, b) -> a * b) "
+        "AS r FROM t GROUP BY k")
+    rows = [(i % 3, i % 7 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "k int, x int").repartition(8)
+    df.createOrReplaceTempView("t2p_ra_ni")
+    by_k: dict[int, list[int]] = {}
+    for k, x in rows:
+        by_k.setdefault(k, []).append(x)
+    # non-identity init: exactly one seed regardless of partitioning
+    got = {r.k: r.r for r in eng.sql(
+        "SELECT k, reduce_agg(x, 5, (s, v) -> s + v, (a, b) -> a + b) "
+        "AS r FROM t2p_ra_ni GROUP BY k").collect()}
+    assert got == {k: 5 + sum(xs) for k, xs in by_k.items()}
+    # identity init through the two-phase path stays exact
+    got2 = {r.k: r.r for r in eng.sql(
+        "SELECT k, reduce_agg(x, 0, (s, v) -> s + v, (a, b) -> a + b) "
+        "AS r FROM t2p_ra_ni GROUP BY k").collect()}
+    assert got2 == {k: sum(xs) for k, xs in by_k.items()}
+    # multiplicative two-phase (mod nothing — values small enough)
+    import math
+    got3 = {r.k: r.r for r in eng.sql(
+        "SELECT k, reduce_agg(CAST(x AS DOUBLE), 1.0, (s, v) -> s * v, "
+        "(a, b) -> a * b) AS r FROM t2p_ra_ni GROUP BY k "
+        "HAVING k = 0").collect()}
+    if got3:  # HAVING forces single-phase; value still exact
+        assert got3 == {0: float(math.prod(by_k[0]))}

@@ -176,6 +176,24 @@ def test_try_shapes():
     assert "try_element_at" in translate("SELECT try(element_at(m, 'k')) FROM t")
 
 
+def test_try_map_guard_runtime(spark):
+    """TRY(MAP(k, v)) must return NULL for every MapConstructor.java
+    error class TryFunction suppresses: NULL key, duplicate key, and
+    mismatched array lengths (MapConstructor.java:137)."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine(spark)
+    q = ("SELECT try(map(array[1, 2], array['a'])) AS short, "
+         "try(map(array[1], array['a', 'b'])) AS long, "
+         "try(map(array[1, 1], array['a', 'b'])) AS dup, "
+         "try(map(array[1, NULL], array['a', 'b'])) AS nullkey, "
+         "try(map(array[1, 2], array['a', 'b'])) AS ok")
+    row = eng.sql(q).collect()[0]
+    assert row.short is None and row.long is None
+    assert row.dup is None and row.nullkey is None
+    assert row.ok == {1: "a", 2: "b"}
+
+
 def test_nested_calls_translate_inside_out():
     out = translate("SELECT strpos(to_hex(b), codepoint(c)) FROM t")
     assert "instr(hex(b), ascii(c))" in out
