@@ -510,6 +510,12 @@ _DDL_DESTRUCTIVE_RE = re.compile(
     rf"\s*ALTER\s+TABLE\s+{_DDL_T3}\s+(?:RENAME|DROP)\s+COLUMN\s+", re.I)
 _DDL_DROP_RE = re.compile(
     rf"\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?{_DDL_T3}\s*;?\s*$", re.I)
+_DDL_CREATE_SCHEMA_RE = re.compile(
+    rf"\s*CREATE\s+SCHEMA\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<cat>hive|memory)\s*\.\s*(?P<schema>{_STAGE_NAME})\s*;?\s*$", re.I)
+_DDL_DROP_SCHEMA_RE = re.compile(
+    rf"\s*DROP\s+SCHEMA\s+(?:IF\s+EXISTS\s+)?"
+    rf"(?P<cat>hive|memory)\s*\.\s*(?P<schema>{_STAGE_NAME})\s*;?\s*$", re.I)
 _DDL_CREATE_VIEW_RE = re.compile(
     r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+", re.I)
 _DDL_DROP_VIEW_RE = re.compile(
@@ -569,6 +575,71 @@ def stage_ddl(engine, sql: str) -> None:
     if info.rolling_back:
         return
     spark = engine.spark
+
+    # schema DDL: the reference BUFFERS createDatabase/dropDatabase as
+    # exclusive operations that execute only at COMMIT
+    # (SemiTransactionalHiveMetastore.java:283-290, setExclusive:1519) —
+    # on ROLLBACK the mutation never happens.  The compensating-undo
+    # equivalent: CREATE SCHEMA undoes with a drop (tables created
+    # inside the transaction are undone first, reverse order), DROP
+    # SCHEMA — which only ever succeeds on an EMPTY schema — undoes by
+    # re-creating it.  (SET SESSION is deliberately NOT staged: the
+    # reference applies session properties to the session unconditionally
+    # — SetSessionTask.java:90 — so they survive ROLLBACK there too.)
+    # GRANT/REVOKE: the reference buffers grantTablePrivileges /
+    # revokeTablePrivileges the same exclusive way
+    # (SemiTransactionalHiveMetastore.java:777, setExclusive) — COMMIT
+    # applies, ROLLBACK discards.  The grant registry is a small
+    # in-memory dict, so the compensation is a snapshot-restore of the
+    # affected (grantee, table) slot.
+    from facebook_presto_spark import access
+
+    mg = access.GRANT_RE.match(sql) or access.REVOKE_RE.match(sql)
+    if mg:
+        import copy
+
+        snapshot = copy.deepcopy(engine.grants._grants)
+
+        def undo_grants():
+            engine.grants._grants.clear()
+            engine.grants._grants.update(snapshot)
+
+        info.undo.append(undo_grants)
+        return
+
+    m = _DDL_CREATE_SCHEMA_RE.match(sql)
+    if m:
+        schema = m.group("schema").strip('"').lower()
+        if m.group("cat").lower() == "hive":
+            from facebook_presto_spark.hive_catalog import get_catalog
+
+            if schema not in get_catalog(spark).list_schemas():
+                info.undo.append(
+                    lambda: get_catalog(spark).drop_schema(schema, True))
+        else:
+            from facebook_presto_spark.connectors import get_catalogs
+
+            mem = get_catalogs(spark).memory
+            if schema not in mem.schemas:
+                info.undo.append(lambda: mem.drop_schema(schema, True))
+        return
+
+    m = _DDL_DROP_SCHEMA_RE.match(sql)
+    if m:
+        schema = m.group("schema").strip('"').lower()
+        if m.group("cat").lower() == "hive":
+            from facebook_presto_spark.hive_catalog import get_catalog
+
+            if schema in get_catalog(spark).list_schemas():
+                info.undo.append(
+                    lambda: get_catalog(spark).create_schema(schema, True))
+        else:
+            from facebook_presto_spark.connectors import get_catalogs
+
+            mem = get_catalogs(spark).memory
+            if schema in mem.schemas:
+                info.undo.append(lambda: mem.create_schema(schema, True))
+        return
 
     m = _DDL_RENAME_RE.match(sql)
     if m:

@@ -440,3 +440,106 @@ def test_failing_compensation_runs_remaining_undos_and_keeps_retention(
     import shutil
     for d in retention:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_create_schema_rollback_drops_schema(eng, spark):
+    """CREATE SCHEMA inside a transaction rolls back: the reference
+    buffers createDatabase as an exclusive operation that only executes
+    at COMMIT (SemiTransactionalHiveMetastore.java:283,1519)."""
+    cat = hive_catalog.get_catalog(spark)
+    assert "txnsch" not in cat.list_schemas()
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE SCHEMA hive.txnsch")
+    assert "txnsch" in cat.list_schemas()
+    eng.sql("ROLLBACK")
+    assert "txnsch" not in cat.list_schemas()
+
+
+def test_create_schema_and_table_rollback_reverse_order(eng, spark):
+    """Schema + CTAS into it, both inside the transaction: reverse-order
+    undo drops the table first, then the schema (a forward-order replay
+    would fail on the non-empty schema)."""
+    cat = hive_catalog.get_catalog(spark)
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE SCHEMA hive.txnsch2")
+    eng.sql("CREATE TABLE hive.txnsch2.t AS SELECT n_nationkey FROM nation")
+    assert eng.sql(
+        "SELECT count(*) AS c FROM hive.txnsch2.t").collect()[0].c == 25
+    eng.sql("ROLLBACK")
+    assert "txnsch2" not in cat.list_schemas()
+
+
+def test_drop_schema_rollback_restores_schema(eng, spark):
+    """DROP SCHEMA (only ever succeeds on an empty schema) undoes by
+    re-creating it — the COMMIT-buffered dropDatabase equivalent."""
+    cat = hive_catalog.get_catalog(spark)
+    eng.sql("CREATE SCHEMA hive.txnsch3")
+    eng.sql("START TRANSACTION")
+    eng.sql("DROP SCHEMA hive.txnsch3")
+    assert "txnsch3" not in cat.list_schemas()
+    eng.sql("ROLLBACK")
+    assert "txnsch3" in cat.list_schemas()
+
+
+def test_create_schema_commit_keeps_schema(eng, spark):
+    cat = hive_catalog.get_catalog(spark)
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE SCHEMA hive.txnsch4")
+    eng.sql("COMMIT")
+    assert "txnsch4" in cat.list_schemas()
+
+
+def test_preexisting_schema_survives_rollback(eng, spark):
+    """CREATE SCHEMA IF NOT EXISTS over an existing schema stages no
+    undo: rollback must not drop a schema the transaction didn't make."""
+    cat = hive_catalog.get_catalog(spark)
+    eng.sql("CREATE SCHEMA hive.txnsch5")
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txnsch5")
+    eng.sql("ROLLBACK")
+    assert "txnsch5" in cat.list_schemas()
+
+
+def test_memory_schema_ddl_rollback(eng, spark):
+    """The memory connector's schema set stages the same two ways."""
+    mem = get_catalogs(spark).memory
+    eng.sql("START TRANSACTION")
+    eng.sql("CREATE SCHEMA memory.msch")
+    assert "msch" in mem.schemas
+    eng.sql("ROLLBACK")
+    assert "msch" not in mem.schemas
+    eng.sql("CREATE SCHEMA memory.msch2")
+    eng.sql("START TRANSACTION")
+    eng.sql("DROP SCHEMA memory.msch2")
+    eng.sql("ROLLBACK")
+    assert "msch2" in mem.schemas
+    mem.drop_schema("msch2", True)
+
+
+def test_grant_revoke_rollback(eng, spark):
+    """GRANT/REVOKE inside a transaction roll back: the reference
+    buffers grant/revokeTablePrivileges as COMMIT-only exclusive
+    operations (SemiTransactionalHiveMetastore.java:777), so ROLLBACK
+    leaves the privilege set untouched."""
+    eng.sql("CREATE SCHEMA IF NOT EXISTS hive.txn")
+    eng.sql("CREATE TABLE hive.txn.t_grant AS SELECT 1 AS x")
+    tbl = hive_catalog.get_catalog(spark).qualified("txn", "t_grant")
+    eng.sql(f'GRANT SELECT ON {tbl} TO alice')
+
+    def privs():
+        return sorted(
+            (r.Grantee, r.Privilege)
+            for r in eng.sql(f"SHOW GRANTS ON {tbl}").collect())
+
+    before = privs()
+    eng.sql("START TRANSACTION")
+    eng.sql(f'GRANT INSERT ON {tbl} TO bob')
+    eng.sql(f'REVOKE SELECT ON {tbl} FROM alice')
+    assert ("bob", "INSERT") in privs() and ("alice", "SELECT") not in privs()
+    eng.sql("ROLLBACK")
+    assert privs() == before
+    # COMMIT applies
+    eng.sql("START TRANSACTION")
+    eng.sql(f'GRANT DELETE ON {tbl} TO carol')
+    eng.sql("COMMIT")
+    assert ("carol", "DELETE") in privs()
