@@ -43,6 +43,10 @@ HEADLINE = [f"tpch_q{i:02d}" for i in range(1, 23)] + [
     "tpcds_q57",
     "tpcds_q67",
     "tpcds_q95",
+    # round 10: INTERSECT-heavy, multi-CTE double-agg, anti-join-heavy
+    "tpcds_q14_1",
+    "tpcds_q23_1",
+    "tpcds_q78",
 ]
 
 
@@ -84,10 +88,17 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     worst = max(spread_pct, key=spread_pct.get) if spread_pct else None
+    # the round-8 headline set, frozen: cross-round trend lines compare
+    # THIS subtotal (the headline set is append-only, so the full total
+    # grows whenever a new rung joins — r9 added ~16s of TPC-DS)
+    legacy = [n for n in per_query if not n.startswith("tpcds_")]
     out = {
         "metric": "median_sec_per_query_total",
         "value": round(sum(per_query.values()), 4),
         "unit": "sec",
+        "legacy_subtotal_sec": round(
+            sum(per_query[n] for n in legacy), 4),
+        "legacy_set": "all-non-tpcds (r8 headline set)",
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # ambient-noise accounting (SCALE.md accept/reject rule):

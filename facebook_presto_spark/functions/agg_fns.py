@@ -29,7 +29,12 @@ register("min_by")(lambda v, o, n=None: F.min_by(_c(v), _c(o)) if n is None else
 register("max_by")(lambda v, o, n=None: F.max_by(_c(v), _c(o)) if n is None else max_by_n(v, o, n))
 register("arbitrary")(lambda c: F.any_value(_c(c), ignoreNulls=True))
 register("any_value")(lambda c: F.any_value(_c(c), ignoreNulls=True))
-register("array_agg")(lambda c: F.collect_list(_c(c)))
+# array_agg KEEPS null elements (ArrayAggregationFunction.java:120,
+# NULLABLE_BLOCK_INPUT_CHANNEL) and is NULL over zero rows (output:135);
+# the never-null struct wrapper carries nulls through collect_list
+register("array_agg")(lambda c: F.transform(
+    F.nullif(F.collect_list(F.struct(_c(c).alias("v"))), F.array()),
+    lambda s: s.getField("v")))
 register("set_agg")(lambda c: F.collect_set(_c(c)))
 register("set_union")(lambda c: F.array_distinct(F.flatten(F.collect_list(_c(c)))))
 register("bool_and")(lambda c: F.bool_and(_c(c)))
@@ -95,13 +100,17 @@ def checksum(*cols) -> Column:
 
 
 def _dedup_entries_to_map(entries: Column) -> Column:
-    """array<struct<key,value>> → map, last value wins on duplicate keys
-    (Spark's map_from_entries raises DUPLICATED_MAP_KEY by default)."""
-    keys = F.array_distinct(F.transform(entries, lambda e: e.getField("key")))
+    """array<struct<key,value>> → map, FIRST value wins on duplicate keys
+    (KeyValuePairs.add:113 only inserts when !keyExists; Spark's
+    map_from_entries raises DUPLICATED_MAP_KEY by default).  Empty →
+    NULL (the reference's empty state appends null)."""
+    keys = F.nullif(
+        F.array_distinct(F.transform(entries, lambda e: e.getField("key"))),
+        F.array())
     vals = F.transform(
         keys,
         lambda k: F.element_at(
-            F.filter(entries, lambda e: e.getField("key") == k), -1
+            F.filter(entries, lambda e: e.getField("key") == k), 1
         ).getField("value"),
     )
     return F.map_from_arrays(keys, vals)
@@ -109,17 +118,21 @@ def _dedup_entries_to_map(entries: Column) -> Column:
 
 @register("map_agg")
 def map_agg(k, v) -> Column:
-    """map_agg(K,V) (MapAggregationFunction.java:48) — last value wins on
-    duplicate keys, matching the reference's unspecified-but-single-value
-    behavior."""
+    """map_agg(K,V) (MapAggregationFunction.java:109-110): NULL keys are
+    skipped (non-nullable key channel), the FIRST value wins on duplicate
+    keys (KeyValuePairs.add:113), NULL values are kept, zero retained
+    pairs → NULL."""
     return _dedup_entries_to_map(
-        F.collect_list(F.struct(_c(k).alias("key"), _c(v).alias("value")))
+        F.collect_list(F.when(
+            _c(k).isNotNull(),
+            F.struct(_c(k).alias("key"), _c(v).alias("value"))))
     )
 
 
 @register("map_union")
 def map_union(m) -> Column:
-    """map_union(map) (MapUnionAggregation.java:46)."""
+    """map_union(map) (MapUnionAggregation.java:107-118 — the same
+    KeyValuePairs state as map_agg: first value wins)."""
     return _dedup_entries_to_map(
         F.flatten(F.collect_list(F.map_entries(_c(m))))
     )
@@ -127,10 +140,15 @@ def map_union(m) -> Column:
 
 @register("multimap_agg")
 def multimap_agg(k, v) -> Column:
-    """multimap_agg(K,V) (multimapagg/MultimapAggregationFunction.java:52):
-    map<K, array<V>> via post-aggregation grouping of collected entries."""
-    entries = F.collect_list(F.struct(_c(k).alias("key"), _c(v).alias("value")))
-    keys = F.array_distinct(F.transform(entries, lambda e: e.getField("key")))
+    """multimap_agg(K,V) (multimapagg/MultimapAggregationFunction.java:
+    115-116): map<K, array<V>>; NULL keys skipped, NULL values kept,
+    empty → NULL."""
+    entries = F.collect_list(F.when(
+        _c(k).isNotNull(),
+        F.struct(_c(k).alias("key"), _c(v).alias("value"))))
+    keys = F.nullif(
+        F.array_distinct(F.transform(entries, lambda e: e.getField("key"))),
+        F.array())
     return F.map_from_arrays(
         keys,
         F.transform(
@@ -145,10 +163,11 @@ def multimap_agg(k, v) -> Column:
 
 @register("histogram")
 def histogram(c) -> Column:
-    """histogram(x) (histogram/Histogram.java:48): map<value,count> composed
-    from collect_list + HOFs (exact; for huge cardinality use groupBy)."""
+    """histogram(x) (histogram/Histogram.java:117): map<value,count>
+    composed from collect_list + HOFs (exact; for huge cardinality use
+    groupBy).  NULL keys skipped; empty → NULL."""
     vals = F.collect_list(_c(c))
-    keys = F.array_distinct(vals)
+    keys = F.nullif(F.array_distinct(vals), F.array())
     return F.map_from_arrays(
         keys,
         F.transform(keys, lambda k: F.size(F.filter(vals, lambda v: v == k)).cast("bigint")),

@@ -50,6 +50,9 @@ _NUM_RE = re.compile(r"\s+")
 
 # bit width of 5^i (index 0 is 0, matching the JDK's N_5_BITS table)
 _N5BITS = tuple((5 ** i).bit_length() if i else 0 for i in range(27))
+# 5^i up to the largest exponent the dtoa paths can request (|decExp|
+# ≤ ~340 for finite doubles) — exponentiation was a profiled hot spot
+_POW5 = tuple(5 ** i for i in range(350))
 
 
 def _jtrunc_div(a: int, b: int):
@@ -150,37 +153,68 @@ def _jdtoa(v: float):
     tens_bits = s2 + 1 + (_N5BITS[s5 + 1] if s5 + 1 < 27 else 3 * (s5 + 1))
     digits = []
     if b_bits < 64 and tens_bits < 64:
-        # int/long path: two's-complement wrap at the Java width
+        # int/long path: two's-complement wrap at the Java width.
+        # Wrapping and truncating division are inlined (no w()/helper
+        # calls) — this loop runs ~16 iterations per coordinate and is
+        # the profiled hot spot of SQL-path WKT output.
         width = 32 if b_bits < 32 and tens_bits < 32 else 64
-        mod, sgn = 1 << width, 1 << (width - 1)
+        mask = (1 << width) - 1
+        sgn = 1 << (width - 1)
+        mod = 1 << width
 
-        def w(x):
-            x &= mod - 1
-            return x - mod if x & sgn else x
-
-        B = w(w(w(fq) * 5 ** b5) << b2)
-        S = w(5 ** s5 << s2)
-        M = w(5 ** m5 << m2)
-        ten_s = w(S * 10)
-        q, r = _jtrunc_div(B, S)
-        B = w(10 * r)
-        M = w(10 * M)
+        x = (fq & mask)
+        x = (x - mod) if x & sgn else x
+        x = (x * _POW5[b5]) & mask
+        x = (x - mod) if x & sgn else x
+        B = (x << b2) & mask
+        if B & sgn:
+            B -= mod
+        S = (_POW5[s5] << s2) & mask
+        if S & sgn:
+            S -= mod
+        M = (_POW5[m5] << m2) & mask
+        if M & sgn:
+            M -= mod
+        ten_s = (S * 10) & mask
+        if ten_s & sgn:
+            ten_s -= mod
+        # Java idiv: quotient truncates toward zero
+        if (B < 0) != (S < 0):
+            q = -(-B // S) if B < 0 else -(B // -S)
+        else:
+            q = B // S
+        B = (10 * (B - q * S)) & mask
+        if B & sgn:
+            B -= mod
+        M = (10 * M) & mask
+        if M & sgn:
+            M -= mod
         low = B < M
-        high = w(B + M) > ten_s  # strict in the small paths
+        hi = (B + M) & mask
+        high = ((hi - mod) if hi & sgn else hi) > ten_s  # strict here
         if q == 0 and not high:
             dec_exp -= 1
         else:
             digits.append(q)
         if dec_exp < -3 or dec_exp >= 8:
             low = high = False  # E-form always gets a second digit
+        append = digits.append
         while not low and not high:
-            q, r = _jtrunc_div(B, S)
-            B = w(10 * r)
-            M = w(10 * M)
-            digits.append(q)
+            if (B < 0) != (S < 0):
+                q = -(-B // S) if B < 0 else -(B // -S)
+            else:
+                q = B // S
+            B = (10 * (B - q * S)) & mask
+            if B & sgn:
+                B -= mod
+            M = (10 * M) & mask
+            if M & sgn:
+                M -= mod
+            append(q)
             if M > 0:
                 low = B < M
-                high = w(B + M) > ten_s
+                hi = (B + M) & mask
+                high = ((hi - mod) if hi & sgn else hi) > ten_s
             else:  # the scaled half-ulp overflowed: Java stops here
                 low = high = True
         ldd = 0
@@ -188,12 +222,16 @@ def _jdtoa(v: float):
             # Java: lowDigitDifference = (B << 1) - tenS, BOTH ops
             # wrapping — the sign of the wrapped difference, not a
             # true comparison
-            ldd = w(w(B << 1) - ten_s)
+            x = (B << 1) & mask
+            x = (x - mod) if x & sgn else x
+            ldd = (x - ten_s) & mask
+            if ldd & sgn:
+                ldd -= mod
     else:
         # FDBigInteger path: exact arithmetic, INCLUSIVE high test
-        B = fq * 5 ** b5 << b2
-        S = 5 ** s5 << s2
-        M = 10 * 5 ** m5 << m2  # constructed pre-scaled by ten
+        B = fq * _POW5[b5] << b2
+        S = _POW5[s5] << s2
+        M = 10 * _POW5[m5] << m2  # constructed pre-scaled by ten
         ten_s = 10 * S
         q, r = divmod(B, S)
         B = r * 10

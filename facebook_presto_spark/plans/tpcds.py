@@ -15,6 +15,12 @@ the driver contract (queries()/oracle_sql()) and the bench set:
   q67  ROLLUP over 8 keys + RANK partition on category — the heaviest
        aggregation/window combination in the suite
   q95  WITH-clause reuse (ws_wh self-join) + EXISTS semi-joins
+  q14_1  INTERSECT across three channels feeding a correlated HAVING
+         threshold + ROLLUP (round 10)
+  q23_1  two stacked CTE filters (frequent items × best customers)
+         into a double-channel sum (round 10)
+  q78   three full-outer-ish LEFT JOIN + IS NULL anti-join legs over
+        the largest fact tables, with a decimal ratio (round 10)
 
 Query text is loaded from the reference's product-test corpus at run
 time (the same public TPC-DS spec text dsdgen ships); data comes from
@@ -55,6 +61,10 @@ PICKS: dict[str, tuple[str, ...]] = {
     "q57": ("", "", "", "", "", "c", "c", "c", "c"),
     "q67": ("", "", "", "", "", "", "", "", "c", ""),  # sumsales
     "q95": ("", "c", "c"),                           # shipping, profit
+    # round 10: shapes the first six don't exercise
+    "q14_1": ("", "", "", "", "c", "i"),  # INTERSECT-heavy cross-channel
+    "q23_1": ("c",),                      # multi-CTE double aggregate
+    "q78": ("", "", "", "m", "i", "c", "c", "i", "c", "c"),  # anti-joins
 }
 
 _TABLES = (
@@ -121,6 +131,10 @@ def _wrap(sql: str, markers: tuple[str, ...]) -> str:
             outer.append(
                 f"CAST(round(CAST(c{i} AS DOUBLE) * {scale[mk]}) AS BIGINT)"
                 f" AS c{i}")
+        elif mk == "i":
+            # integer sums: DuckDB's sum(int) widens to HUGEINT (a float
+            # through pandas) while Spark stays BIGINT — pin both sides
+            outer.append(f"CAST(c{i} AS BIGINT) AS c{i}")
         else:
             outer.append(f"c{i}")
     inner = ", ".join(f"c{i}" for i in range(1, len(markers) + 1))

@@ -61,7 +61,6 @@ RENAME: dict[str, str] = {
     # the sound one here.
     "approx_set": "hll_sketch_agg",
     "merge": "hll_union_agg",
-    "arbitrary": "any_value",
     "format": "format_string",
     # Joda-pattern formatting ≈ JDK DateTimeFormatter for the shared
     # token subset (yyyy/MM/dd/HH/mm/ss…)
@@ -493,7 +492,21 @@ def _array_agg(args: Args) -> list[Tok]:
             ob_idx = k
             break
     if ob_idx is None:
-        return _call("collect_list", *args)
+        # Default (non-legacy) array_agg KEEPS null elements
+        # (ArrayAggregationFunction.java:120 NULLABLE_BLOCK_INPUT_CHANNEL)
+        # and yields NULL — not [] — over zero rows (output:135
+        # state.isEmpty → appendNull).  collect_list drops nulls, so the
+        # element rides inside a never-null struct.
+        wrapped = (
+            [ident("named_struct"), op("("), string_literal("v"), op(",")]
+            + toks + [op(")")]
+        )
+        lam = [ident("__aa"), op("->"), ident("__aa"), op("."), ident("v")]
+        return _call(
+            "transform",
+            _call("nullif", _call("collect_list", wrapped), _call("array")),
+            lam,
+        )
     expr = toks[:ob_idx]
     keys: list[tuple[list[Tok], bool]] = []
     for part in split_top_level(toks[ob_idx + 2:]):
@@ -516,7 +529,8 @@ def _array_agg(args: Args) -> list[Tok]:
         [ident("true" if dirs == {True} else "false")],
     )
     lam = [ident("__s"), op("->"), ident("__s"), op("."), ident("v")]
-    return _call("transform", sorted_, lam)
+    # zero rows → NULL, matching the unordered form (output:135)
+    return _call("transform", _call("nullif", sorted_, _call("array")), lam)
 
 
 def _sorted_collect(x: Args, asc: bool) -> list[Tok]:
@@ -527,11 +541,15 @@ def _sorted_collect(x: Args, asc: bool) -> list[Tok]:
 
 def _min_max_n(asc: bool):
     # min(x, n) / max(x, n) (MinNAggregationFunction / MaxN…, TypedHeap):
-    # the n smallest/largest values as an array
+    # the n smallest/largest values as an array.  Zero non-null inputs
+    # yield NULL, not [] (AbstractMinMaxNAggregationFunction.output:148
+    # appendNull on an empty heap) — hence the nullif guard.
     def rule(args: Args) -> list[Tok]:
         if len(args) == 1:
             return _call("min" if asc else "max", args[0])
-        return _call("slice", _sorted_collect(args[0], asc), [Tok("number", "1")], args[1])
+        sliced = _call("slice", _sorted_collect(args[0], asc),
+                       [Tok("number", "1")], args[1])
+        return _call("nullif", sliced, _call("array"))
     return rule
 
 
@@ -578,9 +596,11 @@ def _ngrams(args: Args) -> list[Tok]:
 
 
 def _histogram(args: Args) -> list[Tok]:
-    # histogram(x) (histogram/Histogram.java): map<value, count>
+    # histogram(x) (histogram/Histogram.java:117): map<value, count> —
+    # NULL keys skipped (collect_list already drops them), zero retained
+    # values → NULL, not an empty map
     vals = _call("collect_list", args[0])
-    keys = _call("array_distinct", vals)
+    keys = _call("nullif", _call("array_distinct", vals), _call("array"))
     count_lam = (
         [ident("__hk"), op("->"), ident("CAST"), op("(")]
         + _call("size", _call("filter", vals,
@@ -591,11 +611,15 @@ def _histogram(args: Args) -> list[Tok]:
 
 
 def _multimap_agg(args: Args) -> list[Tok]:
-    # multimap_agg(K, V) → map<K, array<V>> (MultimapAggregationFunction)
+    # multimap_agg(K, V) → map<K, array<V>> (MultimapAggregationFunction
+    # .java:115-116): NULL keys skipped (non-nullable key channel), NULL
+    # values kept, zero retained pairs → NULL
     entry = (
-        [ident("named_struct"), op("("), string_literal("key"), op(",")]
+        [ident("CASE"), ident("WHEN")] + _paren(args[0])
+        + [ident("IS"), ident("NOT"), ident("NULL"), ident("THEN"),
+           ident("named_struct"), op("("), string_literal("key"), op(",")]
         + list(args[0]) + [op(","), string_literal("value"), op(",")]
-        + list(args[1]) + [op(")")]
+        + list(args[1]) + [op(")"), ident("END")]
     )
     entries = _call("collect_list", entry)
     keys = _call(
@@ -612,29 +636,38 @@ def _multimap_agg(args: Args) -> list[Tok]:
             [ident("__mv"), op("->"), ident("__mv"), op("."), ident("value")],
         )
     )
-    return _call("map_from_arrays", keys, _call("transform", keys, vals_lam))
+    nkeys = _call("nullif", keys, _call("array"))
+    return _call("map_from_arrays", nkeys, _call("transform", nkeys, vals_lam))
 
 
 def _map_union(args: Args) -> list[Tok]:
-    # map_union(map) (MapUnionAggregation.java) — last value wins on
-    # duplicate keys, matching the registry's _dedup_entries_to_map
+    # map_union(map) (MapUnionAggregation.java:107-118) — the same
+    # KeyValuePairs state as map_agg: the FIRST value wins on duplicate
+    # keys (KeyValuePairs.add:113 only inserts when !keyExists), and
+    # zero retained pairs yield NULL
     entries = _call("flatten", _call("collect_list", _call("map_entries", args[0])))
     keys = _call(
-        "array_distinct",
-        _call("transform", entries, [ident("__ue"), op("->"), ident("__ue"), op("."), ident("key")]),
+        "nullif",
+        _call(
+            "array_distinct",
+            _call("transform", entries,
+                  [ident("__ue"), op("->"), ident("__ue"), op("."),
+                   ident("key")]),
+        ),
+        _call("array"),
     )
-    last_lam = (
+    first_lam = (
         [ident("__uk"), op("->")]
         + _call(
             "element_at",
             _call("filter", entries,
                   [ident("__uf"), op("->"), ident("__uf"), op("."), ident("key"),
                    op("="), ident("__uk")]),
-            [op("-"), Tok("number", "1")],
+            [Tok("number", "1")],
         )
         + [op("."), ident("value")]
     )
-    return _call("map_from_arrays", keys, _call("transform", keys, last_lam))
+    return _call("map_from_arrays", keys, _call("transform", keys, first_lam))
 
 
 def _reduce_agg(args: Args) -> list[Tok]:
@@ -892,8 +925,38 @@ def _contains(args: Args) -> list[Tok]:
 
 
 def _map_agg(args: Args) -> list[Tok]:
-    inner = _call("collect_list", _call("struct", args[0], args[1]))
-    return _call("map_from_entries", inner)
+    # map_agg(k, v) (MapAggregationFunction.java:109-110 +
+    # KeyValuePairs.add:113): NULL keys are skipped (non-nullable key
+    # channel), duplicate keys keep the FIRST value seen, NULL values
+    # are kept, and zero retained pairs yield NULL — Spark's
+    # map_from_entries instead errors on both NULL and duplicate keys.
+    entry = (
+        [ident("CASE"), ident("WHEN")] + _paren(args[0])
+        + [ident("IS"), ident("NOT"), ident("NULL"), ident("THEN"),
+           ident("named_struct"), op("("), string_literal("key"), op(",")]
+        + list(args[0]) + [op(","), string_literal("value"), op(",")]
+        + list(args[1]) + [op(")"), ident("END")]
+    )
+    entries = _call("collect_list", entry)  # drops the NULL-key CASE rows
+    keys = _call(
+        "array_distinct",
+        _call("transform", entries,
+              [ident("__mae"), op("->"), ident("__mae"), op("."),
+               ident("key")]),
+    )
+    first_lam = (
+        [ident("__mak"), op("->")]
+        + _call(
+            "element_at",
+            _call("filter", entries,
+                  [ident("__maf"), op("->"), ident("__maf"), op("."),
+                   ident("key"), op("="), ident("__mak")]),
+            [Tok("number", "1")],
+        )
+        + [op("."), ident("value")]
+    )
+    nkeys = _call("nullif", keys, _call("array"))
+    return _call("map_from_arrays", nkeys, _call("transform", nkeys, first_lam))
 
 
 def _map_ctor(args: Args) -> list[Tok]:
@@ -1303,6 +1366,13 @@ RULES: dict[str, object] = {
     "multimap_agg": _multimap_agg,
     "map_union": _map_union,
     "reduce_agg": _reduce_agg,
+    # arbitrary(x) skips NULL inputs (ArbitraryAggregationFunction.java:154
+    # BLOCK_INPUT_CHANNEL — non-nullable); Spark's any_value keeps them
+    # unless told otherwise, so the ignoreNulls flag is load-bearing
+    "arbitrary": lambda args: _call("any_value", args[0],
+                                    [ident("true")]),
+    "any_value": lambda args: _call("any_value", args[0],
+                                    [ident("true")]),
     "json_size": _json_size,
     "json_array_contains": _json_array_contains,
     "parse_duration": _parse_duration,

@@ -2188,18 +2188,39 @@ def _pass_functions(tokens: list[Tok]) -> list[Tok]:
                 if (nxt + 1 < len(tokens) and tokens[nxt].is_kw("FILTER")
                         and tokens[nxt + 1].text == "("):
                     fclose = find_matching_paren(tokens, nxt + 1)
+                    # paren groups holding their own SELECT are
+                    # subqueries riding along in the arguments — their
+                    # aggregates must not receive the outer mask
+                    sub_spans = []
+                    sj = 0
+                    while sj < len(body):
+                        if body[sj].text == "(":
+                            sclose = find_matching_paren(body, sj)
+                            if any(x.is_kw("SELECT")
+                                   for x in body[sj + 1:sclose]):
+                                sub_spans.append((sj, sclose))
+                                sj = sclose + 1
+                                continue
+                        sj += 1
                     cl_sites = [k for k, b in enumerate(body)
                                 if b.kind == "ident"
                                 and b.text == "collect_list"
                                 and k + 1 < len(body)
-                                and body[k + 1].text == "("]
-                    if len(cl_sites) == 1 and not (
+                                and body[k + 1].text == "("
+                                and not any(s < k < e
+                                            for s, e in sub_spans)]
+                    if cl_sites and not (
                             body[0].kind == "ident"
                             and body[0].text == "collect_list"):
+                        # several sites = the SAME logical collection
+                        # referenced more than once (map_agg/histogram
+                        # repeat their entries array) — the mask applies
+                        # to each; splice back-to-front so spans hold
                         suffix = _pass_functions(tokens[nxt:fclose + 1])
-                        cl_end = find_matching_paren(body, cl_sites[0] + 1)
-                        body = (body[:cl_end + 1] + suffix
-                                + body[cl_end + 1:])
+                        for site in reversed(cl_sites):
+                            cl_end = find_matching_paren(body, site + 1)
+                            body = (body[:cl_end + 1] + suffix
+                                    + body[cl_end + 1:])
                         close = fclose
                 out.extend(body)
             elif name in RENAME:
@@ -3482,11 +3503,16 @@ def _reduce_agg_identity_init(init: list[Tok], combine: list[Tok]) -> bool:
 
 
 def _geo2p_scan_aggs(seg: list[Tok]):
-    """Yield (start, close, name, args) for every decomposable aggregate
-    call in ``seg``, skipping paren groups that hold their own SELECT
-    (subqueries own their aggregates).  Returns None to signal an
-    aborting construct: an OVER/FILTER clause, a DISTINCT argument, a
-    multi-arg min/max/count, or a known non-decomposable aggregate."""
+    """Yield (start, end, name, args, filter_pred) for every decomposable
+    aggregate call in ``seg``, skipping paren groups that hold their own
+    SELECT (subqueries own their aggregates).  A trailing
+    ``FILTER (WHERE pred)`` is captured as filter_pred (token list, None
+    when absent) with ``end`` covering the whole clause: the partial
+    phase applies the filter per-row (CASE projection) and the merge is
+    unconditional — AggregationNode's per-arm mask semantics.  Returns
+    None to signal an aborting construct: an OVER clause, a stray
+    FILTER, a DISTINCT argument, a multi-arg min/max/count, or a known
+    non-decomposable aggregate."""
     found = []
     i = 0
     n = len(seg)
@@ -3501,7 +3527,8 @@ def _geo2p_scan_aggs(seg: list[Tok]):
             sub = _geo2p_scan_aggs(inner)
             if sub is None:
                 return None
-            found += [(i + 1 + a, i + 1 + b, nm, ar) for a, b, nm, ar in sub]
+            found += [(i + 1 + a, i + 1 + b, nm, ar, fp)
+                      for a, b, nm, ar, fp in sub]
             i = close + 1
             continue
         if t.is_kw("OVER", "FILTER"):
@@ -3514,14 +3541,28 @@ def _geo2p_scan_aggs(seg: list[Tok]):
                     or name in ("count", "reduce_agg"):
                 close = find_matching_paren(seg, i + 1)
                 args = seg[i + 2:close]
+                end = close
+                fpred: list[Tok] | None = None
                 if close + 1 < n and seg[close + 1].is_kw("FILTER"):
-                    return None
+                    # FILTER ( WHERE pred )
+                    if close + 3 >= n or seg[close + 2].text != "(" \
+                            or not seg[close + 3].is_kw("WHERE"):
+                        return None
+                    fclose = find_matching_paren(seg, close + 2)
+                    fpred = seg[close + 4:fclose]
+                    if not fpred:
+                        return None
+                    end = fclose
                 if args and args[0].is_kw("DISTINCT"):
+                    return None
+                if fpred is not None and name in ("arbitrary", "any_value"):
+                    # the per-row CASE filter leans on NULL-skipping;
+                    # Spark's any_value keeps NULLs — single-phase
                     return None
                 argv = split_top_level(args) if args else []
                 if name == "count" and len(argv) == 1 \
                         and args[0].text == "*":
-                    found.append((i, close, "count*", []))
+                    found.append((i, end, "count*", [], fpred))
                 elif name == "reduce_agg" and len(argv) == 4:
                     # Exact two-phase needs the initial state to be a
                     # combine identity: the reference seeds initialState
@@ -3533,18 +3574,18 @@ def _geo2p_scan_aggs(seg: list[Tok]):
                     # the whole level keeps the single-phase spelling.
                     if not _reduce_agg_identity_init(argv[1], argv[3]):
                         return None
-                    found.append((i, close, "reduce_agg", argv))
+                    found.append((i, end, "reduce_agg", argv, fpred))
                 elif name in ("min", "max") and len(argv) == 2:
                     # min(x, n)/max(x, n): top-n array (TypedHeap);
                     # mergeable only when n is a plain literal
                     if len(argv[1]) != 1 or argv[1][0].kind != "number":
                         return None
-                    found.append((i, close, f"{name}_n", argv))
+                    found.append((i, end, f"{name}_n", argv, fpred))
                 elif len(argv) == 1 and args:
-                    found.append((i, close, name, argv))
+                    found.append((i, end, name, argv, fpred))
                 else:
                     return None  # unknown arity: keep single-phase
-                i = close + 1
+                i = end + 1
                 continue
         i += 1
     return found
@@ -3588,10 +3629,16 @@ def _pass_two_phase_geo_agg(tokens: list[Tok]) -> list[Tok]:
     merge with the COMBINE lambda, the distributed contract that
     parameter exists for).  Other aggregates in the same SELECT are
     decomposed alongside (count→sum of counts, sum/min/max/bool_*→
-    same-function merge); a block with an aggregate we can't decompose,
-    DISTINCT, FILTER, HAVING, windows, qualified/expression group keys,
-    or set operators falls back to the single-phase spelling
-    (sqlfront/functions.py) — correct, just not the 100-TB shape.
+    same-function merge).  Since round 10, FILTER (WHERE …) decomposes
+    per-arm — the filter becomes a per-row CASE in the inner projection
+    (the reference's per-arm input mask) and the merge stays
+    unconditional — and HAVING decomposes as an outer filter whose
+    aggregates get the same partial/merge treatment (the reference's
+    AggregationNode → FilterNode shape).  A block with an aggregate we
+    can't decompose, DISTINCT, windows, qualified/expression group
+    keys, qualified refs in HAVING, or set operators falls back to the
+    single-phase spelling (sqlfront/functions.py) — correct, just not
+    the 100-TB shape.
     """
     trigger_names = _GEO_2P_AGGS | {"reduce_agg", "min", "max"}
     if not any(t.kind == "ident" and t.text.lower() in trigger_names
@@ -3622,7 +3669,7 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     # trigger aggregate still present outside any subquery at this level?
     probe = _geo2p_scan_aggs(tokens)
     if probe is None or not any(nm in _GEO_2P_TRIGGERS
-                                for _, _, nm, _ in probe):
+                                for _, _, nm, _, _ in probe):
         return None
     # clause indices at this level's depth 0
     idx: dict[str, int] = {}
@@ -3641,7 +3688,7 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
             if u in ("UNION", "INTERSECT", "EXCEPT"):
                 return None  # set-op level: keep single-phase
         j += 1
-    if "SELECT" not in idx or "FROM" not in idx or "HAVING" in idx:
+    if "SELECT" not in idx or "FROM" not in idx:
         return None
     sel_i, from_i = idx["SELECT"], idx["FROM"]
     if not sel_i < from_i:
@@ -3659,6 +3706,10 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
         return None
     group_end = min((b for b in bounds if group_i is not None
                      and b > group_i), default=n) if group_i is not None else None
+    having_i = idx.get("HAVING")
+    having_end = min((b for b in bounds if having_i is not None
+                      and b > having_i), default=n) \
+        if having_i is not None else None
     tail_start = min((idx[k] for k in ("ORDER", "LIMIT") if k in idx),
                      default=n)
     if not (where_i is None or from_end == where_i):
@@ -3667,6 +3718,8 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     from_seg = tokens[from_i + 1:from_end]
     where_seg = tokens[where_i + 1:where_end] if where_i else []
     group_seg = tokens[group_i + 2:group_end] if group_i is not None else []
+    having_seg = tokens[having_i + 1:having_end] \
+        if having_i is not None else []
     tail_seg = tokens[tail_start:]
     prefix = tokens[:sel_i]  # WITH clause, if any
     if not from_seg:
@@ -3689,14 +3742,47 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     aggs = _geo2p_scan_aggs(items)
     if aggs is None or not aggs:
         return None
+    # HAVING decomposes as an OUTER filter: its aggregates get the same
+    # partial/merge treatment as select-list ones (extra mid columns),
+    # and the rewritten predicate applies after the merge — exactly the
+    # reference's plan shape (AggregationNode → FilterNode).  Qualified
+    # column refs can't be resolved through the mid projection — bail.
+    h_aggs: list = []
+    if having_seg:
+        h_aggs = _geo2p_scan_aggs(having_seg)
+        if h_aggs is None:
+            return None
+        hj = 0
+        while hj < len(having_seg):
+            if having_seg[hj].text == "(":
+                hj = find_matching_paren(having_seg, hj) + 1
+                continue
+            if having_seg[hj].text == "." \
+                    and not any(s <= hj <= e for s, e, *_ in h_aggs):
+                return None
+            hj += 1
     # build the three layers
     k_sql = ", ".join(render([k]) for k in keys)
     inner_cols = [render([k]) for k in keys]
     mid_cols: list[str] = []
     merges: list[str] = []
-    for i, (_s, _e, name, argv) in enumerate(aggs):
+    n_sel = len(aggs)
+    for i, (_s, _e, name, argv, fpred) in enumerate(aggs + h_aggs):
         a, g = f"__fps_a{i}", f"__fps_gp{i}"
-        if name != "count*":
+        if fpred is not None:
+            # FILTER (WHERE pred): applied per-row in the inner
+            # projection — excluded rows become NULL, which every
+            # aggregate here skips exactly like the reference's
+            # per-arm input mask; the merge stays unconditional
+            p_sql = render(fpred)
+            if name == "count*":
+                # count(*) counts rows passing the filter
+                name = "count"
+                argv = [tokenize("1")]
+            v_sql = render(argv[0])
+            inner_cols.append(
+                f"(CASE WHEN {p_sql} THEN {v_sql} END) AS {a}")
+        elif name != "count*":
             inner_cols.append(f"{render(argv[0])} AS {a}")
         if name == "geometry_union_agg":
             mid_cols.append(f"geometry_union(collect_list({a})) AS {g}")
@@ -3718,15 +3804,18 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
             # TypedHeap top-n: the partial is the fallback rule's own
             # spelling over the subgroup; the merge re-selects the top n
             # of ≤ n·numPartitions pooled candidates — exact (top-n of
-            # unioned top-ns is the global top-n, ties kept as values)
+            # unioned top-ns is the global top-n, ties kept as values).
+            # Zero non-null inputs → NULL, not [] (AbstractMinMaxN
+            # AggregationFunction.output:148 appendNull on empty heap);
+            # partials stay [] so flatten pools them cheaply.
             asc = "true" if name == "min_n" else "false"
             n_lit = argv[1][0].text
             mid_cols.append(
                 f"slice(sort_array(collect_list({a}), {asc}), 1, {n_lit})"
                 f" AS {g}")
             merges.append(
-                f"slice(sort_array(flatten(collect_list({g})), {asc}),"
-                f" 1, {n_lit})")
+                f"nullif(slice(sort_array(flatten(collect_list({g})), "
+                f"{asc}), 1, {n_lit}), array())")
         elif name == "reduce_agg":
             # ReduceAggregationFunction: fold the subgroup with the
             # input lambda from the initial state; merge the partial
@@ -3745,7 +3834,11 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
                 [[ident(a)], argv[1], argv[2], argv[3]]))
             comb = render(argv[3])
             ps = f"collect_list({g})"
-            merge = (f"aggregate(slice({ps}, 2, size({ps}) - 1), "
+            # greatest(…, 0): every partial can be NULL (a FILTER that
+            # excludes a whole group), leaving ps empty — slice errors
+            # on a negative length
+            merge = (f"aggregate(slice({ps}, 2, "
+                     f"greatest(size({ps}) - 1, 0)), "
                      f"element_at({ps}, 1), {comb})")
             mid_cols.append(f"{partial} AS {g}")
             merges.append(merge)
@@ -3761,14 +3854,20 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
            f"FROM ( {inner} ) GROUP BY {mid_keys}")
     # outer select list: original items with each aggregate call span
     # replaced by its merge expression (replace back-to-front so spans
-    # stay valid)
+    # stay valid); same substitution inside the HAVING predicate
     out_items = list(items)
-    for (s, e, _nm, _ar), merge in sorted(zip(aggs, merges),
-                                          key=lambda p: -p[0][0]):
+    for (s, e, _nm, _ar, _fp), merge in sorted(zip(aggs, merges[:n_sel]),
+                                               key=lambda p: -p[0][0]):
         out_items[s:e + 1] = tokenize(merge)
+    out_having = list(having_seg)
+    for (s, e, _nm, _ar, _fp), merge in sorted(zip(h_aggs, merges[n_sel:]),
+                                               key=lambda p: -p[0][0]):
+        out_having[s:e + 1] = tokenize(merge)
     outer = f"SELECT {render(out_items)} FROM ( {mid} )"
     if keys:
         outer += f" GROUP BY {k_sql}"
+    if out_having:
+        outer += f" HAVING {render(out_having)}"
     if tail_seg:
         outer += " " + render(tail_seg)
     return prefix + tokenize(outer)

@@ -110,9 +110,11 @@ def test_fallbacks_stay_single_phase_and_correct(eng, spark):
         # avg has no decomposition spelled here
         "SELECT k, avg(k) AS m, ST_NumPoints(geometry_union_agg(g)) AS n "
         "FROM geo2p_fb GROUP BY k",
-        # HAVING
+        # HAVING with a BARE qualified source ref, which the mid
+        # projection can't resolve (a qualified ref inside an aggregate
+        # argument is fine — it evaluates in the inner projection)
         "SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n FROM geo2p_fb "
-        "GROUP BY k HAVING count(*) > 1",
+        "GROUP BY k HAVING geo2p_fb.k >= 0 AND count(*) > 1",
         # DISTINCT argument
         "SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n, "
         "count(DISTINCT g) AS d FROM geo2p_fb GROUP BY k",
@@ -120,6 +122,54 @@ def test_fallbacks_stay_single_phase_and_correct(eng, spark):
         assert "__fps_salt" not in translate(q), q
         rows = eng.sql(q).collect()  # still executes correctly
         assert len(rows) == 3 and all(r.n > 0 for r in rows)
+
+
+def test_having_and_filter_two_phase(eng, spark):
+    """Round 10: HAVING and FILTER spellings keep the two-phase shape —
+    HAVING becomes an outer filter whose aggregates merge like
+    select-list ones, FILTER becomes a per-row CASE in the inner
+    projection (the reference's per-arm mask) with an unconditional
+    merge — and the values match the single-phase Column expressions."""
+    df = _geo_df(spark)
+    df.createOrReplaceTempView("geo2p_hf")
+    # HAVING over the trigger: two-phase fires, values exact
+    q = ("SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n, "
+         "count(*) AS c FROM geo2p_hf GROUP BY k HAVING count(*) > 1")
+    assert "__fps_salt" in translate(q)
+    got = {r.k: (r.n, r.c) for r in eng.sql(q).collect()}
+    want = {r.k: (r.n, r.c) for r in df.groupBy("k").agg(
+        call("ST_NumPoints",
+             call("geometry_union_agg", F.col("g"))).alias("n"),
+        F.count(F.lit(1)).alias("c")).where("c > 1").collect()}
+    assert got == want and got
+    # FILTER on trigger + siblings: per-arm decomposition, values exact
+    q2 = ("SELECT k, max(k, 2) FILTER (WHERE k > 0) AS m, "
+          "count(*) FILTER (WHERE k < 2) AS c, "
+          "sum(k) FILTER (WHERE k = 1) AS s FROM geo2p_hf GROUP BY k")
+    assert "__fps_salt" in translate(q2)
+    got2 = {r.k: (r.m, r.c, r.s) for r in eng.sql(q2).collect()}
+    want2 = {r.k: (r.m, r.c, r.s) for r in eng.spark.sql(
+        "SELECT k, CASE WHEN k > 0 THEN array(k, k) END AS m, "
+        "count(CASE WHEN k < 2 THEN 1 END) AS c, "
+        "sum(CASE WHEN k = 1 THEN k END) AS s "
+        "FROM geo2p_hf GROUP BY k").collect()}
+    assert got2 == want2
+    # geo FILTER: excluded rows never reach the union
+    q3 = ("SELECT ST_NumPoints(geometry_union_agg(g) "
+          "FILTER (WHERE k = 0)) AS n FROM geo2p_hf")
+    assert "__fps_salt" in translate(q3)
+    n_all = eng.sql("SELECT ST_NumPoints(geometry_union_agg(g)) AS n "
+                    "FROM geo2p_hf WHERE k = 0").collect()[0].n
+    assert eng.sql(q3).collect()[0].n == n_all
+    # reduce_agg FILTER (identity init): fold only the filtered rows
+    q4 = ("SELECT k, reduce_agg(k, 0, (s, v) -> s + v, (a, b) -> a + b) "
+          "FILTER (WHERE k % 2 = 0) AS r FROM geo2p_hf GROUP BY k")
+    assert "__fps_salt" in translate(q4)
+    got4 = {r.k: r.r for r in eng.sql(q4).collect()}
+    want4 = {r.k: r.r for r in eng.spark.sql(
+        "SELECT k, sum(CASE WHEN k % 2 = 0 THEN k END) AS r "
+        "FROM geo2p_hf GROUP BY k").collect()}
+    assert got4 == want4
 
 
 def test_global_aggregate_and_empty_input(eng, spark):
@@ -157,6 +207,18 @@ def test_one_hot_group_scales(eng, spark):
     xs = [p[0] for p in hull.polys[0][0]]
     ys = [p[1] for p in hull.polys[0][0]]
     assert (min(xs), max(xs), min(ys), max(ys)) == (0.0, 39.0, 0.0, 24.0)
+    # round 10: the HAVING and FILTER spellings keep the same bounded
+    # shape — the hot group still aggregates via per-partition partials
+    sql_h = translate(
+        "SELECT k, ST_NumPoints(geometry_union_agg(g) "
+        "FILTER (WHERE g NOT LIKE '%39 %')) AS n "
+        "FROM geo2p_big GROUP BY k HAVING count(*) > 10")
+    assert "__fps_salt" in sql_h
+    row2 = eng.sql(
+        "SELECT k, ST_NumPoints(geometry_union_agg(g) "
+        "FILTER (WHERE g NOT LIKE '%39 %')) AS n "
+        "FROM geo2p_big GROUP BY k HAVING count(*) > 10").collect()[0]
+    assert row2.n == 195  # the 5 x=39 grid points are filtered out
 
 
 # --- property-based equivalence: two-phase vs single-phase ------------------
@@ -274,11 +336,10 @@ def test_reduce_agg_non_identity_init_single_phase(eng, spark):
         "SELECT k, reduce_agg(x, 0, (s, v) -> s + v, (a, b) -> a + b) "
         "AS r FROM t2p_ra_ni GROUP BY k").collect()}
     assert got2 == {k: sum(xs) for k, xs in by_k.items()}
-    # multiplicative two-phase (mod nothing — values small enough)
+    # multiplicative identity through HAVING (two-phase since round 10)
     import math
     got3 = {r.k: r.r for r in eng.sql(
         "SELECT k, reduce_agg(CAST(x AS DOUBLE), 1.0, (s, v) -> s * v, "
         "(a, b) -> a * b) AS r FROM t2p_ra_ni GROUP BY k "
         "HAVING k = 0").collect()}
-    if got3:  # HAVING forces single-phase; value still exact
-        assert got3 == {0: float(math.prod(by_k[0]))}
+    assert got3 == {0: float(math.prod(by_k[0]))}
