@@ -227,26 +227,42 @@ def numeric_histogram(b, c, w=None) -> Column:
 
 
 def max_n(c, n: int) -> Column:
-    """max(x, n) (MaxNAggregationFunction, TypedHeap): n largest values."""
-    return F.slice(F.sort_array(F.collect_list(_c(c)), asc=False), 1, n)
+    """max(x, n) (MaxNAggregationFunction, TypedHeap): n largest values;
+    NULL — not [] — over zero non-null inputs (output:148 appendNull)."""
+    return F.nullif(
+        F.slice(F.sort_array(F.collect_list(_c(c)), asc=False), 1, n),
+        F.array())
 
 
 def min_n(c, n: int) -> Column:
-    return F.slice(F.sort_array(F.collect_list(_c(c)), asc=True), 1, n)
+    return F.nullif(
+        F.slice(F.sort_array(F.collect_list(_c(c)), asc=True), 1, n),
+        F.array())
+
+
+def _by_n_pairs(v, o) -> Column:
+    # NULL keys never enter the heap (AbstractMinMaxBy input:169 — the
+    # key channel is non-nullable); NULL values are kept
+    return F.collect_list(F.when(
+        _c(o).isNotNull(), F.struct(_c(o).alias("o"), _c(v).alias("v"))))
 
 
 def max_by_n(v, o, n: int) -> Column:
     """max_by(x, y, n) (AbstractMinMaxByNAggregationFunction): x's for the n
-    largest y's — struct-sort construction."""
-    pairs = F.collect_list(F.struct(_c(o).alias("o"), _c(v).alias("v")))
-    return F.slice(
-        F.transform(F.reverse(F.array_sort(pairs)), lambda s: s.getField("v")), 1, n
-    )
+    largest y's — struct-sort construction; NULL over zero retained rows."""
+    pairs = _by_n_pairs(v, o)
+    return F.nullif(
+        F.slice(F.transform(F.reverse(F.array_sort(pairs)),
+                            lambda s: s.getField("v")), 1, n),
+        F.array())
 
 
 def min_by_n(v, o, n: int) -> Column:
-    pairs = F.collect_list(F.struct(_c(o).alias("o"), _c(v).alias("v")))
-    return F.slice(F.transform(F.array_sort(pairs), lambda s: s.getField("v")), 1, n)
+    pairs = _by_n_pairs(v, o)
+    return F.nullif(
+        F.slice(F.transform(F.array_sort(pairs),
+                            lambda s: s.getField("v")), 1, n),
+        F.array())
 
 
 @register("reduce_agg")

@@ -516,6 +516,62 @@ def agg_qdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_QDIGEST_MERGE = _qd_contract_oracle({"p10": 0.1, "p50": 0.5, "p99": 0.99})
 
 
+
+
+# --------------------------------------------------------------------------
+# aggregate NULL/empty-state semantics (round 10): one query exercising the
+# reference's input-channel contracts end-to-end through the SQL front —
+# array_agg keeps NULLs (ArrayAggregationFunction.java:120) and region 0's
+# all-NULL group returns [NULL…]; map_agg skips NULL keys
+# (MapAggregationFunction.java:109); max(x,n)/min_by(x,y,n) skip NULL
+# keys and return NULL over zero retained rows
+# (AbstractMinMaxNAggregationFunction.output:148, AbstractMinMaxBy:169);
+# arbitrary skips NULLs (ArbitraryAggregationFunction.java:154).
+AGG_NULL_SQL = """
+WITH t AS (
+  SELECT n_regionkey AS g, n_nationkey AS k, n_name AS name,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS xn,
+         CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS kn
+  FROM nation)
+SELECT g,
+  array_join(transform(array_agg(xn ORDER BY k),
+                       e -> coalesce(CAST(e AS VARCHAR), 'N')), ',') AS arr,
+  cardinality(map_agg(kn, name)) AS m_n,
+  array_join(max(xn, 3), ',') AS top3,
+  min(xn, 2) FILTER (WHERE xn > 100) IS NULL AS topn_empty_is_null,
+  arbitrary(CASE WHEN xn IS NULL THEN NULL ELSE 'x' END) AS arb,
+  array_join(min_by(name, xn, 2), ',') AS by2
+FROM t GROUP BY g ORDER BY g
+"""
+
+
+def agg_null_empty_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from facebook_presto_spark.engine import PrestoSparkEngine
+
+    eng = PrestoSparkEngine.for_dir(sf_dir, spark=spark)
+    return eng.sql(AGG_NULL_SQL)
+
+
+ORACLE_AGG_NULL = """
+WITH t AS (
+  SELECT n_regionkey AS g, n_nationkey AS k, n_name AS name,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS xn,
+         CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS kn
+  FROM nation)
+SELECT g,
+  array_to_string(list(coalesce(CAST(xn AS VARCHAR), 'N') ORDER BY k),
+                  ',') AS arr,
+  count(kn) AS m_n,
+  array_to_string((list(xn ORDER BY xn DESC)
+                   FILTER (WHERE xn IS NOT NULL))[1:3], ',') AS top3,
+  TRUE AS topn_empty_is_null,
+  CASE WHEN count(xn) = 0 THEN NULL ELSE 'x' END AS arb,
+  array_to_string((list(name ORDER BY xn)
+                   FILTER (WHERE xn IS NOT NULL))[1:2], ',') AS by2
+FROM t GROUP BY g ORDER BY g
+"""
+
+
 QUERIES = {
     "agg_set_digest": agg_set_digest,
     "agg_qdigest": agg_qdigest,
@@ -529,6 +585,7 @@ QUERIES = {
     "agg_hll_sketch": agg_hll_sketch,
     "agg_hll_wire": agg_hll_wire,
     "agg_set_digest_wire": agg_set_digest_wire,
+    "agg_null_empty_semantics": agg_null_empty_semantics,
 }
 
 ORACLE = {
@@ -543,5 +600,6 @@ ORACLE = {
     "agg_numeric_histogram": ORACLE_NUMERIC_HISTOGRAM,
     "agg_hll_sketch": ORACLE_HLL,
     "agg_hll_wire": ORACLE_HLL,
+    "agg_null_empty_semantics": ORACLE_AGG_NULL,
     "agg_set_digest_wire": ORACLE_SET_DIGEST_WIRE,
 }

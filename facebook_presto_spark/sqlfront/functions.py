@@ -555,20 +555,27 @@ def _min_max_n(asc: bool):
 
 def _min_max_by_n(asc: bool):
     # min_by/max_by(x, y, n) (AbstractMinMaxByNAggregationFunction): x's
-    # for the n smallest/largest y's
+    # for the n smallest/largest y's.  Rows with a NULL key never enter
+    # the heap (input:169 BLOCK_INPUT_CHANNEL on the key — Spark's
+    # sort_array would instead sort them FIRST ascending), and zero
+    # retained rows yield NULL, not [].
     def rule(args: Args) -> list[Tok]:
         if len(args) == 2:
             return _call("min_by" if asc else "max_by", args[0], args[1])
         pair = (
-            [ident("named_struct"), op("("), string_literal("o"), op(",")]
+            [ident("CASE"), ident("WHEN")] + _paren(args[1])
+            + [ident("IS"), ident("NOT"), ident("NULL"), ident("THEN"),
+               ident("named_struct"), op("("), string_literal("o"), op(",")]
             + list(args[1]) + [op(","), string_literal("v"), op(",")]
-            + list(args[0]) + [op(")")]
+            + list(args[0]) + [op(")"), ident("END")]
         )
         sorted_pairs = _call(
             "sort_array", _call("collect_list", pair), [ident("true" if asc else "false")]
         )
         lam = [ident("__s"), op("->"), ident("__s"), op("."), ident("v")]
-        return _call("slice", _call("transform", sorted_pairs, lam), [Tok("number", "1")], args[2])
+        sliced = _call("slice", _call("transform", sorted_pairs, lam),
+                       [Tok("number", "1")], args[2])
+        return _call("nullif", sliced, _call("array"))
     return rule
 
 

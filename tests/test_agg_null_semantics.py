@@ -161,3 +161,29 @@ def test_filter_splices_onto_every_collection_site(eng, spark):
     assert rows[1].a == [11, 12] and rows[1].h == {"a": 1}
     assert rows[2].m == {"c": 1}
     assert rows[2].a is None and rows[2].h is None  # empty → NULL
+
+
+def test_min_max_by_n_skips_null_keys(eng, spark):
+    """min_by/max_by(x, y, n): rows with a NULL ordering key never enter
+    the heap (AbstractMinMaxBy input:169 non-nullable key channel) —
+    Spark's ascending sort_array would otherwise rank them FIRST; zero
+    retained rows → NULL."""
+    spark.createDataFrame(
+        [("v1", None), ("v2", 5), ("v3", 3), (None, 1)],
+        "x string, y int").createOrReplaceTempView("aggnull_mb")
+    r = eng.sql(
+        "SELECT min_by(x, y) AS a, max_by(x, y) AS b, "
+        "min_by(x, y, 2) AS an, max_by(x, y, 2) AS bn, "
+        "min_by(x, y, 2) FILTER (WHERE y > 99) AS empty "
+        "FROM aggnull_mb").collect()[0]
+    assert r.a is None and r.b == "v2"  # y=1 row carries a NULL value
+    assert r.an == [None, "v3"] and r.bn == ["v2", "v3"]
+    assert r.empty is None
+    # Column path agrees
+    from pyspark.sql import functions as F
+    df = spark.table("aggnull_mb")
+    row = df.agg(call("min_by", F.col("x"), F.col("y"), 2).alias("an"),
+                 call("max_by", F.col("x"), F.col("y"), 2).alias("bn"),
+                 call("min", F.col("y"), 9).alias("mn")).collect()[0]
+    assert row.an == [None, "v3"] and row.bn == ["v2", "v3"]
+    assert row.mn == [1, 3, 5]

@@ -442,3 +442,40 @@ def test_agg_filter_distinct_matches(sql_engine, duck, p1, p2):
     got = [tuple(r) for r in sql_engine.sql(sql).collect()]
     want = [tuple(r) for r in duck.execute(sql).fetchall()]
     assert got == want, sql
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=_predicate(1), n=st.integers(min_value=1, max_value=4))
+def test_two_phase_topn_filter_having_matches(spark, duck, pred, n):
+    """max(x, n) + FILTER + HAVING through the Presto front-end: the
+    round-10 two-phase restructure fires (partials per partition, merge
+    per key, HAVING as an outer filter, FILTER as a per-row mask) and
+    must agree with DuckDB's longhand sorted-slice under ANY predicate —
+    including predicates that empty a whole group (NULL, not [])."""
+    from facebook_presto_spark.engine import PrestoSparkEngine
+    from facebook_presto_spark.sqlfront.translate import translate
+
+    eng = PrestoSparkEngine.for_dir(SF_DIR, spark=spark)
+    presto = (
+        f"SELECT o_orderstatus, max({_MONEY}, {n}) "
+        f"FILTER (WHERE {pred}) AS t, count(*) AS c "
+        "FROM orders GROUP BY o_orderstatus "
+        "HAVING count(*) > 10 ORDER BY o_orderstatus"
+    )
+    assert "__fps_salt" in translate(presto)
+    ducksql = (
+        f"SELECT o_orderstatus, "
+        f"(list({_MONEY} ORDER BY {_MONEY} DESC) "
+        f" FILTER (WHERE {pred}))[1:{n}] AS t, count(*) AS c "
+        "FROM orders GROUP BY o_orderstatus "
+        "HAVING count(*) > 10 ORDER BY o_orderstatus"
+    )
+    got = [(r[0], list(r[1]) if r[1] is not None else None, r[2])
+           for r in eng.sql(presto).collect()]
+    want = [(r[0], list(r[1]) if r[1] is not None else None, r[2])
+            for r in duck.execute(ducksql).fetchall()]
+    assert got == want, presto
