@@ -31,8 +31,18 @@ register("array_intersect")(lambda a, b: F.array_intersect(_c(a), _c(b)))
 register("array_union")(lambda a, b: F.array_union(_c(a), _c(b)))
 register("array_except")(lambda a, b: F.array_except(_c(a), _c(b)))
 register("array_join")(lambda a, sep, null_repl=None: F.array_join(_c(a), sep, null_repl))
-register("array_max")(lambda a: F.array_max(_c(a)))
-register("array_min")(lambda a: F.array_min(_c(a)))
+# array_min/array_max: a NULL ELEMENT nulls the result
+# (ArrayMinMaxUtils.java:41 returns null on the first null position);
+# Spark's built-ins skip null elements instead
+def _arr_minmax(fn):
+    def rule(a):
+        c = _c(a)
+        return F.when(~F.exists(c, lambda e: e.isNull()), fn(c))
+    return rule
+
+
+register("array_max")(_arr_minmax(F.array_max))
+register("array_min")(_arr_minmax(F.array_min))
 register("array_position")(lambda a, v: F.array_position(_c(a), v).cast("bigint"))
 register("array_remove")(lambda a, v: F.array_remove(_c(a), v))
 register("array_sort")(

@@ -24,7 +24,25 @@ register("map")(
 )
 register("map_from_entries")(lambda e: F.map_from_entries(_c(e)))
 register("map_entries")(lambda m: F.map_entries(_c(m)))
-register("map_concat")(lambda *ms: F.map_concat(*[_c(m) for m in ms]))
+# map_concat: the value from the LAST map containing a key wins
+# (MapConcatFunction.java:123-170 walks back-to-front keeping
+# first-seen); Spark's map_concat raises DUPLICATED_MAP_KEY instead
+def _map_concat_last_wins(*ms):
+    cols = [_c(m) for m in ms]
+    if len(cols) == 1:
+        return cols[0]
+    entries = F.reverse(F.concat(*[F.map_entries(m) for m in cols]))
+    keys = F.array_distinct(F.transform(entries, lambda e: e.getField("key")))
+    vals = F.transform(
+        keys,
+        lambda k: F.element_at(
+            F.filter(entries, lambda e: e.getField("key") == k), 1
+        ).getField("value"),
+    )
+    return F.map_from_arrays(keys, vals)
+
+
+register("map_concat")(_map_concat_last_wins)
 register("map_keys")(lambda m: F.map_keys(_c(m)))
 register("map_values")(lambda m: F.map_values(_c(m)))
 register("map_filter")(lambda m, fn: F.map_filter(_c(m), fn))

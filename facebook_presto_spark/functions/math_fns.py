@@ -46,8 +46,23 @@ register("nan")(lambda: F.lit(float("nan")))
 register("is_nan")(lambda x: F.isnan(_c(x)))
 register("is_finite")(lambda x: ~(F.isnan(_c(x)) | (F.abs(_c(x)) == F.lit(float("inf")))))
 register("is_infinite")(lambda x: F.abs(_c(x)) == F.lit(float("inf")))
-register("greatest")(lambda *xs: F.greatest(*[_c(x) for x in xs]))
-register("least")(lambda *xs: F.least(*[_c(x) for x in xs]))
+# greatest/least: ANY NULL argument nulls the result
+# (AbstractGreatestLeast.java:118 RETURN_NULL_ON_NULL) — Spark's
+# greatest/least skip NULLs instead
+def _null_on_null(fn):
+    def rule(*xs):
+        cols = [_c(x) for x in xs]
+        if len(cols) == 1:
+            return cols[0]
+        any_null = cols[0].isNull()
+        for c in cols[1:]:
+            any_null = any_null | c.isNull()
+        return F.when(~any_null, fn(*cols))
+    return rule
+
+
+register("greatest")(_null_on_null(F.greatest))
+register("least")(_null_on_null(F.least))
 register("width_bucket")(
     lambda x, lo, hi, n: F.width_bucket(_c(x), _c(lo), _c(hi), _c(n))
 )

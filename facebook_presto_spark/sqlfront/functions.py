@@ -1088,6 +1088,68 @@ _TRY_FN = {
 }
 
 
+def _map_concat(args: Args) -> list[Tok]:
+    # map_concat(m1, m2, …) (MapConcatFunction.java:123-170): the value
+    # from the LAST map containing a key wins — it walks maps back to
+    # front keeping first-seen keys.  Spark's map_concat raises
+    # DUPLICATED_MAP_KEY instead, so dedup over the reversed entry
+    # stream.  A NULL map argument nulls the result on both engines
+    # (concat/transform propagate it).
+    if len(args) <= 1:
+        return _call("map_concat", *args)
+    entries = _call(
+        "reverse",
+        _call("concat", *[_call("map_entries", a) for a in args]),
+    )
+    keys = _call(
+        "array_distinct",
+        _call("transform", entries,
+              [ident("__mce"), op("->"), ident("__mce"), op("."),
+               ident("key")]),
+    )
+    first_lam = (
+        [ident("__mck"), op("->")]
+        + _call(
+            "element_at",
+            _call("filter", entries,
+                  [ident("__mcf"), op("->"), ident("__mcf"), op("."),
+                   ident("key"), op("="), ident("__mck")]),
+            [Tok("number", "1")],
+        )
+        + [op("."), ident("value")]
+    )
+    return _call("map_from_arrays", keys, _call("transform", keys, first_lam))
+
+
+def _arr_minmax_sql(name: str, args: Args) -> list[Tok]:
+    # ArrayMinMaxUtils.java:41 — the first NULL position nulls the
+    # result; a NULL array input also yields NULL (the CASE's NULL
+    # condition falls to the ELSE branch, where Spark's built-in
+    # propagates the NULL array)
+    return _template(
+        f"(CASE WHEN exists(__A__, __amx -> __amx IS NULL) "
+        f"THEN NULL ELSE {name}(__A__) END)",
+        a=args[0],
+    )
+
+
+def _greatest_least(name: str, args: Args) -> list[Tok]:
+    # ANY NULL argument nulls the result (AbstractGreatestLeast.java:118
+    # RETURN_NULL_ON_NULL); Spark's greatest/least skip NULLs instead
+    if len(args) <= 1:
+        return _call(name, *args)
+    cond: list[Tok] = []
+    for a in args:
+        if cond:
+            cond.append(ident("OR"))
+        cond += _paren(list(a)) + [ident("IS"), ident("NULL")]
+    return (
+        [op("("), ident("CASE"), ident("WHEN")] + cond
+        + [ident("THEN"), ident("NULL"), ident("ELSE")]
+        + _call(name, *args) + [ident("END"), op(")")]
+    )
+
+
 def _try(args: Args) -> list[Tok]:
     # try(expr) (TryFunction.java): NULL on error. Spark has no generic
     # form; translate the failure shapes Spark has try_* twins for.
@@ -1419,6 +1481,13 @@ RULES: dict[str, object] = {
         "to_json", _call("try_parse_json", args[0])),
     "json_format": lambda args: list(args[0]),
     "try": _try,
+    "greatest": lambda args: _greatest_least("greatest", args),
+    "least": lambda args: _greatest_least("least", args),
+    "map_concat": _map_concat,
+    # a NULL ELEMENT nulls array_min/array_max
+    # (ArrayMinMaxUtils.java:41); Spark's built-ins skip nulls
+    "array_min": lambda args: _arr_minmax_sql("array_min", args),
+    "array_max": lambda args: _arr_minmax_sql("array_max", args),
 }
 for _name, _part in _URL_PART.items():
     RULES[_name] = _url_extract(_part)

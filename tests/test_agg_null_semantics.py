@@ -187,3 +187,53 @@ def test_min_max_by_n_skips_null_keys(eng, spark):
                  call("min", F.col("y"), 9).alias("mn")).collect()[0]
     assert row.an == [None, "v3"] and row.bn == ["v2", "v3"]
     assert row.mn == [1, 3, 5]
+
+
+def test_greatest_least_null_on_any_null(eng, spark):
+    """greatest/least return NULL when ANY argument is NULL
+    (AbstractGreatestLeast.java:118 RETURN_NULL_ON_NULL); Spark's
+    built-ins skip NULL arguments instead — both API paths guard."""
+    r = eng.sql("SELECT greatest(1, NULL) AS a, least(2, NULL) AS b, "
+                "greatest(1, 2, 3) AS c, least(4, 2, 9) AS d").collect()[0]
+    assert r.a is None and r.b is None and r.c == 3 and r.d == 2
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, None)], "x int, y int")
+    row = df.select(
+        call("greatest", F.col("x"), F.col("y")).alias("g"),
+        call("least", F.col("x"), F.lit(0)).alias("l")).collect()[0]
+    assert row.g is None and row.l == 0
+
+
+def test_map_concat_last_wins(eng, spark):
+    """map_concat: the value from the LAST map containing a key wins
+    (MapConcatFunction.java:123-170 walks maps back-to-front); Spark's
+    built-in raises DUPLICATED_MAP_KEY on overlap instead."""
+    r = eng.sql(
+        "SELECT map_concat(map(array[1,2], array['a','b']), "
+        "map(array[2,3], array['B','c'])) AS m, "
+        "map_concat(map(array[1], array['x']), "
+        "map(array[1], array['y']), map(array[1], array['z'])) AS m3"
+    ).collect()[0]
+    assert r.m == {1: "a", 2: "B", 3: "c"}
+    assert r.m3 == {1: "z"}
+    from pyspark.sql import functions as F
+    df = spark.range(1).select(
+        F.create_map(F.lit("k"), F.lit(1)).alias("a"),
+        F.create_map(F.lit("k"), F.lit(2)).alias("b"))
+    row = df.select(call("map_concat", F.col("a"), F.col("b"))
+                    .alias("m")).collect()[0]
+    assert row.m == {"k": 2}
+
+
+def test_array_min_max_null_element(eng, spark):
+    """array_min/array_max return NULL when the array CONTAINS a null
+    element (ArrayMinMaxUtils.java:41); Spark's built-ins skip nulls."""
+    r = eng.sql("SELECT array_min(array[2, NULL, 1]) AS a, "
+                "array_max(array[2, NULL]) AS b, "
+                "array_min(array[3, 1]) AS c").collect()[0]
+    assert r.a is None and r.b is None and r.c == 1
+    from pyspark.sql import functions as F
+    df = spark.range(1).select(
+        F.array(F.lit(1), F.lit(None).cast("int")).alias("arr"))
+    assert df.select(call("array_min", F.col("arr")).alias("m")) \
+        .collect()[0].m is None
