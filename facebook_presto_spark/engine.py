@@ -469,7 +469,23 @@ class PrestoSparkEngine:
             # hive.* reads → session-catalog partitioned tables;
             # "t$partitions" system tables register just-in-time
             presto_sql = hive_catalog.prepare(self, presto_sql)
-        return self.spark.sql(translate(presto_sql))
+        spark_sql = translate(presto_sql)
+        if "__fps_salt" not in spark_sql:
+            return self.spark.sql(spark_sql)
+        # the two-phase restructure replaces expression-group-key
+        # references TEXTUALLY; a semantically-equal-but-differently-
+        # spelled reference leaves an unresolvable column — retry the
+        # single-phase translation (always correct, just not the
+        # bounded-state plan) before surfacing an error
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.sql(spark_sql)
+        except AnalysisException:
+            fallback = translate(presto_sql, two_phase=False)
+            if fallback == spark_sql:
+                raise
+            return self.spark.sql(fallback)
 
     # -- metadata statements (ShowQueriesRewrite / Describe*Rewrite) --------
 

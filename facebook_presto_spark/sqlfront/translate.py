@@ -3663,6 +3663,44 @@ def _pass_two_phase_geo_agg(tokens: list[Tok]) -> list[Tok]:
     return new if new is not None else tokens
 
 
+def _replace_key_expr(seg: list[Tok], pattern: list[Tok],
+                      alias: Tok) -> list[Tok]:
+    """Replace every occurrence of the key-expression token sequence
+    (bare or parenthesized) with its mid-exposed alias, skipping paren
+    groups that hold their own SELECT (inner scopes own their names).
+    Token-sequence matching is exact up to identifier case."""
+    if not seg:
+        return seg
+    variants = [pattern, [op("(")] + pattern + [op(")")]]
+    out: list[Tok] = []
+    i = 0
+    n = len(seg)
+    while i < n:
+        t = seg[i]
+        if t.text == "(":
+            close = find_matching_paren(seg, i)
+            inner = seg[i + 1:close]
+            if any(x.is_kw("SELECT") for x in _depth0_iter(inner)):
+                out += seg[i:close + 1]
+                i = close + 1
+                continue
+        matched = False
+        for pat in variants:
+            m = len(pat)
+            if i + m <= n and all(
+                    seg[i + k].kind == pat[k].kind
+                    and seg[i + k].upper == pat[k].upper
+                    for k in range(m)):
+                out.append(alias)
+                i += m
+                matched = True
+                break
+        if not matched:
+            out.append(t)
+            i += 1
+    return out
+
+
 def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     """Rewrite THIS level's SELECT block (subqueries already handled).
     Returns None when the level doesn't qualify."""
@@ -3724,21 +3762,43 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     prefix = tokens[:sel_i]  # WITH clause, if any
     if not from_seg:
         return None
-    # keys must be bare identifiers (exposed by the mid query under
-    # their own names so the outer block reads them verbatim)
-    keys: list[Tok] = []
-    if group_seg:
-        for key in split_top_level(group_seg):
-            if len(key) != 1 or key[0].kind not in ("ident", "qident") \
-                    or key[0].upper in ("ROLLUP", "CUBE", "GROUPING"):
-                return None
-            keys.append(key[0])
     # aggregates referenced by ORDER BY/LIMIT would read columns the
     # mid query doesn't expose — bail rather than fail downstream
     agg_names = _GEO_2P_AGGS | _GEO_2P_SIMPLE | _GEO_2P_OTHER_AGGS | {"count"}
     if any(t.kind == "ident" and t.text.lower() in agg_names
            for t in tail_seg):
         return None
+    # group keys: bare identifiers pass through mid under their own
+    # names; qualified refs and expressions (e.g. the spatial-binning
+    # GROUP BY bing_tile(lat, lon, z) shape) compute ONCE in the inner
+    # projection under a stable alias, and outer SELECT/HAVING/ORDER BY
+    # references are token-sequence replaced by the alias.  The textual
+    # replacement can miss a semantically-equal spelling — engine.sql
+    # retries with two_phase=False if the restructured plan fails
+    # analysis, so the miss surfaces as the (correct) single-phase plan.
+    keys: list[Tok] = []
+    expr_keys: list[tuple[list[Tok], Tok]] = []
+    inner_key_cols: list[str] = []
+    if group_seg:
+        for ki, key in enumerate(split_top_level(group_seg)):
+            key = _strip_outer_parens(key)
+            if not key or any(t.is_kw("ROLLUP", "CUBE", "GROUPING")
+                              for t in _depth0_iter(key)):
+                return None
+            if len(key) == 1 and key[0].kind in ("ident", "qident"):
+                keys.append(key[0])
+                inner_key_cols.append(render([key[0]]))
+            elif len(key) == 1:
+                return None  # GROUP BY ordinal/literal
+            else:
+                if any(t.kind == "ident" and t.text.lower() in agg_names
+                       for t in key) \
+                        or any(x.is_kw("SELECT") for x in key):
+                    return None
+                alias = ident(f"__fps_k{ki}")
+                keys.append(alias)
+                expr_keys.append((list(key), alias))
+                inner_key_cols.append(f"{render(key)} AS __fps_k{ki}")
     aggs = _geo2p_scan_aggs(items)
     if aggs is None or not aggs:
         return None
@@ -3763,7 +3823,7 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
             hj += 1
     # build the three layers
     k_sql = ", ".join(render([k]) for k in keys)
-    inner_cols = [render([k]) for k in keys]
+    inner_cols = list(inner_key_cols)
     mid_cols: list[str] = []
     merges: list[str] = []
     n_sel = len(aggs)
@@ -3863,18 +3923,28 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     for (s, e, _nm, _ar, _fp), merge in sorted(zip(h_aggs, merges[n_sel:]),
                                                key=lambda p: -p[0][0]):
         out_having[s:e + 1] = tokenize(merge)
+    out_tail = list(tail_seg)
+    for pat, alias in expr_keys:
+        out_items = _replace_key_expr(out_items, pat, alias)
+        out_having = _replace_key_expr(out_having, pat, alias)
+        out_tail = _replace_key_expr(out_tail, pat, alias)
     outer = f"SELECT {render(out_items)} FROM ( {mid} )"
     if keys:
         outer += f" GROUP BY {k_sql}"
     if out_having:
         outer += f" HAVING {render(out_having)}"
-    if tail_seg:
-        outer += " " + render(tail_seg)
+    if out_tail:
+        outer += " " + render(out_tail)
     return prefix + tokenize(outer)
 
 
-def translate(sql: str) -> str:
-    """Presto-dialect SQL → Spark-SQL string."""
+def translate(sql: str, *, two_phase: bool = True) -> str:
+    """Presto-dialect SQL → Spark-SQL string.
+
+    ``two_phase=False`` skips the bounded-state aggregate restructure
+    (engine.sql retries with it off if the restructured plan fails
+    analysis — the expression-group-key replacement is textual and can
+    miss a semantically-equal reference)."""
     toks = tokenize(sql)
     toks = _pass_create_table_props(toks)
     toks = _pass_create_view(toks)
@@ -3904,7 +3974,8 @@ def translate(sql: str) -> str:
     toks = _pass_gs_empty_global(toks)
     toks = _pass_cube_rollup_empty_global(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)
-    toks = _pass_two_phase_geo_agg(toks)
+    if two_phase:
+        toks = _pass_two_phase_geo_agg(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)
     toks = _pass_misc(toks)

@@ -343,3 +343,45 @@ def test_reduce_agg_non_identity_init_single_phase(eng, spark):
         "(a, b) -> a * b) AS r FROM t2p_ra_ni GROUP BY k "
         "HAVING k = 0").collect()}
     assert got3 == {0: float(math.prod(by_k[0]))}
+
+
+def test_expression_group_keys_two_phase(eng, spark):
+    """Round 10: expression and qualified group keys keep the two-phase
+    shape — the key computes once in the inner projection under a
+    stable alias (the spatial-binning GROUP BY f(x) pattern), and outer
+    SELECT/HAVING/ORDER BY references are replaced by the alias."""
+    for q in (
+        "SELECT k % 2 AS b, ST_NumPoints(geometry_union_agg(g)) AS n "
+        "FROM t GROUP BY k % 2",
+        "SELECT t.k AS b, max(x, 3) AS m FROM t GROUP BY t.k",
+        "SELECT substr(g, 1, 5) AS c, convex_hull_agg(g) AS h "
+        "FROM t GROUP BY substr(g, 1, 5) ORDER BY substr(g, 1, 5)",
+        "SELECT (k % 2) AS b, max(x, 2) AS m FROM t GROUP BY (k % 2) "
+        "HAVING count(*) > 1",
+    ):
+        assert "__fps_salt" in translate(q), q
+    # GROUP BY ordinal stays single-phase
+    assert "__fps_salt" not in translate(
+        "SELECT k, geometry_union_agg(g) AS u FROM t GROUP BY 1")
+    # runtime equivalence vs the single-phase Column construction
+    df = _geo_df(spark)
+    df.createOrReplaceTempView("geo2p_ek")
+    got = {r.b: (r.n, r.c) for r in eng.sql(
+        "SELECT k % 2 AS b, ST_NumPoints(geometry_union_agg(g)) AS n, "
+        "count(*) AS c FROM geo2p_ek GROUP BY k % 2 ORDER BY k % 2"
+    ).collect()}
+    want = {r.b: (r.n, r.c) for r in df.groupBy(
+        (F.col("k") % 2).alias("b")).agg(
+        call("ST_NumPoints",
+             call("geometry_union_agg", F.col("g"))).alias("n"),
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert got == want and len(got) == 2
+
+
+def test_two_phase_translate_flag(eng):
+    """translate(two_phase=False) skips the restructure — the engine's
+    analysis-failure fallback path relies on this producing the plain
+    single-phase spelling."""
+    q = ("SELECT k, geometry_union_agg(g) AS u FROM t GROUP BY k")
+    assert "__fps_salt" in translate(q)
+    assert "__fps_salt" not in translate(q, two_phase=False)
