@@ -100,6 +100,21 @@ def _presto_json_field(v) -> str:
 
     from pyspark.sql import Row as _Row
 
+    def key_text(x) -> str:
+        # map keys render through the same scalar formatting as values,
+        # then quote as JSON object keys (MapToJsonCast key writers)
+        if isinstance(x, bool):
+            return "true" if x else "false"
+        if isinstance(x, float):
+            from facebook_presto_spark.functions.geo_sql import (
+                _java_double_str,
+            )
+
+            return _java_double_str(x)
+        if isinstance(x, _decimal.Decimal):
+            return format(x, "f")
+        return str(x)
+
     def render(x) -> str:
         if x is None:
             return "null"
@@ -108,26 +123,46 @@ def _presto_json_field(v) -> str:
         if isinstance(x, (list, tuple)):
             return "[" + ",".join(render(e) for e in x) + "]"
         if isinstance(x, dict):
+            # jackson ORDER_MAP_ENTRIES_BY_KEYS: lexicographic key text
             return "{" + ",".join(
-                f"{_json.dumps(str(k))}:{render(val)}"
-                for k, val in sorted(x.items(), key=lambda kv: str(kv[0]))
+                f"{_json.dumps(key_text(k))}:{render(val)}"
+                for k, val in sorted(x.items(),
+                                     key=lambda kv: key_text(kv[0]))
             ) + "}"
         if isinstance(x, bool):
             return "true" if x else "false"
         if isinstance(x, int):
             return str(x)
         if isinstance(x, float):
-            return _json.dumps(x)
+            # Java Double.toString digits (the reference serializes
+            # doubles through jackson's Double writer); non-finite
+            # doubles are quoted strings ("NaN", "Infinity")
+            from facebook_presto_spark.functions.geo_sql import (
+                _java_double_str,
+            )
+
+            s = _java_double_str(x)
+            return _json.dumps(s) if x != x or x in (
+                float("inf"), float("-inf")) else s
         if isinstance(x, _decimal.Decimal):
-            return str(x)
+            return format(x, "f")  # keep the declared scale: 0.0000…
         if isinstance(x, (bytes, bytearray)):
             import base64 as _b64
 
             return _json.dumps(_b64.b64encode(bytes(x)).decode())
-        if isinstance(x, (_dt.datetime, _dt.date, _dt.time)):
+        if isinstance(x, _dt.datetime):
+            # millisecond precision like the reference's timestamp
+            # JSON writer ('2016-01-02 01:02:03.000')
+            return _json.dumps(
+                x.strftime("%Y-%m-%d %H:%M:%S.")
+                + f"{x.microsecond // 1000:03d}")
+        if isinstance(x, (_dt.date, _dt.time)):
             return _json.dumps(str(x))
         return _json.dumps(str(x))
 
+    # NULL renders as 'null' TEXT — the ROW-as-JSON composition
+    # (concat_ws) relies on it; the generic CAST(x AS JSON) wrapper in
+    # _pass_cast_types adds the SQL-NULL-on-NULL-input guard itself
     return render(v)
 
 

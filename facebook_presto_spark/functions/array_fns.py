@@ -27,7 +27,16 @@ register("element_at")(
     lambda a, i: F.try_element_at(_c(a), F.lit(i) if isinstance(i, (int, str)) else _c(i))
 )
 register("array_distinct")(lambda a: F.array_distinct(_c(a)))
-register("array_intersect")(lambda a, b: F.array_intersect(_c(a), _c(b)))
+# the reference iterates the LONGER array in its order
+# (ArrayIntersectFunction.java:46-75); Spark keeps the first argument's
+def _array_intersect(a, b):
+    ca, cb = _c(a), _c(b)
+    return F.when(F.size(ca) < F.size(cb),
+                  F.array_intersect(cb, ca)) \
+        .otherwise(F.array_intersect(ca, cb))
+
+
+register("array_intersect")(_array_intersect)
 register("array_union")(lambda a, b: F.array_union(_c(a), _c(b)))
 register("array_except")(lambda a, b: F.array_except(_c(a), _c(b)))
 register("array_join")(lambda a, sep, null_repl=None: F.array_join(_c(a), sep, null_repl))
@@ -49,7 +58,10 @@ register("array_sort")(
     lambda a, comparator=None: F.array_sort(_c(a)) if comparator is None else F.array_sort(_c(a), comparator)
 )
 register("arrays_overlap")(lambda a, b: F.arrays_overlap(_c(a), _c(b)))
-register("flatten")(lambda a: F.flatten(_c(a)))
+# flatten skips NULL sub-arrays (TestArrayOperators.java:779-783);
+# Spark's flatten nulls the whole result instead
+register("flatten")(lambda a: F.flatten(
+    F.filter(_c(a), lambda e: e.isNotNull())))
 register("repeat")(lambda v, n: F.array_repeat(v if isinstance(v, Column) else F.lit(v), n))
 register("sequence")(
     lambda start, stop, step=None: F.sequence(_lit(start), _lit(stop), _lit(step) if step is not None else None)

@@ -43,9 +43,12 @@ register("random")(lambda: F.rand())
 register("rand")(lambda: F.rand())
 register("infinity")(lambda: F.lit(float("inf")))
 register("nan")(lambda: F.lit(float("nan")))
-register("is_nan")(lambda x: F.isnan(_c(x)))
+# is_nan/is_infinite: NULL argument -> NULL (reference scalar null
+# convention); Spark isnan/comparison would yield FALSE
+register("is_nan")(lambda x: F.when(_c(x).isNotNull(), F.isnan(_c(x))))
 register("is_finite")(lambda x: ~(F.isnan(_c(x)) | (F.abs(_c(x)) == F.lit(float("inf")))))
-register("is_infinite")(lambda x: F.abs(_c(x)) == F.lit(float("inf")))
+register("is_infinite")(lambda x: F.when(
+    _c(x).isNotNull(), F.abs(_c(x)) == F.lit(float("inf"))))
 # greatest/least: ANY NULL argument nulls the result
 # (AbstractGreatestLeast.java:118 RETURN_NULL_ON_NULL) — Spark's
 # greatest/least skip NULLs instead
@@ -87,9 +90,20 @@ def truncate(x, d: int = 0) -> Column:
     )
 
 
-# from_base / to_base (MathFunctions.java) — radix conversion via conv().
-register("from_base")(lambda s, radix: F.conv(_c(s), radix, 10).cast("bigint"))
-register("to_base")(lambda x, radix: F.lower(F.conv(_c(x).cast("string"), 10, radix)))
+# from_base / to_base (MathFunctions.java) — radix conversion.
+# Sign-magnitude like Long.toString/parseLong(long, radix): to_base(-255,
+# 16) = '-ff'; Spark's conv() renders negatives as unsigned two's
+# complement.  The unary negate of the wrapped magnitude reproduces
+# Long.MIN_VALUE exactly.
+register("from_base")(lambda s, radix: F.when(
+    F.substring(_c(s), 1, 1) == "-",
+    -F.conv(F.substring(_c(s), 2, 2**31 - 1), radix, 10).cast("bigint"))
+    .otherwise(F.conv(_c(s), radix, 10).cast("bigint")))
+register("to_base")(lambda x, radix: F.when(
+    _c(x) < 0,
+    F.concat(F.lit("-"),
+             F.lower(F.conv((-_c(x)).cast("string"), 10, radix))))
+    .otherwise(F.lower(F.conv(_c(x).cast("string"), 10, radix))))
 
 
 # cosine_similarity(map<varchar,double>, map<varchar,double>)

@@ -14,7 +14,7 @@ import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BooleanType, StringType
 
 from facebook_presto_spark.functions.registry import register
 
@@ -122,7 +122,63 @@ def _normalize_udf(col: pd.Series, form: pd.Series) -> pd.Series:
     )
 
 
-SQL_UDFS = {"word_stem": _word_stem_udf, "presto_normalize": _normalize_udf}
+@F.pandas_udf(BooleanType())
+def _json_array_contains_udf(js: pd.Series, kind: pd.Series,
+                             val: pd.Series) -> pd.Series:
+    """json_array_contains with the reference's TYPED matching
+    (JsonFunctions.java jsonArrayContains overloads): a bigint probe
+    matches only integral JSON numbers, a double probe only float
+    tokens, booleans/varchars their own kinds — and a malformed or
+    non-array input is NULL."""
+    import json as _json
+
+    def one(j, k, v):
+        if j is None or v is None:
+            return None
+        try:
+            arr = _json.loads(j)
+        except Exception:
+            return None
+        if not isinstance(arr, list):
+            return None
+        for el in arr:
+            if k == "b" and isinstance(el, bool) and el is (v == "true"):
+                return True
+            if k == "l" and type(el) is int and el == int(v):
+                return True
+            if k == "d" and type(el) is float and el == float(v):
+                return True
+            if k == "s" and isinstance(el, str) and not isinstance(el, bool)                     and el == v:
+                return True
+        return False
+
+    return pd.Series([one(j, k, v) for j, k, v in zip(js, kind, val)],
+                     dtype="object")
+
+
+@F.pandas_udf(StringType())
+def _presto_typeof_udf(t: pd.Series) -> pd.Series:
+    """Spark typeof() text → the reference's type spelling
+    (TypeOfFunction.java renders StandardTypes names: integer, varchar,
+    array(…)); shared with information_schema via presto_type_name."""
+    from facebook_presto_spark.infoschema import presto_type_name
+
+    def one(x):
+        if x is None:
+            return None
+        if x == "void":
+            return "unknown"
+        out = presto_type_name(x)
+        # typeof() of a plain timestamp value is just 'timestamp' (the
+        # info-schema mapping widens it for column metadata)
+        return "timestamp" if out == "timestamp with time zone" else out
+
+    return t.map(one)
+
+
+SQL_UDFS = {"word_stem": _word_stem_udf, "presto_normalize": _normalize_udf,
+            "presto_json_array_contains": _json_array_contains_udf,
+            "presto_typeof_name": _presto_typeof_udf}
 
 
 # --- regex (Joni-engine semantics ≈ Java regex for the common surface) -----

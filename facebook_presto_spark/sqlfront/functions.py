@@ -36,7 +36,6 @@ RENAME: dict[str, str] = {
     # string (StringFunctions.java)
     "strpos": "instr",
     "codepoint": "ascii",
-    "chr": "char",
     "levenshtein_distance": "levenshtein",
     # binary (VarbinaryFunctions.java)
     "to_hex": "hex",
@@ -69,7 +68,6 @@ RENAME: dict[str, str] = {
     "bitwise_or_agg": "bit_or",
     # math (MathFunctions.java)
     "random": "rand",
-    "is_nan": "isnan",
     # datetime (DateTimeFunctions.java)
     "day_of_year": "dayofyear",
     "doy": "dayofyear",
@@ -80,7 +78,6 @@ RENAME: dict[str, str] = {
     "from_iso8601_date": "to_date",
     "parse_datetime": "to_timestamp",  # Joda patterns ≈ Java patterns for common cases
     # map/string (MapFunctions, StringFunctions)
-    "split_to_map": "str_to_map",
 }
 
 # Presto date/time unit strings → Spark timestampadd/timestampdiff keywords
@@ -412,8 +409,32 @@ def _json_size(args: Args) -> list[Tok]:
 
 
 def _json_array_contains(args: Args) -> list[Tok]:
-    # typed by the probe literal, like the reference's three overloads
+    # typed matching like the reference's four overloads
+    # (JsonFunctions.java jsonArrayContains): the probe literal's SQL
+    # type decides which JSON token kind can match — bigint only
+    # integral numbers, double only float tokens, boolean/varchar their
+    # own kinds.  NULL probe → NULL.  A non-literal probe falls back to
+    # the typed-array parse (same behavior as before round 10).
     probe = args[1]
+    kind = None
+    if len(probe) == 1:
+        t = probe[0]
+        if t.is_kw("NULL"):
+            return tokenize("CAST(NULL AS BOOLEAN)")
+        if t.is_kw("TRUE", "FALSE"):
+            kind = "b"
+        elif t.kind == "number":
+            kind = "d" if any(c in t.text for c in ".eE") else "l"
+        elif t.kind == "string":
+            kind = "s"
+    elif len(probe) == 2 and probe[0].text in ("-", "+")             and probe[1].kind == "number":
+        kind = "d" if any(c in probe[1].text for c in ".eE") else "l"
+    if kind is not None:
+        return _call(
+            "presto_json_array_contains", args[0],
+            [string_literal(kind)],
+            _template("CAST(__V__ AS STRING)", v=probe),
+        )
     if len(probe) == 1 and probe[0].kind == "string":
         elem_type = "array<string>"
     elif probe and probe[0].is_kw("TRUE", "FALSE"):
@@ -426,12 +447,6 @@ def _json_array_contains(args: Args) -> list[Tok]:
         if elem_type == "array<double>" else list(probe)
     )
     return _call("exists", arr, cmp)
-
-
-_DURATION_MS_SQL = (
-    ("ns", "0.000001"), ("us", "0.001"), ("ms", "1"), ("s", "1000"),
-    ("m", "60000"), ("h", "3600000"), ("d", "86400000"),
-)
 
 
 def _parse_duration(args: Args) -> list[Tok]:
@@ -827,6 +842,140 @@ def _url_extract_port(args: Args) -> list[Tok]:
     )
 
 
+# Character.isWhitespace's exact set (StringFunctions.java trim family
+# delegates to it): controls \t \n \x0B \f \r \x1C-\x1F plus the
+# Unicode space/line/paragraph separators EXCEPT the non-breaking ones
+# (U+00A0, U+2007, U+202F are NOT whitespace to Java)
+_JAVA_WS = '\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2008\u2009\u200a\u2028\u2029\u205f\u3000'
+
+
+def _trim_rule(side: str):
+    # trim/ltrim/rtrim(s): the reference strips every
+    # Character.isWhitespace codepoint; Spark's builtins strip only
+    # ' '.  The 2-arg forms take an explicit character set — Spark's
+    # 2-arg ltrim/rtrim spell (trimStr, str), reversed from Presto.
+    pat = {"l": f"^[{_JAVA_WS}]+",
+           "r": f"[{_JAVA_WS}]+$",
+           "b": f"^[{_JAVA_WS}]+|[{_JAVA_WS}]+$"}[side]
+
+    def rule(args: Args) -> list[Tok]:
+        if len(args) == 2:
+            if side == "b":
+                return _call("btrim", args[0], args[1])
+            name = "ltrim" if side == "l" else "rtrim"
+            return _call(name, args[1], args[0])
+        return _call("regexp_replace", args[0], [string_literal(pat)],
+                     [string_literal("")])
+    return rule
+
+
+def _chr(args: Args) -> list[Tok]:
+    # chr(n) is the Unicode CODEPOINT (StringFunctions.java chr →
+    # codePointChar); Spark's char() wraps at 256
+    return _template(
+        "decode(to_binary(lpad(hex(__N__), 8, '0'), 'hex'), 'UTF-32')",
+        n=args[0])
+
+
+def _replace(args: Args) -> list[Tok]:
+    # replace with an EMPTY search string inserts the replacement
+    # around every character (StringFunctions.java replace → empty
+    # pattern matches at each boundary); Spark returns the input
+    if len(args) == 2:
+        args = [*args, [string_literal("")]]
+    return _template(
+        "(CASE WHEN __P__ = '' AND __S__ = '' THEN __R__ "
+        "WHEN __P__ = '' THEN __R__ || array_join(transform("
+        "split(__S__, ''), __rc -> __rc || __R__), '') "
+        "ELSE replace(__S__, __P__, __R__) END)",
+        s=args[0], p=args[1], r=args[2])
+
+
+def _substr_rule(args: Args) -> list[Tok]:
+    # substr(s, p[, n]): the reference returns '' for p = 0 and for a
+    # negative p beyond the string's start (SliceUtf8-based
+    # StringFunctions.substr); Spark clamps both to position 1.
+    # Also unpacks the ANSI ``substring(x FROM p [FOR n])`` spelling.
+    if len(args) == 1:
+        seg = args[0]
+        fi = next((k for k, t in enumerate(seg) if t.is_kw("FROM")), None)
+        if fi is None:
+            return _call("substr", *args)
+        rest = seg[fi + 1:]
+        ki = next((k for k, t in enumerate(rest) if t.is_kw("FOR")), None)
+        if ki is None:
+            args = [seg[:fi], rest]
+        else:
+            args = [seg[:fi], rest[:ki], rest[ki + 1:]]
+    call = _call("substr", *args)
+    # a positive literal start needs no guard (also keeps the internal
+    # VARCHAR(n)-cast truncation spelling a plain substring)
+    p = args[1]
+    if len(p) == 1 and p[0].kind == "number" and "." not in p[0].text \
+            and int(p[0].text) > 0:
+        return call
+    return _template(
+        "(CASE WHEN __P__ = 0 OR __P__ < -length(__S__) THEN '' "
+        "ELSE __C__ END)",
+        s=args[0], p=args[1], c=call)
+
+
+def _split_part(args: Args) -> list[Tok]:
+    # split_part(s, d, part) (StringFunctions.java splitPart): the
+    # delimiter is a LITERAL, an empty delimiter splits per character,
+    # and a part index past the count yields NULL — Spark's builtin
+    # regex-free split_part returns '' past the end instead
+    s, d, p = args
+    return _template(
+        "(CASE WHEN __P__ = 0 THEN '' "
+        "WHEN __D__ = '' THEN "
+        "(CASE WHEN __P__ <= length(__S__) "
+        "THEN substr(__S__, CAST(__P__ AS INT), 1) END) "
+        "WHEN __P__ > (length(__S__) - length(replace(__S__, __D__, ''))) "
+        "DIV length(__D__) + 1 THEN NULL "
+        "ELSE split_part(__S__, __D__, CAST(__P__ AS INT)) END)",
+        s=s, d=d, p=p)
+
+
+def _quote_regex(arg: list[Tok]) -> list[Tok]:
+    """Literal delimiter → regex-quoted literal for Spark's split()."""
+    if len(arg) == 1 and arg[0].kind == "string":
+        return [string_literal(re.escape(string_value(arg[0])))]
+    return arg
+
+
+def _split_to_multimap(args: Args) -> list[Tok]:
+    # split_to_multimap(s, entryDelim, kvDelim) (StringFunctions.java):
+    # map<varchar, array<varchar>> — each entry splits at the FIRST
+    # kvDelim, values grouped per key in entry order; '' → {}
+    s, ed, kd = args
+    entry = (
+        "named_struct('key', substring_index(__sme, __KD__, 1), "
+        "'value', substr(__sme, length(substring_index(__sme, __KD__, 1))"
+        " + length(__KD__) + 1))"
+    )
+    return _template(
+        "(CASE WHEN __S__ = '' THEN CAST(map() AS MAP<STRING, "
+        "ARRAY<STRING>>) ELSE map_from_arrays("
+        f"array_distinct(transform(split(__S__, __ED__), __sme -> "
+        f"{entry}.key)), "
+        f"transform(array_distinct(transform(split(__S__, __ED__), "
+        f"__sme -> {entry}.key)), __smk -> "
+        f"transform(filter(transform(split(__S__, __ED__), __sme -> "
+        f"{entry}), __smf -> __smf.key = __smk), __smv -> __smv.value))) "
+        "END)",
+        s=s, ed=_quote_regex(ed), kd=kd)
+
+
+def _split_to_map(args: Args) -> list[Tok]:
+    # SPLIT_TO_MAP('', …) → {} (the reference finds no entries);
+    # Spark's str_to_map('') yields {'': NULL}
+    return _template(
+        "(CASE WHEN __S__ = '' THEN map() "
+        "ELSE str_to_map(__S__, __ED__, __KD__) END)",
+        s=args[0], ed=args[1], kd=args[2])
+
+
 def _split(args: Args) -> list[Tok]:
     # Presto split() delimiter is a literal; Spark's is a regex → quote it.
     if len(args) >= 2 and len(args[1]) == 1 and args[1][0].kind == "string":
@@ -836,10 +985,25 @@ def _split(args: Args) -> list[Tok]:
 
 
 def _regexp_extract(args: Args) -> list[Tok]:
-    # Presto default group = 0 (whole match); Spark default = 1.
+    # Presto default group = 0 (whole match); Spark default = 1.  A
+    # NON-MATCHING pattern yields NULL (RegexpFunctions.regexpExtract),
+    # where Spark returns '' — guard with regexp_like.  (A matching
+    # pattern whose GROUP did not participate still returns '' — a
+    # documented residual; group participation is invisible to SQL.)
     if len(args) == 2:
         args = [*args, [Tok("number", "0")]]
-    return _call("regexp_extract", *args)
+    return _template(
+        "(CASE WHEN regexp_like(__S__, __P__) "
+        "THEN regexp_extract(__S__, __P__, __G__) END)",
+        s=args[0], p=args[1], g=args[2])
+
+
+def _regexp_replace(args: Args) -> list[Tok]:
+    # the 2-argument form deletes every match (RegexpFunctions.java
+    # regexpReplace(x, p) → replace with ''); Spark requires 3 args
+    if len(args) == 2:
+        args = [*args, [string_literal("")]]
+    return _call("regexp_replace", *args)
 
 
 def _regexp_extract_all(args: Args) -> list[Tok]:
@@ -928,6 +1092,10 @@ def _contains(args: Args) -> list[Tok]:
             + [op(","), ident("__e"), op("->"), ident("__e"), op("=")]
             + args[1] + [op(")")]
         )
+    if len(args) == 2 and len(args[1]) == 1 and args[1][0].is_kw("NULL"):
+        # contains(x, NULL) → NULL (ArraysOverlapFunction-style
+        # three-valued logic; Spark rejects the untyped NULL argument)
+        return tokenize("CAST(NULL AS BOOLEAN)")
     return _call("array_contains", *args)
 
 
@@ -1042,20 +1210,51 @@ def _nan(args: Args) -> list[Tok]:
 
 
 def _is_finite(args: Args) -> list[Tok]:
+    # NULL argument → NULL (the reference's scalar null convention);
+    # Spark's isnan/comparisons would quietly produce FALSE
     x = args[0]
     not_nan = [ident("NOT")] + _call("isnan", x)
     # any finite double compares < +inf; NaN already excluded above
     bounded = _call("abs", x) + [op("<")] + _infinity([])
-    return _paren(not_nan + [ident("AND")] + bounded)
+    return _template(
+        "(CASE WHEN __A__ IS NULL THEN NULL ELSE __C__ END)",
+        a=x, c=_paren(not_nan + [ident("AND")] + bounded))
+
+
+def _is_nan(args: Args) -> list[Tok]:
+    # is_nan(NULL) → NULL (TestMathFunctions.java); Spark isnan → false
+    return _template(
+        "(CASE WHEN __A__ IS NULL THEN NULL ELSE isnan(__A__) END)",
+        a=args[0])
+
+
+def _is_infinite(args: Args) -> list[Tok]:
+    # MathFunctions.isInfinite; NULL → NULL
+    return _template(
+        "(CASE WHEN __A__ IS NULL THEN NULL "
+        "ELSE abs(CAST(__A__ AS DOUBLE)) = CAST('Infinity' AS DOUBLE) END)",
+        a=args[0])
 
 
 def _to_base(args: Args) -> list[Tok]:
-    return _call("lower", _call("conv", args[0], [Tok("number", "10")], args[1]))
+    # sign-magnitude like the reference (MathFunctions.toBase via
+    # Long.toString(long, radix): to_base(-255, 16) = '-ff'); Spark's
+    # conv() renders negatives as unsigned two's complement
+    return _template(
+        "(CASE WHEN __X__ < 0 THEN '-' || lower(conv(-__X__, 10, __B__)) "
+        "ELSE lower(conv(__X__, 10, __B__)) END)",
+        x=args[0], b=args[1])
 
 
 def _from_base(args: Args) -> list[Tok]:
-    conv = _call("conv", args[0], args[1], [Tok("number", "10")])
-    return _call("cast", conv + [ident("AS"), ident("BIGINT")])
+    # sign-magnitude inverse (Long.parseLong(s, radix) accepts a leading
+    # '-'); the unary negate of the wrapped magnitude reproduces
+    # Long.MIN_VALUE exactly (two's complement)
+    return _template(
+        "(CASE WHEN substr(__S__, 1, 1) = '-' "
+        "THEN -CAST(conv(substr(__S__, 2), __B__, 10) AS BIGINT) "
+        "ELSE CAST(conv(__S__, __B__, 10) AS BIGINT) END)",
+        s=args[0], b=args[1])
 
 
 def _log2_or_log(args: Args) -> list[Tok]:
@@ -1073,11 +1272,16 @@ def _year_of_week(args: Args) -> list[Tok]:
 
 
 def _json_array_get(args: Args) -> list[Tok]:
-    # json_array_get(j, i): 0-based index into a JSON array
+    # json_array_get(j, i): 0-based index into a JSON array; a JSON
+    # null ELEMENT is SQL NULL (TestJsonFunctions.java:126-153) —
+    # get_json_object renders it as the text 'null'.  (A string element
+    # "null" comes back unquoted from get_json_object and collides;
+    # the reference's own tests don't distinguish the two.)
     path = _call("concat", [string_literal("$[")],
                  _call("cast", args[1] + [ident("AS"), ident("STRING")]),
                  [string_literal("]")])
-    return _call("get_json_object", args[0], path)
+    return _call("nullif", _call("get_json_object", args[0], path),
+                 [string_literal("null")])
 
 
 _TRY_FN = {
@@ -1121,6 +1325,14 @@ def _map_concat(args: Args) -> list[Tok]:
     return _call("map_from_arrays", keys, _call("transform", keys, first_lam))
 
 
+def _array_position_rule(args: Args) -> list[Tok]:
+    # array_position(x, NULL) → NULL (TestArrayOperators.java:672-673);
+    # Spark rejects the untyped NULL argument outright
+    if len(args) == 2 and len(args[1]) == 1 and args[1][0].is_kw("NULL"):
+        return tokenize("CAST(NULL AS BIGINT)")
+    return _call("array_position", *args)
+
+
 def _arr_minmax_sql(name: str, args: Args) -> list[Tok]:
     # ArrayMinMaxUtils.java:41 — the first NULL position nulls the
     # result; a NULL array input also yields NULL (the CASE's NULL
@@ -1135,9 +1347,13 @@ def _arr_minmax_sql(name: str, args: Args) -> list[Tok]:
 
 def _greatest_least(name: str, args: Args) -> list[Tok]:
     # ANY NULL argument nulls the result (AbstractGreatestLeast.java:118
-    # RETURN_NULL_ON_NULL); Spark's greatest/least skip NULLs instead
-    if len(args) <= 1:
-        return _call(name, *args)
+    # RETURN_NULL_ON_NULL); Spark's greatest/least skip NULLs instead.
+    # The single-argument form is the identity in the reference
+    # (variadic signature, min arity 1) — Spark requires two arguments.
+    if len(args) == 1:
+        return _paren(list(args[0]))
+    if not args:
+        return _call(name)
     cond: list[Tok] = []
     for a in args:
         if cond:
@@ -1242,7 +1458,22 @@ def _to_utf8(args: Args) -> list[Tok]:
 
 
 def _from_utf8(args: Args) -> list[Tok]:
-    return _call("decode", args[0], [string_literal("UTF-8")])
+    # Lenient decode (StringFunctions.fromUtf8): invalid byte sequences
+    # become U+FFFD — Spark's decode(…, 'UTF-8') raises
+    # MALFORMED_CHARACTER_CODING, and a bare binary→string CAST is a
+    # zero-copy reinterpret that keeps the raw invalid bytes, so
+    # make_valid_utf8 performs the actual substitution.  The 2-arg form
+    # swaps in a custom replacement (codepoint or single-char string;
+    # '' strips).  Valid text containing a real U+FFFD is
+    # indistinguishable from a substitution — the same ambiguity the
+    # reference's output has.
+    base = _template("make_valid_utf8(CAST(__B__ AS STRING))", b=args[0])
+    if len(args) == 1:
+        return base
+    r = args[1]
+    if len(r) == 1 and r[0].kind == "number":
+        r = _chr([r])
+    return _call("replace", base, [string_literal("\ufffd")], r)
 
 
 def _to_iso8601(args: Args) -> list[Tok]:
@@ -1454,6 +1685,7 @@ RULES: dict[str, object] = {
     "url_extract_port": _url_extract_port,
     "split": _split,
     "regexp_extract": _regexp_extract,
+    "regexp_replace": _regexp_replace,
     "regexp_extract_all": _regexp_extract_all,
     "regexp_split": lambda args: _call("split", *args),
     "url_extract_parameter": _url_extract_parameter,
@@ -1483,11 +1715,51 @@ RULES: dict[str, object] = {
     "try": _try,
     "greatest": lambda args: _greatest_least("greatest", args),
     "least": lambda args: _greatest_least("least", args),
+    # TypeOfFunction.java renders StandardTypes spellings (the UDF is
+    # a metadata corner; the hot-path integer-cast dispatch uses the
+    # __spark_typeof alias below and stays JVM-side)
+    "typeof": lambda args: _call(
+        "presto_typeof_name", _call("typeof", *args)),
+    "__spark_typeof": lambda args: _call("typeof", *args),
+    # BitwiseFunctions.bitCount(x, bits): count within the bits-wide
+    # two's complement of x; Spark's bit_count is 64-bit-only
+    "bit_count": lambda args: _call("bit_count", args[0]) if len(args) == 1
+    else _call(
+        "bit_count",
+        _paren(list(args[0])) + [op("&")] + _template(
+            "(CASE WHEN __B__ = 64 THEN -1 "
+            "ELSE shiftleft(CAST(1 AS BIGINT), CAST(__B__ AS INT)) - 1 "
+            "END)", b=args[1])),
+    "is_nan": _is_nan,
+    "is_infinite": _is_infinite,
+    "chr": _chr,
+    "replace": _replace,
+    "substr": _substr_rule,
+    "substring": _substr_rule,
+    "split_part": _split_part,
+    "split_to_map": _split_to_map,
+    "split_to_multimap": _split_to_multimap,
+    "trim": _trim_rule("b"),
+    "ltrim": _trim_rule("l"),
+    "rtrim": _trim_rule("r"),
     "map_concat": _map_concat,
     # a NULL ELEMENT nulls array_min/array_max
     # (ArrayMinMaxUtils.java:41); Spark's built-ins skip nulls
     "array_min": lambda args: _arr_minmax_sql("array_min", args),
     "array_max": lambda args: _arr_minmax_sql("array_max", args),
+    "array_position": _array_position_rule,
+    # the reference iterates the LONGER array in its order
+    # (ArrayIntersectFunction.java:46-75); Spark keeps the first
+    # argument's order — swap when the second is longer
+    "array_intersect": lambda args: _template(
+        "(CASE WHEN size(__A__) < size(__B__) "
+        "THEN array_intersect(__B__, __A__) "
+        "ELSE array_intersect(__A__, __B__) END)",
+        a=args[0], b=args[1]),
+    # flatten SKIPS null sub-arrays (TestArrayOperators.java:779-783 —
+    # flatten([NULL, [x]]) = [x]); Spark's flatten nulls the result
+    "flatten": lambda args: _template(
+        "flatten(filter(__A__, __fl -> __fl IS NOT NULL))", a=args[0]),
 }
 for _name, _part in _URL_PART.items():
     RULES[_name] = _url_extract(_part)

@@ -499,6 +499,40 @@ def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
 _TYPE_RENAME = {"JSON": "STRING", "VARBINARY": "BINARY", "REAL": "FLOAT"}
 
 
+def _template_cast_json(v: list[Tok]) -> list[Tok]:
+    body = render(v)
+    return tokenize(
+        f"(CASE WHEN ({body}) IS NULL THEN NULL "
+        f"ELSE presto_json_field({body}) END)")
+
+
+def _angles_to_parens(toks: list[Tok]) -> list[Tok]:
+    """Normalize the angle-bracket generic type spelling the reference
+    also accepts (``ARRAY<BIGINT>``, ``MAP<K, V>`` — TypeSignature
+    parses both) to the paren form the rest of the type machinery
+    expects.  Only brackets directly following ARRAY/MAP/ROW (or nested
+    inside such a group) convert, so comparison operators elsewhere are
+    untouched."""
+    out: list[Tok] = []
+    depth = 0
+    prev_generic = False
+    for t in toks:
+        if t.text == "<" and (prev_generic or depth > 0):
+            out.append(op("("))
+            depth += 1
+            prev_generic = False
+            continue
+        if t.text == ">" and depth > 0:
+            out.append(op(")"))
+            depth -= 1
+            prev_generic = False
+            continue
+        prev_generic = t.kind == "ident" and t.upper in ("ARRAY", "MAP",
+                                                         "ROW")
+        out.append(t)
+    return out
+
+
 def _type_text(toks: list[Tok]) -> str:
     """Presto type syntax → Spark type syntax (for CAST targets).
 
@@ -874,9 +908,9 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                 out.append(t)
                 i += 1
                 continue
-            type_text = _type_text(inner[as_idx + 1:])
             value_toks = inner[:as_idx]
-            raw_type = inner[as_idx + 1:]
+            raw_type = _angles_to_parens(inner[as_idx + 1:])
+            type_text = _type_text(raw_type)
             if (
                 len(raw_type) == 1 and raw_type[0].upper == "JSON"
                 and len(value_toks) >= 3
@@ -946,16 +980,79 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                     and find_matching_paren(value_toks, 1) == len(value_toks) - 1
                 ):
                     unwrapped = value_toks[4:-2]
+                elif (
+                    # CAST(x AS JSON) as the operand: the inner cast
+                    # becomes a STRING carrying the JSON text — feed it
+                    # to from_json directly
+                    len(value_toks) >= 5
+                    and value_toks[0].kind == "ident"
+                    and value_toks[0].upper in ("CAST", "TRY_CAST")
+                    and value_toks[1].text == "("
+                    and find_matching_paren(value_toks, 1)
+                    == len(value_toks) - 1
+                    and value_toks[-2].is_kw("JSON")
+                    and value_toks[-3].is_kw("AS")
+                ):
+                    unwrapped = value_toks
                 elif len(value_toks) == 1 and value_toks[0].kind == "string":
                     unwrapped = value_toks
                 if unwrapped is not None:
-                    out.extend(
-                        _call(
-                            "from_json",
-                            _pass_cast_types(unwrapped),
-                            [string_literal(type_text.lower())],
-                        )
+                    tt = type_text.lower()
+                    fj = _call(
+                        "from_json",
+                        _pass_cast_types(unwrapped),
+                        [string_literal(tt)],
                     )
+                    m_map = re.fullmatch(r"map<(.*)>", tt, re.S)
+                    if m_map:
+                        # Spark's from_json only parses STRING map keys
+                        # (JSON object keys are text); the reference
+                        # coerces them to the declared key type
+                        # (JsonToMapCast) — parse as string keys, then
+                        # transform_keys
+                        inner_t = m_map.group(1)
+                        d = 0
+                        for ci, ch in enumerate(inner_t):
+                            if ch == "<":
+                                d += 1
+                            elif ch == ">":
+                                d -= 1
+                            elif ch == "," and d == 0:
+                                break
+                        else:
+                            ci = None
+                        kt = inner_t[:ci].strip() if ci is not None else ""
+                        vt = inner_t[ci + 1:].strip() if ci is not None else ""
+                        if kt and kt != "string":
+                            fj = tokenize(
+                                "transform_keys("
+                                + render(_call(
+                                    "from_json",
+                                    _pass_cast_types(unwrapped),
+                                    [string_literal(
+                                        f"map<string,{vt}>")]))
+                                + f", (__jk, __jv) -> CAST(__jk AS {kt}))")
+                    out.extend(fj)
+                    i = close + 1
+                    continue
+            if len(raw_type) == 1 and raw_type[0].upper == "JSON":
+                # generic value → JSON (ArrayToJsonCast/MapToJsonCast/
+                # scalar *ToJsonCast): canonical compact text with
+                # sorted map keys.  Values that are ALREADY JSON text
+                # (json_parse/JSON literal/json_extract output) pass
+                # through as the identity cast; everything else renders
+                # via the runtime-typed presto_json_field (a formatting
+                # corner — row-at-a-time by design, never a scan path).
+                head = value_toks[0] if value_toks else None
+                already_json = head is not None and head.kind == "ident" \
+                    and head.text.lower() in (
+                        "json_parse", "to_json", "json_extract",
+                        "get_json_object", "json_query", "json_format")
+                if not already_json:
+                    v = _pass_cast_types(value_toks)
+                    # SQL NULL in → SQL NULL out (RETURN_NULL_ON_NULL);
+                    # nested nulls still render as JSON 'null' text
+                    out.extend(_template_cast_json(v))
                     i = close + 1
                     continue
             m_vc = re.fullmatch(r"(VARCHAR|CHAR)\s*\(\s*(\d+)\s*\)", type_text, re.I)
@@ -1003,11 +1100,17 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                 # every source type Presto's cast accepts analyzes.
                 v = value_out
                 value_out = (
-                    [ident("CASE"), ident("WHEN"), ident("typeof"), op("(")]
+                    # __spark_typeof: private alias so the user-facing
+                    # typeof() rule (Presto type names via a UDF) never
+                    # rewrites this hot-path dispatch
+                    [ident("CASE"), ident("WHEN"), ident("__spark_typeof"), op("(")]
                     + v + [op(")"), ident("IN"), op("("),
                            string_literal("tinyint"), op(","),
                            string_literal("smallint"), op(","),
                            string_literal("int"), op(","),
+                           # the typeof RULE may rewrite this call to
+                           # the Presto spelling before execution
+                           string_literal("integer"), op(","),
                            string_literal("bigint"), op(","),
                            string_literal("boolean"), op(")"),
                            ident("THEN"), ident("CAST"), op("(")] + v
@@ -3193,6 +3296,151 @@ def _pass_grouping_sets_for_grouping_fn(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
+_LIKE_ESC_CANDIDATES = "\x01\x02\x03~^#@|!"
+
+
+def _pass_like_escape(tokens: list[Tok]) -> list[Tok]:
+    """LIKE escape-character parity (type/LikeFunctions.java:213-224).
+
+    The reference has NO default escape character: without an ESCAPE
+    clause a backslash in the pattern is a literal, and ``ESCAPE ''``
+    explicitly disables escaping (getEscapeChar → (char) -1).  Spark's
+    LIKE defaults the escape to backslash, so a literal pattern
+    containing one gets an explicit ESCAPE char that does not occur in
+    the pattern.  ``ESCAPE NULL`` nulls the whole predicate
+    (RETURN_NULL_ON_NULL) — respelled as an always-NULL comparison.
+    Non-literal patterns pass through untouched (their backslashes are
+    data-dependent; the reference's semantics can't be restored
+    statically)."""
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if not (t.is_kw("LIKE") and i + 1 < n
+                and tokens[i + 1].kind == "string"):
+            out.append(t)
+            i += 1
+            continue
+        pat = tokens[i + 1]
+        j = i + 2
+        esc: Tok | None = None
+        has_escape = j + 1 < n and tokens[j].is_kw("ESCAPE")
+        if has_escape:
+            esc = tokens[j + 1]
+            j += 2
+        if esc is not None and esc.is_kw("NULL"):
+            # x [NOT] LIKE p ESCAPE NULL → NULL for every x
+            # (NOT of NULL is NULL, so the NOT simply drops)
+            if out and out[-1].is_kw("NOT"):
+                out.pop()
+            out += tokenize("= CAST(NULL AS STRING)")
+            i = j
+            continue
+        if esc is not None and esc.kind == "string" \
+                and string_value(esc) != "":
+            out += [t, pat, tokens[i + 2], esc]  # explicit char: same
+            i = j
+            continue
+        # no escape clause, or ESCAPE '' — escaping disabled
+        body = string_value(pat)
+        if "\\" not in body:
+            out += [t, pat]  # Spark's default escape is inert here
+            i = j
+            continue
+        ch = next((c for c in _LIKE_ESC_CANDIDATES if c not in body), None)
+        if ch is None:
+            out += tokens[i:j]  # pathological pattern: leave untouched
+            i = j
+            continue
+        out += [t, pat, ident("ESCAPE"), string_literal(ch)]
+        i = j
+    return out
+
+
+def _map_comparand(tokens: list[Tok], i: int) -> int | None:
+    """If tokens[i:] starts a MAP(...) or CAST(... AS MAP...) operand,
+    return the index one past it; else None."""
+    t = tokens[i]
+    if t.kind != "ident":
+        return None
+    u = t.upper
+    if u == "MAP" and i + 1 < len(tokens) and tokens[i + 1].text == "(":
+        return find_matching_paren(tokens, i + 1) + 1
+    if u in ("CAST", "TRY_CAST") and i + 1 < len(tokens) \
+            and tokens[i + 1].text == "(":
+        close = find_matching_paren(tokens, i + 1)
+        inner = tokens[i + 2:close]
+        for k in range(len(inner) - 1, -1, -1):
+            if inner[k].is_kw("AS"):
+                if k + 1 < len(inner) and inner[k + 1].is_kw("MAP"):
+                    return close + 1
+                return None
+    return None
+
+
+def _pass_map_equality(tokens: list[Tok]) -> list[Tok]:
+    """``MAP(...) = MAP(...)`` (and !=/<>) — Spark cannot compare MAP
+    types at all; the reference's MapEqualOperator compares them as
+    unordered key→value sets with three-valued logic: unequal sizes or
+    key sets → false, any strictly-unequal value → false, any
+    indeterminate (NULL) value comparison → NULL, else true.  Only
+    syntactically-evident map operands (MAP constructors / casts to
+    MAP) rewrite — map-typed columns are invisible at this layer."""
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        endl = _map_comparand(tokens, i)
+        if endl is not None and endl < n \
+                and tokens[endl].text in ("=", "!=", "<>"):
+            op_text = tokens[endl].text
+            endr = _map_comparand(tokens, endl + 1)
+            if endr is not None:
+                a = render(_pass_map_equality(tokens[i:endl]))
+                b = render(_pass_map_equality(tokens[endl + 1:endr]))
+                eq = (
+                    f"(CASE WHEN size({a}) <> size({b}) THEN false "
+                    f"WHEN exists(map_entries({a}), __mqe -> "
+                    f"NOT array_contains(map_keys({b}), __mqe.key)) "
+                    f"THEN false "
+                    f"WHEN exists(map_entries({a}), __mqe -> "
+                    f"(element_at({b}, __mqe.key) = __mqe.value) = false) "
+                    f"THEN false "
+                    f"WHEN exists(map_entries({a}), __mqe -> "
+                    f"(element_at({b}, __mqe.key) = __mqe.value) IS NULL) "
+                    f"THEN CAST(NULL AS BOOLEAN) ELSE true END)"
+                )
+                if op_text in ("!=", "<>"):
+                    eq = f"(NOT {eq})"
+                out += tokenize(eq)
+                i = endr
+                continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _pass_case_when_null(tokens: list[Tok]) -> list[Tok]:
+    """``CASE WHEN NULL THEN …`` — the reference types a bare NULL
+    condition as boolean (never matches); Spark rejects the VOID type.
+    Pin the cast."""
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.is_kw("WHEN") and i + 2 < n and tokens[i + 1].is_kw("NULL") \
+                and tokens[i + 2].is_kw("THEN"):
+            out.append(t)
+            out += tokenize("CAST(NULL AS BOOLEAN)")
+            i += 2
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_misc(tokens: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -3974,10 +4222,13 @@ def translate(sql: str, *, two_phase: bool = True) -> str:
     toks = _pass_gs_empty_global(toks)
     toks = _pass_cube_rollup_empty_global(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)
+    toks = _pass_map_equality(toks)
     if two_phase:
         toks = _pass_two_phase_geo_agg(toks)
     toks = _pass_functions(toks)
     toks = _pass_at_time_zone(toks)
+    toks = _pass_like_escape(toks)
+    toks = _pass_case_when_null(toks)
     toks = _pass_misc(toks)
     toks = _pass_order_by_nulls(toks)
     return render(toks)

@@ -219,7 +219,9 @@ def test_bitwise_functions():
 def test_utf8_and_iso8601():
     out = translate("SELECT to_utf8(s), from_utf8(b), to_iso8601(ts) FROM t")
     assert "encode(s, 'UTF-8')" in out
-    assert "decode(b, 'UTF-8')" in out
+    # round 10: lenient decode — invalid sequences become U+FFFD like
+    # the reference (decode(…,'UTF-8') would raise)
+    assert "make_valid_utf8(CAST(b AS STRING))" in out
     assert "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss.SSS')" in out
 
 
@@ -408,7 +410,10 @@ def test_cast_type_syntax():
     assert translate("SELECT CAST(ROW(1,'a') AS ROW(x BIGINT, y VARCHAR)).x") == \
         "SELECT CAST(struct(1, 'a') AS STRUCT<x: BIGINT, y: STRING>).x"
     assert translate("SELECT CAST(NULL AS VARCHAR)") == "SELECT CAST(NULL AS STRING)"
-    assert translate("SELECT TRY_CAST(b AS JSON)") == "SELECT TRY_CAST(b AS STRING)"
+    # generic value → JSON renders through the runtime-typed canonical
+    # JSON formatter (round 10); JSON-text values stay the identity cast
+    assert "presto_json_field(b)" in translate("SELECT TRY_CAST(b AS JSON)")
+    assert "AS STRING" in translate("SELECT CAST(json_parse(j) AS JSON) FROM t")
     assert translate("SELECT CAST(b AS VARBINARY)") == "SELECT CAST(b AS BINARY)"
     assert translate("SELECT CAST(t AS TIMESTAMP WITH TIME ZONE)") == \
         "SELECT CAST(t AS TIMESTAMP)"
@@ -416,7 +421,7 @@ def test_cast_type_syntax():
     assert "CURRENT ROW" in translate("SELECT sum(x) OVER (ORDER BY y ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t")
     # VARCHAR(n)/CHAR(n) casts truncate (and pad) like the reference
     assert translate("SELECT CAST(a AS VARCHAR(10))") == \
-        "SELECT substring(CAST(a AS STRING), 1, 10)"
+        "SELECT substr(CAST(a AS STRING), 1, 10)"
     assert "rpad" in translate("SELECT CAST(a AS CHAR(4))")
 
 
