@@ -854,17 +854,36 @@ def _trim_rule(side: str):
     # Character.isWhitespace codepoint; Spark's builtins strip only
     # ' '.  The 2-arg forms take an explicit character set — Spark's
     # 2-arg ltrim/rtrim spell (trimStr, str), reversed from Presto.
-    pat = {"l": f"^[{_JAVA_WS}]+",
-           "r": f"[{_JAVA_WS}]+$",
-           "b": f"^[{_JAVA_WS}]+|[{_JAVA_WS}]+$"}[side]
+    # Also unpacks the SQL-standard ``trim([BOTH|LEADING|TRAILING]
+    # [chars] FROM s)`` spelling (SqlBase.g4 trim production), which
+    # arrives as a single comma-free argument.
+    pats = {"l": f"^[{_JAVA_WS}]+",
+            "r": f"[{_JAVA_WS}]+$",
+            "b": f"^[{_JAVA_WS}]+|[{_JAVA_WS}]+$"}
 
     def rule(args: Args) -> list[Tok]:
+        s = side
+        if len(args) == 1:
+            seg = list(args[0])
+            if seg and seg[0].is_kw("BOTH"):
+                s, seg = "b", seg[1:]
+            elif seg and seg[0].is_kw("LEADING"):
+                s, seg = "l", seg[1:]
+            elif seg and seg[0].is_kw("TRAILING"):
+                s, seg = "r", seg[1:]
+            fi = next((k for k, t in enumerate(seg) if t.is_kw("FROM")), None)
+            if fi is not None:
+                chars = seg[:fi]
+                src = seg[fi + 1:]
+                args = [src, chars] if chars else [src]
+            else:
+                args = [seg]
         if len(args) == 2:
-            if side == "b":
+            if s == "b":
                 return _call("btrim", args[0], args[1])
-            name = "ltrim" if side == "l" else "rtrim"
+            name = "ltrim" if s == "l" else "rtrim"
             return _call(name, args[1], args[0])
-        return _call("regexp_replace", args[0], [string_literal(pat)],
+        return _call("regexp_replace", args[0], [string_literal(pats[s])],
                      [string_literal("")])
     return rule
 

@@ -6,7 +6,7 @@ SELECT n_name, regexp_extract(n_name, '[A-Z]+$') AS tail,
        regexp_like(n_name, 'IA$') AS m
 FROM nation ORDER BY n_name
 --!oracle
-SELECT n_name, regexp_extract(n_name, '[A-Z]+$') AS tail,
+SELECT n_name, nullif(regexp_extract(n_name, '[A-Z]+$'), '') AS tail,
        regexp_replace(n_name, '[AEIOU]', '_', 'g') AS repl,
        regexp_matches(n_name, 'IA$') AS m
 FROM nation ORDER BY n_name

@@ -208,6 +208,25 @@ def test_sql_standard_string_forms(engine):
     assert _one(engine, "SELECT X'1F2A'") == bytearray(b"\x1f*")
 
 
+def test_ansi_trim_spellings(engine):
+    # SqlBase.g4 trim production: [BOTH|LEADING|TRAILING] [chars] FROM s
+    cases = [
+        ("trim(LEADING 'x' FROM 'xxaxx')", "axx"),
+        ("trim(TRAILING 'x' FROM 'xxaxx')", "xxa"),
+        ("trim(BOTH FROM '  a  ')", "a"),
+        ("trim(LEADING FROM '  a  ')", "a  "),
+        ("trim(TRAILING FROM '  a  ')", "  a"),
+        ("trim(FROM '  a  ')", "a"),
+        ("trim('x' FROM 'xxaxx')", "a"),
+        ("trim(BOTH 'xy' FROM 'yxayx')", "a"),
+        # plain forms still strip the full Character.isWhitespace set
+        ("trim(' a ')", "a"),
+        ("trim(' a')", " a"),  # NBSP is NOT Java whitespace
+    ]
+    for expr, want in cases:
+        assert _one(engine, f"SELECT {expr}") == want, expr
+
+
 def test_typed_literals(engine):
     import decimal
 
