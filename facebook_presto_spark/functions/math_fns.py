@@ -166,17 +166,29 @@ def _probit(p_):
         q = math.sqrt(-2 * math.log(p_))
         num = ((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q + C[5]
         den = (((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1
-        return num / den
+        return _probit_polish(num / den, p_)
     if p_ > phigh:
         q = math.sqrt(-2 * math.log(1 - p_))
         num = ((((C[0] * q + C[1]) * q + C[2]) * q + C[3]) * q + C[4]) * q + C[5]
         den = (((D[0] * q + D[1]) * q + D[2]) * q + D[3]) * q + 1
-        return -num / den
+        return _probit_polish(-num / den, p_)
     q = p_ - 0.5
     r = q * q
     num = (((((A[0] * r + A[1]) * r + A[2]) * r + A[3]) * r + A[4]) * r + A[5]) * q
     den = ((((B[0] * r + B[1]) * r + B[2]) * r + B[3]) * r + B[4]) * r + 1
-    return num / den
+    return _probit_polish(num / den, p_)
+
+
+def _probit_polish(x: float, p_: float) -> float:
+    # Halley refinement (Acklam's published follow-up step): converges
+    # the 1.2e-9 rational estimate to full double precision, matching
+    # the reference's fully-converged inverse (its airlift
+    # implementation refines the same way)
+    for _ in range(2):
+        e = 0.5 * math.erfc(-x / math.sqrt(2.0)) - p_
+        u = e * math.sqrt(2.0 * math.pi) * math.exp(x * x / 2.0)
+        x = x - u / (1.0 + x * u / 2.0)
+    return x
 
 
 @register("inverse_normal_cdf", slow_path=True)

@@ -14,7 +14,13 @@ import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from facebook_presto_spark.functions.registry import register
 
@@ -176,9 +182,55 @@ def _presto_typeof_udf(t: pd.Series) -> pd.Series:
     return t.map(one)
 
 
+def _java_re(p: str) -> str:
+    """Java/Joni pattern → Python re (named groups ``(?<n>`` →
+    ``(?P<n>``; lookbehind/lookahead spellings are shared)."""
+    import re as _re
+
+    return _re.sub(r"\(\?<([A-Za-z][A-Za-z0-9]*)>", r"(?P<\1>", p)
+
+
+@F.pandas_udf(StructType([
+    StructField("segs", ArrayType(StringType())),
+    StructField("grps", ArrayType(ArrayType(StringType()))),
+]))
+def _regexp_segments_udf(ss: pd.Series, ps: pd.Series) -> pd.DataFrame:
+    """Split ``s`` around every match of ``p``: ``segs`` holds the
+    n+1 non-matching segments, ``grps`` one capture-group array per
+    match (NULL for non-participating groups; the whole match when the
+    pattern has no groups).  Backs the reference's lambda-replacement
+    regexp_replace (JoniRegexpFunctions.java regexpReplace(x, p,
+    function)) — the SQL layer applies the lambda to each group array
+    and reassembles, so the lambda itself stays a Catalyst expression.
+    """
+    import re as _re
+
+    segs_out, grps_out = [], []
+    for s, p in zip(ss, ps):
+        if s is None or p is None:
+            segs_out.append(None)
+            grps_out.append(None)
+            continue
+        rx = _re.compile(_java_re(p))
+        segs, grps = [], []
+        last = 0
+        for m in rx.finditer(s):
+            segs.append(s[last:m.start()])
+            if rx.groups:
+                grps.append([m.group(g + 1) for g in range(rx.groups)])
+            else:
+                grps.append([m.group(0)])
+            last = m.end()
+        segs.append(s[last:])
+        segs_out.append(segs)
+        grps_out.append(grps)
+    return pd.DataFrame({"segs": segs_out, "grps": grps_out})
+
+
 SQL_UDFS = {"word_stem": _word_stem_udf, "presto_normalize": _normalize_udf,
             "presto_json_array_contains": _json_array_contains_udf,
-            "presto_typeof_name": _presto_typeof_udf}
+            "presto_typeof_name": _presto_typeof_udf,
+            "presto_regexp_segments": _regexp_segments_udf}
 
 
 # --- regex (Joni-engine semantics ≈ Java regex for the common surface) -----

@@ -44,7 +44,6 @@ RENAME: dict[str, str] = {
     "from_base64": "unbase64",
     # array (Array*.java)
     "repeat": "array_repeat",
-    "reduce": "aggregate",
     # json (JsonFunctions.java)
     "json_extract": "get_json_object",
     "json_extract_scalar": "get_json_object",
@@ -67,7 +66,6 @@ RENAME: dict[str, str] = {
     "bitwise_and_agg": "bit_and",
     "bitwise_or_agg": "bit_or",
     # math (MathFunctions.java)
-    "random": "rand",
     # datetime (DateTimeFunctions.java)
     "day_of_year": "dayofyear",
     "doy": "dayofyear",
@@ -1017,12 +1015,78 @@ def _regexp_extract(args: Args) -> list[Tok]:
         s=args[0], p=args[1], g=args[2])
 
 
+def _named_group_indexes(pattern: str) -> dict[str, int]:
+    """Capture-group name → 1-based index for a Java/Joni pattern."""
+    out: dict[str, int] = {}
+    idx = 0
+    i = 0
+    n = len(pattern)
+    in_class = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "[" and not in_class:
+            in_class = True
+        elif c == "]" and in_class:
+            in_class = False
+        elif c == "(" and not in_class:
+            if pattern[i + 1:i + 2] != "?":
+                idx += 1
+            else:
+                m = re.match(r"\(\?<([A-Za-z][A-Za-z0-9]*)>",
+                             pattern[i:])
+                if m:
+                    idx += 1
+                    out[m.group(1)] = idx
+        i += 1
+    return out
+
+
 def _regexp_replace(args: Args) -> list[Tok]:
     # the 2-argument form deletes every match (RegexpFunctions.java
     # regexpReplace(x, p) → replace with ''); Spark requires 3 args
     if len(args) == 2:
         args = [*args, [string_literal("")]]
-    return _call("regexp_replace", *args)
+    s, p, r = args[0], args[1], args[2]
+    arrow = next((k for k, t in enumerate(r) if t.text == "->"), None)
+    if arrow is not None:
+        # lambda replacement (JoniRegexpFunctions regexpReplace(x, p,
+        # function)): the runtime splitter yields per-match group
+        # arrays; the lambda is applied via transform (a Catalyst
+        # expression — only the splitter is Python) and the pieces
+        # reassemble with ||, which propagates a NULL replacement to a
+        # NULL result exactly like the reference
+        head = [t for t in r[:arrow] if t.text not in ("(", ")")]
+        var = head[0].text if head else "__rv"
+        return _template(
+            "(CASE WHEN __S__ IS NULL OR __P__ IS NULL "
+            "THEN CAST(NULL AS STRING) ELSE "
+            "element_at(transform(array(presto_regexp_segments(__S__, __P__)), "
+            "__rm -> element_at(transform(array(named_struct("
+            "'segs', __rm.segs, "
+            f"'reps', transform(__rm.grps, {var} -> __B__))), "
+            "__rz -> CASE WHEN size(__rz.reps) = 0 "
+            "THEN element_at(__rz.segs, 1) "
+            "ELSE aggregate(sequence(1, size(__rz.reps)), "
+            "CAST(element_at(__rz.segs, 1) AS STRING), "
+            "(__racc, __ri) -> __racc || element_at(__rz.reps, __ri) "
+            "|| element_at(__rz.segs, __ri + 1)) END), 1)), 1) END)",
+            s=s, p=p, b=list(r[arrow + 1:]))
+    if (
+        len(p) == 1 and p[0].kind == "string"
+        and len(r) == 1 and r[0].kind == "string"
+        and "${" in string_value(r[0])
+    ):
+        # ${name} group references: Spark's replacement layer only
+        # resolves $N — map names to indexes from the literal pattern
+        names = _named_group_indexes(string_value(p[0]))
+        txt = string_value(r[0])
+        for name, gi in names.items():
+            txt = txt.replace("${" + name + "}", f"${gi}")
+        r = [string_literal(txt)]
+    return _call("regexp_replace", s, p, r)
 
 
 def _regexp_extract_all(args: Args) -> list[Tok]:
@@ -1044,10 +1108,6 @@ def _url_extract(part: str):
     def rule(args: Args) -> list[Tok]:
         return _call("parse_url", args[0], [string_literal(part)])
     return rule
-
-
-def _url_extract_parameter(args: Args) -> list[Tok]:
-    return _call("parse_url", args[0], [string_literal("QUERY")], args[1])
 
 
 def _numeric_histogram(args: Args) -> list[Tok]:
@@ -1268,12 +1328,166 @@ def _to_base(args: Args) -> list[Tok]:
 def _from_base(args: Args) -> list[Tok]:
     # sign-magnitude inverse (Long.parseLong(s, radix) accepts a leading
     # '-'); the unary negate of the wrapped magnitude reproduces
-    # Long.MIN_VALUE exactly (two's complement)
+    # Long.MIN_VALUE exactly (two's complement) — except that the
+    # magnitude 2^63 itself overflows the intermediate BIGINT cast, so
+    # parseLong's one asymmetric accepted value is pinned explicitly
     return _template(
         "(CASE WHEN substr(__S__, 1, 1) = '-' "
-        "THEN -CAST(conv(substr(__S__, 2), __B__, 10) AS BIGINT) "
+        "THEN (CASE WHEN conv(substr(__S__, 2), __B__, 10) = "
+        "'9223372036854775808' THEN -9223372036854775807 - 1 "
+        "ELSE -CAST(conv(substr(__S__, 2), __B__, 10) AS BIGINT) END) "
         "ELSE CAST(conv(__S__, __B__, 10) AS BIGINT) END)",
         s=args[0], b=args[1])
+
+
+def _random(args: Args) -> list[Tok]:
+    # random() → rand(); random(n) (MathFunctions.java) is a BOUNDED
+    # integer in [0, n) — NOT a seeded generator (Spark's rand(seed)
+    # would misread the argument as a seed)
+    if not any(args):
+        return _call("rand")
+    return _template(
+        "CAST(floor(rand() * __N__) AS BIGINT)", n=args[0])
+
+
+def _is_json_scalar(args: Args) -> list[Tok]:
+    # JsonFunctions.isJsonScalar: true for a JSON number/string/bool/
+    # null, false for arrays and objects (JSON is carried as text here,
+    # so the first non-blank character decides)
+    return _template(
+        "(CASE WHEN __J__ IS NULL THEN NULL "
+        "ELSE NOT (startswith(ltrim(__J__), '[') "
+        "OR startswith(ltrim(__J__), '{')) END)",
+        j=args[0])
+
+
+def _wilson(sign: str):
+    # MathFunctions.java wilsonIntervalLower/Upper: the closed-form
+    # Wilson score bound over (successes, trials, z) in doubles
+    def rule(args: Args) -> list[Tok]:
+        return _template(
+            "((CAST(__S__ AS DOUBLE) / CAST(__T__ AS DOUBLE) "
+            " + __Z__ * __Z__ / (2 * CAST(__T__ AS DOUBLE)) "
+            f" {sign} __Z__ * sqrt((CAST(__S__ AS DOUBLE) / CAST(__T__ AS DOUBLE) "
+            "   * (1 - CAST(__S__ AS DOUBLE) / CAST(__T__ AS DOUBLE)) "
+            "   + __Z__ * __Z__ / (4 * CAST(__T__ AS DOUBLE))) "
+            "   / CAST(__T__ AS DOUBLE))) "
+            " / (1 + __Z__ * __Z__ / CAST(__T__ AS DOUBLE)))",
+            s=args[0], t=args[1], z=args[2])
+    return rule
+
+
+def _multimap_from_entries(args: Args) -> list[Tok]:
+    # MultimapFromEntriesFunction.java: group entry rows by key keeping
+    # encounter order of both keys and values; NULL input → NULL,
+    # empty → empty map.  Pure higher-order composition (candidate-
+    # sized inputs; no shuffle).
+    return _template(
+        "(CASE WHEN __A__ IS NULL THEN NULL "
+        "WHEN size(__A__) = 0 THEN map() ELSE "
+        "map_from_arrays("
+        "  array_distinct(transform(__A__, __mfe -> __mfe.col1)), "
+        "  transform(array_distinct(transform(__A__, __mfe -> __mfe.col1)), "
+        "    __mfk -> transform(filter(__A__, __mfe -> __mfe.col1 <=> __mfk), "
+        "             __mfe -> __mfe.col2))) END)",
+        a=args[0])
+
+
+def _map_from_entries(args: Args) -> list[Tok]:
+    # map_from_entries(NULL) → NULL and map_from_entries(ARRAY[]) → {}
+    # (MapFromEntriesFunction.java) — Spark cannot type either literal
+    if len(args) == 1 and len(args[0]) == 1 and args[0][0].is_kw("NULL"):
+        return tokenize("CAST(NULL AS MAP<STRING, STRING>)")
+    if len(args) == 1 and len(args[0]) == 3 and (
+        (args[0][0].is_kw("ARRAY") and args[0][1].text == "[")
+        or (args[0][0].kind == "ident" and args[0][0].text.lower() == "array"
+            and args[0][1].text == "(")
+    ):
+        return _call("map")
+    return _call("map_from_entries", *args)
+
+
+def _array_except_rule(args: Args) -> list[Tok]:
+    # array_except with a literal NULL argument returns NULL typed from
+    # the OTHER operand (ArrayExceptFunction RETURN_NULL_ON_NULL);
+    # Spark cannot resolve the untyped literal
+    def is_null(a: list[Tok]) -> bool:
+        return len(a) == 1 and a[0].is_kw("NULL")
+    if len(args) == 2 and (is_null(args[0]) or is_null(args[1])):
+        other = args[1] if is_null(args[0]) else args[0]
+        if is_null(other):
+            return tokenize("CAST(NULL AS ARRAY<STRING>)")
+        return _template("IF(true, NULL, array_except(__O__, __O__))",
+                         o=other)
+    return _call("array_except", *args)
+
+
+def _normal_cdf(args: Args) -> list[Tok]:
+    # normal_cdf(m, sd, x) → NaN when any input is NaN
+    # (MathFunctions.java delegates to doubles end-to-end); the Arrow
+    # pandas-UDF return path erases NaN to NULL (pyarrow from_pandas
+    # NaN-as-null), so the NaN case short-circuits SQL-side
+    if len(args) != 3:
+        return _call("normal_cdf", *args)
+    return _template(
+        "(CASE WHEN isnan(CAST(__M__ AS DOUBLE)) "
+        "OR isnan(CAST(__S__ AS DOUBLE)) "
+        "OR isnan(CAST(__X__ AS DOUBLE)) THEN CAST('NaN' AS DOUBLE) "
+        "ELSE normal_cdf(__M__, __S__, __X__) END)",
+        m=args[0], s=args[1], x=args[2])
+
+
+def _regexp_split_rule(args: Args) -> list[Tok]:
+    # an EMPTY pattern matches at every boundary, producing leading and
+    # trailing '' elements (JoniRegexpFunctions.regexpSplit); Spark's
+    # split drops them for the '' pattern specifically
+    return _template(
+        "(CASE WHEN __P__ = '' "
+        "THEN concat(array(''), split(__S__, ''), array('')) "
+        "ELSE split(__S__, __P__, -1) END)",
+        s=args[0], p=args[1])
+
+
+def _reduce_rule(args: Args) -> list[Tok]:
+    # reduce(arr, init, merge, finish) → aggregate(...).  Spark pins
+    # the accumulator type to the init literal's type; the reference
+    # coerces the state to the supertype of init and the lambda result
+    # (TestArrayReduceFunction — bigint elements with an int 0 init).
+    # Widen bare integer literals to BIGINT and bare decimal literals
+    # to DOUBLE so the common spellings resolve.
+    if len(args) == 4:
+        init = args[1]
+        neg = len(init) == 2 and init[0].text == "-" \
+            and init[1].kind == "number"
+        lit = init[-1] if (len(init) == 1 or neg) else None
+        if lit is not None and lit.kind == "number":
+            t = "DOUBLE" if ("." in lit.text or "e" in lit.text.lower()) \
+                else "BIGINT"
+            args = [args[0],
+                    [ident("CAST"), op("(")] + init
+                    + [ident("AS"), ident(t), op(")")],
+                    args[2], args[3]]
+    return _call("aggregate", *args)
+
+
+def _url_extract_parameter(args: Args) -> list[Tok]:
+    # UrlFunctions.urlExtractParameter: split the query on '&', take
+    # the FIRST pair whose key matches; a key present without '=' (or
+    # with nothing after it) yields '' — Spark's parse_url(…, key)
+    # regex requires '=' and returns the LAST match
+    return _template(
+        "(CASE WHEN parse_url(__U__, 'QUERY') IS NULL OR __K__ IS NULL "
+        "THEN NULL ELSE "
+        "(CASE WHEN get(filter(split(parse_url(__U__, 'QUERY'), '&'), "
+        "  __up -> __up = __K__ OR startswith(__up, concat(__K__, '='))), 0) "
+        "  IS NULL THEN NULL "
+        "WHEN get(filter(split(parse_url(__U__, 'QUERY'), '&'), "
+        "  __up -> __up = __K__ OR startswith(__up, concat(__K__, '='))), 0) "
+        "  = __K__ THEN '' "
+        "ELSE substring(get(filter(split(parse_url(__U__, 'QUERY'), '&'), "
+        "  __up -> __up = __K__ OR startswith(__up, concat(__K__, '='))), 0), "
+        "  length(__K__) + 2) END) END)",
+        u=args[0], k=args[1])
 
 
 def _log2_or_log(args: Args) -> list[Tok]:
@@ -1706,8 +1920,18 @@ RULES: dict[str, object] = {
     "regexp_extract": _regexp_extract,
     "regexp_replace": _regexp_replace,
     "regexp_extract_all": _regexp_extract_all,
-    "regexp_split": lambda args: _call("split", *args),
+    "regexp_split": _regexp_split_rule,
     "url_extract_parameter": _url_extract_parameter,
+    "random": _random,
+    "rand": _random,
+    "is_json_scalar": _is_json_scalar,
+    "wilson_interval_lower": _wilson("-"),
+    "wilson_interval_upper": _wilson("+"),
+    "multimap_from_entries": _multimap_from_entries,
+    "map_from_entries": _map_from_entries,
+    "array_except": _array_except_rule,
+    "normal_cdf": _normal_cdf,
+    "reduce": _reduce_rule,
     "contains": _contains,
     "numeric_histogram": _numeric_histogram,
     "map_agg": _map_agg,

@@ -496,7 +496,20 @@ def _pass_unnest(tokens: list[Tok]) -> list[Tok]:
     return out
 
 
-_TYPE_RENAME = {"JSON": "STRING", "VARBINARY": "BINARY", "REAL": "FLOAT"}
+_TYPE_RENAME = {"JSON": "STRING", "VARBINARY": "BINARY", "REAL": "FLOAT",
+                # the UNKNOWN type (spi/type/UnknownType.java — the type
+                # of a bare NULL) maps to Spark's VOID
+                "UNKNOWN": "VOID"}
+
+# type-name heads that can begin an UNNAMED ROW field (ROW(INTEGER,
+# INTEGER) — TypeSignature accepts fields without names); used to tell
+# `ROW(name TYPE)` from `ROW(TYPE)`
+_TYPE_HEADS = {
+    "BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT", "DOUBLE", "REAL",
+    "FLOAT", "BOOLEAN", "VARCHAR", "CHAR", "STRING", "VARBINARY",
+    "BINARY", "JSON", "DATE", "TIMESTAMP", "TIME", "DECIMAL", "DEC",
+    "NUMERIC", "ARRAY", "MAP", "ROW", "UNKNOWN", "INTERVAL",
+}
 
 
 def _template_cast_json(v: list[Tok]) -> list[Tok]:
@@ -553,6 +566,13 @@ def _type_text(toks: list[Tok]) -> str:
             out.append("STRING")
             i += 1
             continue
+        if u in ("DECIMAL", "DEC", "NUMERIC") and not (nxt and nxt.text == "("):
+            # Presto's bare DECIMAL defaults to full precision
+            # (spi/type/DecimalType.createDecimalType() — p=38, s=0);
+            # Spark's bare DECIMAL is decimal(10,0)
+            out.append("DECIMAL(38,0)")
+            i += 1
+            continue
         if u in _TYPE_RENAME:
             out.append(_TYPE_RENAME[u])
             i += 1
@@ -574,7 +594,15 @@ def _type_text(toks: list[Tok]) -> str:
             elif u == "MAP":
                 out.append(f"MAP<{_type_text(parts[0])}, {_type_text(parts[1])}>")
             else:
-                fields = ", ".join(f"{p[0].text}: {_type_text(p[1:])}" for p in parts)
+                fields = ", ".join(
+                    # unnamed fields (ROW(INTEGER, INTEGER)) take the
+                    # positional field{i} names the row-constructor
+                    # conventions elsewhere use
+                    f"field{fi}: {_type_text(p)}"
+                    if (len(p) == 1 or p[0].upper in _TYPE_HEADS
+                        and (len(p) > 1 and p[1].text == "("))
+                    else f"{p[0].text}: {_type_text(p[1:])}"
+                    for fi, p in enumerate(parts))
                 out.append(f"STRUCT<{fields}>")
             i = close + 1
             continue
@@ -782,6 +810,102 @@ def _cast_group_kind(tokens: list[Tok], start: int) -> tuple[int, str] | None:
     if t.is_kw("DECIMAL", "DEC", "NUMERIC"):
         return close, "DECIMAL"
     return close, "other"
+
+
+def _num_tok_info(tokens: list[Tok], i: int):
+    """(end, value, is_double) if tokens[i:] starts a numeric literal
+    (plain number or REAL/DOUBLE 'x' typed form), else None."""
+    t = tokens[i]
+    if t.kind == "number":
+        txt = t.text.lower()
+        return i, float(t.text), ("." in txt or "e" in txt)
+    if t.kind == "ident" and t.upper in ("REAL", "DOUBLE") \
+            and i + 1 < len(tokens) and tokens[i + 1].kind == "string":
+        try:
+            return i + 1, float(string_value(tokens[i + 1])), True
+        except ValueError:
+            return None
+    return None
+
+
+def _pass_ieee_division(tokens: list[Tok]) -> list[Tok]:
+    """Two reference `/` semantics Spark lacks, fixed where the operand
+    shapes make them visible without a type checker:
+
+    * int-literal / int-literal truncates (LongOperators.divide —
+      ``-5/3`` is -1); Spark divides fractionally.  Constant-folded.
+    * double-division by a LITERAL zero follows IEEE-754
+      (DoubleOperators.divide → ±Infinity / NaN); Spark yields NULL.
+      A literal dividend folds to the IEEE constant; a non-literal
+      dividend routes through a one-element transform() so it is
+      evaluated exactly once (rand()/0.0 in the reference corpus).
+
+    Division with non-literal divisors keeps Spark semantics — the
+    documented hold (respelling every division would tax hot paths).
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.text == "/" and i + 1 < n and out:
+            rhs = _num_tok_info(tokens, i + 1)
+            # lhs literal: a number token, or REAL/DOUBLE 'x' (2 tokens);
+            # NOT valid if it is itself the right side of a tighter-or-
+            # equal operator (x / 5 / 3 — the 5 is not the dividend)
+            lstart = None
+            if out[-1].kind == "number":
+                lstart = len(out) - 1
+            elif out[-1].kind == "string" and len(out) >= 2 \
+                    and out[-2].kind == "ident" \
+                    and out[-2].upper in ("REAL", "DOUBLE") \
+                    and _num_tok_info(out, len(out) - 2) is not None:
+                lstart = len(out) - 2
+            if lstart is not None and lstart > 0 \
+                    and out[lstart - 1].text in ("/", "*", "%"):
+                lstart = None
+            lhs = _num_tok_info(out, lstart) if lstart is not None else None
+            if rhs is not None:
+                rend, rval, rdouble = rhs
+                if lhs is not None:
+                    _, lval, ldouble = lhs
+                    if not ldouble and not rdouble and rval != 0:
+                        # integer constant fold, truncating toward zero
+                        q = abs(int(lval)) // abs(int(rval))
+                        if (lval < 0) != (rval < 0):
+                            q = -q
+                        del out[lstart:]
+                        out.append(Tok("number", str(q)))
+                        i = rend + 1
+                        continue
+                    if (ldouble or rdouble) and rval == 0:
+                        const = ("NaN" if lval == 0
+                                 else "Infinity" if lval > 0
+                                 else "-Infinity")
+                        del out[lstart:]
+                        out += tokenize(f"CAST('{const}' AS DOUBLE)")
+                        i = rend + 1
+                        continue
+                elif rdouble and rval == 0:
+                    # non-literal dividend: pop the full multiplicative
+                    # chain (a * b / 0.0 divides the product)
+                    opnd = _pop_operand(out)
+                    while out and out[-1].text in ("/", "*", "%"):
+                        o = out.pop()
+                        opnd = _pop_operand(out) + [o] + opnd
+                    body = render(opnd)
+                    out += tokenize(
+                        "element_at(transform(array(CAST((" + body + ") "
+                        "AS DOUBLE)), __dz -> CASE WHEN __dz IS NULL "
+                        "THEN CAST(NULL AS DOUBLE) "
+                        "WHEN __dz > 0 THEN CAST('Infinity' AS DOUBLE) "
+                        "WHEN __dz < 0 THEN CAST('-Infinity' AS DOUBLE) "
+                        "ELSE CAST('NaN' AS DOUBLE) END), 1)")
+                    i = rend + 1
+                    continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _pass_real_decimal_coercion(tokens: list[Tok]) -> list[Tok]:
@@ -3379,6 +3503,48 @@ def _map_comparand(tokens: list[Tok], i: int) -> int | None:
     return None
 
 
+def _splice(sql: str, **slots: list[Tok]) -> list[Tok]:
+    """Tokenize a fragment, substituting token lists at __NAME__ (token-
+    level twin of functions._template — keeps string literals single-
+    escaped through repeated render round-trips)."""
+    out: list[Tok] = []
+    for t in tokenize(sql):
+        key = t.text.strip("_").lower() if t.kind == "ident" else ""
+        if t.kind == "ident" and t.text.startswith("__") and key in slots:
+            out.extend(slots[key])
+        else:
+            out.append(t)
+    return out
+
+
+def _map_value_depth(seg: list[Tok]) -> int:
+    """Literal nesting of a MAP operand's VALUES: 2 when the values are
+    themselves MAP constructors (corpus shape), else 1."""
+    count = sum(
+        1 for k, t in enumerate(seg)
+        if t.kind == "ident" and t.upper == "MAP"
+        and k + 1 < len(seg) and seg[k + 1].text == "(")
+    return 2 if count >= 2 else 1
+
+
+def _map_deq_sql(a: str, b: str, vdepth: int, d: int = 0) -> str:
+    """Distinct-style map equality (MapDistinctFromOperator semantics:
+    NULL values compare equal to NULL) over rendered placeholders."""
+    e = f"__mdq{d}"
+    if vdepth <= 1:
+        val = f"(element_at({b}, {e}.key) <=> {e}.value)"
+    else:
+        inner = _map_deq_sql(f"{e}.value", f"element_at({b}, {e}.key)",
+                             vdepth - 1, d + 1)
+        val = (f"(CASE WHEN {e}.value IS NULL "
+               f"AND element_at({b}, {e}.key) IS NULL THEN true "
+               f"WHEN {e}.value IS NULL "
+               f"OR element_at({b}, {e}.key) IS NULL THEN false "
+               f"ELSE {inner} END)")
+    return (f"(size({a}) = size({b}) AND forall(map_entries({a}), "
+            f"{e} -> array_contains(map_keys({b}), {e}.key) AND {val}))")
+
+
 def _pass_map_equality(tokens: list[Tok]) -> list[Tok]:
     """``MAP(...) = MAP(...)`` (and !=/<>) — Spark cannot compare MAP
     types at all; the reference's MapEqualOperator compares them as
@@ -3390,8 +3556,62 @@ def _pass_map_equality(tokens: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     i = 0
     n = len(tokens)
+
+    def dist_tail(j: int):
+        """(negated, rhs_start) if tokens[j:] is IS [NOT] DISTINCT FROM."""
+        if j < n and tokens[j].is_kw("IS"):
+            k = j + 1
+            neg = False
+            if k < n and tokens[k].is_kw("NOT"):
+                neg, k = True, k + 1
+            if k + 1 < n and tokens[k].is_kw("DISTINCT") \
+                    and tokens[k + 1].is_kw("FROM"):
+                return neg, k + 2
+        return None
+
     while i < n:
+        # NULL IS [NOT] DISTINCT FROM MAP(...) — Spark's <=> cannot
+        # order maps (MapDistinctFromOperator in the reference)
+        if tokens[i].is_kw("NULL"):
+            dt = dist_tail(i + 1)
+            if dt is not None:
+                neg, rs = dt
+                endr = _map_comparand(tokens, rs)
+                if endr is not None:
+                    b = render(_pass_map_equality(tokens[rs:endr]))
+                    cond = "IS NULL" if neg else "IS NOT NULL"
+                    out += tokenize(f"(({b}) {cond})")
+                    i = endr
+                    continue
         endl = _map_comparand(tokens, i)
+        if endl is not None:
+            dt = dist_tail(endl)
+            if dt is not None:
+                neg, rs = dt
+                endr = _map_comparand(tokens, rs)
+                rhs_null = rs < n and tokens[rs].is_kw("NULL")
+                if endr is not None or rhs_null:
+                    a = render(_pass_map_equality(tokens[i:endl]))
+                    if rhs_null:
+                        cond = "IS NULL" if neg else "IS NOT NULL"
+                        out += tokenize(f"(({a}) {cond})")
+                        i = rs + 1
+                        continue
+                    b = render(_pass_map_equality(tokens[rs:endr]))
+                    vdepth = max(_map_value_depth(tokens[i:endl]),
+                                 _map_value_depth(tokens[rs:endr]))
+                    eq = _map_deq_sql(a, b, vdepth)
+                    if neg:
+                        expr = (f"(CASE WHEN ({a}) IS NULL AND ({b}) IS NULL "
+                                f"THEN true WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                                f"THEN false ELSE {eq} END)")
+                    else:
+                        expr = (f"(CASE WHEN ({a}) IS NULL AND ({b}) IS NULL "
+                                f"THEN false WHEN ({a}) IS NULL OR ({b}) IS NULL "
+                                f"THEN true ELSE NOT {eq} END)")
+                    out += tokenize(expr)
+                    i = endr
+                    continue
         if endl is not None and endl < n \
                 and tokens[endl].text in ("=", "!=", "<>"):
             op_text = tokens[endl].text
@@ -4199,6 +4419,7 @@ def translate(sql: str, *, two_phase: bool = True) -> str:
     toks = _pass_catalog_qualifier(toks)
     toks = _pass_extract_fields(toks)
     toks = _pass_time_arith(toks)
+    toks = _pass_ieee_division(toks)
     toks = _pass_tz_literals(toks)
     toks = _pass_typed_literals(toks)
     toks = _pass_unnest(toks)
