@@ -282,7 +282,14 @@ def _iter_calls(src: str, name: str):
                 if depth == 0:
                     break
             k += 1
-        yield src[j + 1:k]
+        # a call immediately followed by fail(...) sits inside a
+        # try { assertFunction(...); fail(...); } block — the REFERENCE
+        # expects it to THROW (TestArrayOperators.java:450-456 et al.);
+        # these are not value assertions and must not enter the corpus
+        tail = src[k + 1:k + 80].lstrip()
+        expects_throw = tail.startswith(";") and \
+            tail[1:].lstrip().startswith("fail(")
+        yield src[j + 1:k], expects_throw
         start = k + 1
 
 
@@ -296,9 +303,10 @@ def harvest() -> tuple[list[tuple[str, str, object]], dict[str, int]]:
         base = os.path.basename(path).removesuffix(".java")
         src = open(path, encoding="utf-8").read()
         n_skip = 0
-        for idx, argtext in enumerate(_iter_calls(src, "assertFunction")):
+        for idx, (argtext, expects_throw) in enumerate(
+                _iter_calls(src, "assertFunction")):
             args = _split_args(argtext)
-            if len(args) != 3:
+            if expects_throw or len(args) != 3:
                 n_skip += 1
                 continue
             expr = _parse_java_string(args[0])
@@ -331,7 +339,9 @@ def match(got, want, *, rel=1e-9) -> bool:
             return False
         if math.isnan(w):
             return math.isnan(g)
-        if math.isinf(w):
+        if math.isinf(w) or math.isinf(g) or math.isnan(g):
+            # non-finite got vs finite want must not fall into the
+            # relative test (inf - w <= rel * inf is vacuously true)
             return g == w
         return g == w or abs(g - w) <= rel * max(abs(g), abs(w))
     if isinstance(want, int):

@@ -89,11 +89,18 @@ def _split_filters(text: str) -> list[str]:
     return [f for f in out if f]
 
 
-def _presto_json_field(v) -> str:
+def _presto_json_field(v, real: bool = False) -> str:
     """One ROW field → its Presto JSON text (RowToJsonCast.java /
     ArrayToJsonCast / MapToJsonCast): structs (Rows) and arrays render
     as JSON arrays, maps as objects, varchar quoted, booleans/nulls as
-    JSON literals, numbers via their canonical repr."""
+    JSON literals, numbers via their canonical repr.
+
+    ``real=True`` renders floats with Java Float.toString digits (the
+    Python float carries the widened float32 value — registered as
+    presto_json_field_real where the cast target is REAL).  A string
+    value prefixed with \\x01 is pre-rendered JSON text and embeds raw
+    (the translator marks JSON-typed expressions this way so
+    ARRAY[JSON '…'] casts keep their token kinds)."""
     import datetime as _dt
     import decimal as _decimal
     import json as _json
@@ -108,9 +115,10 @@ def _presto_json_field(v) -> str:
         if isinstance(x, float):
             from facebook_presto_spark.functions.geo_sql import (
                 _java_double_str,
+                _java_float_str,
             )
 
-            return _java_double_str(x)
+            return _java_float_str(x) if real else _java_double_str(x)
         if isinstance(x, _decimal.Decimal):
             return format(x, "f")
         return str(x)
@@ -118,6 +126,8 @@ def _presto_json_field(v) -> str:
     def render(x) -> str:
         if x is None:
             return "null"
+        if isinstance(x, str) and x.startswith("\x01"):
+            return x[1:] or "null"
         if isinstance(x, _Row):
             return "[" + ",".join(render(e) for e in x) + "]"
         if isinstance(x, (list, tuple)):
@@ -139,9 +149,10 @@ def _presto_json_field(v) -> str:
             # doubles are quoted strings ("NaN", "Infinity")
             from facebook_presto_spark.functions.geo_sql import (
                 _java_double_str,
+                _java_float_str,
             )
 
-            s = _java_double_str(x)
+            s = _java_float_str(x) if real else _java_double_str(x)
             return _json.dumps(s) if x != x or x in (
                 float("inf"), float("-inf")) else s
         if isinstance(x, _decimal.Decimal):
@@ -289,7 +300,10 @@ class PrestoSparkEngine:
         # _row_as_json).  Row-at-a-time by design: type dispatch needs
         # Row/dict/list Python objects, and the cast is a formatting
         # corner, not a scan-path operator.
-        spark.udf.register("presto_json_field", _presto_json_field)
+        spark.udf.register("presto_json_field",
+                           lambda v: _presto_json_field(v))
+        spark.udf.register("presto_json_field_real",
+                           lambda v: _presto_json_field(v, real=True))
 
     def translate(self, presto_sql: str) -> str:
         """Presto-dialect SQL → the Spark SQL string that will run."""

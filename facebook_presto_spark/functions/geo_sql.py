@@ -299,6 +299,36 @@ def _java_double_str(v: float) -> str:
     return f"{sign}{mant}E{e10 - 1}"
 
 
+def _java_float_str(v: float) -> str:
+    """Java Float.toString — shortest decimal that round-trips the
+    FLOAT32 value, with the same plain/scientific switch as
+    Double.toString.  Backs REAL→JSON rendering (the reference
+    serializes real columns through jackson's Float writer)."""
+    import numpy as np
+
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    f = np.float32(v)
+    if f == 0.0:
+        return "-0.0" if math.copysign(1.0, float(f)) < 0 else "0.0"
+    sign = "-" if f < 0 else ""
+    s = np.format_float_scientific(abs(f), unique=True, trim="-")
+    mant, _, exp = s.partition("e")
+    digits = mant.replace(".", "").rstrip("0") or "0"
+    e10 = int(exp) + 1
+    if 0 < e10 < 8:
+        if e10 >= len(digits):
+            return f"{sign}{digits}{'0' * (e10 - len(digits))}.0"
+        return f"{sign}{digits[:e10]}.{digits[e10:]}"
+    if -3 < e10 <= 0:
+        return f"{sign}0.{'0' * -e10}{digits}"
+    return f"{sign}{digits[0]}.{digits[1:] or '0'}E{e10 - 1}"
+
+
 def _fmtc(v: float) -> str:
     """Mirror _fmt_coord: double→string with the trailing '.0' stripped."""
     s = _java_double_str(float(v))

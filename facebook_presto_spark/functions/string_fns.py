@@ -227,7 +227,143 @@ def _regexp_segments_udf(ss: pd.Series, ps: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"segs": segs_out, "grps": grps_out})
 
 
+def _parse_ptype(t: str):
+    """Parse a Presto type text (paren or angle generics) into a tree."""
+    t = t.strip()
+    low = t.lower()
+    for head in ("array", "map", "row"):
+        if low.startswith(head):
+            rest = t[len(head):].strip()
+            if rest[:1] in ("(", "<"):
+                inner = rest[1:-1]
+                parts, depth, cur = [], 0, []
+                for ch in inner:
+                    if ch in "(<":
+                        depth += 1
+                    elif ch in ")>":
+                        depth -= 1
+                    if ch == "," and depth == 0:
+                        parts.append("".join(cur))
+                        cur = []
+                    else:
+                        cur.append(ch)
+                parts.append("".join(cur))
+                if head == "array":
+                    return ("array", _parse_ptype(parts[0]))
+                if head == "map":
+                    return ("map", _parse_ptype(parts[0]),
+                            _parse_ptype(parts[1]))
+                fields = []
+                for fi, p in enumerate(parts):
+                    p = p.strip()
+                    first = p.split(None, 1)[0].lower() if p else ""
+                    bases = ("tinyint", "smallint", "int", "integer",
+                             "bigint", "double", "real", "boolean",
+                             "varchar", "char", "json", "decimal", "date",
+                             "timestamp", "array", "map", "row", "unknown")
+                    if " " in p and first not in bases:
+                        name, ft = p.split(None, 1)
+                        fields.append((name.lower(), _parse_ptype(ft)))
+                    else:
+                        fields.append((f"col{fi + 1}", _parse_ptype(p)))
+                return ("row", fields)
+    return ("scalar", low.split("(")[0].strip())
+
+
+def _json_coerce(v, t):
+    """Presto JSON→typed coercion (JsonUtil.java value writers):
+    cross-token casts — numbers from strings, booleans from numbers,
+    HALF_UP integer rounding, NaN/Infinity double texts."""
+    import math
+
+    kind = t[0]
+    if kind == "scalar" and t[1] == "json":
+        import json as _json
+
+        return _json.dumps(v, separators=(",", ":"), allow_nan=True)
+    if v is None:
+        return None
+    if kind == "array":
+        if not isinstance(v, list):
+            raise ValueError("not a JSON array")
+        return [_json_coerce(e, t[1]) for e in v]
+    if kind == "map":
+        if not isinstance(v, dict):
+            raise ValueError("not a JSON object")
+        return {k: _json_coerce(e, t[2]) for k, e in v.items()}
+    if kind == "row":
+        fields = t[1]
+        if isinstance(v, list):
+            vals = list(v) + [None] * (len(fields) - len(v))
+            return {n: _json_coerce(vals[i], ft)
+                    for i, (n, ft) in enumerate(fields)}
+        if isinstance(v, dict):
+            low = {k.lower(): x for k, x in v.items()}
+            return {n: _json_coerce(low.get(n), ft) for n, ft in fields}
+        raise ValueError("not a JSON array/object")
+    base = t[1]
+    if base == "boolean":
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, (int, float)):
+            return v != 0
+        if v in ("true", "false"):
+            return v == "true"
+        raise ValueError("bad boolean")
+    if base in ("tinyint", "smallint", "int", "integer", "bigint"):
+        if isinstance(v, bool):
+            return 1 if v else 0
+        if isinstance(v, int):
+            return v
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                v = float(v)
+        # Math.round (HALF_UP toward +inf), like DoubleOperators
+        return int(math.floor(float(v) + 0.5))
+    if base in ("double", "real", "decimal"):
+        if isinstance(v, bool):
+            out = 1.0 if v else 0.0
+        else:
+            out = float(v)
+        if base == "real":
+            import numpy as _np
+
+            out = float(_np.float32(out))
+        return out
+    # varchar/char and the rest: text
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return v
+
+
+@F.pandas_udf(StringType())
+def _json_coerce_udf(js: pd.Series, ts: pd.Series) -> pd.Series:
+    """Re-serialize JSON text so its token kinds match the target type
+    (second arg: Presto type text) — from_json then parses it exactly.
+    NULL/invalid/uncoercible input → NULL (the TRY-suppressed path; the
+    reference raises on uncoercible values — documented permissive
+    divergence shared with from_json)."""
+    import json as _json
+
+    def one(j, t):
+        if j is None:
+            return None
+        try:
+            return _json.dumps(
+                _json_coerce(_json.loads(j), _parse_ptype(t)),
+                separators=(",", ":"), allow_nan=True)
+        except Exception:
+            return None
+
+    return pd.Series([one(j, t) for j, t in zip(js, ts)], dtype="object")
+
+
 SQL_UDFS = {"word_stem": _word_stem_udf, "presto_normalize": _normalize_udf,
+            "presto_json_coerce": _json_coerce_udf,
             "presto_json_array_contains": _json_array_contains_udf,
             "presto_typeof_name": _presto_typeof_udf,
             "presto_regexp_segments": _regexp_segments_udf}

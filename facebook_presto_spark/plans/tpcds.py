@@ -148,6 +148,41 @@ def _wrap(sql: str, markers: tuple[str, ...]) -> str:
 _LAST_STAGED_SF: list[str | None] = [None]
 
 
+def _split_with(sql: str) -> tuple[list[tuple[str, str]], str]:
+    """Top-level WITH clause → ([(name, body)], main_query)."""
+    m = re.match(r"\s*with\s", sql, re.I)
+    if not m:
+        return [], sql
+    i = m.end()
+    ctes: list[tuple[str, str]] = []
+    while True:
+        m2 = re.match(r"\s*([A-Za-z_]\w*)\s+as\s*\(", sql[i:], re.I)
+        if not m2:
+            break
+        name = m2.group(1)
+        j = i + m2.end()
+        depth = 1
+        k = j
+        while depth and k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        ctes.append((name, sql[j:k - 1]))
+        i = k
+        m3 = re.match(r"\s*,", sql[i:])
+        if not m3:
+            break
+        i += m3.end()
+    return ctes, sql[i:]
+
+
+# persisted CTE frames from the previous query, released on the next
+# run (the driver/bench execute one query at a time)
+_PERSISTED: list[DataFrame] = []
+
+
 def _runner(name: str,
             markers: tuple[str, ...]) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +196,30 @@ def _runner(name: str,
                 f"CREATE OR REPLACE TEMP VIEW tpcds_{t} AS "
                 f"SELECT * FROM parquet.`{stage}/{t}.parquet`"
             )
-        return spark.sql(translate(_wrap(_load(name), markers)))
+        for df in _PERSISTED:
+            df.unpersist()
+        _PERSISTED.clear()
+        # Materialize multi-referenced WITH frames.  This Presto
+        # vintage inlines every WITH reference (and Catalyst's InlineCTE
+        # follows suit for deterministic frames), so q14_1's
+        # cross_items/avg_sales re-scan the fact tables ~20× — at 100 TB
+        # that is the dominant cost.  Registering each multi-ref CTE as
+        # a persisted DataFrame keeps one scan per frame; Spark offers
+        # this escape where the reference cannot (round-10 verdict,
+        # perf item).  Single-ref CTEs register as plain views (Catalyst
+        # inlines them, preserving pushdown through the reference).
+        raw = _load(name)
+        ctes, main = _split_with(raw)
+        for k, (nm, body) in enumerate(ctes):
+            later = " ".join(b for n2, b in ctes[k + 1:])
+            refs = len(re.findall(rf"\b{nm}\b", main, re.I)) \
+                + len(re.findall(rf"\b{nm}\b", later, re.I))
+            df = spark.sql(translate(body))
+            if refs >= 2:
+                df = df.persist()
+                _PERSISTED.append(df)
+            df.createOrReplaceTempView(nm)
+        return spark.sql(translate(_wrap(main, markers)))
 
     return run
 

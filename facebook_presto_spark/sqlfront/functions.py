@@ -387,7 +387,18 @@ def _zip(args: Args) -> list[Tok]:
     struct = [ident("named_struct"), op("(")] + fields + [op(")")]
     lam = [ident("__zi"), op("->")] + struct
     seq = _call("sequence", [Tok("number", "1")], card)
-    return _call("transform", seq, lam)
+    # ANY NULL input nulls the result (scalar-function null convention;
+    # greatest-over-cardinalities would silently skip the NULL side)
+    cond: list[Tok] = []
+    for a in args:
+        if cond:
+            cond.append(ident("OR"))
+        cond += _paren(list(a)) + [ident("IS"), ident("NULL")]
+    return (
+        [op("("), ident("CASE"), ident("WHEN")] + cond
+        + [ident("THEN"), ident("NULL"), ident("ELSE")]
+        + _call("transform", seq, lam) + [ident("END"), op(")")]
+    )
 
 
 def _json_size(args: Args) -> list[Tok]:
@@ -428,8 +439,23 @@ def _json_array_contains(args: Args) -> list[Tok]:
     elif len(probe) == 2 and probe[0].text in ("-", "+")             and probe[1].kind == "number":
         kind = "d" if any(c in probe[1].text for c in ".eE") else "l"
     if kind is not None:
+        arr = args[0]
+        # a JSON literal reaches here as to_json(try_parse_json('…'));
+        # Spark's variant canonicalizer erases the int/float token
+        # distinction (1.0 → 1) the typed matching depends on — feed
+        # the raw literal text to the kernel instead
+        if (
+            len(arr) >= 7 and arr[0].kind == "ident"
+            and arr[0].text.lower() == "to_json"
+            and arr[2].kind == "ident"
+            and arr[2].text.lower() == "try_parse_json"
+            and arr[4].kind == "string"
+            and arr[5].text == ")" and arr[6].text == ")"
+            and len(arr) == 7
+        ):
+            arr = [arr[4]]
         return _call(
-            "presto_json_array_contains", args[0],
+            "presto_json_array_contains", arr,
             [string_literal(kind)],
             _template("CAST(__V__ AS STRING)", v=probe),
         )
@@ -1381,15 +1407,30 @@ def _multimap_from_entries(args: Args) -> list[Tok]:
     # MultimapFromEntriesFunction.java: group entry rows by key keeping
     # encounter order of both keys and values; NULL input → NULL,
     # empty → empty map.  Pure higher-order composition (candidate-
-    # sized inputs; no shuffle).
+    # sized inputs; no shuffle).  Entry field names follow the operand:
+    # tuple literals are col1/col2, unnamed-ROW casts field0/field1,
+    # named-ROW casts their declared names.
+    a = args[0]
+    if len(a) == 1 and a[0].is_kw("NULL"):
+        return tokenize("CAST(NULL AS MAP<STRING, STRING>)")
+    if len(a) == 3 and ((a[0].is_kw("ARRAY") and a[1].text == "[")
+                        or (a[0].kind == "ident"
+                            and a[0].text.lower() == "array"
+                            and a[1].text == "(")):
+        return _call("map")
+    kf, vf = "col1", "col2"
+    txt = " ".join(t.text for t in a)
+    m = re.search(r"STRUCT\s*<\s*(\w+)\s*:[^,]*,\s*(\w+)\s*:", txt)
+    if m:
+        kf, vf = m.group(1), m.group(2)
     return _template(
         "(CASE WHEN __A__ IS NULL THEN NULL "
         "WHEN size(__A__) = 0 THEN map() ELSE "
         "map_from_arrays("
-        "  array_distinct(transform(__A__, __mfe -> __mfe.col1)), "
-        "  transform(array_distinct(transform(__A__, __mfe -> __mfe.col1)), "
-        "    __mfk -> transform(filter(__A__, __mfe -> __mfe.col1 <=> __mfk), "
-        "             __mfe -> __mfe.col2))) END)",
+        f"  array_distinct(transform(__A__, __mfe -> __mfe.{kf})), "
+        f"  transform(array_distinct(transform(__A__, __mfe -> __mfe.{kf})), "
+        f"    __mfk -> transform(filter(__A__, __mfe -> __mfe.{kf} <=> __mfk), "
+        f"             __mfe -> __mfe.{vf}))) END)",
         a=args[0])
 
 
@@ -1490,6 +1531,109 @@ def _url_extract_parameter(args: Args) -> list[Tok]:
         u=args[0], k=args[1])
 
 
+def _zero_lambda_body(a: list[Tok]) -> list[Tok] | None:
+    """Body of a zero-argument lambda ``() -> body`` (else None)."""
+    seg = list(a)
+    while len(seg) >= 2 and seg[0].text == "(" and \
+            find_matching_paren(seg, 0) == len(seg) - 1:
+        inner = seg[1:-1]
+        if len(inner) >= 3 and inner[0].text == "(" \
+                and inner[1].text == ")" and inner[2].text == "->":
+            seg = inner
+            break
+        seg = inner
+    if len(seg) >= 3 and seg[0].text == "(" and seg[1].text == ")" \
+            and seg[2].text == "->":
+        return seg[3:]
+    return None
+
+
+def _internal_try(args: Args) -> list[Tok]:
+    # "$internal$try"(() -> expr) (TryFunction.java desugared form):
+    # the zero-arg lambda wraps the guarded expression
+    if len(args) == 1:
+        body = _zero_lambda_body(args[0])
+        if body is not None:
+            return _try([body])
+    return _try(args)
+
+
+def _invoke(args: Args) -> list[Tok]:
+    # invoke(f) applies a zero-arg lambda (InvokeFunction.java)
+    if len(args) == 1:
+        body = _zero_lambda_body(args[0])
+        if body is None:
+            seg = list(args[0])
+            if len(seg) >= 2 and seg[0].text == "(" \
+                    and find_matching_paren(seg, 0) == len(seg) - 1 \
+                    and any(t.text == "->" for t in seg):
+                body = None  # parenthesized n-ary lambda: not invokable
+        if body is not None:
+            return _paren(body)
+    raise ValueError("invoke() takes a zero-argument lambda")
+
+
+def _internal_bind(args: Args) -> list[Tok]:
+    # "$internal$bind"(c1, …, ck, (p1, …, pm) -> body)
+    # (BindFunction.java): curries the first k parameters — emit the
+    # residual lambda with the bound parameters substituted
+    if len(args) < 2:
+        raise ValueError("$internal$bind takes constants and a lambda")
+    *consts, lam = args
+    lam = list(lam)
+    if len(lam) >= 2 and lam[0].text == "(" \
+            and find_matching_paren(lam, 0) == len(lam) - 1 \
+            and any(t.text == "->" for t in lam[1:-1]):
+        # outer grouping paren around the whole lambda; a (p1, p2)
+        # parameter list's paren closes before the arrow, so it never
+        # matches the last token
+        lam = lam[1:-1]
+    arrow = next((k for k, t in enumerate(lam) if t.text == "->"), None)
+    if arrow is None:
+        raise ValueError("$internal$bind needs a lambda argument")
+    head = lam[:arrow]
+    params = [t.text for t in head if t.kind == "ident"]
+    body = lam[arrow + 1:]
+    k = len(consts)
+    bound, rest = params[:k], params[k:]
+    out_body: list[Tok] = []
+    for t in body:
+        if t.kind == "ident" and t.text in bound \
+                and not (out_body and out_body[-1].text == "."):
+            out_body += _paren(list(consts[bound.index(t.text)]))
+        else:
+            out_body.append(t)
+    if not rest:
+        return [op("("), op(")"), op("->")] + out_body
+    if len(rest) == 1:
+        return [ident(rest[0]), op("->")] + out_body
+    head_out: list[Tok] = [op("(")]
+    for j, p in enumerate(rest):
+        if j:
+            head_out.append(op(","))
+        head_out.append(ident(p))
+    return head_out + [op(")"), op("->")] + out_body
+
+
+def _concat_rule(args: Args) -> list[Tok]:
+    # concat over arrays with a literal NULL argument returns NULL
+    # typed from the array operands (ConcatFunction
+    # RETURN_NULL_ON_NULL); Spark cannot type the bare literal
+    def is_null(a: list[Tok]) -> bool:
+        return len(a) == 1 and a[0].is_kw("NULL")
+
+    def is_arrayish(a: list[Tok]) -> bool:
+        return bool(a) and a[0].kind == "ident" \
+            and a[0].upper == "ARRAY" and len(a) > 1 \
+            and a[1].text in ("[", "(")
+
+    if len(args) >= 2 and any(is_null(a) for a in args) \
+            and any(is_arrayish(a) for a in args):
+        keep = [a for a in args if not is_null(a)]
+        return _template("IF(true, NULL, __C__)", c=_call("concat", *keep))
+    return _call("concat", *args)
+
+
 def _log2_or_log(args: Args) -> list[Tok]:
     # Presto log(b, x) and Spark log(base, expr) agree; passthrough exists
     # only to document the check.
@@ -1563,6 +1707,19 @@ def _array_position_rule(args: Args) -> list[Tok]:
     # Spark rejects the untyped NULL argument outright
     if len(args) == 2 and len(args[1]) == 1 and args[1][0].is_kw("NULL"):
         return tokenize("CAST(NULL AS BIGINT)")
+    # Presto coerces mixed-precision DECIMAL (and decimal-vs-integer)
+    # probes to a common supertype; Spark's array_position demands the
+    # exact element type.  When the probe is a bare numeric literal,
+    # search with a comparison instead (binary comparison coerces) —
+    # columns keep the native builtin.
+    if len(args) == 2 and len(args[1]) == 1 and args[1][0].kind == "number":
+        return _template(
+            "(CASE WHEN __A__ IS NULL THEN CAST(NULL AS BIGINT) "
+            "ELSE CAST(coalesce(get(filter(transform(__A__, "
+            "(__ape, __api) -> IF(__ape = __X__, __api + 1, "
+            "CAST(NULL AS INT))), __app -> __app IS NOT NULL), 0), 0) "
+            "AS BIGINT) END)",
+            a=args[0], x=args[1])
     return _call("array_position", *args)
 
 
@@ -1932,6 +2089,10 @@ RULES: dict[str, object] = {
     "array_except": _array_except_rule,
     "normal_cdf": _normal_cdf,
     "reduce": _reduce_rule,
+    "$internal$try": _internal_try,
+    "invoke": _invoke,
+    "$internal$bind": _internal_bind,
+    "concat": _concat_rule,
     "contains": _contains,
     "numeric_histogram": _numeric_histogram,
     "map_agg": _map_agg,

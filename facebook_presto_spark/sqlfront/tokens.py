@@ -14,7 +14,7 @@ from dataclasses import dataclass
 # longest-first so '<=' wins over '<'
 _OPERATORS = [
     "||", "->", "<=>", "<=", ">=", "<>", "!=", "=", "<", ">", "+", "-", "*", "/",
-    "%", ",", "(", ")", "[", "]", ".", ";", "?",
+    "%", ",", "(", ")", "[", "]", ".", ";", "?", ":",
 ]
 _OP_RE = "|".join(re.escape(o) for o in _OPERATORS)
 

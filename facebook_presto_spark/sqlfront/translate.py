@@ -512,11 +512,42 @@ _TYPE_HEADS = {
 }
 
 
+_JSON_PRODUCERS = {"to_json", "json_format"}
+
+
+def _mark_json_exprs(v: list[Tok]) -> list[Tok]:
+    """Prefix JSON-producing subexpressions with the \\x01 sentinel so
+    the runtime renderer embeds their text raw (ArrayToJsonCast over
+    ARRAY[JSON '…'] keeps element token kinds; a quoted-string
+    rendering would double-encode them)."""
+    out: list[Tok] = []
+    i = 0
+    n = len(v)
+    while i < n:
+        t = v[i]
+        if t.kind == "ident" and t.text.lower() in _JSON_PRODUCERS \
+                and i + 1 < n and v[i + 1].text == "(":
+            close = find_matching_paren(v, i + 1)
+            out += (_splice("concat('\x01', __J__)",
+                            j=v[i:close + 1]))
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _template_cast_json(v: list[Tok]) -> list[Tok]:
-    body = render(v)
+    fn = "presto_json_field"
+    if any(t.kind == "ident" and "FLOAT" in t.upper for t in v):
+        # the cast target carries REAL/FLOAT somewhere — render floats
+        # with Java Float.toString digits (MapToJsonCast over
+        # ARRAY<REAL> keys/values)
+        fn = "presto_json_field_real"
+    body = render(_mark_json_exprs(v))
     return tokenize(
         f"(CASE WHEN ({body}) IS NULL THEN NULL "
-        f"ELSE presto_json_field({body}) END)")
+        f"ELSE {fn}({body}) END)")
 
 
 def _angles_to_parens(toks: list[Tok]) -> list[Tok]:
@@ -595,10 +626,10 @@ def _type_text(toks: list[Tok]) -> str:
                 out.append(f"MAP<{_type_text(parts[0])}, {_type_text(parts[1])}>")
             else:
                 fields = ", ".join(
-                    # unnamed fields (ROW(INTEGER, INTEGER)) take the
-                    # positional field{i} names the row-constructor
-                    # conventions elsewhere use
-                    f"field{fi}: {_type_text(p)}"
+                    # unnamed fields (ROW(INTEGER, INTEGER)) take Spark's
+                    # positional col{i} constructor names so the cast
+                    # composes with struct(...) literals in one array
+                    f"col{fi + 1}: {_type_text(p)}"
                     if (len(p) == 1 or p[0].upper in _TYPE_HEADS
                         and (len(p) > 1 and p[1].text == "("))
                     else f"{p[0].text}: {_type_text(p[1:])}"
@@ -1002,6 +1033,72 @@ def _pass_real_decimal_coercion(tokens: list[Tok]) -> list[Tok]:
     return res
 
 
+def _contains_char_cast(seg: list[Tok]) -> bool:
+    return any(
+        t.is_kw("AS") and k + 1 < len(seg) and seg[k + 1].is_kw("CHAR")
+        for k, t in enumerate(seg))
+
+
+def _pass_char_semantics(tokens: list[Tok]) -> list[Tok]:
+    """CHAR(n)-typed surfaces that vanish once _pass_cast_types lowers
+    the casts to rpad/substring:
+
+    * ``=`` with a CHAR-cast operand compares trailing-space-
+      insensitively (spi/type/Chars.java padded comparison ≡ rtrim
+      both sides);
+    * ``typeof`` of a string literal or of a CAST to VARCHAR(n)/CHAR(n)
+      reports the parameterized type (TypeOfFunction.java sees the
+      analyzed type; Spark's typeof sees plain STRING).
+    """
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t.kind == "ident" and t.text.lower() == "typeof" \
+                and i + 1 < n and tokens[i + 1].text == "(":
+            close = find_matching_paren(tokens, i + 1)
+            inner = tokens[i + 2:close]
+            if len(inner) == 1 and inner[0].kind == "string":
+                val = string_value(inner[0])
+                out.append(string_literal(f"varchar({len(val)})"))
+                i = close + 1
+                continue
+            if inner and inner[0].is_kw("CAST", "TRY_CAST"):
+                m = re.search(
+                    r"\bAS\s+(VARCHAR|CHAR)\s*\(\s*(\d+)\s*\)\s*\)$",
+                    render(inner), re.I)
+                if m:
+                    out.append(string_literal(
+                        f"{m.group(1).lower()}({m.group(2)})"))
+                    i = close + 1
+                    continue
+        if t.text == "=" and out and i + 1 < n:
+            # right operand: literal / typed literal / call group
+            j = i + 1
+            if tokens[j].kind in ("number", "string"):
+                rend = j + 1
+            elif tokens[j].kind == "ident" and j + 1 < n \
+                    and tokens[j + 1].text == "(":
+                rend = find_matching_paren(tokens, j + 1) + 1
+            else:
+                rend = j + 1
+            left = _pop_operand(out)
+            right = tokens[j:rend]
+            if _contains_char_cast(left) or _contains_char_cast(right):
+                out += _splice(
+                    "(regexp_replace(__L__, ' +$', '') = "
+                    "regexp_replace(__R__, ' +$', ''))",
+                    l=_pass_char_semantics(left),
+                    r=_pass_char_semantics(right))
+                i = rend
+                continue
+            out += left
+        out.append(t)
+        i += 1
+    return out
+
+
 def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
     """Rewrite the type operand of CAST/TRY_CAST from Presto to Spark syntax.
 
@@ -1122,9 +1219,18 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                     unwrapped = value_toks
                 if unwrapped is not None:
                     tt = type_text.lower()
+                    # presto_json_coerce re-tokenizes the JSON text to
+                    # the target's token kinds (JsonToArrayCast cross-
+                    # token coercion: "12"→12, 12.7→13, numbers→bool);
+                    # from_json then parses it losslessly
+                    coerced = _call(
+                        "presto_json_coerce",
+                        _pass_cast_types(unwrapped),
+                        [string_literal(render(raw_type).lower())],
+                    )
                     fj = _call(
                         "from_json",
-                        _pass_cast_types(unwrapped),
+                        coerced,
                         [string_literal(tt)],
                     )
                     m_map = re.fullmatch(r"map<(.*)>", tt, re.S)
@@ -1148,14 +1254,11 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                         kt = inner_t[:ci].strip() if ci is not None else ""
                         vt = inner_t[ci + 1:].strip() if ci is not None else ""
                         if kt and kt != "string":
-                            fj = tokenize(
-                                "transform_keys("
-                                + render(_call(
-                                    "from_json",
-                                    _pass_cast_types(unwrapped),
-                                    [string_literal(
-                                        f"map<string,{vt}>")]))
-                                + f", (__jk, __jv) -> CAST(__jk AS {kt}))")
+                            fj = _splice(
+                                "transform_keys(from_json(__CV__, "
+                                f"'map<string,{vt}>'), "
+                                f"(__jk, __jv) -> CAST(__jk AS {kt}))",
+                                cv=coerced)
                     out.extend(fj)
                     i = close + 1
                     continue
@@ -1209,8 +1312,41 @@ def _pass_cast_types(tokens: list[Tok]) -> list[Tok]:
                 i = close + 1
                 continue
             value_out = _pass_cast_types(inner[:as_idx])
+            m_map2 = re.fullmatch(r"MAP<(.*)>", type_text, re.I | re.S)
+            if m_map2 and not (len(value_out) == 1
+                               and value_out[0].is_kw("NULL")):
+                # MAP→MAP casts: the reference coerces keys and values
+                # independently (MapToMapCast.java — varchar keys to
+                # integer, json-text keys to bigint); Spark's map cast
+                # rejects several of those pairs.  Rebuild elementwise —
+                # the array casts accept the wider coercion matrix.
+                inner_t = m_map2.group(1)
+                d = 0
+                ci = None
+                for cj, ch in enumerate(inner_t):
+                    if ch == "<":
+                        d += 1
+                    elif ch == ">":
+                        d -= 1
+                    elif ch == "," and d == 0:
+                        ci = cj
+                        break
+                if ci is not None:
+                    kt = inner_t[:ci].strip()
+                    vt = inner_t[ci + 1:].strip()
+                    out += _splice(
+                        "(CASE WHEN __V__ IS NULL THEN "
+                        f"CAST(NULL AS {type_text}) "
+                        "ELSE map_from_arrays("
+                        f"CAST(map_keys(__V__) AS ARRAY<{kt}>), "
+                        f"CAST(map_values(__V__) AS ARRAY<{vt}>)) END)",
+                        v=value_out)
+                    i = close + 1
+                    continue
             if type_text.upper() in ("BIGINT", "INTEGER", "INT", "SMALLINT",
-                                     "TINYINT"):
+                                     "TINYINT") \
+                    and not (len(value_out) == 1
+                             and value_out[0].is_kw("NULL")):
                 # Presto CAST(x AS integer-type) ROUNDS to nearest; Spark
                 # truncates toward zero.  Dispatch on the runtime type
                 # (typeof is constant-folded per column): integer-family
@@ -3497,7 +3633,10 @@ def _map_comparand(tokens: list[Tok], i: int) -> int | None:
         inner = tokens[i + 2:close]
         for k in range(len(inner) - 1, -1, -1):
             if inner[k].is_kw("AS"):
-                if k + 1 < len(inner) and inner[k + 1].is_kw("MAP"):
+                # the type may already be a single rendered Spark type
+                # token ("MAP<INT, STRING>") after _pass_cast_types
+                if k + 1 < len(inner) and inner[k + 1].kind == "ident" \
+                        and inner[k + 1].upper.startswith("MAP"):
                     return close + 1
                 return None
     return None
@@ -3636,6 +3775,177 @@ def _pass_map_equality(tokens: list[Tok]) -> list[Tok]:
                 out += tokenize(eq)
                 i = endr
                 continue
+        out.append(tokens[i])
+        i += 1
+    return out
+
+
+def _find_matching_bracket(tokens: list[Tok], open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(tokens)):
+        if tokens[i].text == "[":
+            depth += 1
+        elif tokens[i].text == "]":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced brackets")
+
+
+def _array_comparand(tokens: list[Tok], i: int):
+    """(end, literal_depth) if tokens[i:] starts an ARRAY[...] literal
+    (or CAST(... AS ARRAY...)); depth counts literal nesting (2 when the
+    elements are themselves ARRAY constructors)."""
+    t = tokens[i]
+    if t.kind != "ident":
+        return None
+
+    def elem_is_array(p: list[Tok]) -> bool:
+        return bool(p) and p[0].kind == "ident" and p[0].upper == "ARRAY" \
+            and len(p) > 1 and p[1].text in ("[", "(")
+
+    if t.upper == "ARRAY" and i + 1 < len(tokens) \
+            and tokens[i + 1].text == "[":
+        close = _find_matching_bracket(tokens, i + 1)
+        depth = 1
+        if any(elem_is_array(p)
+               for p in split_top_level(tokens[i + 2:close])):
+            depth = 2
+        return close + 1, depth
+    # the constructor may already be in the array(...) call spelling
+    # (earlier passes rewrite ARRAY[...])
+    if t.upper == "ARRAY" and i + 1 < len(tokens) \
+            and tokens[i + 1].text == "(":
+        close = find_matching_paren(tokens, i + 1)
+        depth = 1
+        if any(elem_is_array(p)
+               for p in split_top_level(tokens[i + 2:close])):
+            depth = 2
+        return close + 1, depth
+    if t.upper in ("CAST", "TRY_CAST") and i + 1 < len(tokens) \
+            and tokens[i + 1].text == "(":
+        close = find_matching_paren(tokens, i + 1)
+        inner = tokens[i + 2:close]
+        for k in range(len(inner) - 1, -1, -1):
+            if inner[k].is_kw("AS"):
+                if k + 1 < len(inner) and inner[k + 1].is_kw("ARRAY"):
+                    depth = sum(1 for x in inner[k + 1:]
+                                if x.kind == "ident" and x.upper == "ARRAY")
+                    return close + 1, max(1, depth)
+                return None
+    return None
+
+
+def _arr_eq_sql(a: str, b: str, depth: int, d: int = 0) -> str:
+    """Three-valued array equality (ArrayEqualOperator /
+    ArrayDistinctFromOperator: a NULL element comparison is
+    indeterminate — ARRAY[1,null] = ARRAY[1,null] is NULL); recursion
+    depth follows the literal nesting."""
+    x, y, pv = f"__aqx{d}", f"__aqy{d}", f"__aqp{d}"
+    if depth <= 1:
+        cmp = f"({x} = {y})"
+    else:
+        inner = _arr_eq_sql(x, y, depth - 1, d + 1)
+        cmp = (f"(CASE WHEN {x} IS NULL OR {y} IS NULL "
+               f"THEN CAST(NULL AS BOOLEAN) ELSE {inner} END)")
+    return (f"(CASE WHEN size({a}) <> size({b}) THEN false "
+            f"ELSE forall(zip_with({a}, {b}, ({x}, {y}) -> {cmp}), "
+            f"{pv} -> {pv}) END)")
+
+
+def _pass_array_ops(tokens: list[Tok]) -> list[Tok]:
+    """Syntactically-evident ARRAY-literal operator semantics:
+
+    * ``=`` / ``!=`` / ``<>`` between ARRAY literals → three-valued
+      element comparison (Spark's array equality treats NULL elements
+      as equal; the reference's is indeterminate) — also heals
+      mixed-precision DECIMAL element comparisons, which Spark's
+      array-level coercion rejects.
+    * ``||`` append/prepend (ConcatFunction element variants): an
+      ARRAY literal concatenated with a scalar literal, or two ARRAY
+      literals of different nesting depth, use
+      array_append/array_prepend.
+
+    Array-typed COLUMNS are invisible at this layer — they keep
+    Spark's operators (documented residual)."""
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+
+    def scalar_literal_end(j: int):
+        """End index (exclusive) if tokens[j:] starts a scalar literal
+        (number, string, typed literal, or non-array CAST group)."""
+        if j >= n:
+            return None
+        t = tokens[j]
+        if t.kind in ("number", "string"):
+            return j + 1
+        if t.kind == "ident" and t.upper in ("DATE", "TIMESTAMP", "TIME",
+                                             "REAL", "DOUBLE", "DECIMAL") \
+                and j + 1 < n and tokens[j + 1].kind == "string":
+            return j + 2
+        if t.kind == "ident" and t.upper in ("CAST", "TRY_CAST") \
+                and j + 1 < n and tokens[j + 1].text == "(" \
+                and _array_comparand(tokens, j) is None \
+                and _map_comparand(tokens, j) is None:
+            return find_matching_paren(tokens, j + 1) + 1
+        return None
+
+    while i < n:
+        ac = _array_comparand(tokens, i)
+        if ac is not None:
+            endl, dl = ac
+            # ARRAY literal = / != / <> comparand
+            if endl < n and tokens[endl].text in ("=", "!=", "<>"):
+                rc = _array_comparand(tokens, endl + 1)
+                if rc is not None:
+                    endr, dr = rc
+                    a = render(_pass_array_ops(tokens[i:endl]))
+                    b = render(_pass_array_ops(tokens[endl + 1:endr]))
+                    eq = _arr_eq_sql(a, b, max(dl, dr))
+                    if tokens[endl].text in ("!=", "<>"):
+                        eq = f"(NOT {eq})"
+                    out += tokenize(eq)
+                    i = endr
+                    continue
+            # ARRAY literal || scalar literal → append;
+            # depth-mismatched ARRAY literals → append/prepend
+            if endl < n and tokens[endl].text == "||":
+                rc = _array_comparand(tokens, endl + 1)
+                if rc is not None:
+                    endr, dr = rc
+                    if dl != dr:
+                        fn = "array_append" if dl > dr else "array_prepend"
+                        arr = (i, endl) if dl > dr else (endl + 1, endr)
+                        el = (endl + 1, endr) if dl > dr else (i, endl)
+                        out += _splice(
+                            f"{fn}(__ARR__, __EL__)",
+                            arr=_pass_array_ops(tokens[arr[0]:arr[1]]),
+                            el=_pass_array_ops(tokens[el[0]:el[1]]))
+                        i = endr
+                        continue
+                else:
+                    se = scalar_literal_end(endl + 1)
+                    if se is not None:
+                        out += _splice(
+                            "array_append(__ARR__, __EL__)",
+                            arr=_pass_array_ops(tokens[i:endl]),
+                            el=list(tokens[endl + 1:se]))
+                        i = se
+                        continue
+        else:
+            # scalar literal || ARRAY literal → prepend
+            se = scalar_literal_end(i)
+            if se is not None and se < n and tokens[se].text == "||":
+                rc = _array_comparand(tokens, se + 1)
+                if rc is not None:
+                    endr, _ = rc
+                    out += _splice(
+                        "array_prepend(__ARR__, __EL__)",
+                        arr=_pass_array_ops(tokens[se + 1:endr]),
+                        el=list(tokens[i:se]))
+                    i = endr
+                    continue
         out.append(tokens[i])
         i += 1
     return out
@@ -4102,11 +4412,15 @@ def _pass_two_phase_geo_agg(tokens: list[Tok]) -> list[Tok]:
     (the reference's per-arm input mask) and the merge stays
     unconditional — and HAVING decomposes as an outer filter whose
     aggregates get the same partial/merge treatment (the reference's
-    AggregationNode → FilterNode shape).  A block with an aggregate we
-    can't decompose, DISTINCT, windows, qualified/expression group
-    keys, qualified refs in HAVING, or set operators falls back to the
-    single-phase spelling (sqlfront/functions.py) — correct, just not
-    the 100-TB shape.
+    AggregationNode → FilterNode shape).  Since round 11, GROUP BY
+    ordinals resolve to their select item before restructuring, and a
+    bare qualified group-key ref in HAVING (t.k over a single-relation
+    FROM) drops its qualifier.  The remaining single-phase fallbacks:
+    an aggregate we can't decompose (incl. non-identity reduce_agg
+    inits, where no exact decomposition exists —
+    ReduceAggregationFunction.java:162-216), DISTINCT arguments,
+    windows, set-op levels, and multi-relation qualified refs in
+    HAVING — correct, just not the 100-TB shape.
     """
     trigger_names = _GEO_2P_AGGS | {"reduce_agg", "min", "max"}
     if not any(t.kind == "ident" and t.text.lower() in trigger_names
@@ -4253,11 +4567,27 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
             if not key or any(t.is_kw("ROLLUP", "CUBE", "GROUPING")
                               for t in _depth0_iter(key)):
                 return None
+            if len(key) == 1 and key[0].kind == "number" \
+                    and key[0].text.isdigit():
+                # GROUP BY ordinal — resolve to the select item before
+                # restructuring (the reference resolves ordinals during
+                # analysis; Analyzer.java groupingElement positions)
+                sel_items = split_top_level(items)
+                oi = int(key[0].text) - 1
+                if not (0 <= oi < len(sel_items)):
+                    return None
+                item = _strip_outer_parens(list(sel_items[oi]))
+                if len(item) >= 3 and item[-2].is_kw("AS") \
+                        and item[-1].kind in ("ident", "qident"):
+                    item = item[:-2]
+                key = _strip_outer_parens(item)
+                if not key:
+                    return None
             if len(key) == 1 and key[0].kind in ("ident", "qident"):
                 keys.append(key[0])
                 inner_key_cols.append(render([key[0]]))
             elif len(key) == 1:
-                return None  # GROUP BY ordinal/literal
+                return None  # GROUP BY literal
             else:
                 if any(t.kind == "ident" and t.text.lower() in agg_names
                        for t in key) \
@@ -4277,18 +4607,40 @@ def _geo2p_rewrite_level(tokens: list[Tok]) -> list[Tok] | None:
     # column refs can't be resolved through the mid projection — bail.
     h_aggs: list = []
     if having_seg:
+        h_spans = _geo2p_scan_aggs(having_seg)
+        if h_spans is None:
+            return None
+        # bare qualified group-key refs (t.k) resolve through the mid
+        # projection only under their unqualified name — strip the
+        # qualifier when it names the single FROM relation; any other
+        # dotted shape bails to single-phase
+        rel_alias = _single_relation_alias(from_seg)
+        new_h: list[Tok] = []
+        hj = 0
+        while hj < len(having_seg):
+            if any(s <= hj <= e for s, e, *_ in h_spans):
+                new_h.append(having_seg[hj])
+                hj += 1
+                continue
+            t = having_seg[hj]
+            if t.kind in ("ident", "qident") \
+                    and hj + 2 < len(having_seg) \
+                    and having_seg[hj + 1].text == "." \
+                    and having_seg[hj + 2].kind in ("ident", "qident"):
+                if rel_alias is not None \
+                        and t.text.strip('"').lower() == rel_alias.lower():
+                    new_h.append(having_seg[hj + 2])
+                    hj += 3
+                    continue
+                return None
+            if t.text == ".":
+                return None
+            new_h.append(t)
+            hj += 1
+        having_seg = new_h
         h_aggs = _geo2p_scan_aggs(having_seg)
         if h_aggs is None:
             return None
-        hj = 0
-        while hj < len(having_seg):
-            if having_seg[hj].text == "(":
-                hj = find_matching_paren(having_seg, hj) + 1
-                continue
-            if having_seg[hj].text == "." \
-                    and not any(s <= hj <= e for s, e, *_ in h_aggs):
-                return None
-            hj += 1
     # build the three layers
     k_sql = ", ".join(render([k]) for k in keys)
     inner_cols = list(inner_key_cols)
@@ -4427,6 +4779,7 @@ def translate(sql: str, *, two_phase: bool = True) -> str:
     toks = _pass_values_lambda(toks)
     toks = _pass_map_in(toks)
     toks = _pass_real_decimal_coercion(toks)
+    toks = _pass_char_semantics(toks)
     toks = _pass_cast_types(toks)
     toks = _pass_subscript(toks)
     toks = _pass_quantified(toks)
@@ -4444,6 +4797,7 @@ def translate(sql: str, *, two_phase: bool = True) -> str:
     toks = _pass_cube_rollup_empty_global(toks)
     toks = _pass_grouping_sets_for_grouping_fn(toks)
     toks = _pass_map_equality(toks)
+    toks = _pass_array_ops(toks)
     if two_phase:
         toks = _pass_two_phase_geo_agg(toks)
     toks = _pass_functions(toks)

@@ -110,18 +110,25 @@ def test_fallbacks_stay_single_phase_and_correct(eng, spark):
         # avg has no decomposition spelled here
         "SELECT k, avg(k) AS m, ST_NumPoints(geometry_union_agg(g)) AS n "
         "FROM geo2p_fb GROUP BY k",
-        # HAVING with a BARE qualified source ref, which the mid
-        # projection can't resolve (a qualified ref inside an aggregate
-        # argument is fine — it evaluates in the inner projection)
-        "SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n FROM geo2p_fb "
-        "GROUP BY k HAVING geo2p_fb.k >= 0 AND count(*) > 1",
         # DISTINCT argument
         "SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n, "
         "count(DISTINCT g) AS d FROM geo2p_fb GROUP BY k",
+        # multi-relation FROM with a qualified HAVING ref — the
+        # qualifier can't be resolved to one relation, so single-phase
+        "SELECT a.k, ST_NumPoints(geometry_union_agg(a.g)) AS n "
+        "FROM geo2p_fb a JOIN geo2p_fb b ON a.k = b.k "
+        "GROUP BY a.k HAVING a.k >= 0",
     ):
         assert "__fps_salt" not in translate(q), q
         rows = eng.sql(q).collect()  # still executes correctly
         assert len(rows) == 3 and all(r.n > 0 for r in rows)
+    # round 11: a BARE qualified group-key ref in HAVING over a
+    # single-relation FROM drops its qualifier and keeps two-phase
+    q = ("SELECT k, ST_NumPoints(geometry_union_agg(g)) AS n FROM geo2p_fb "
+         "GROUP BY k HAVING geo2p_fb.k >= 0 AND count(*) > 1")
+    assert "__fps_salt" in translate(q), q
+    rows = eng.sql(q).collect()
+    assert len(rows) == 3 and all(r.n > 0 for r in rows)
 
 
 def test_having_and_filter_two_phase(eng, spark):
@@ -360,9 +367,12 @@ def test_expression_group_keys_two_phase(eng, spark):
         "HAVING count(*) > 1",
     ):
         assert "__fps_salt" in translate(q), q
-    # GROUP BY ordinal stays single-phase
-    assert "__fps_salt" not in translate(
+    # round 11: GROUP BY ordinal resolves to its select item and keeps
+    # the two-phase shape (both bare-column and expression positions)
+    assert "__fps_salt" in translate(
         "SELECT k, geometry_union_agg(g) AS u FROM t GROUP BY 1")
+    assert "__fps_salt" in translate(
+        "SELECT k % 2 AS b, geometry_union_agg(g) AS u FROM t GROUP BY 1")
     # runtime equivalence vs the single-phase Column construction
     df = _geo_df(spark)
     df.createOrReplaceTempView("geo2p_ek")
@@ -376,6 +386,12 @@ def test_expression_group_keys_two_phase(eng, spark):
              call("geometry_union_agg", F.col("g"))).alias("n"),
         F.count(F.lit(1)).alias("c")).collect()}
     assert got == want and len(got) == 2
+    # ordinal spelling of the same query is value-identical (round 11)
+    got_ord = {r.b: (r.n, r.c) for r in eng.sql(
+        "SELECT k % 2 AS b, ST_NumPoints(geometry_union_agg(g)) AS n, "
+        "count(*) AS c FROM geo2p_ek GROUP BY 1 ORDER BY 1"
+    ).collect()}
+    assert got_ord == want
 
 
 def test_two_phase_translate_flag(eng):

@@ -157,11 +157,14 @@ def test_misc_rewrites():
 
 
 def test_json_complex_casts():
-    # JsonToArrayCast/JsonToMapCast: json_parse composition → from_json
+    # JsonToArrayCast/JsonToMapCast: json_parse composition routes
+    # through the token-kind coercer, then from_json (round 11)
     got = translate("SELECT CAST(json_parse('[1,2]') AS ARRAY(BIGINT))")
-    assert "from_json('[1,2]', 'array<bigint>')" in got
+    assert "from_json(presto_json_coerce('[1,2]', 'array(bigint)'), " \
+        "'array<bigint>')" in got
     got = translate("SELECT CAST(json_parse(p) AS MAP(VARCHAR, BIGINT)) FROM t")
-    assert "from_json(p, 'map<string, bigint>')" in got.lower()
+    assert "from_json(presto_json_coerce(p, 'map(varchar, bigint)'), " \
+        "'map<string, bigint>')" in got.lower()
     # a non-JSON operand keeps a plain CAST (array→array conversion)
     got = translate("SELECT CAST(arr AS ARRAY(DOUBLE)) FROM t")
     assert "CAST" in got and "from_json" not in got
@@ -405,8 +408,12 @@ def test_cast_type_syntax():
     # Presto parametric type spellings (spi/type/TypeSignature.java) in CAST
     assert translate("SELECT CAST(x AS ARRAY(BIGINT))") == \
         "SELECT CAST(x AS ARRAY<BIGINT>)"
-    assert translate("SELECT CAST(x AS MAP(VARCHAR, ARRAY(DOUBLE)))") == \
-        "SELECT CAST(x AS MAP<STRING, ARRAY<DOUBLE>>)"
+    # MAP→MAP casts rebuild elementwise (round 11 — the reference's
+    # MapToMapCast coerces keys/values independently, which Spark's
+    # map cast rejects for several pairs)
+    got = translate("SELECT CAST(x AS MAP(VARCHAR, ARRAY(DOUBLE)))")
+    assert "map_from_arrays(CAST(map_keys(x) AS ARRAY < STRING >), " \
+        "CAST(map_values(x) AS ARRAY < ARRAY < DOUBLE > >))" in got
     assert translate("SELECT CAST(ROW(1,'a') AS ROW(x BIGINT, y VARCHAR)).x") == \
         "SELECT CAST(struct(1, 'a') AS STRUCT<x: BIGINT, y: STRING>).x"
     assert translate("SELECT CAST(NULL AS VARCHAR)") == "SELECT CAST(NULL AS STRING)"

@@ -38,6 +38,12 @@ REQUIRE_PARTITION_PRUNE = {"connector_hive_partitioned_roundtrip"}
 # joined dimension, so the scan must carry a dynamicpruningexpression
 # (SURVEY §4.2 — a Spark advantage the reference lacks)
 REQUIRE_DPP = {"connector_hive_dpp_join"}
+# scan-multiplicity budget: a CTE-heavy plan that re-inlines shared
+# frames re-reads the facts dozens of times (round-10 verdict: q14_1
+# had 348 scans and zero reuse before the CTE persist).  Any query's
+# plan exceeding the ceiling fails the audit so the next CTE-heavy
+# addition can't regress silently.
+SCAN_BUDGET = 200
 
 
 def formatted_plan(df) -> str:
@@ -85,13 +91,22 @@ def main() -> int:
             problems.append("no static PartitionFilters on the scan")
         if name in REQUIRE_DPP and "dynamicpruning" not in plan:
             problems.append("no dynamicpruningexpression on the scan")
+        # unique node ids — a persisted frame's cached plan prints once
+        # per InMemoryTableScan reference but executes once
+        nscan_budget = len(set(
+            re.findall(r"Scan parquet[^(\n]*\((\d+)\)", plan))) \
+            or plan.count("Scan parquet")
+        if nscan_budget > SCAN_BUDGET:
+            problems.append(
+                f"{nscan_budget} parquet scans exceed the {SCAN_BUDGET} "
+                f"budget — persist the repeated CTE frames")
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            nscan = plan.count("Scan parquet")
             nbhj = plan.count("BroadcastHashJoin")
-            print(f"ok   {name} (scans: {nscan}, broadcast joins: {nbhj})")
+            print(f"ok   {name} (scans: {nscan_budget}, "
+                  f"broadcast joins: {nbhj})")
     print(f"\n{failures} failures / {len(names)} plans")
     return 1 if failures else 0
 
