@@ -297,13 +297,23 @@ class PrestoSparkEngine:
         # (RowToJsonCast.java): dispatches on the VALUE's runtime type,
         # so struct-typed columns render as JSON arrays like the
         # reference — unreachable from SQL text alone (translate.
-        # _row_as_json).  Row-at-a-time by design: type dispatch needs
-        # Row/dict/list Python objects, and the cast is a formatting
-        # corner, not a scan-path operator.
-        spark.udf.register("presto_json_field",
-                           lambda v: _presto_json_field(v))
-        spark.udf.register("presto_json_field_real",
-                           lambda v: _presto_json_field(v, real=True))
+        # _row_as_json).  Per-value type dispatch needs Row/dict/list
+        # Python objects, which survive the Arrow boundary:
+        # Arrow-optimized (SPARK-40307): same per-value type dispatch
+        # (Row objects survive the Arrow boundary), but batched — the
+        # plan shows ArrowEvalPython, so a bulk JSON-export workload
+        # pays Arrow transfer instead of per-row pickling
+        from pyspark.sql.functions import udf as _udf
+        from pyspark.sql.types import StringType as _StringType
+
+        spark.udf.register(
+            "presto_json_field",
+            _udf(lambda v: _presto_json_field(v), _StringType(),
+                 useArrow=True))
+        spark.udf.register(
+            "presto_json_field_real",
+            _udf(lambda v: _presto_json_field(v, real=True), _StringType(),
+                 useArrow=True))
 
     def translate(self, presto_sql: str) -> str:
         """Presto-dialect SQL → the Spark SQL string that will run."""
