@@ -94,46 +94,73 @@ FROM documents GROUP BY md5(lower(text))
 def _signatures(docs: DataFrame) -> DataFrame:
     """doc_id → h0..h7 lexicographic-min md5 MinHash signature.
 
-    Document tables arrive in few parquet splits (small files, wide text
-    rows), so the CPU-heavy shingle-explode + k×md5 projection would
-    otherwise inherit single-split scan parallelism.  A round-robin
-    repartition to the core count spreads the compute; the subsequent
-    groupBy still gets map-side partial aggregation (8 min-hashes per doc
-    per partition), so the shuffle after the explode stays tiny.  (Do NOT
-    repartition by doc_id here: clustering by the grouping key makes
-    Catalyst drop the partial-aggregate step and shuffle-free aggregate
-    the full exploded shingle stream instead — measured 10× slower.)
+    Computed entirely per row: one ``transform`` hashes every shingle
+    once, and one ``aggregate`` fold keeps 8 running string-mins (the 8
+    seed orderings are cyclic nibble rotations of the single md5 digest —
+    a bijection on digests, so min-over-rotated is a valid min-hash per
+    seed; 8 salted md5 calls measured ~6× more CPU).  No ``array_distinct``:
+    min() is insensitive to duplicate shingles.
 
-    Two deliberate non-obvious choices, both measured on the bench:
+    This replaced an explode + groupBy(doc_id).agg(min×8) pipeline
+    (round 11).  ``min`` over strings cannot use HashAggregate's
+    fixed-width buffer, so that shape planned as Sort → SortAggregate →
+    Exchange → Sort → SortAggregate: the whole exploded shingle stream
+    (docs × shingles rows) was sorted twice and shuffled once.  The
+    per-row fold needs zero shuffle and zero sort — at 100 TB the
+    signature pass is now embarrassingly parallel over scan splits.
+    Measured at sf0.1 (noop sink, min over 5 runs on a steal-noisy box):
+    0.63s explode+SortAggregate → 0.37s fold, with identical output
+    verified row-for-row at sf0.01.
 
-    - Shingles come from ``regexp_extract_all`` rather than the
-      transform/sequence higher-order chain ``_shingles`` uses: HOF
-      expressions are CodegenFallback, and keeping one in this stage's
-      projection made the whole-stage-codegen'd signature stage
-      JIT-unstable (identical runs swung 12s → 914s of executor CPU).
-      The regex scan stays fully codegen'd and the stage is flat ~1.4s.
-      No ``array_distinct``: min() is insensitive to duplicate shingles.
-    - The 8 seed orderings are cyclic rotations of one md5 digest
-      (a bijection on digests, so min-over-rotated is a valid min-hash
-      per seed; 8 salted md5 calls measured ~6× more CPU).  Rotations
-      are projected *before* the aggregation so the agg update loop is
-      8 plain string mins, reproducible verbatim in the DuckDB oracle.
+    Plumbing notes, all load-bearing:
+
+    - Document tables arrive in few parquet splits (small files, wide
+      text rows), so the CPU-heavy md5 fold would inherit single-split
+      scan parallelism; the round-robin repartition to the core count
+      spreads it.
+    - ``explode(array(sig))`` is a projection barrier: selecting the 8
+      struct fields straight off the fold expression lets Catalyst's
+      CollapseProject inline the whole fold into each of the 8 field
+      extractions (8× the md5 work).  A Generate node cannot be
+      collapsed into, so the fold runs once and field extraction is
+      free.  (An earlier attempt that kept a HOF *inside* the
+      whole-stage-codegen'd explode stage was JIT-unstable — 12s → 914s
+      swings; this shape keeps the HOFs in their own interpreted
+      projection and benched flat across repeated runs.)
+    - Docs with < 3 tokens have no shingles and must vanish, exactly as
+      they did when explode produced no rows for them: the fold's init
+      is a sentinel above every 32-char hex digest, and a NULL text
+      yields a NULL fold result, so one filter on h0 drops both.
     """
     n_parts = docs.sparkSession.sparkContext.defaultParallelism
-    rotations = [
-        (F.col("m") if s == 0 else F.concat(
-            F.substring("m", 4 * s + 1, 32 - 4 * s), F.substring("m", 1, 4 * s)
-        )).alias(f"m{s}")
-        for s in range(K_MINHASH)
-    ]
-    exploded = (
-        docs.repartition(n_parts)
-        .select("doc_id", F.explode(F.regexp_extract_all(F.col("text"), F.lit(_SHINGLE_RX), 1)).alias("sh"))
-        .select("doc_id", F.md5("sh").alias("m"))
-        .select("doc_id", *rotations)
+    sentinel = "z" * 33  # lexicographically above any md5 hex digest
+
+    def rot(m: Column, s: int) -> Column:
+        if s == 0:
+            return m
+        return F.concat(
+            F.substring(m, 4 * s + 1, 32 - 4 * s), F.substring(m, 1, 4 * s)
+        )
+
+    init = F.struct(*[F.lit(sentinel).alias(f"h{s}") for s in range(K_MINHASH)])
+    hashes = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(_SHINGLE_RX), 1),
+        lambda sh: F.md5(sh),
     )
-    return exploded.groupBy("doc_id").agg(
-        *[F.min(f"m{s}").alias(f"h{s}") for s in range(K_MINHASH)]
+    sig = F.aggregate(
+        hashes,
+        init,
+        lambda acc, m: F.struct(
+            *[F.least(acc[f"h{s}"], rot(m, s)).alias(f"h{s}") for s in range(K_MINHASH)]
+        ),
+    )
+    return (
+        docs.repartition(n_parts)
+        .select("doc_id", F.explode(F.array(sig)).alias("sig"))
+        .select(
+            "doc_id", *[F.col(f"sig.h{s}").alias(f"h{s}") for s in range(K_MINHASH)]
+        )
+        .filter(F.col("h0") != sentinel)
     )
 
 
