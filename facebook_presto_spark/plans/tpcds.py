@@ -182,6 +182,25 @@ def _split_with(sql: str) -> tuple[list[tuple[str, str]], str]:
 # run (the driver/bench execute one query at a time)
 _PERSISTED: list[DataFrame] = []
 
+# Persist a WITH frame only when it is BOTH multi-referenced and
+# re-scans at least this many distinct fact channels per reference.
+# Measured at sf0.1 (min of 5 collect() runs, persist on → off):
+#   q14_1 cross_items/avg_sales (3 refs, 3 channels): 5.79 → 6.92  (win)
+#   q01   customer_total_return (2 refs, 1 source):   0.95 → 0.74  (loss)
+#   q23_1 frequent/best_ss       (2 refs, 1 channel): 1.67 → 1.31  (loss)
+#   q95   ws_wh                  (2 refs, 1 channel): 0.99 → 0.90  (loss)
+#   q47   v1                     (3 refs, 1 channel): 1.70 → 1.11  (loss)
+# The pattern: caching pays only when a reference re-runs scans of
+# SEVERAL fact tables (recompute cost enormous, frame output tiny);
+# single-channel frames recompute faster than the columnar cache's
+# materialize+read because the cache also blocks filter pushdown into
+# the underlying scan.  At 100 TB the same asymmetry grows with fact
+# size, so the criterion transfers.  Module constants so the bench A/B
+# in tools/ can flip them.
+_PERSIST_MIN_REFS = 2
+_PERSIST_MIN_FACTS = 2
+_FACT_TABLES = ("tpcds_store_sales", "tpcds_catalog_sales", "tpcds_web_sales")
+
 # (applicationId, stage path) the tpcds_* views were last registered
 # for.  Registering 24 parquet views is pure metadata DDL (schema
 # inference + catalog entries — no data is read or cached), but it costs
@@ -194,11 +213,11 @@ _VIEWS_FOR: list[tuple[str, str] | None] = [None]
 # translation is deterministic text→text; cache per query name
 # ((ctes, main) pre-translated — ~30 ms per run for q14_1)
 _TRANSLATED: dict[tuple[str, tuple[str, ...]],
-                  tuple[list[tuple[str, str, int]], str]] = {}
+                  tuple[list[tuple[str, str, int, int]], str]] = {}
 
 
 def _translated(name: str, markers: tuple[str, ...]):
-    """[(cte_name, translated_body, ref_count)], translated_main."""
+    """[(cte_name, translated_body, ref_count, fact_count)], translated_main."""
     key = (name, markers)
     if key not in _TRANSLATED:
         from facebook_presto_spark.sqlfront import translate
@@ -210,7 +229,10 @@ def _translated(name: str, markers: tuple[str, ...]):
             later = " ".join(b for _n2, b in ctes[k + 1:])
             refs = len(re.findall(rf"\b{nm}\b", main, re.I)) \
                 + len(re.findall(rf"\b{nm}\b", later, re.I))
-            out.append((nm, translate(body), refs))
+            facts = sum(
+                1 for t in _FACT_TABLES if re.search(rf"\b{t}\b", body, re.I)
+            )
+            out.append((nm, translate(body), refs, facts))
         _TRANSLATED[key] = (out, translate(_wrap(main, markers)))
     return _TRANSLATED[key]
 
@@ -245,9 +267,9 @@ def _runner(name: str,
         # (and recomputed) on every invocation — nothing carries across
         # runs.
         ctes, main = _translated(name, markers)
-        for nm, body_sql, refs in ctes:
+        for nm, body_sql, refs, facts in ctes:
             df = spark.sql(body_sql)
-            if refs >= 2:
+            if refs >= _PERSIST_MIN_REFS and facts >= _PERSIST_MIN_FACTS:
                 df = df.persist()
                 _PERSISTED.append(df)
             df.createOrReplaceTempView(nm)
