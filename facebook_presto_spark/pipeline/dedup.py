@@ -11,11 +11,15 @@ Scale design (the point of each construction):
 
 - **exact**: one shuffle on a 128-bit content hash — never on the text
   itself, so shuffle bytes are O(rows·16B) not O(corpus).
-- **MinHash-LSH**: signature computation is a map-side groupBy over
-  exploded shingles (partial aggregation keeps the shuffle at
-  O(docs·k·32B)); banding turns the O(n²) pair problem into equi-joins on
-  band keys — the only join is on (band_idx, band_key), which AQE handles
-  for skew (a degenerate band key = a pile of near-identical docs).
+- **MinHash-LSH**: signature computation is a zero-shuffle per-row
+  transform/aggregate fold (each doc's k running mins computed inside
+  its scan split; the only shuffle anywhere is the (band, key) bucket
+  grouping); banding turns the O(n²) pair problem into bucket grouping
+  on band keys, which AQE handles for skew (a degenerate band key = a
+  pile of near-identical docs).  The per-row fold assumes ``doc_id`` is
+  unique per row (true of every generator here); duplicate doc_id rows
+  would emit one signature per ROW while the oracle's GROUP BY doc_id
+  merges them — tests/test_pipeline.py asserts the uniqueness.
 - **SimHash**: 64 independent bit-weight sums per doc — a single groupBy,
   no joins until the (cheap) bucket comparison.
 - **n-gram Jaccard**: exact verification for *candidate pairs only* —
@@ -47,6 +51,7 @@ from facebook_presto_spark.plans.tpch import _t
 
 K_MINHASH = 8  # signature length
 BAND_ROWS = 2  # minhashes per LSH band → 4 bands
+_BUCKET_SALTS = 16  # two-level bucket pre-aggregation fan-out (§2.5)
 
 
 def _tokens(col: Column) -> Column:
@@ -201,9 +206,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(member.alias("m"), F.explode(band_structs).alias("bk")).select(
         "m", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    # Two-level (band, key, salt) pre-bucket (guide §2.5 two-level
+    # aggregation): collect_list's partial aggregation still ships every
+    # member struct of a degenerate bucket (a pile of identical docs) to
+    # ONE reducer before the slice caps it.  Salting by doc_id first
+    # bounds any single task's collected state to max_bucket structs per
+    # salt; the merge level keeps the max_bucket smallest doc_ids
+    # overall — identical to the unsalted slice, because each salt
+    # retains at least its members among the global smallest max_bucket.
+    # Costs one extra narrow exchange of ≤ max_bucket·_BUCKET_SALTS rows
+    # per bucket.
+    salted = (
+        bands.groupBy("band", "key", F.pmod(F.xxhash64("m.doc_id"), F.lit(_BUCKET_SALTS)).alias("salt"))
+        .agg(F.slice(F.sort_array(F.collect_list("m")), 1, max_bucket).alias("pms"))
+    )
     buckets = (
-        bands.groupBy("band", "key")
-        .agg(F.slice(F.sort_array(F.collect_list("m")), 1, max_bucket).alias("ms"))
+        salted.groupBy("band", "key")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("pms"))), 1, max_bucket
+            ).alias("ms")
+        )
         .filter(F.size("ms") >= 2)
     )
     # all i<j pairs within the bucket (members sorted by doc_id, so the

@@ -35,14 +35,13 @@ Spark-first design notes:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+# shared reader: inherits the split-staged multi-file layout (scan
+# parallelism, guide §6) from the tpch plan module
+from facebook_presto_spark.plans.tpch import _t  # noqa: E402,F401
 
 
 # --------------------------------------------------------------------------

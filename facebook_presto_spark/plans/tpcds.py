@@ -201,19 +201,88 @@ _PERSIST_MIN_REFS = 2
 _PERSIST_MIN_FACTS = 2
 _FACT_TABLES = ("tpcds_store_sales", "tpcds_catalog_sales", "tpcds_web_sales")
 
-# (applicationId, stage path) the tpcds_* views were last registered
-# for.  Registering 24 parquet views is pure metadata DDL (schema
-# inference + catalog entries — no data is read or cached), but it costs
-# ~24 catalyst round-trips; re-issuing it on every timed run taxed every
-# tpcds bench entry (guide §1: the timed region should hold the
-# computation).  The views are keyed by session AND stage so a scale
-# change or a fresh session re-registers.
-_VIEWS_FOR: list[tuple[str, str] | None] = [None]
+# (session id, applicationId, stage path) the tpcds_* views were last
+# registered for.  Registering 24 parquet views is pure metadata DDL
+# (schema inference + catalog entries — no data is read or cached), but
+# it costs ~24 catalyst round-trips; re-issuing it on every timed run
+# taxed every tpcds bench entry (guide §1: the timed region should hold
+# the computation).  TEMP views are SparkSession-scoped (not
+# SparkContext-scoped), so the key includes the session's python object
+# id — a second session sharing the application (newSession()) must
+# re-register rather than hit a stale memo.
+_VIEWS_FOR: list[tuple[int, str, str] | None] = [None]
 
 # translation is deterministic text→text; cache per query name
 # ((ctes, main) pre-translated — ~30 ms per run for q14_1)
 _TRANSLATED: dict[tuple[str, tuple[str, ...]],
                   tuple[list[tuple[str, str, int, int]], str]] = {}
+
+# Engine-side CTE body rewrites (Spark SQL, already dialect-translated).
+# The DuckDB oracle always runs the ORIGINAL reference text, so the
+# driver's order-insensitive hash compare proves each rewrite equivalent
+# end-to-end; additionally each body below was proven bag-equivalent to
+# the original body standalone (EXCEPT ALL both ways = 0 rows) at
+# dsdgen sf0.01 and sf0.1 before adoption.
+#
+# q14_1 cross_items (round-12, guide §2.4/§3.2): the reference spells
+# "brand/class/category tuples sold in ALL THREE channels" as a 3-way
+# INTERSECT of (fact ⋈ item ⋈ date_dim) branches.  Spark plans each
+# INTERSECT as an aggregate + join of both (fact-sized) branch outputs:
+# three fact⋈item joins and two tuple-keyed shuffles of sale-sized
+# relations, and under the CTE persist the whole frame still planned
+# 208 parquet scans.  The rewrite computes the same set bottom-up:
+#   1. per channel, the DISTINCT item_sks sold in the date range —
+#      a map-side partial agg straight off each fact scan (the item
+#      join is NOT needed to decide membership, only to name the
+#      tuple), shuffling at most |item| ints per channel as a
+#      channel bitmask (1|2|4);
+#   2. one broadcast join to item to name each item's tuple;
+#   3. GROUP BY tuple HAVING bit_or(bits)=7 — a tuple is kept iff
+#      some item with that tuple sold in every channel, which is
+#      exactly membership in all three INTERSECT branch sets
+#      (GROUP BY and INTERSECT share null-safe tuple equality);
+#   4. the original outer join back to item is kept verbatim (its
+#      `=` predicates drop NULL tuple components, as before).
+# Equivalence: INTERSECT is a set operation, so each branch's bag
+# collapses to "tuple T has ≥1 sale in channel X"; bit_or over the
+# per-item masks computes exactly "T present in X for all X".  Proof
+# runs: sym-diff 0 rows at sf0.01 (159 rows) and sf0.1 (see
+# OPTIMIZATION_r12.md); oracle hash-match on the full query.
+_SPARK_CTE_OVERRIDES: dict[tuple[str, str], str] = {
+    ("q14_1", "cross_items"): """
+SELECT i_item_sk ss_item_sk
+FROM tpcds_item, (
+  SELECT i2.i_brand_id brand_id, i2.i_class_id class_id,
+         i2.i_category_id category_id
+  FROM (
+    SELECT item_sk, bit_or(ch) chs
+    FROM (
+      SELECT ss_item_sk item_sk, 1 ch
+      FROM tpcds_store_sales, tpcds_date_dim d1
+      WHERE ss_sold_date_sk = d1.d_date_sk
+        AND d1.d_year BETWEEN 1999 AND 1999 + 2
+      UNION ALL
+      SELECT cs_item_sk item_sk, 2 ch
+      FROM tpcds_catalog_sales, tpcds_date_dim d2
+      WHERE cs_sold_date_sk = d2.d_date_sk
+        AND d2.d_year BETWEEN 1999 AND 1999 + 2
+      UNION ALL
+      SELECT ws_item_sk item_sk, 4 ch
+      FROM tpcds_web_sales, tpcds_date_dim d3
+      WHERE ws_sold_date_sk = d3.d_date_sk
+        AND d3.d_year BETWEEN 1999 AND 1999 + 2
+    ) u
+    GROUP BY item_sk
+  ) per_item, tpcds_item i2
+  WHERE per_item.item_sk = i2.i_item_sk
+  GROUP BY i2.i_brand_id, i2.i_class_id, i2.i_category_id
+  HAVING bit_or(chs) = 7
+) t
+WHERE i_brand_id = t.brand_id
+  AND i_class_id = t.class_id
+  AND i_category_id = t.category_id
+""",
+}
 
 
 def _translated(name: str, markers: tuple[str, ...]):
@@ -227,12 +296,15 @@ def _translated(name: str, markers: tuple[str, ...]):
         out = []
         for k, (nm, body) in enumerate(ctes):
             later = " ".join(b for _n2, b in ctes[k + 1:])
-            refs = len(re.findall(rf"\b{nm}\b", main, re.I)) \
-                + len(re.findall(rf"\b{nm}\b", later, re.I))
+            nm_rx = rf"\b{re.escape(nm)}\b"
+            refs = len(re.findall(nm_rx, main, re.I)) \
+                + len(re.findall(nm_rx, later, re.I))
             facts = sum(
                 1 for t in _FACT_TABLES if re.search(rf"\b{t}\b", body, re.I)
             )
-            out.append((nm, translate(body), refs, facts))
+            override = _SPARK_CTE_OVERRIDES.get((name, nm))
+            out.append((nm, override if override is not None
+                        else translate(body), refs, facts))
         _TRANSLATED[key] = (out, translate(_wrap(main, markers)))
     return _TRANSLATED[key]
 
@@ -243,12 +315,20 @@ def _runner(name: str,
         scale = _sf_for(sf_dir)
         _LAST_STAGED_SF[0] = scale
         stage = stage_dir(scale)
-        views_key = (spark.sparkContext.applicationId, stage)
+        views_key = (id(spark), spark.sparkContext.applicationId, stage)
         if _VIEWS_FOR[0] != views_key:
+            # big staged tables go through the same multi-file split
+            # staging as the testdata readers (scan parallelism, §6):
+            # dsdgen's single-file parquet caps a 15 MB store_sales scan
+            # at ≤3 row-group splits; the oracle keeps reading the
+            # original single file
+            from facebook_presto_spark.plans.tpch import _split_staged
+
             for t in _TABLES:
+                path = _split_staged(spark, f"{stage}/{t}.parquet")
                 spark.sql(
                     f"CREATE OR REPLACE TEMP VIEW tpcds_{t} AS "
-                    f"SELECT * FROM parquet.`{stage}/{t}.parquet`"
+                    f"SELECT * FROM parquet.`{path}`"
                 )
             _VIEWS_FOR[0] = views_key
         for df in _PERSISTED:

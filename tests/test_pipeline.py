@@ -283,3 +283,34 @@ def test_substring_dedup_clean_removes_second_copy(spark, tmp_path):
     assert out[1] == (3, "head0 head1 tail0")     # span excised exactly
     assert 2 not in out                           # fully-duplicate doc removed
     assert out[3] == (2, "too short")             # short doc passes through
+
+
+def test_documents_doc_id_unique_and_salted_bucket_cap(spark, sf_dir):
+    """The per-row MinHash fold assumes doc_id is unique per row (a
+    duplicate doc_id row would emit one signature per ROW while the
+    oracle's GROUP BY doc_id merges them); pin that invariant on the
+    driver's corpus.  Also pin the salted band-bucket equivalence: the
+    two-level (band, key, salt) pre-aggregation must keep exactly the
+    max_bucket smallest members, i.e. the same candidate pairs as an
+    unsalted bucket."""
+    docs = dedup._t(spark, sf_dir, "documents")
+    n, n_ids = docs.select(
+        F.count(F.lit(1)), F.countDistinct("doc_id")
+    ).first()
+    assert n == n_ids, f"documents has duplicate doc_ids ({n} rows, {n_ids} ids)"
+
+    # salted-vs-unsalted bucket equivalence on a corpus with a
+    # degenerate bucket (many identical docs share every band key)
+    text = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, text, "en", "s", len(text)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        pairs = dedup.minhash_lsh_pairs(spark, d).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    want = {(a, b) for a in range(40) for b in range(40) if a < b}
+    assert got == want  # all 40 identical docs pair up, est_jaccard aside
+    assert all(r.est_jaccard == 1.0 for r in pairs)

@@ -1,8 +1,8 @@
 """Dump .explain("formatted") for headline queries to plans/<tag>/.
 
-Usage: python tools/dump_plans.py <tag> [name ...]
-Writes plans/<tag>/<query>_<suffix>.txt where suffix is the tag's
-before/after role (pass it in the tag, e.g. ``r11 before``).
+Usage: python tools/dump_plans.py <tag> <suffix> [name ...]
+Writes plans/<tag>/<query>_<suffix>.txt, e.g. ``r12 before tpcds_q14_1``
+→ plans/r12/tpcds_q14_1_before.txt.
 """
 
 from __future__ import annotations
@@ -18,6 +18,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
     tag, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
 

@@ -40,10 +40,11 @@ REQUIRE_PARTITION_PRUNE = {"connector_hive_partitioned_roundtrip"}
 REQUIRE_DPP = {"connector_hive_dpp_join"}
 # scan-multiplicity budget: a CTE-heavy plan that re-inlines shared
 # frames re-reads the facts dozens of times (round-10 verdict: q14_1
-# had 348 scans and zero reuse before the CTE persist).  Any query's
-# plan exceeding the ceiling fails the audit so the next CTE-heavy
-# addition can't regress silently.
-SCAN_BUDGET = 200
+# had 348 scans and zero reuse before the CTE persist; 208 persisted;
+# 32 after the round-12 cross_items rewrite — the worst plan in the
+# suite).  Any query's plan exceeding the ceiling fails the audit so
+# the next CTE-heavy addition can't regress silently.
+SCAN_BUDGET = 40
 
 
 def formatted_plan(df) -> str:
