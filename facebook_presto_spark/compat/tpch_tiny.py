@@ -74,6 +74,8 @@ def register_connector_views(spark: SparkSession, con) -> None:
     """Register the tiny tables with *connector* (unprefixed) columns as
     bare names in both engines — the relations AbstractTestQueries and the
     tpch_connector/window_functions/order_by testcases address."""
+    from facebook_presto_spark.plans.tpch import _split_staged
+
     stage = generate()
     for t in TABLES:
         path = os.path.join(stage, f"{t}.parquet")
@@ -82,7 +84,14 @@ def register_connector_views(spark: SparkSession, con) -> None:
             f"CREATE OR REPLACE VIEW {t} AS "
             + unprefixed_select(t, cols, f"read_parquet('{path}')")
         )
+        # the Spark side reads a multi-file split of the big tables so
+        # single-task plans (notably BroadcastNestedLoopJoin from the
+        # corpus's non-equi correlated subqueries: one case burned 780 s
+        # of CPU in ONE task) parallelize over scan splits; the DuckDB
+        # side keeps the original single file
+        spath = path if t in ("region", "nation", "supplier") else \
+            _split_staged(spark, path, min_bytes=0, files=16)
         spark.sql(
             f"CREATE OR REPLACE TEMP VIEW {t} AS "
-            + unprefixed_select(t, cols, f"parquet.`{path}`")
+            + unprefixed_select(t, cols, f"parquet.`{spath}`")
         )

@@ -66,29 +66,37 @@ _SPLIT_DIR = "/root/repo/.scratch/split"
 _split_cache: dict[str, str] = {}
 
 
-def _split_staged(spark: SparkSession, path: str) -> str:
-    """Return ``path`` or a multi-file re-staging of it (see above)."""
+def _split_staged(spark: SparkSession, path: str,
+                  min_bytes: int | None = None,
+                  files: int | None = None) -> str:
+    """Return ``path`` or a multi-file re-staging of it (see above).
+    ``min_bytes``/``files`` override the module defaults for callers
+    whose workload is CPU-bound per row (e.g. the differential-test
+    corpus, whose correlated-subquery cases run BroadcastNestedLoopJoin
+    over the stream side's partitions)."""
     try:
         st = os.stat(path)
     except OSError:
         return path
-    if st.st_size < _SPLIT_MIN_BYTES:
+    if st.st_size < (min_bytes if min_bytes is not None else _SPLIT_MIN_BYTES):
         return path
-    cached = _split_cache.get(path)
-    if cached is not None:
-        return cached
     import hashlib
     import json
     import shutil
 
-    ident = {"src": path, "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    n = files or int(
+        min(_SPLIT_MAX_FILES, max(4, st.st_size // _SPLIT_TARGET_BYTES)))
+    cached = _split_cache.get((path, n))
+    if cached is not None:
+        return cached
+    ident = {"src": path, "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+             "files": n}
     stem = os.path.basename(path).removesuffix(".parquet")
     key = hashlib.sha1(json.dumps(ident, sort_keys=True).encode()).hexdigest()[:12]
     dest = os.path.join(_SPLIT_DIR, f"{stem}_{key}")
     marker = os.path.join(dest, "_staged.json")
     if not os.path.exists(marker):
         src = spark.read.parquet(path)
-        n = int(min(_SPLIT_MAX_FILES, max(4, st.st_size // _SPLIT_TARGET_BYTES)))
         tmp = f"{dest}.tmp.{os.getpid()}"
         src.repartition(n).write.mode("overwrite").parquet(tmp)
         out = spark.read.parquet(tmp)
@@ -96,7 +104,7 @@ def _split_staged(spark: SparkSession, path: str) -> str:
         # (value identity is re-proven by the driver's oracle hash gate)
         if out.schema != src.schema or out.count() != src.count():
             shutil.rmtree(tmp, ignore_errors=True)
-            _split_cache[path] = path
+            _split_cache[(path, n)] = path
             return path
         with open(os.path.join(tmp, "_staged.json"), "w") as f:
             json.dump(ident, f)
@@ -105,9 +113,9 @@ def _split_staged(spark: SparkSession, path: str) -> str:
         except OSError:  # concurrent stager won the rename
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(marker):
-                _split_cache[path] = path
+                _split_cache[(path, n)] = path
                 return path
-    _split_cache[path] = dest
+    _split_cache[(path, n)] = dest
     return dest
 
 

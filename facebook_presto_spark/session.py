@@ -52,6 +52,16 @@ def get_spark(app_name: str = "facebook_presto_spark", cpus: str | int | None = 
         # ANSI off matches the reference's permissive double arithmetic;
         # our try()/try_cast helpers provide the safe variants explicitly.
         .config("spark.sql.ansi.enabled", "false")
+        # --- robustness under CPU starvation ------------------------------
+        # The sandbox shows multi-minute CPU-steal freezes; with the 10s
+        # default heartbeat RPC timeout the local executor gives up after
+        # 60 failed sends ("Exit as unable to send heartbeats") and kills
+        # the context mid-suite.  A longer interval and network timeout
+        # are also sane on a real cluster (guide §7.4 first remedy for
+        # spurious executor loss); network.timeout must exceed the
+        # heartbeat interval.
+        .config("spark.executor.heartbeatInterval", "30s")
+        .config("spark.network.timeout", "600s")
         # --- local-mode memory ------------------------------------------
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -11,7 +11,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", cpus=8)
+    # 16 of the verify box's 32 cores: the differential corpus contains
+    # a handful of genuinely quadratic correlated-subquery cases
+    # (BroadcastNestedLoopJoin over orders×orders) whose wall-clock is
+    # CPU-bound; 8 cores left the driver's pytest window unmet.
+    s = get_spark("pytest", cpus=16)
     yield s
 
 

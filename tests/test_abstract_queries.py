@@ -194,8 +194,11 @@ class _Oracle:
     """
 
     def __init__(self, spark):
+        import threading
+
         self._spark = spark
         self._con = None
+        self._lock = threading.Lock()
         self._rebuild()
 
     def _rebuild(self):
@@ -207,12 +210,16 @@ class _Oracle:
         tpch_tiny.register_connector_views(self._spark, self._con)
 
     def run(self, sql: str):
+        # cursor() opens a sibling connection to the same in-memory db —
+        # DuckDB's documented pattern for concurrent callers; _rebuild is
+        # serialized so a poisoned connection is replaced exactly once
         try:
             return self._con.cursor().execute(sql).fetchall()
         except Exception as e:
             if "pending" not in str(e):
                 raise
-            self._rebuild()
+            with self._lock:
+                self._rebuild()
             return self._con.cursor().execute(sql).fetchall()
 
 
@@ -236,77 +243,101 @@ def diff_env(spark, sf_dir):
         df.createOrReplaceTempView(name)
 
 
-def test_abstract_queries_differential(diff_env):
-    engine, con = diff_env
-    cases = aq.extract_all()
-    ran = failed = oracle_skip = nondet = dataset_golden = 0
-    known = subset = smoked = runtime_shape = 0
-    failures: list[str] = []
-    smoke_failures: list[str] = []
-    for case in cases:
-        if NONDETERMINISTIC.search(case.sql):
-            nondet += 1
-            continue
-        if any(case.case_id.startswith(k) for k in KNOWN_DIVERGENCES):
-            known += 1
-            continue
-        # NOTE: oracles that hardcode expected rows (VALUES …) are now
-        # valid — the engine runs on the REAL tiny dataset they were
-        # computed from.
-        oracle_sql = ORACLE_OVERRIDES.get(case.case_id) or case.oracle or case.sql
+def _run_case(engine, con, case):
+    """One differential case → (category, detail_or_None).
+
+    Categories: nondet, known, ran, failed, oracle_skip+smoked,
+    oracle_skip+subset, oracle_skip+runtime_shape, oracle_skip+smokefail.
+    """
+    if NONDETERMINISTIC.search(case.sql):
+        return ("nondet", None)
+    if any(case.case_id.startswith(k) for k in KNOWN_DIVERGENCES):
+        return ("known", None)
+    # NOTE: oracles that hardcode expected rows (VALUES …) are now
+    # valid — the engine runs on the REAL tiny dataset they were
+    # computed from.
+    oracle_sql = ORACLE_OVERRIDES.get(case.case_id) or case.oracle or case.sql
+    try:
+        duck = con.run(oracle_sql)
+    except Exception:
+        # DuckDB can't stand in for H2 on this text — still require
+        # the ENGINE to run the Presto query (execution smoke): every
+        # query the reference's tests run must at least execute.
+        # Tolerated errors are CLASSIFIED, never silently dropped:
+        # a column the tiny dbgen subset genuinely lacks, or a
+        # data-shaped runtime error during execution, are counted;
+        # anything the translator/analyzer rejects is a failure —
+        # the reference runs this text.
         try:
-            duck = con.run(oracle_sql)
-        except Exception:
-            # DuckDB can't stand in for H2 on this text — still require
-            # the ENGINE to run the Presto query (execution smoke): every
-            # query the reference's tests run must at least execute.
-            # Tolerated errors are CLASSIFIED, never silently dropped:
-            # a column the tiny dbgen subset genuinely lacks, or a
-            # data-shaped runtime error during execution, are counted;
-            # anything the translator/analyzer rejects is a failure —
-            # the reference runs this text.
-            oracle_skip += 1
-            try:
-                engine.sql(case.sql).collect()
-                smoked += 1
-            except Exception as e:
-                msg = str(e)
-                kind = type(e).__name__
-                if "UNRESOLVED_ROUTINE" in msg:
-                    smoke_failures.append(
+            engine.sql(case.sql).collect()
+            return ("smoked", None)
+        except Exception as e:
+            msg = str(e)
+            kind = type(e).__name__
+            if "UNRESOLVED_ROUTINE" in msg:
+                return ("smokefail",
                         f"{case.case_id}: missing function: {msg[:140]}")
-                elif "UNRESOLVED_COLUMN" in msg or "UNRESOLVED_FIELD" in msg:
-                    subset += 1
-                elif kind in ("AnalysisException", "ParseException",
-                              "ValueError", "KeyError",
-                              "NotImplementedError", "IndexError"):
-                    smoke_failures.append(
+            if "UNRESOLVED_COLUMN" in msg or "UNRESOLVED_FIELD" in msg:
+                return ("subset", None)
+            if kind in ("AnalysisException", "ParseException",
+                        "ValueError", "KeyError",
+                        "NotImplementedError", "IndexError"):
+                return ("smokefail",
                         f"{case.case_id}: translator error {kind}: "
                         f"{msg[:140]}")
-                else:
-                    runtime_shape += 1  # executed, data-shaped error
-            continue
-        count_only = (
-            re.search(r"\bLIMIT\b", case.sql, re.I)
-            and not re.search(r"\bORDER\s+BY\b", case.sql, re.I)
-        )
-        try:
-            got = engine.sql(case.sql).collect()
-        except Exception as e:
-            failed += 1
-            failures.append(f"{case.case_id}: engine error: {str(e)[:160]}")
-            continue
-        ran += 1
-        if count_only:
-            ok = len(got) == len(duck)
-        else:
-            ok = _match(got, duck, case.ordered)
-        if not ok:
-            failed += 1
-            failures.append(
+            return ("runtime_shape", None)  # executed, data-shaped error
+    count_only = (
+        re.search(r"\bLIMIT\b", case.sql, re.I)
+        and not re.search(r"\bORDER\s+BY\b", case.sql, re.I)
+    )
+    try:
+        got = engine.sql(case.sql).collect()
+    except Exception as e:
+        return ("failed", f"{case.case_id}: engine error: {str(e)[:160]}")
+    if count_only:
+        ok = len(got) == len(duck)
+    else:
+        ok = _match(got, duck, case.ordered)
+    if not ok:
+        return ("failed",
                 f"{case.case_id}: mismatch "
-                f"(spark {len(got)} rows vs duck {len(duck)}): {case.sql[:120]}"
-            )
+                f"(spark {len(got)} rows vs duck {len(duck)}): {case.sql[:120]}")
+    return ("ran", None)
+
+
+def test_abstract_queries_differential(diff_env):
+    # The ~1,300 cases are independent (pure SELECT text, no session
+    # mutation), and each case is one tiny Spark job + one DuckDB query —
+    # latency-bound, not CPU-bound.  Submitting them from a small thread
+    # pool lets the Spark scheduler overlap the jobs (optimization guide
+    # §2.6 "overlap independent jobs"); this cut the test from ~21 min to
+    # a few minutes without changing what is asserted.  A guard keeps any
+    # session-mutating text out of the pool (none in the corpus today).
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine, con = diff_env
+    cases = aq.extract_all()
+    mutating = re.compile(r"^\s*(SET|USE|CREATE|DROP|INSERT|DEALLOCATE|PREPARE)\b", re.I)
+    parallel = [c for c in cases if not mutating.match(c.sql)]
+    serial = [c for c in cases if mutating.match(c.sql)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(lambda c: _run_case(engine, con, c), parallel))
+    results += [_run_case(engine, con, c) for c in serial]
+
+    ran = sum(1 for k, _ in results if k == "ran")
+    nondet = sum(1 for k, _ in results if k == "nondet")
+    known = sum(1 for k, _ in results if k == "known")
+    smoked = sum(1 for k, _ in results if k == "smoked")
+    subset = sum(1 for k, _ in results if k == "subset")
+    runtime_shape = sum(1 for k, _ in results if k == "runtime_shape")
+    dataset_golden = 0
+    failures = [d for k, d in results if k == "failed"]
+    smoke_failures = [d for k, d in results if k == "smokefail"]
+    failed = len(failures)
+    # original summary arithmetic: "compared" = clean passes + mismatches
+    # (engine errors counted only in failed)
+    ran += sum(1 for d in failures if "mismatch" in d)
+    oracle_skip = smoked + subset + runtime_shape + len(smoke_failures)
     summary = (
         f"{ran} compared, {failed} failed, {oracle_skip} oracle-skipped "
         f"(of which {smoked} engine-smoked ok, {subset} subset-column, "

@@ -210,29 +210,40 @@ def _battery_df(spark, kind):
 
 
 def test_sql_path_matches_column_path(eng, spark):
-    failures = []
-    for name, (builder, sql_expr, kind) in sorted(CASES.items()):
-        df = _battery_df(spark, kind)
-        df.createOrReplaceTempView("geo_battery")
+    # one battery view per kind up front, then the 55 independent cases
+    # (two tiny collects each) overlap through the scheduler — the
+    # serial spelling re-created the DataFrame and view per case and was
+    # the suite's #2 cost (296 s)
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = {}
+    for kind in {k for (_, _, k) in CASES.values()}:
+        dfs[kind] = _battery_df(spark, kind)
+        dfs[kind].createOrReplaceTempView(f"geo_battery_{kind}")
+
+    def run(item):
+        name, (builder, sql_expr, kind) = item
         try:
             expected = [_norm(r[0]) for r in
-                        df.select(builder().alias("v")).collect()]
+                        dfs[kind].select(builder().alias("v")).collect()]
         except Exception as e:
-            failures.append(f"{name}: column path raised: {str(e)[:80]}")
-            continue
+            return f"{name}: column path raised: {str(e)[:80]}"
         try:
             actual = [_norm(r[0]) for r in eng.sql(
-                f"SELECT {sql_expr} AS v FROM geo_battery").collect()]
+                f"SELECT {sql_expr} AS v FROM geo_battery_{kind}").collect()]
         except Exception as e:
-            failures.append(f"{name}: SQL path raised: "
-                            f"{str(e).splitlines()[0][:120]}")
-            continue
+            return (f"{name}: SQL path raised: "
+                    f"{str(e).splitlines()[0][:120]}")
         if expected != actual:
             diffs = [
                 (i, e, a) for i, (e, a) in enumerate(zip(expected, actual))
                 if e != a
             ][:3]
-            failures.append(f"{name}: mismatch {diffs}")
+            return f"{name}: mismatch {diffs}"
+        return None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [f for f in pool.map(run, sorted(CASES.items())) if f]
     assert not failures, "\n".join(failures)
 
 

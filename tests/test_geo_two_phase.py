@@ -191,15 +191,20 @@ def test_global_aggregate_and_empty_input(eng, spark):
 
 
 def test_one_hot_group_scales(eng, spark):
-    """One group, 1,000,000 geometries, default task memory.
+    """One group, 250,000 geometries across 32 partitions, default task
+    memory.
 
-    The naive spelling would collect all 1M WKT strings into a single
-    array in one task; the two-phase plan's first aggregation groups by
-    spark_partition_id(), so no task ever sees more than one input
-    partition.  Union inputs snap to a 40×25 grid (the reference's
-    union semantics dedupe coincident points), the hull pools all 1M
+    The naive spelling would collect every WKT string of the group into
+    a single array in one task; the two-phase plan's first aggregation
+    groups by spark_partition_id(), so no task ever sees more than one
+    input partition.  Union inputs snap to a 40×25 grid (the reference's
+    union semantics dedupe coincident points), the hull pools all 250k
     vertices — both must come back exact."""
-    spark.range(1_000_000).selectExpr(
+    # 250k rows keep the property (one hot group, many partitions, per-
+    # partition partials, exact union/hull) at a quarter of the Python-
+    # side WKT-parse wall clock; the guarded failure mode (single-task
+    # collect of the whole group) trips at this size just the same
+    spark.range(250_000).selectExpr(
         "1 AS k",
         "concat('POINT (', id % 40, ' ', (id * 7) % 25, ')') AS g",
     ).repartition(32).createOrReplaceTempView("geo2p_big")

@@ -90,6 +90,13 @@ def test_reference_scalar_assertions(eng):
     assert len(cases) >= 2300, "harvest shrank — parser regression?"
     failures: list[str] = []
     fixed: list[str] = []
+    # keep the known-to-error cases OUT of the batches: one erroring
+    # expression fails its whole 40-wide SELECT and forced a 40-query
+    # per-case fallback around every such case (~14 of them) — they run
+    # in their own all-known batches at the end instead, where the
+    # fallback is the expected path
+    known_err = [c for c in cases if KNOWN.get(c[0]) == "error"]
+    cases = [c for c in cases if KNOWN.get(c[0]) != "error"] + known_err
     B = 40
     for i in range(0, len(cases), B):
         batch = cases[i:i + B]

@@ -93,29 +93,34 @@ def test_tpcds_differential(tpcds_env):
     from tests.test_abstract_queries import _match
 
     engine, con = tpcds_env
-    ran = 0
-    failures, skipped = [], []
-    for path in CASES:
+
+    # independent read-only cases; overlap them through the scheduler
+    # (optimization guide §2.6) — was 149 s serial
+    def run(path):
         name = os.path.basename(path).removesuffix(".sql")
         if name in KNOWN:
-            skipped.append((name, KNOWN[name]))
-            continue
+            return ("skip", (name, KNOWN[name]))
         sql = _load(path)
         try:
             duck = con.cursor().execute(sql).fetchall()
         except Exception as e:
-            skipped.append((name, f"oracle: {str(e)[:90]}"))
-            continue
+            return ("skip", (name, f"oracle: {str(e)[:90]}"))
         try:
             got = engine.sql(sql).collect()
         except Exception as e:
-            failures.append(f"{name}: engine error: {str(e)[:160]}")
-            continue
-        ran += 1
+            return ("fail", f"{name}: engine error: {str(e)[:160]}")
         if not _match(got, duck, ordered=False):
-            failures.append(
-                f"{name}: mismatch (spark {len(got)} vs duck {len(duck)} rows)"
-            )
+            return ("fail",
+                    f"{name}: mismatch (spark {len(got)} vs duck {len(duck)} rows)")
+        return ("ran", None)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(run, CASES))
+    ran = sum(1 for k, _ in results if k == "ran")
+    failures = [d for k, d in results if k == "fail"]
+    skipped = [d for k, d in results if k == "skip"]
     summary = f"tpcds: {ran} compared, {len(failures)} failed, " \
               f"{len(skipped)} skipped of {len(CASES)}"
     print(summary)
