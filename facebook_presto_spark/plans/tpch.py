@@ -60,8 +60,12 @@ from pyspark.sql import functions as F
 # arrive in split-sized files and this path is a no-op by construction
 # (a single 100 TB single-row-group file would be broken the same way).
 _SPLIT_MIN_BYTES = 2 * 1024 * 1024
-_SPLIT_TARGET_BYTES = 350 * 1024
-_SPLIT_MAX_FILES = 32
+# ~1.5 MB per part: enough files to occupy half the cores on the
+# largest local table while keeping per-task work well above task
+# overhead — 350 KB parts (32 files) measured WORSE under this box's
+# scheduling jitter (§2.2: fewer, larger map tasks)
+_SPLIT_TARGET_BYTES = 1536 * 1024
+_SPLIT_MAX_FILES = 16
 _SPLIT_DIR = "/root/repo/.scratch/split"
 _split_cache: dict[str, str] = {}
 
